@@ -1,13 +1,165 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Warehouse
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching ANSI-SQL oracle in
+  * [[oracleSql]] (DuckDB dialect-compatible) unless the operator is not
+  * SQL-expressible, in which case the driver records a rows-only check.
+  * Column aliases are kept identical on both sides — the driver compare
+  * sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's normalize stage (normalization.py:81-107) as one
+    * declarative Spark plan: JSON parse → project → tumbling window agg. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Warehouse.q14NormalizeEvents(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> Warehouse.q01PricingSummary,
+    "q02_filter_project"  -> Warehouse.q02FilterProject,
+    "q03_ship_priority"   -> Warehouse.q03ShippingPriority,
+    "q04_order_priority"  -> Warehouse.q04OrderPriority,
+    "q05_region_revenue"  -> Warehouse.q05RegionRevenue,
+    "q06_forecast"        -> Warehouse.q06ForecastRevenue,
+    "q07_top_orders"      -> Warehouse.q07TopOrders,
+    "q08_window_rank"     -> Warehouse.q08WindowRank,
+    "q09_rollup"          -> Warehouse.q09Rollup,
+    "q10_set_ops"         -> Warehouse.q10SetOps,
+    "q11_anti_join"       -> Warehouse.q11AntiJoin,
+    "q12_distinct_agg"    -> Warehouse.q12DistinctAgg,
+    "q13_events_tumbling" -> Warehouse.q13EventsTumbling,
+    "q14_normalize_events" -> Warehouse.q14NormalizeEvents,
+    "q15_having"          -> Warehouse.q15Having,
+  )
+
+  /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),4) AS sum_qty,
+         round(sum(l_extendedprice),4) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         round(l_extendedprice*(1-l_discount),4) AS net_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-02-01'
+           AND l_discount >= 0.08
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate  > TIMESTAMP '1998-01-01'
+         GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1 ORDER BY 1""",
+    "q05_region_revenue" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name IN ('ASIA','AMERICA')
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name ASC""",
+    "q06_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q07_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q08_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, price, prev_price FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             round(o_totalprice,4) AS price,
+             round(coalesce(lag(o_totalprice,1) OVER w, 0.0),4) AS prev_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ) WHERE rn <= 2 AND o_custkey < 100
+         ORDER BY o_custkey, rn""",
+    "q09_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         count(*) AS n, round(sum(l_quantity),4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q10_set_ops" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE o_totalprice > 400000),
+         early AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1996-01-01')
+         SELECT 'both' AS tag, o_custkey AS custkey
+           FROM (SELECT * FROM big INTERSECT SELECT * FROM early)
+         UNION ALL
+         SELECT 'big_only' AS tag, o_custkey AS custkey
+           FROM (SELECT * FROM big EXCEPT SELECT * FROM early)
+         ORDER BY tag, custkey""",
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate <  TIMESTAMP '1996-01-01')
+         ORDER BY c_custkey""",
+    "q12_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q13_events_tumbling" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/1200)*1200*1000000 AS BIGINT)),
+                         '%Y-%m-%d %H:%M:%S') AS w_start,
+         event_type, count(*) AS n, round(sum(value),4) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q14_normalize_events" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/1200)*1200*1000000 AS BIGINT)),
+                         '%Y-%m-%d %H:%M:%S') AS w_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events
+         WHERE json_extract_string(props,'$.k') IS NOT NULL
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q15_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice),4) AS total
+         FROM orders GROUP BY 1 HAVING count(*) >= 15
+         ORDER BY n_orders DESC, o_custkey ASC""",
+  )
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** The analytics query surface the reference delegates to BigQuery
+  * (reference README.md:2 — "data warehouse" is the query engine; see
+  * /root/repo/SURVEY.md §2.5-2.6). Re-expressed Spark-first: declarative
+  * DataFrame plans, Catalyst pushes filters/prunes columns to the parquet
+  * scan, small dimensions are broadcast, big joins shuffle on their keys.
+  *
+  * Determinism contract (for the DuckDB oracle): every query ends in a
+  * total-order sort, float aggregates are rounded to 4 decimals, all
+  * computed columns are aliased identically here and in the oracle SQL.
+  */
+object Warehouse {
+
+  /** Revenue expression used throughout: extendedprice discounted. */
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Q1-style pricing summary: full scan + hash aggregate.
+    * At 100 TB this is a map-side partial agg on 5x2 groups — no skew,
+    * shuffle carries only |groups| x partial rows. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Selective filter + narrow projection: the point is pushdown — the
+    * parquet scan must show PushedFilters on l_shipdate/l_discount and a
+    * 5-column ReadSchema. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-02-01").cast("timestamp") &&
+              col("l_discount") >= 0.08)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), round(revenue, 4).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q3-style shipping priority: customer ⋈ orders ⋈ lineitem.
+    * customer is small relative to lineitem → broadcast; orders⋈lineitem
+    * shuffles on orderkey. Top-10 via TakeOrderedAndProject (no full sort). */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(revenue), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q4-style order priority check: EXISTS decorrelated to a left-semi
+    * join on orderkey (shuffle-hash/SMJ on the join key — no row blowup). */
+  def q04OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val late = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q5-style local-supplier revenue: the full star join. region/nation/
+    * supplier/customer are dimensions → broadcast them all; only
+    * lineitem⋈orders is a real shuffle. */
+  def q05RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name").isin("ASIA", "AMERICA"))
+    val nation = t(s, dir, "nation")
+    val cust   = t(s, dir, "customer")
+    val supp   = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Q6-style forecast: pure scan + filter + global agg — everything
+    * pushes to parquet row-group pruning; one partial+final sum. */
+  def q06ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  /** Top-k with tiebreak: Spark plans TakeOrderedAndProject — a per-
+    * partition heap + driver merge, no global sort even at 100 TB. */
+  def q07TopOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Window functions: rank orders within each customer. Single shuffle
+    * on o_custkey serves both window specs (same partitioning). */
+  def q08WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price",
+        round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 4).as("prev_price"))
+      .filter(col("rn") <= 2 && col("o_custkey") < 100)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+              round(col("o_totalprice"), 4).as("price"), col("prev_price"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** ROLLUP with grouping-set indicator — partial aggs reused across
+    * grouping sets by Spark's Expand operator. */
+  def q09Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operations: EXCEPT/INTERSECT compile to aggregate/semi-join
+    * shapes, each a single shuffle on the full row. */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val big   = ord.filter(col("o_totalprice") > 400000).select("o_custkey").distinct()
+    val early = ord.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val both     = big.intersect(early).withColumn("tag", lit("both"))
+    val bigOnly  = big.except(early).withColumn("tag", lit("big_only"))
+    both.union(bigOnly)
+      .select(col("tag"), col("o_custkey").as("custkey"))
+      .orderBy("tag", "custkey")
+  }
+
+  /** Anti join: customers with no 1995 orders. Broadcast the filtered
+    * orders key set when it fits; else shuffle-anti on custkey. */
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord95 = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+    t(s, dir, "customer")
+      .join(ord95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Distinct aggregates: exact distinct forces a two-phase agg (expand
+    * on the distinct column); at scale prefer approx_count_distinct —
+    * benchmarked separately because it has no exact oracle. */
+  def q12DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** 20-minute tumbling window over the events stream table (reference
+    * normalization.py:142-165 does this with a wall-clock loop; here it
+    * is one declarative window aggregate — see SURVEY.md §2.7 C3). */
+  def q13EventsTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "20 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Flagship: the reference's normalize stage (normalization.py:81-107)
+    * as one declarative plan — parse the JSON props column, project the
+    * whitelisted field, aggregate per tumbling window. from_json is
+    * PERMISSIVE: malformed rows become nulls, the pipeline survives
+    * (reference retrieval.py:104-113 semantics). */
+  def q14NormalizeEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    t(s, dir, "events")
+      .withColumn("p", from_json(col("props"), propsSchema))
+      .select(col("ts"), col("event_type"), col("p.k").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(window(col("ts"), "20 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_k"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** GROUP BY + HAVING: big customers by order count. */
+  def q15Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(desc("n_orders"), asc("o_custkey"))
+}
