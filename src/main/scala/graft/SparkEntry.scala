@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Warehouse
+import graft.operators.{Dedup, Similarity, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,21 @@ object SparkEntry {
     "q13_events_tumbling" -> Warehouse.q13EventsTumbling,
     "q14_normalize_events" -> Warehouse.q14NormalizeEvents,
     "q15_having"          -> Warehouse.q15Having,
+    // text analysis (training-data pipeline ops)
+    "t01_token_counts"    -> TextOps.tokenCounts,
+    "t02_quality_score"   -> TextOps.qualityScore,
+    "t03_lang_id"         -> TextOps.langId,
+    "t04_fingerprint"     -> TextOps.fingerprint,
+    // deduplication
+    "d01_exact_dedup"     -> Dedup.exactDedup,
+    "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "d03_ngram_jaccard"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "d04_simhash"         -> ((s, dir) => Dedup.simhash(s, dir)),
+    // similarity search
+    "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
+    "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
+    "s03_lsh_pairs"       -> ((s, dir) => Similarity.lshPairs(s, dir)),
+    "s04_ann_ivf"         -> ((s, dir) => Similarity.annIvf(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -161,5 +176,99 @@ object SparkEntry {
          round(sum(o_totalprice),4) AS total
          FROM orders GROUP BY 1 HAVING count(*) >= 15
          ORDER BY n_orders DESC, o_custkey ASC""",
+    "t01_token_counts" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
+         length(text) AS n_text_chars
+         FROM documents ORDER BY doc_id""",
+    "t02_quality_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nonspace,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents)
+         SELECT doc_id,
+           floor((n_stop / n_tok)*1e4 + 0.5)/1e4 AS stop_ratio,
+           floor((n_nonspace / n_tok)*1e4 + 0.5)/1e4 AS mean_tok_len,
+           floor((n_alpha / n_chars)*1e4 + 0.5)/1e4 AS alpha_ratio,
+           floor((least(1.0, n_tok/20.0)*0.4
+                 + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                 + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4 AS quality
+         FROM f ORDER BY doc_id""",
+    "t03_lang_id" ->
+      """WITH f AS (
+           SELECT lang,
+             CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+')) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred
+           FROM documents)
+         SELECT lang, lang_pred, count(*) AS n FROM f
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "d01_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper""",
+    "d02_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS uni
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
+         FROM pairs WHERE round(inter * 1.0 / uni, 4) >= 0.7
+         ORDER BY doc_a, doc_b""",
+    "d03_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS uni
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
+         FROM pairs WHERE round(inter * 1.0 / uni, 4) >= 0.7
+         ORDER BY doc_a, doc_b""",
+    "s01_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(q.v, a.v), 6) AS cos
+           FROM e q JOIN e a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s02_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+         ORDER BY id_a, id_b""",
   )
 }

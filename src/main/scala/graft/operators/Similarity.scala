@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label).
+  *
+  * Two tiers, mirroring what a 100 TB pipeline needs:
+  *  - brute-force cosine top-k for a small query set: broadcast the
+  *    queries, one narrow pass over the corpus — scales linearly, no
+  *    shuffle of the corpus.
+  *  - hyperplane-LSH bucketing for all-pairs / large query sets: shuffle
+  *    on a 16-bit bucket key, exact re-rank inside buckets.
+  */
+object Similarity {
+
+  /** Cosine similarity as pure built-in array expressions, computed in
+    * double. Columns must be array<double>. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+
+  /** Brute-force cosine top-k: queries (vec_id < nQueries) broadcast
+    * against the full corpus; rank per query. Deterministic: cosine is
+    * rounded to 6 decimals before ranking, ties broken by vec_id. */
+  def annBruteForce(s: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val all = emb(s, dir)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** All-pairs near-duplicate embeddings above a cosine threshold —
+    * brute force (corpus x corpus). Correct at any scale but O(n^2):
+    * the oracle-checked exact baseline for [[lshPairs]]. */
+  def cosinePairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val a = emb(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: planes(i)(d) in [-1, 1),
+    * a pure function of (i, d) via SplitMix64 — identical across JVMs. */
+  private def plane(i: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      val h = Dedup.splitmix64(i.toLong * 131071L + d)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** Sign-LSH bucket key: `nPlanes` hyperplane sign bits packed into a
+    * string key. Vectors in the same bucket are candidate neighbors. */
+  def lshBucket(v: Column, nPlanes: Int = 12, dim: Int = 64): Column =
+    concat_ws("", (0 until nPlanes).map { i =>
+      val pl = plane(i, dim)
+      val dot = aggregate(
+        zip_with(v, array(pl.map(lit): _*), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed near-neighbor pairs: shuffle on the bucket key, exact
+    * cosine re-rank inside each bucket. The 100 TB path for all-pairs
+    * similarity — recall is tunable via nPlanes (fewer planes = bigger
+    * buckets = higher recall and cost). Rows-only check: bucketing
+    * recall is probabilistic, there is no exact SQL oracle. */
+  def lshPairs(s: SparkSession, dir: String, threshold: Double = 0.3,
+               nPlanes: Int = 6): DataFrame = {
+    val docs = emb(s, dir)
+      .select(col("vec_id"), col("v"), lshBucket(col("v"), nPlanes).as("bucket"))
+    docs.as("a").join(docs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** IVF-style search: assign every vector to its LSH bucket (the
+    * "inverted file"), probe only the query's bucket, exact re-rank.
+    * Demonstrates the coarse-quantize → probe → re-rank shape; a k-means
+    * coarse quantizer slots into the same plan. */
+  def annIvf(s: SparkSession, dir: String,
+             nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4): DataFrame = {
+    val all = emb(s, dir)
+      .select(col("vec_id"), col("v"), lshBucket(col("v"), nPlanes).as("bucket"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val scored = all.join(broadcast(queries),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+}

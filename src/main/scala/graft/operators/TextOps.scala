@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All pure Column expressions — no UDFs, everything stays inside
+  * whole-stage codegen, so at 100 TB these are embarrassingly-parallel
+  * map stages bounded by parquet scan throughput.
+  */
+object TextOps {
+
+  /** English stopword markers used by the language/quality heuristics.
+    * Deterministic and tiny by design (this is an n-gram-free heuristic,
+    * not a model). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  private def stopCount: Column =
+    size(filter(tokens, tk => tk.isin(stopwords.map(lit(_): Any): _*)))
+
+  /** Whitespace token count plus a BPE-ish subword proxy: runs of
+    * letters, single digits, or single non-alphanumeric glyphs. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("n_subwords"),
+        length(col("text")).as("n_text_chars"))
+      .orderBy("doc_id")
+
+  /** Engine-agnostic 4-decimal rounding for scalar double formulas:
+    * floor(x*1e4+0.5)/1e4 evaluates identically in any IEEE-double
+    * engine, unlike round() (Spark rounds via decimal string, DuckDB in
+    * binary — they disagree on exact .5 boundaries). */
+  private def r4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Quality scoring: length ratio, stopword ratio, mean token length,
+    * alpha ratio — combined into one deterministic score. Mirrors the
+    * published heuristic-filter recipes (C4/Gopher-style rules). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("double")
+    val meanTokLen =
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
+    val stopRatio = stopCount.cast("double") / nTok
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        length(col("text")).cast("double")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        r4(stopRatio).as("stop_ratio"),
+        r4(meanTokLen).as("mean_tok_len"),
+        r4(alphaRatio).as("alpha_ratio"),
+        r4(
+          least(lit(1.0), nTok / lit(20.0)) * lit(0.4)
+            + least(lit(1.0), stopRatio * lit(5.0)) * lit(0.3)
+            + when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.0) * lit(0.3))
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: stopword-marker density → 'en' vs 'unk',
+    * reported against the labeled lang column for accuracy-by-group.
+    * (A real n-gram profile model slots in behind the same signature.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("double")
+    val pred = when(stopCount.cast("double") / nTok >= 0.05, "en").otherwise("unk")
+    t(s, dir, "documents")
+      .select(col("lang"), pred.as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowered
+    * text — the exact-dedup key. Stable across engines. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .orderBy("doc_id")
+}
