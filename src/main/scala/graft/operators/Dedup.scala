@@ -36,12 +36,15 @@ object Dedup {
   private def tokensOf(c: Column): Column = split(trim(c), "\\s+")
 
   /** Distinct 3-word shingles of a text column (docs with <3 tokens have
-    * no shingles and drop out of near-dup analysis). */
+    * no shingles and drop out of near-dup analysis). Guarded: Spark's
+    * sequence(1, 0) counts DOWN, so short docs need an explicit branch. */
   def shingles(c: Column, n: Int = 3): Column = {
     val tk = tokensOf(c)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(tk) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*)))
+    when(size(tk) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact dedup: group on the md5 fingerprint of normalized text, keep

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (reference SURVEY.md §2.4).
+  *
+  * K1 — partitioned JSONL warehouse sink (normalization.py:110-130):
+  * the reference hand-builds `dt=YYYY-MM-DD/hr=HH` paths and uploads
+  * JSONL batches; in Spark this is `partitionBy("dt","hr").json` — task-
+  * attempt file naming replaces the random suffix, the commit protocol
+  * replaces the SQLite is_done flag (normalization.py:45-51), and at
+  * 100 TB the partition columns give hive-style pruning on read.
+  *
+  * K2/K3 — batched RPC publisher (retrieval.py:123-169): per-partition
+  * client (the Beam start_bundle amortization) + bounded batches. The
+  * transport is pluggable; tests inject an in-memory publisher.
+  */
+object Sinks {
+
+  /** K1: append `dt`/`hr` processing-time partitions and write JSONL. */
+  def writePartitionedJsonl(df: DataFrame, outDir: String): Unit =
+    df
+      .withColumn("dt", date_format(current_timestamp(), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(current_timestamp(), "HH"))
+      .write.partitionBy("dt", "hr").mode("append").json(outDir)
+
+  /** K1 (event-time variant): partitions derived from an event-time
+    * column instead of the wall clock — what the reference *should* do
+    * so late data lands in its own partition (SURVEY.md §2.7 C5). */
+  def writePartitionedJsonlByEventTime(df: DataFrame, tsCol: String, outDir: String): Unit =
+    df
+      .withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col(tsCol), "HH"))
+      .write.partitionBy("dt", "hr").mode("append").json(outDir)
+
+  /** K2: publish rows in bounded batches with one client per partition.
+    * `openClient` runs once per partition (start_bundle semantics,
+    * retrieval.py:127-129); `publish` gets at most `maxBatch` records
+    * per call; at-least-once on task retry, like the reference's
+    * blocking future.result() (retrieval.py:137-140). */
+  def publishBatched[C](ds: Dataset[String], maxBatch: Int = 50)
+                       (openClient: () => C)
+                       (publish: (C, Seq[String]) => Unit)
+                       (close: C => Unit): Unit =
+    ds.foreachPartition { (it: Iterator[String]) =>
+      val client = openClient()
+      try it.grouped(maxBatch).foreach(b => publish(client, b.toSeq))
+      finally close(client)
+    }
+
+  /** K3: per-element sink as a ForeachWriter (streaming-compatible). */
+  class StringForeachWriter(send: String => Unit) extends ForeachWriter[String] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(value: String): Unit = send(value)
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+}

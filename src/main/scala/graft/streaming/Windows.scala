@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators — the stream path the reference
+  * *intended* (an unused beam window import at retrieval.py:3 and a
+  * wall-clock loop at normalization.py:133-165) done with real event
+  * time + watermarks:
+  *
+  *  - tumbling / sliding / session windows over an event stream
+  *  - `withWatermark` bounds state and gives principled late-data
+  *    semantics (SURVEY.md §2.7 C5: the reference silently loses late
+  *    records; here they are either merged or provably dropped)
+  *
+  * All transforms take an unbounded DataFrame (readStream / MemoryStream
+  * source) with columns (ts: timestamp, event_type: string, value:
+  * double) and work identically on bounded frames for batch backfill.
+  */
+object Windows {
+
+  /** 20-minute tumbling window counts per event type (the streaming
+    * form of Warehouse.q13EventsTumbling). */
+  def tumblingCounts(events: DataFrame,
+                     window_ : String = "20 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows: 20-minute windows sliding every 5. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "20 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows: gap-based sessions per user. */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("user_id"), col("n"))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double]
+      .collect().head
+
+  test("cosine: identical vectors → 1, orthogonal → 0, opposite → -1") {
+    assert(math.abs(cos(Seq(1, 2, 3), Seq(1, 2, 3)) - 1.0) < 1e-12)
+    assert(math.abs(cos(Seq(1, 0), Seq(0, 1))) < 1e-12)
+    assert(math.abs(cos(Seq(1, 0), Seq(-1, 0)) + 1.0) < 1e-12)
+  }
+
+  test("brute-force ANN returns k neighbors per query, best first") {
+    val out = Similarity.annBruteForce(spark, sf, nQueries = 3, k = 4).collect()
+    assert(out.length == 12)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.sameElements(cosines.sorted.reverse), "descending cos")
+    }
+  }
+
+  test("IVF probe results are a subset of brute-force candidates' quality") {
+    // every IVF neighbor's cosine must be <= the brute-force best for
+    // that query (IVF searches a subset)
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 3, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivf = Similarity.annIvf(spark, sf, nQueries = 3, k = 1).collect()
+    ivf.foreach { r =>
+      assert(r.getDouble(3) <= bf(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("LSH bucket key is deterministic and fixed-width") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val k1 = df.select(Similarity.lshBucket(col("v"), 8).as("b")).collect().map(_.getString(0))
+    val k2 = df.select(Similarity.lshBucket(col("v"), 8).as("b")).collect().map(_.getString(0))
+    assert(k1.sameElements(k2))
+    assert(k1.forall(_.length == 8))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.functions._
+import graft.operators.{Ingest, Sinks}
+
+class SinksIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("K1: partitioned JSONL sink writes dt=/hr= hive layout, readable back") {
+    val out = tmp()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.writePartitionedJsonl(df, out)
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("id", "v", "dt", "hr"))
+    // hive-style partition dirs exist on disk
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("dt=")))
+  }
+
+  test("K1 event-time variant: partitions derive from the event column") {
+    val out = tmp()
+    val df = Seq(("2024-03-05 07:30:00", 1L), ("2024-03-06 22:10:00", 2L))
+      .toDF("ts", "id").withColumn("ts", col("ts").cast("timestamp"))
+    Sinks.writePartitionedJsonlByEventTime(df, "ts", out)
+    // disable partition-type inference so hr=07 stays the string "07"
+    val before = spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+    val back = try {
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      spark.read.json(out).collect()
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", before)
+    assert(back.map(_.getAs[String]("dt")).toSet ==
+      Set("2024-03-05", "2024-03-06"))
+    assert(back.filter(_.getAs[String]("dt") == "2024-03-05")
+      .map(_.getAs[String]("hr")).toSet == Set("07"))
+  }
+
+  test("K2: batched publisher opens one client per partition, bounded batches") {
+    val ds = spark.range(0, 103).map(i => s"rec-$i").repartition(2)
+    Sinks.publishBatched(ds, maxBatch = 10)(
+      () => { SinkProbe.clients.incrementAndGet(); new Object })(
+      (_, batch) => {
+        assert(batch.size <= 10)
+        SinkProbe.batches.add(batch.size)
+        batch.foreach(SinkProbe.records.add)
+      })(_ => ())
+    assert(SinkProbe.clients.get() == 2)
+    assert(SinkProbe.records.size() == 103)
+  }
+
+  test("S1/S2: range scan bounds are inclusive and pushed down") {
+    val events = graft.Tables.t(spark, sf, "events")
+    val n = Ingest.rangeCount(events, "ts", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    val manual = events.filter(
+      col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+      col("ts") <= lit("2024-01-02 00:00:00").cast("timestamp")).count()
+    assert(n == manual && n > 0)
+  }
+
+  test("S3: 20-minute buckets align to the epoch grid") {
+    val df = Seq("2024-01-01 00:05:00", "2024-01-01 00:25:00", "2024-01-01 00:39:59")
+      .toDF("ts").withColumn("ts", col("ts").cast("timestamp"))
+    val buckets = Ingest.timeBuckets(df, "ts").select("bucket_start")
+      .as[java.sql.Timestamp].collect().map(_.toString).toSeq
+    assert(buckets == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:20:00.0",
+      "2024-01-01 00:20:00.0"))
+  }
+
+  test("C1: watermark state round-trips and defaults when absent") {
+    val state = tmp() + "/wm"
+    assert(Ingest.readWatermark(spark, state) == "2024-09-01 00:00:00")
+    Ingest.writeWatermark(spark, state, "2024-12-31 10:00:00")
+    assert(Ingest.readWatermark(spark, state) == "2024-12-31 10:00:00")
+  }
+
+  test("S4: modifiedAfter/Before prune the file listing") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "old.txt"), "old-line")
+    new java.io.File(dir, "old.txt").setLastModified(
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime)
+    Files.writeString(java.nio.file.Path.of(dir, "new.txt"), "new-line")
+    val pruned = Ingest.filesModifiedBetween(spark, dir,
+      "2021-01-01T00:00:00", "2099-01-01T00:00:00")
+    assert(pruned.as[String].collect().toSeq == Seq("new-line"))
+  }
+}
+
+/** JVM-local probes for the foreachPartition sink (executors share the
+  * JVM in local mode). */
+object SinkProbe {
+  val clients = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batches = new ConcurrentLinkedQueue[Int]()
+  val records = new ConcurrentLinkedQueue[String]()
+}

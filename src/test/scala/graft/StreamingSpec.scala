@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Windows
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling windows emit on watermark pass; late rows are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Windows.tumblingCounts(input.toDF(), "20 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 00:05:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:10:00"), "click", 2.0, 1))
+      q.processAllAvailable()
+      // advance event time far past the window end + watermark
+      input.addData(Ev(ts("2024-01-01 02:00:00"), "view", 1.0, 2))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM tumbling").collect()
+      assert(emitted.length == 1)
+      assert(emitted.head.getAs[Long]("n") == 2)
+      assert(emitted.head.getAs[Timestamp]("w_start") == ts("2024-01-01 00:00:00"))
+      // a late row behind the watermark must NOT reopen the window
+      input.addData(Ev(ts("2024-01-01 00:06:00"), "click", 9.0, 1))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT * FROM tumbling WHERE event_type='click'").collect()
+      assert(after.length == 1 && after.head.getAs[Long]("n") == 2,
+        "late row behind watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Windows.sessionCounts(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 7),
+        Ev(ts("2024-01-01 00:05:00"), "click", 1.0, 7),  // same session
+        Ev(ts("2024-01-01 00:30:00"), "click", 1.0, 7))  // new session
+      q.processAllAvailable()
+      input.addData(Ev(ts("2024-01-01 03:00:00"), "view", 1.0, 8))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sessions WHERE user_id=7 ORDER BY w_start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 2)
+      assert(rows(1).getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
+  test("windows transform works identically on bounded (batch) frames") {
+    val batch = Seq(
+      Ev(ts("2024-01-01 00:05:00"), "click", 1.0, 1),
+      Ev(ts("2024-01-01 00:25:00"), "click", 1.0, 1)).toDF()
+    val out = Windows.tumblingCounts(batch).orderBy("w_start").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Warehouse
+
+class WarehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("q01 groups are the 6 (returnflag, linestatus) combinations") {
+    val out = Warehouse.q01PricingSummary(spark, sf).collect()
+    assert(out.length == 6)
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length == 6)
+  }
+
+  test("results are invariant to shuffle partition count (batch invariance)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = Warehouse.q05RegionRevenue(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val p7 = Warehouse.q05RegionRevenue(spark, sf).collect().toSeq
+      assert(p1 == p7)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("q07 top-k equals full sort head") {
+    val topk = Warehouse.q07TopOrders(spark, sf).collect().map(_.getLong(0)).toSeq
+    val full = Tables.t(spark, sf, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .select("o_orderkey").as[Long].collect().take(10).toSeq
+    assert(topk == full)
+  }
+
+  test("q10 set ops: both/big_only partition the big-spender set") {
+    val out = Warehouse.q10SetOps(spark, sf).collect()
+    val both = out.filter(_.getString(0) == "both").map(_.getLong(1)).toSet
+    val bigOnly = out.filter(_.getString(0) == "big_only").map(_.getLong(1)).toSet
+    assert(both.intersect(bigOnly).isEmpty)
+    val big = Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000).select("o_custkey")
+      .distinct().as[Long].collect().toSet
+    assert(both.union(bigOnly) == big)
+  }
+
+  test("q14 flagship parses props and aggregates per window (entry path)") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    // sum_k over all windows == sum of parsed k over raw events
+    val total = Warehouse.q14NormalizeEvents(spark, sf)
+      .agg(sum("sum_k")).as[Long].collect().head
+    val raw = Tables.t(spark, sf, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(sum("k")).as[Long].collect().head
+    assert(total == raw)
+  }
+
+  test("q02 plan pushes filters down to the parquet scan") {
+    val plan = Warehouse.q02FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("l_shipdate") || plan.contains("l_discount")),
+      s"expected parquet pushdown in plan:\n$plan")
+  }
+}
