@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TextOps, Warehouse}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,17 @@ object SparkEntry {
     "q13_events_tumbling" -> Warehouse.q13EventsTumbling,
     "q14_normalize_events" -> Warehouse.q14NormalizeEvents,
     "q15_having"          -> Warehouse.q15Having,
+    "q16_percentiles"     -> Warehouse.q16Percentiles,
+    "q17_cube"            -> Warehouse.q17Cube,
+    "q18_above_cust_avg"  -> Warehouse.q18AboveCustomerAvg,
+    "q19_sessions"        -> Warehouse.q19Sessions,
+    // temporal joins (as-of / range)
+    "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
+    "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
+    // multimodal columns
+    "m01_media_stats"     -> Multimodal.mediaStats,
+    "m02_frame_sample"    -> Multimodal.frames,
+    "m03_media_features"  -> Multimodal.featuresByKind,
     // text analysis (training-data pipeline ops)
     "t01_token_counts"    -> TextOps.tokenCounts,
     "t02_quality_score"   -> TextOps.qualityScore,
@@ -176,6 +187,86 @@ object SparkEntry {
          round(sum(o_totalprice),4) AS total
          FROM orders GROUP BY 1 HAVING count(*) >= 15
          ORDER BY n_orders DESC, o_custkey ASC""",
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q17_cube" ->
+      """SELECT coalesce(year(o_orderdate), 0) AS yr,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice), 4) AS total
+         FROM orders GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+         ORDER BY yr, priority""",
+    "q18_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price,
+         floor((avg_cents / 100) * 1e4 + 0.5) / 1e4 AS cust_avg FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             floor(o_totalprice * 100 + 0.5) AS cents,
+             avg(floor(o_totalprice * 100 + 0.5))
+               OVER (PARTITION BY o_custkey) AS avg_cents
+           FROM orders)
+         WHERE cents > avg_cents * 1.5 ORDER BY o_orderkey""",
+    "q19_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+           FROM x)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS w_end,
+           count(*) AS n
+         FROM y GROUP BY user_id, grp ORDER BY user_id, w_start""",
+    "j01_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           strftime(pp.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(pp.p_value, 4) AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT ts, p_value FROM p
+           WHERE p.user_id = c.user_id AND p.ts <= c.ts
+           ORDER BY ts DESC LIMIT 1) pp ON true
+         ORDER BY event_id""",
+    "j02_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+           CAST(count(p.ts) AS BIGINT) AS n_purchases
+         FROM c LEFT JOIN p ON p.user_id = c.user_id
+           AND p.ts >= c.ts - INTERVAL 10 MINUTE AND p.ts < c.ts
+         GROUP BY 1, 2 ORDER BY 1""",
+    "m01_media_stats" ->
+      """SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(64 + n_chars % 64 AS INT) AS width,
+         CAST(64 + n_chars % 48 AS INT) AS height,
+         CAST(n_chars * 10 AS INT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    "m02_frame_sample" ->
+      """SELECT doc_id AS media_id,
+         CAST(f / 500 AS BIGINT) AS frame_idx,
+         CAST(f AS BIGINT) AS frame_off_ms,
+         CAST(n_chars * 10 AS BIGINT) AS duration_ms
+         FROM (SELECT doc_id, n_chars,
+                 unnest(range(0, CAST(n_chars * 10 AS BIGINT), 500)) AS f
+               FROM documents WHERE doc_id % 3 = 2)
+         ORDER BY media_id, frame_idx""",
     "t01_token_counts" ->
       """SELECT doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Single-pass JVM kernels for the dedup sketches.
+  *
+  * The naive column-expression formulation of a 64-permutation MinHash
+  * (or a 64-bit SimHash) is 64 separate interpreted `aggregate` passes
+  * over the shingle-hash array per document — the dominant cost of the
+  * dedup queries at bench scale. These kernels take the (codegen'd)
+  * `xxhash64` shingle hashes as one `array<bigint>` column and produce
+  * the whole signature in a single tight loop per document.
+  *
+  * Determinism: every hash parameter is a pure function of the
+  * permutation index via SplitMix64 (seeded constants below) — identical
+  * plans and results across JVMs, runs, and partitionings.
+  */
+object Hashing {
+
+  /** SplitMix64 finalizer — the standard public-domain mix
+    * (Steele et al., "Fast splittable pseudorandom number generators"). */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  val NumPerm = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumPerm / Bands
+
+  private val seeds: Array[Long] =
+    Array.tabulate(NumPerm)(i => splitmix64(0xABCDEF1234567890L + i))
+
+  /** 16 LSH band keys from a 64-permutation MinHash over the shingle
+    * hashes: minᵢ over shingles of splitmix64(h ^ seedᵢ), then each band
+    * of 4 minima mixed into one 64-bit key. Band keys are 8-byte longs —
+    * the shuffle key for candidate generation stays tiny regardless of
+    * document size. */
+  def minhashBandKeys(hashes: Seq[Long]): Array[Long] = {
+    val mins = Array.fill(NumPerm)(Long.MaxValue)
+    val it = hashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var i = 0
+      while (i < NumPerm) {
+        val v = splitmix64(h ^ seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    Array.tabulate(Bands) { b =>
+      var acc = splitmix64(0x5DEECE66DL + b)
+      var r = 0
+      while (r < RowsPerBand) {
+        acc = splitmix64(acc ^ mins(b * RowsPerBand + r))
+        r += 1
+      }
+      acc
+    }
+  }
+
+  /** 64-bit SimHash: bit i is the sign (>= 0 → 1) of the sum over
+    * shingles of ±1 according to bit i of the shingle hash. */
+  def simhash64(hashes: Seq[Long]): Long = {
+    val counts = new Array[Int](64)
+    val it = hashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** FNV-1a 64-bit over the UTF-16 chars — deterministic 64-bit string
+    * hash with no dependency on JVM `hashCode`. */
+  def fnv64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct hashed word n-gram shingles of a document in ONE pass:
+    * tokenize, FNV-hash each token, mix n consecutive token hashes into
+    * one 64-bit shingle hash, de-duplicate. Replaces the column-level
+    * `transform(sequence(...), concat_ws(element_at×3))` + `xxhash64`
+    * pipeline, which evaluates interpreted per shingle — this kernel is
+    * the document-preprocessing hot path shared by MinHash-LSH, exact
+    * n-gram Jaccard, and SimHash. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) return Array.emptyLongArray
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = fnv64(toks(i)); i += 1 }
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + n <= toks.length) {
+      var acc = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) { acc = splitmix64(acc ^ th(i + j)); j += 1 }
+      set.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  private val minhashBandKeysUdf = udf((h: Seq[Long]) => minhashBandKeys(h))
+  private val simhash64Udf = udf((h: Seq[Long]) => simhash64(h))
+  private val shingleHashesUdf = udf((t: String, n: Int) => shingleHashes(t, n))
+
+  /** Column form of [[shingleHashes]]. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    shingleHashesUdf(text, org.apache.spark.sql.functions.lit(n))
+
+  /** Column form of [[minhashBandKeys]]; input array<bigint>. */
+  def minhashBands(shingleHashes: Column): Column = minhashBandKeysUdf(shingleHashes)
+
+  /** Column form of [[simhash64]]; input array<bigint>. */
+  def simhash(shingleHashes: Column): Column = simhash64Udf(shingleHashes)
+}

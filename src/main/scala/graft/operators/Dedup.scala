@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
+import graft.functions.Hashing
 
 /** Deduplication operators over the `documents` table — the core of a
   * training-data pipeline at 100 TB.
@@ -11,27 +12,20 @@ import graft.Tables.t
   * Scale design notes (local[32] tests verify correctness only):
   *  - exact dedup: one hash-shuffle on the 16-byte fingerprint, never on
   *    the document text itself.
-  *  - MinHash-LSH: signatures are a codegen-free narrow map; candidate
-  *    generation is a shuffle on (band, bandKey) buckets — pairs are only
-  *    materialized inside a bucket, never via cross join.
-  *  - shingle inverted index: explode on shingles joins doc-to-doc only
-  *    through shared shingles; at 100 TB add a document-frequency cap on
-  *    hot shingles (stopword shingles) to bound bucket skew.
+  *  - MinHash-LSH: signatures are one single-pass JVM kernel per doc
+  *    (graft.functions.Hashing); candidate generation is a shuffle on
+  *    (band, 8-byte bandKey) buckets — pairs are only materialized
+  *    inside a bucket, never via cross join.
+  *  - shingle inverted index: shingles are xxhash64'd to 8-byte longs
+  *    BEFORE the explode + self-join, so the shuffle carries longs, not
+  *    3-word strings; at 100 TB add a document-frequency cap on hot
+  *    shingles (stopword shingles) to bound bucket skew.
   */
 object Dedup {
 
-  /** SplitMix64 — deterministic parameter stream for hash families.
-    * Pure function of the index: the plan is identical across runs/JVMs. */
-  def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  val NumPerm = 64
-  val Bands = 16
-  val RowsPerBand: Int = NumPerm / Bands
+  /** Deterministic parameter stream for hash families — see
+    * [[graft.functions.Hashing.splitmix64]]. */
+  def splitmix64(seed: Long): Long = Hashing.splitmix64(seed)
 
   private def tokensOf(c: Column): Column = split(trim(c), "\\s+")
 
@@ -59,21 +53,16 @@ object Dedup {
       .select("fp", "keeper", "n_copies")
       .orderBy("keeper")
 
-  /** Documents with distinct 3-shingle sets + MinHash signatures. */
+  /** Documents with their distinct HASHED 3-shingle sets (docs with none
+    * drop out). One single-pass JVM kernel per document — see
+    * [[graft.functions.Hashing.shingleHashes]]; every sketch below
+    * consumes the 8-byte hashes, never shingle strings. Set sizes and
+    * intersections are identical to the string-shingle formulation
+    * modulo 64-bit collisions (negligible at feasible corpus sizes). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), Hashing.hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
-
-  private def withSignature(docs: DataFrame): DataFrame = {
-    // Hash family: xxhash64 seeded by the permutation index (ANSI-safe —
-    // no modular multiply that could overflow LongType).
-    val hashes = transform(col("sh"), sh => xxhash64(sh))
-    val sig = array((0 until NumPerm).map { i =>
-      array_min(transform(hashes, h => xxhash64(lit(i), h)))
-    }: _*)
-    docs.withColumn("sig", sig)
-  }
 
   /** Exact Jaccard over the shingle sets of a candidate-pair frame with
     * columns (doc_a, doc_b, sh_a, sh_b). */
@@ -93,14 +82,11 @@ object Dedup {
     * the exact-Jaccard oracle whenever true pairs sit well above the
     * LSH recall knee — which is the regime dedup runs in. */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    val docs = withSignature(docShingles(s, dir)).cache()
-    val bandKeys = array((0 until Bands).map { j =>
-      concat_ws(",",
-        transform(slice(col("sig"), j * RowsPerBand + 1, RowsPerBand),
-          x => x.cast("string")))
-    }: _*)
+    val docs = docShingles(s, dir)
+      .withColumn("bands", Hashing.minhashBands(col("sh")))
+      .cache()
     val banded = docs
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -118,7 +104,10 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs via a shingle inverted index:
     * explode shingles, self-join on the shingle, count shared shingles
     * per pair (= intersection; shingle sets are distinct per doc), then
-    * |A∪B| = |A|+|B|-|A∩B|. No cross join; the join key is the shingle. */
+    * |A∪B| = |A|+|B|-|A∩B|. No cross join; the join key is the
+    * xxhash64 of the shingle — 8 bytes through the shuffle instead of a
+    * 3-word string (64-bit collisions are negligible at any corpus size
+    * this query's exact-pairs output is feasible for). */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
     val docs = docShingles(s, dir)
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
@@ -148,17 +137,13 @@ object Dedup {
     * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
     * verified by exact hamming distance <= maxHamming. */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val th = transform(shingles(col("text")), sh => xxhash64(sh))
-    val bits = array((0 until 64).map { i =>
-      when(aggregate(th, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)) >= 0, 1).otherwise(0)
-    }: _*)
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), bits.as("bits"))
+    val docs = docShingles(s, dir)
+      .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))
       .cache()
+    // 4 chunks of 16 bits each; bit i of the signature = bit i of `sig`,
+    // so chunk j is just a shift+mask — no per-bit array materializes.
     val chunkKeys = array((0 until 4).map { j =>
-      concat_ws("", transform(slice(col("bits"), j * 16 + 1, 16), _.cast("string")))
+      shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
     val banded = docs.select(col("doc_id"), posexplode(chunkKeys).as(Seq("chunk", "key")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -167,11 +152,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("bits").as("bits_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("bits").as("bits_b")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("hamming",
-        aggregate(zip_with(col("bits_a"), col("bits_b"),
-          (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.t
+import graft.functions.VectorExprs.dot
 
 /** Similarity search over the `embeddings` table (vec_id,
   * embedding: array<float>, label).
@@ -15,23 +16,28 @@ import graft.Tables.t
   *    shuffle of the corpus.
   *  - hyperplane-LSH bucketing for all-pairs / large query sets: shuffle
   *    on a 16-bit bucket key, exact re-rank inside buckets.
+  *
+  * All dot products go through [[graft.functions.DotProduct]] (a
+  * codegen'd Catalyst expression); per-vector norms are computed ONCE
+  * per row before any pair join, so the O(n²) inner loop is a single
+  * tight codegen'd dot per pair.
   */
 object Similarity {
 
-  /** Cosine similarity as pure built-in array expressions, computed in
-    * double. Columns must be array<double>. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity over two array<double> columns, computed in
+    * double with the same op order as `Σab / (√Σa² · √Σb²)`. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Embeddings with the L2 norm precomputed (`nrm` = √Σv²). Pair-level
+    * cosine is then `dot / (nrm_a * nrm_b)` — bit-identical to
+    * [[cosine]] since `√x·√y` is evaluated in the same order. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Brute-force cosine top-k: queries (vec_id < nQueries) broadcast
     * against the full corpus; rank per query. Deterministic: cosine is
@@ -40,10 +46,10 @@ object Similarity {
                     nQueries: Int = 5, k: Int = 3): DataFrame = {
     val all = emb(s, dir)
     val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -55,11 +61,13 @@ object Similarity {
     * brute force (corpus x corpus). Correct at any scale but O(n^2):
     * the oracle-checked exact baseline for [[lshPairs]]. */
   def cosinePairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val a = emb(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = emb(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val a = emb(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"))
+    val b = emb(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -73,14 +81,12 @@ object Similarity {
     }
 
   /** Sign-LSH bucket key: `nPlanes` hyperplane sign bits packed into a
-    * string key. Vectors in the same bucket are candidate neighbors. */
+    * string key. Vectors in the same bucket are candidate neighbors.
+    * Each plane is ONE array literal (`typedlit`, not 64 scalar
+    * literals) and the projection is the codegen'd dot product. */
   def lshBucket(v: Column, nPlanes: Int = 12, dim: Int = 64): Column =
     concat_ws("", (0 until nPlanes).map { i =>
-      val pl = plane(i, dim)
-      val dot = aggregate(
-        zip_with(v, array(pl.map(lit): _*), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, "1").otherwise("0")
+      when(dot(v, typedlit(plane(i, dim))) >= 0, "1").otherwise("0")
     }: _*)
 
   /** LSH-bucketed near-neighbor pairs: shuffle on the bucket key, exact
@@ -91,11 +97,12 @@ object Similarity {
   def lshPairs(s: SparkSession, dir: String, threshold: Double = 0.3,
                nPlanes: Int = 6): DataFrame = {
     val docs = emb(s, dir)
-      .select(col("vec_id"), col("v"), lshBucket(col("v"), nPlanes).as("bucket"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        lshBucket(col("v"), nPlanes).as("bucket"))
     docs.as("a").join(docs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -107,14 +114,16 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String,
              nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4): DataFrame = {
     val all = emb(s, dir)
-      .select(col("vec_id"), col("v"), lshBucket(col("v"), nPlanes).as("bucket"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        lshBucket(col("v"), nPlanes).as("bucket"))
     val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"), col("bucket"))
     val scored = all.join(broadcast(queries),
         Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

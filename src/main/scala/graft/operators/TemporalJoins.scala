@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** As-of and range joins over event streams — operators Spark has no
+  * native keyword for, composed from built-ins so Catalyst still owns
+  * the physical plan.
+  *
+  * Scale design:
+  *  - as-of join: the union + running-`last` trick — ONE shuffle on the
+  *    key, a single sort per partition, zero row blowup. The naive
+  *    formulation (inequality join + max) is a range self-join that
+  *    explodes quadratically in keys×time; this one is linear and is
+  *    how a 100 TB backfill should run.
+  *  - range join: bucketize time into `width`-sized buckets, explode the
+  *    probe side to the two buckets its window can touch, equi-join on
+  *    (key, bucket), then filter the exact range — the classic bucketed
+  *    interval join. Shuffle volume is O(input), never O(pairs).
+  */
+object TemporalJoins {
+
+  /** Generic as-of join: for every left row, the latest right row with
+    * the same key and `rightTs <= leftTs`.
+    *
+    * @param left     probe side; all its columns survive
+    * @param right    reference side, pre-deduplicated per (key, ts)
+    * @param key      equi-join key column name (same name both sides)
+    * @param ts       timestamp column name (same name both sides)
+    * @param rightVals right-side value columns to carry (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val nulls = rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v))
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast(right.schema(ts).dataType))
+      .select(col("*") +: nulls: _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(ts))
+      .select(lTagged.columns.map(c =>
+        if (right.columns.contains(c) || c == "__side" || c == "__rts") col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // right rows sort before left rows at equal ts → "<=" semantics
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lTagged.unionByName(rTagged)
+      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    val carried = rightVals.map(v =>
+      last(col(v), ignoreNulls = true).over(w).as(s"asof_$v"))
+    joined
+      .select((leftCols.map(col) :+ col("__asof_ts").as("asof_ts")) ++ carried: _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Generic bucketed range join: for every left row, aggregate right
+    * rows with the same key and `ts` in `[leftTs - width, leftTs)`.
+    * Returns left keyed by `leftId` with `n_in_range` (0 for no match).
+    * `width` in microseconds. */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, leftId: String, width: Long): DataFrame = {
+    val l = left.withColumn("__us", unix_micros(col(ts)))
+    val r = right.select(col(key), unix_micros(col(ts)).as("__rus"))
+      .withColumn("__bucket", floor(col("__rus") / width))
+    // the [ts-width, ts) window spans at most two width-sized buckets
+    val probe = l.withColumn("__bucket",
+      explode(array(floor(col("__us") / width) - 1, floor(col("__us") / width))))
+    val counts = probe.join(r, Seq(key, "__bucket"))
+      .where(col("__rus") >= col("__us") - width && col("__rus") < col("__us"))
+      .groupBy(leftId)
+      .agg(count(lit(1)).as("__n"))
+    left.join(counts, Seq(leftId), "left")
+      .withColumn("n_in_range", coalesce(col("__n"), lit(0L)))
+      .drop("__n")
+  }
+
+  // ----- query-registry entries over the events table -----
+
+  private def typed(s: SparkSession, dir: String, kind: String): DataFrame =
+    t(s, dir, "events").where(col("event_type") === kind)
+
+  /** For every click, the user's most recent purchase at-or-before the
+    * click (timestamp + value). Purchases are pre-aggregated per
+    * (user, ts) with max(value) so ties are deterministic on both the
+    * Spark and the oracle side. */
+  def clickLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    val clicks = typed(s, dir, "click").select("event_id", "user_id", "ts")
+    val purchases = typed(s, dir, "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    asofJoin(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        round(col("asof_p_value"), 4).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** For every click, how many purchases the same user made in the 10
+    * minutes before it. */
+  def purchasesBeforeClick(s: SparkSession, dir: String): DataFrame = {
+    val clicks = typed(s, dir, "click").select("event_id", "user_id", "ts")
+    val purchases = typed(s, dir, "purchase").select("user_id", "ts")
+    rangeJoinCount(clicks, purchases, "user_id", "ts", "event_id",
+        width = 10L * 60 * 1000000)
+      .select(col("event_id"), col("user_id"), col("n_in_range").as("n_purchases"))
+      .orderBy("event_id")
+  }
+}

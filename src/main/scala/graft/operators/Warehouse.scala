@@ -226,4 +226,64 @@ object Warehouse {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
       .filter(col("n_orders") >= 15)
       .orderBy(desc("n_orders"), asc("o_custkey"))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). Exact percentile sorts per group — at
+    * 100 TB switch to `approx_percentile` (t-digest, mergeable partial
+    * aggs); benchmarked here exact because the oracle must hash-match. */
+  def q16Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** CUBE over (order year, priority) — all four grouping sets from one
+    * scan via Spark's Expand; grouping_id() keys the oracle compare. */
+  def q17Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube("o_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_year"), lit(0)).as("yr"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("yr", "priority")
+
+  /** Session windows over the events table — the one genuinely stateful
+    * window shape (SURVEY.md §7 "hard parts"). Runs the SAME transform
+    * as the streaming path (graft.streaming.Windows.sessionCounts) on a
+    * bounded frame; `session_window` merges events within the gap, the
+    * window end is last-event + gap. */
+  def q19Sessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Windows.sessionCounts(t(s, dir, "events"), "10 minutes")
+      .select(col("user_id"),
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_end"),
+        col("n"))
+      .orderBy("user_id", "w_start")
+
+  /** Correlated scalar subquery (orders above 1.5× their customer's
+    * average), decorrelated the way Catalyst would — one window avg over
+    * the customer key, no join at all.
+    *
+    * Float determinism: the average is taken over integer cents
+    * (`floor(price*100+0.5)`) — integral doubles sum exactly below 2^53
+    * in any engine regardless of accumulation order, so the filter and
+    * the displayed average are bit-stable vs the oracle. */
+  def q18AboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    val r4 = (c: Column) => floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+    t(s, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5))
+      .withColumn("avg_cents", avg("cents").over(w))
+      .filter(col("cents") > col("avg_cents") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 4).as("price"),
+        r4(col("avg_cents") / 100).as("cust_avg"))
+      .orderBy("o_orderkey")
+  }
 }

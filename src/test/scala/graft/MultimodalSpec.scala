@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaMeta, MediaRow, Multimodal}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decode kernel: 16-bin nibble histogram, L1-normalized") {
+    val d = new Multimodal.FakeDecoder
+    // 0x00 0x10 0x10 0xF0 → bins 0:1, 1:2, 15:1, each /4
+    val f = d.decode(Array[Byte](0x00, 0x10, 0x10, 0xF0.toByte))
+    assert(f.length == 16)
+    assert(f(0) == 0.25f && f(1) == 0.5f && f(15) == 0.25f)
+    assert(math.abs(f.sum - 1.0f) < 1e-6)
+    assert(d.decode(Array.emptyByteArray).forall(_ == 0.0f))
+  }
+
+  test("decodeFeatures is a distributed batched map — no payload loss") {
+    val rows = (0L until 200L).map { i =>
+      MediaRow(i, "image", Array.fill(i.toInt % 7 + 1)(i.toByte),
+        MediaMeta(64, 64, 16000, 1000, "png"))
+    }
+    val out = Multimodal.decodeFeatures(
+      spark.createDataset(rows).repartition(4), batchSize = 16).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.features.length == 16))
+    assert(out.forall(f => f.n_bytes == f.media_id % 7 + 1))
+  }
+
+  test("resizeMeta rescales dimensions, never touches the payload") {
+    val rows = Seq(
+      MediaRow(1, "image", Array[Byte](1, 2, 3), MediaMeta(400, 200, 0, 0, "png")),
+      MediaRow(2, "image", Array[Byte](9), MediaMeta(50, 50, 0, 0, "png")))
+    val out = Multimodal.resizeMeta(spark.createDataset(rows), maxSide = 100)
+      .orderBy("media_id").collect()
+    assert(out(0).getStruct(3).getInt(0) == 100) // 400 → 100
+    assert(out(0).getStruct(3).getInt(1) == 50)  // 200 → 50
+    assert(out(0).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
+    assert(out(1).getStruct(3).getInt(0) == 50)  // already under maxSide
+  }
+
+  test("frameSample: one row per stepMs, offsets within duration") {
+    val rows = Seq(
+      MediaRow(1, "video", Array[Byte](1), MediaMeta(0, 0, 0, 1200, "mp4")),
+      MediaRow(2, "audio", Array[Byte](1), MediaMeta(0, 0, 16000, 9999, "wav")))
+    val out = Multimodal.frameSample(spark.createDataset(rows), stepMs = 500)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getLong(0)).forall(_ == 1L), "only video rows sampled")
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 500L, 1000L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("media table: deterministic kinds and metadata from documents") {
+    val m = Multimodal.mediaStats(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val id = r.getLong(0)
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      assert(r.getString(1) == kind)
+    }
+  }
+}

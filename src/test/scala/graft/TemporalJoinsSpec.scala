@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")) // key with no earlier right row
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 5.0),
+      (10L, ts("2024-01-01 11:00:00"), 7.0),
+      (20L, ts("2024-01-01 09:30:00"), 9.0)
+    ).toDF("user_id", "ts", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", Seq("p_value"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Timestamp]("asof_ts") == ts("2024-01-01 09:30:00"))
+    assert(out(0).getAs[Double]("asof_p_value") == 5.0)
+    assert(out(1).getAs[Timestamp]("asof_ts") == ts("2024-01-01 11:00:00"))
+    assert(out(1).getAs[Double]("asof_p_value") == 7.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_ts")), "no right row <= left ts")
+  }
+
+  test("asofJoin: equal timestamps match (<= semantics)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 10:00:00"), 3.0)).toDF("user_id", "ts", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", Seq("p_value")).collect()
+    assert(out.head.getAs[Double]("asof_p_value") == 3.0)
+  }
+
+  test("rangeJoinCount counts right rows in [ts-width, ts) incl. cross-bucket") {
+    val us = 1000000L
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:10:00")),
+      (2L, 10L, ts("2024-01-01 10:00:30")), // window crosses a bucket edge
+      (3L, 20L, ts("2024-01-01 10:10:00")) // no purchases at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:05:00")), // in [10:00, 10:10) for event 1
+      (10L, ts("2024-01-01 10:10:00")), // boundary: excluded (ts < left.ts)
+      (10L, ts("2024-01-01 09:55:00"))  // in [09:50:30, 10:00:30) for event 2
+    ).toDF("user_id", "ts")
+    val out = TemporalJoins.rangeJoinCount(left, right, "user_id", "ts",
+        "event_id", width = 10L * 60 * us)
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("n_in_range")).toSeq == Seq(1L, 1L, 0L))
+  }
+
+  test("registered queries run on testdata and key uniquely by event_id") {
+    val a = TemporalJoins.clickLastPurchase(spark, sf)
+    assert(a.count() == a.select("event_id").distinct().count())
+    val r = TemporalJoins.purchasesBeforeClick(spark, sf)
+    assert(r.count() == r.select("event_id").distinct().count())
+  }
+}
