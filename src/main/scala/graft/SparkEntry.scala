@@ -41,6 +41,7 @@ object SparkEntry {
     "q17_cube"            -> Warehouse.q17Cube,
     "q18_above_cust_avg"  -> Warehouse.q18AboveCustomerAvg,
     "q19_sessions"        -> Warehouse.q19Sessions,
+    "q20_approx_distinct" -> Warehouse.q20ApproxDistinct,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,

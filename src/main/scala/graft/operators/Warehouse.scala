@@ -253,6 +253,19 @@ object Warehouse {
         col("n"), col("total"))
       .orderBy("yr", "priority")
 
+  /** HLL++ approximate distinct — the 100 TB form of q12: mergeable
+    * constant-size sketches instead of the exact two-phase expand.
+    * Rows-only check (sketch estimates are engine-specific); the exact
+    * counterpart q12 is the oracle-verified baseline. */
+  def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+        approx_count_distinct(col("l_partkey")).as("approx_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Session windows over the events table — the one genuinely stateful
     * window shape (SURVEY.md §7 "hard parts"). Runs the SAME transform
     * as the streaming path (graft.streaming.Windows.sessionCounts) on a
