@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Session-extension entry point: registers graft's native expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works
+  * anywhere the library is on the classpath.
+  *
+  * Activate with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic, or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      GraftExtensions.dotBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[graft] val dotBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+    DotProduct(children.head, children(1))
+  }
+
+  /** Register graft's SQL functions on an already-running session (the
+    * extensions path only applies when the session is first built). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftglue.registerFunction(spark, "graft_dot", dotBuilder)
+}

@@ -13,4 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftglue {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on an ALREADY-RUNNING session (the
+    * `SparkSessionExtensions` path only applies at session build time —
+    * `getOrCreate` on an active session ignores it). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
