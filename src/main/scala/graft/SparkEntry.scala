@@ -59,11 +59,13 @@ object SparkEntry {
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d03_ngram_jaccard"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "d04_simhash"         -> ((s, dir) => Dedup.simhash(s, dir)),
+    "d05_dup_clusters"    -> ((s, dir) => Dedup.dupClusters(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
     "s03_lsh_pairs"       -> ((s, dir) => Similarity.lshPairs(s, dir)),
     "s04_ann_ivf"         -> ((s, dir) => Similarity.annIvf(s, dir)),
+    "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -343,6 +345,30 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
          FROM pairs WHERE round(inter * 1.0 / uni, 4) >= 0.7
          ORDER BY doc_a, doc_b""",
+    "d05_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a
+           JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.7
+         ), edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         )
+         SELECT n AS doc_id, min(m) AS cluster FROM reach
+         GROUP BY n ORDER BY doc_id""",
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (

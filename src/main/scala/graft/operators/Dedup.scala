@@ -136,6 +136,43 @@ object Dedup {
     * to bit i of xxhash64(shingle). Candidates come from 4 16-bit chunk
     * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
     * verified by exact hamming distance <= maxHamming. */
+  /** Near-duplicate CLUSTERS: connected components over the
+    * jaccard>=threshold pair graph, labeled by the smallest doc_id in
+    * each component — the step that turns pairwise dedup output into
+    * "keep one per group".
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors'; converges in <= graph
+    * diameter rounds (dup clusters are near-cliques, so 2-3 rounds in
+    * practice). Each round is one equi-join + one aggregate — all
+    * shuffles are on the node id; `localCheckpoint` truncates lineage so
+    * plans don't grow across iterations. At extreme graph sizes swap in
+    * the large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same join shape. */
+  def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+    val pairs = ngramJaccard(s, dir, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("n")).distinct()
+      .withColumn("lbl", col("n")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("n").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("n")).agg(min("lbl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "n")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = docShingles(s, dir)
       .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))

@@ -107,10 +107,70 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic k-means coarse quantizer (Lloyd's, fixed iteration
+    * count, init = first k vectors by vec_id). Centroids are driver-held
+    * model state (k × dim doubles — bytes, not data); every data pass is
+    * distributed: assignment is k codegen'd dots per row, the update is
+    * a posexplode + (cluster, dim) average — one shuffle of k×dim
+    * partial sums per iteration regardless of corpus size. */
+  def fitCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = vecs.orderBy("vec_id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val sums = assignToCentroid(vecs, cents)
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next // empty clusters keep their previous centroid
+    }
+    cents
+  }
+
+  /** Nearest centroid by maximum dot product (use normalized vectors for
+    * cosine). Ties break to the lowest centroid index (array_position
+    * returns the first match). */
+  private def assignToCentroid(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val dots = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
+    vecs.withColumn("c",
+      (array_position(dots, array_max(dots)) - 1).cast("int"))
+  }
+
+  /** True IVF ANN: k-means coarse quantizer over L2-normalized
+    * embeddings, probe the query's cell, exact cosine re-rank inside it.
+    * The 100 TB shape: centroids broadcast implicitly as plan literals,
+    * the corpus partitioned by cell, each query touches one cell
+    * (nprobe=1 here; more cells = higher recall, linearly more work).
+    * Rows-only check — recall is probabilistic, like s03/s04. */
+  def annKmeansIvf(s: SparkSession, dir: String, nQueries: Int = 5,
+                   k: Int = 3, nCent: Int = 8, iters: Int = 3): DataFrame = {
+    val normed = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+      .cache()
+    val cents = fitCentroids(normed, nCent, iters)
+    val corpus = assignToCentroid(normed, cents)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"))
+    val scored = corpus.join(broadcast(queries), Seq("c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF-style search: assign every vector to its LSH bucket (the
     * "inverted file"), probe only the query's bucket, exact re-rank.
-    * Demonstrates the coarse-quantize → probe → re-rank shape; a k-means
-    * coarse quantizer slots into the same plan. */
+    * Demonstrates the coarse-quantize → probe → re-rank shape; the
+    * k-means coarse quantizer variant is [[annKmeansIvf]]. */
   def annIvf(s: SparkSession, dir: String,
              nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4): DataFrame = {
     val all = emb(s, dir)

@@ -32,6 +32,21 @@ class DedupSpec extends SparkSuite {
     assert(lsh.nonEmpty, "testdata plants near-dup pairs; LSH must find them")
   }
 
+  test("dupClusters: connected pairs share a cluster labeled by the min id") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster label is the smallest member of its component
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
   test("simhash pairs are a subset of exact near-dups at loose threshold") {
     val sim = Dedup.simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -38,6 +38,16 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("k-means IVF: deterministic, neighbors no better than brute force") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 3, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val a = Similarity.annKmeansIvf(spark, sf, nQueries = 3, k = 1).collect()
+    val b = Similarity.annKmeansIvf(spark, sf, nQueries = 3, k = 1).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "deterministic")
+    a.foreach(r => assert(r.getDouble(3) <= bf(r.getLong(0)) + 1e-9))
+    assert(a.nonEmpty, "each query's own cell is non-empty")
+  }
+
   test("LSH bucket key is deterministic and fixed-width") {
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
