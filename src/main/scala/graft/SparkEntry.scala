@@ -42,6 +42,10 @@ object SparkEntry {
     "q18_above_cust_avg"  -> Warehouse.q18AboveCustomerAvg,
     "q19_sessions"        -> Warehouse.q19Sessions,
     "q20_approx_distinct" -> Warehouse.q20ApproxDistinct,
+    "q21_market_share"    -> Warehouse.q21MarketShare,
+    "q22_string_match"    -> Warehouse.q22StringMatch,
+    "q23_monthly_trend"   -> Warehouse.q23MonthlyTrend,
+    "q24_dormant_rich"    -> Warehouse.q24DormantRich,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -230,6 +234,44 @@ object SparkEntry {
                     '%Y-%m-%d %H:%M:%S.%f') AS w_end,
            count(*) AS n
          FROM y GROUP BY user_id, grp ORDER BY user_id, w_start""",
+    "q21_market_share" ->
+      """WITH asia_supp AS (
+           SELECT s_suppkey FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA')
+         SELECT o_year, asia_rev, total_rev, n_items,
+           floor(asia_rev / total_rev * 1e4 + 0.5) / 1e4 AS share
+         FROM (
+           SELECT year(o_orderdate) AS o_year,
+             round(sum(CASE WHEN s_suppkey IS NOT NULL
+               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS asia_rev,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+             count(*) AS n_items
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           LEFT JOIN asia_supp ON l_suppkey = s_suppkey
+           GROUP BY 1)
+         ORDER BY o_year""",
+    "q22_string_match" ->
+      """SELECT p_brand, count(*) AS n,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type LIKE '%PROMO%'
+         GROUP BY 1 ORDER BY 1""",
+    "q23_monthly_trend" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q24_dormant_rich" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
+         FROM customer
+         WHERE floor(c_acctbal * 100 + 0.5) >
+           (SELECT avg(floor(c_acctbal * 100 + 0.5)) FROM customer
+            WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1997-06-01')
+         ORDER BY c_custkey""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -253,6 +253,70 @@ object Warehouse {
         col("n"), col("total"))
       .orderBy("yr", "priority")
 
+  /** Q8-style market share: fraction of yearly revenue supplied from
+    * one region. Two aggregates from one scan via conditional sums. */
+  def q21MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey")).withColumn("is_asia", lit(1))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("o_year")
+      .agg(
+        round(sum(when(col("is_asia") === 1, revenue).otherwise(0.0)), 4).as("asia_rev"),
+        round(sum(revenue), 4).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("share",
+        floor(col("asia_rev") / col("total_rev") * lit(1e4) + lit(0.5)) / lit(1e4))
+      .orderBy("o_year")
+  }
+
+  /** String-predicate pushdown: LIKE '%BRASS%' must reach the parquet
+    * scan as a StringContains filter; revenue per brand for those parts. */
+  def q22StringMatch(s: SparkSession, dir: String): DataFrame = {
+    val brass = t(s, dir, "part").filter(col("p_type").contains("PROMO"))
+    t(s, dir, "lineitem")
+      .join(broadcast(brass), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum(revenue), 4).as("rev"))
+      .orderBy("p_brand")
+  }
+
+  /** Monthly order trend: date_trunc rollup — the partition-pruning
+    * granularity a dt=YYYY-MM layout would give at 100 TB. */
+  def q23MonthlyTrend(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("month")
+
+  /** Q22-style: high-balance customers with no orders at all. The
+    * threshold is an average over integer cents (exact in double below
+    * 2^53 → deterministic vs the oracle); the dormancy check is a
+    * left-anti join on recent order keys. */
+  def q24DormantRich(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val thresh = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(floor(col("c_acctbal") * 100 + 0.5)).as("t"))
+      .collect()(0).getDouble(0)
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+    cust
+      .filter(floor(col("c_acctbal") * 100 + 0.5) > thresh)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** HLL++ approximate distinct — the 100 TB form of q12: mergeable
     * constant-size sketches instead of the exact two-phase expand.
     * Rows-only check (sketch estimates are engine-specific); the exact
