@@ -156,6 +156,12 @@ object Dedup {
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("n")).distinct()
       .withColumn("lbl", col("n")).localCheckpoint()
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing potential: unchanged sum ⇔ fixpoint. One scalar
+    // aggregate per iteration instead of a join-based diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("lbl")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -165,8 +171,9 @@ object Dedup {
         .select(col("n"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "n")
-        .filter(col("lbl") =!= col("old")).isEmpty
+      val newSum = labelSum(updated)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = updated
     }
     labels.select(col("n").as("doc_id"), col("lbl").as("cluster"))
