@@ -40,6 +40,17 @@ object Windows {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: drop repeated ids, with the watermark
+    * bounding the dedup state (ids older than the delay are evicted —
+    * without it, state grows forever). The streaming counterpart of
+    * graft.operators.Dedup.exactDedup for at-least-once sources that
+    * can replay records. */
+  def dedupedStream(events: DataFrame, idCol: String,
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   /** Session windows: gap-based sessions per user. */
   def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
     events

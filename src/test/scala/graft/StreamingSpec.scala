@@ -70,4 +70,25 @@ class StreamingSpec extends SparkSuite {
     assert(out.length == 2)
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L))
   }
+
+  test("streaming dedup drops replayed ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // user_id stands in for the record id in the Ev fixture
+    val q = Windows.dedupedStream(input.toDF(), "user_id", "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 100),
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 100)) // in-batch dup
+      q.processAllAvailable()
+      input.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 100), // replay, dropped
+        Ev(ts("2024-01-01 00:01:00"), "click", 1.0, 101))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM deduped").collect().head.getLong(0)
+      assert(n == 2, s"expected 2 unique ids, got $n")
+    } finally q.stop()
+  }
 }
