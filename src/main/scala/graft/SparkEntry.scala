@@ -53,6 +53,7 @@ object SparkEntry {
     "m01_media_stats"     -> Multimodal.mediaStats,
     "m02_frame_sample"    -> Multimodal.frames,
     "m03_media_features"  -> Multimodal.featuresByKind,
+    "m04_byte_histogram"  -> Multimodal.byteHistogram,
     // text analysis (training-data pipeline ops)
     "t01_token_counts"    -> TextOps.tokenCounts,
     "t02_quality_score"   -> TextOps.qualityScore,
@@ -312,6 +313,19 @@ object SparkEntry {
                  unnest(range(0, CAST(n_chars * 10 AS BIGINT), 500)) AS f
                FROM documents WHERE doc_id % 3 = 2)
          ORDER BY media_id, frame_idx""",
+    "m04_byte_histogram" ->
+      """SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+         CAST(sum(len(list_filter(
+           list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, CAST(i AS INT), 1))),
+           a -> a // 16 = 2))) AS BIGINT) AS bin2_bytes,
+         CAST(sum(len(list_filter(
+           list_transform(range(1, length(text) + 1),
+             i -> ascii(substring(text, CAST(i AS INT), 1))),
+           a -> a // 16 = 6))) AS BIGINT) AS bin6_bytes
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "t01_token_counts" ->
       """SELECT doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -143,6 +143,29 @@ object Multimodal {
   def frames(s: SparkSession, dir: String): DataFrame =
     frameSample(media(s, dir)).orderBy("media_id", "frame_idx")
 
+  private val nibbleCountUdf = udf((p: Array[Byte], bin: Int) => {
+    var i = 0
+    var n = 0L
+    while (i < p.length) {
+      if (((p(i) & 0xF0) >>> 4) == bin) n += 1
+      i += 1
+    }
+    n
+  })
+
+  /** Byte-level histogram facts per kind — the integer-exact face of the
+    * decode kernel (same nibble binning as [[FakeDecoder]]), so the
+    * multimodal path gets a real DuckDB oracle, not just a row count. */
+  def byteHistogram(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("payload"))).as("total_bytes"),
+        sum(nibbleCountUdf(col("payload"), lit(2))).as("bin2_bytes"),
+        sum(nibbleCountUdf(col("payload"), lit(6))).as("bin6_bytes"))
+      .orderBy("kind")
+
   /** Decoded features aggregated per kind (rows-only check: the decode
     * stub is not SQL-expressible; correctness is unit-tested instead). */
   def featuresByKind(s: SparkSession, dir: String): DataFrame =
