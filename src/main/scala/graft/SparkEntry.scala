@@ -59,6 +59,7 @@ object SparkEntry {
     "t02_quality_score"   -> TextOps.qualityScore,
     "t03_lang_id"         -> TextOps.langId,
     "t04_fingerprint"     -> TextOps.fingerprint,
+    "t05_top_bigrams"     -> ((s, dir) => TextOps.topBigrams(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -365,6 +366,22 @@ object SparkEntry {
       """SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "t05_top_bigrams" ->
+      """WITH toks AS (
+           SELECT lang, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), bg AS (
+           SELECT lang, unnest([array_to_string(tk[i:i+1], ' ')
+             for i in range(1, len(tk))]) AS bigram
+           FROM toks WHERE len(tk) >= 2
+         ), counts AS (
+           SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+         SELECT lang, rk, bigram, n FROM (
+           SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram ASC) AS rk
+           FROM counts)
+         WHERE rk <= 5 ORDER BY lang, rk""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies

@@ -80,6 +80,28 @@ object TextOps {
       .orderBy("lang", "lang_pred")
   }
 
+  /** Top-k bigram frequencies per language: tokenize → explode bigrams →
+    * count → windowed top-k. The shuffle key is (lang, bigram) — at
+    * 100 TB add a map-side partial count (automatic) and a frequency
+    * floor before the window to keep the rank shuffle tiny. */
+  def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tk = tokens
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n"), asc("bigram"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "bigram", "n")
+      .orderBy("lang", "rk")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
