@@ -85,13 +85,16 @@ object TextOps {
     * 100 TB add a map-side partial count (automatic) and a frequency
     * floor before the window to keep the rank shuffle tiny. */
   def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val tk = tokens
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // one-pass JVM kernel: the column-expression formulation
+    // (transform(sequence, element_at×2)) evaluates interpreted per
+    // bigram — the same trap the dedup shingles hit (see Hashing)
+    val bigramsUdf = udf { text: String =>
+      val toks = text.trim.split("\\s+")
+      if (toks.length < 2) Array.empty[String]
+      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+    }
     val counts = t(s, dir, "documents")
-      .select(col("lang"), explode(bigrams).as("bigram"))
+      .select(col("lang"), explode(bigramsUdf(col("text"))).as("bigram"))
       .groupBy("lang", "bigram")
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
