@@ -46,6 +46,7 @@ object SparkEntry {
     "q22_string_match"    -> Warehouse.q22StringMatch,
     "q23_monthly_trend"   -> Warehouse.q23MonthlyTrend,
     "q24_dormant_rich"    -> Warehouse.q24DormantRich,
+    "q25_pivot"           -> Warehouse.q25Pivot,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -274,6 +275,14 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '1997-06-01')
          ORDER BY c_custkey""",
+    "q25_pivot" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

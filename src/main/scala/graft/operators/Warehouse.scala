@@ -317,6 +317,18 @@ object Warehouse {
       .orderBy("c_custkey")
   }
 
+  /** PIVOT: event counts as a month × type crosstab. The value list is
+    * explicit, so Spark skips the extra distinct-values job and the
+    * plan is a single hash aggregate with conditional counts. */
+  def q25Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM"))
+      .groupBy("month")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("month")
+
   /** HLL++ approximate distinct — the 100 TB form of q12: mergeable
     * constant-size sketches instead of the exact two-phase expand.
     * Rows-only check (sketch estimates are engine-specific); the exact
