@@ -47,6 +47,7 @@ object SparkEntry {
     "q23_monthly_trend"   -> Warehouse.q23MonthlyTrend,
     "q24_dormant_rich"    -> Warehouse.q24DormantRich,
     "q25_pivot"           -> Warehouse.q25Pivot,
+    "q26_multiset_ops"    -> Warehouse.q26MultisetOps,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -283,6 +284,17 @@ object SparkEntry {
          CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
          CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q26_multiset_ops" ->
+      """WITH cheap AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 10),
+         ret AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         tagged AS (
+           SELECT 'cheap_minus_returned' AS tag, l_partkey
+           FROM (SELECT * FROM cheap EXCEPT ALL SELECT * FROM ret)
+           UNION ALL
+           SELECT 'both' AS tag, l_partkey
+           FROM (SELECT * FROM cheap INTERSECT ALL SELECT * FROM ret))
+         SELECT tag, l_partkey, count(*) AS n FROM tagged
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

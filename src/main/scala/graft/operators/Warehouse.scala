@@ -317,6 +317,19 @@ object Warehouse {
       .orderBy("c_custkey")
   }
 
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL): unlike q10's
+    * distinct forms, these preserve duplicate counts — Spark plans them
+    * as a count-difference aggregate + generate, one shuffle each. */
+  def q26MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cheap = li.filter(col("l_quantity") < 10).select("l_partkey")
+    val ret   = li.filter(col("l_returnflag") === "R").select("l_partkey")
+    cheap.exceptAll(ret).withColumn("tag", lit("cheap_minus_returned"))
+      .union(cheap.intersectAll(ret).withColumn("tag", lit("both")))
+      .groupBy("tag", "l_partkey").agg(count(lit(1)).as("n"))
+      .orderBy("tag", "l_partkey")
+  }
+
   /** PIVOT: event counts as a month × type crosstab. The value list is
     * explicit, so Spark skips the extra distinct-values job and the
     * plan is a single hash aggregate with conditional counts. */
