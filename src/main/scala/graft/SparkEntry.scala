@@ -48,6 +48,7 @@ object SparkEntry {
     "q24_dormant_rich"    -> Warehouse.q24DormantRich,
     "q25_pivot"           -> Warehouse.q25Pivot,
     "q26_multiset_ops"    -> Warehouse.q26MultisetOps,
+    "q27_running_window"  -> Warehouse.q27RunningWindow,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -295,6 +296,18 @@ object SparkEntry {
            FROM (SELECT * FROM cheap INTERSECT ALL SELECT * FROM ret))
          SELECT tag, l_partkey, count(*) AS n FROM tagged
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q27_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_total,
+         round(percent_rank() OVER w, 6) AS pr,
+         CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -317,6 +317,25 @@ object Warehouse {
       .orderBy("c_custkey")
   }
 
+  /** Running-frame window aggregates: cumulative revenue per customer in
+    * order-date order, plus rank-family functions (percent_rank, ntile).
+    * The running sum accumulates in the SAME deterministic order on both
+    * engines (total-order ORDER BY in the frame), so even the float
+    * partial sums match bitwise. */
+  def q27RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_total"),
+        round(percent_rank().over(w), 6).as("pr"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Multiset set ops (EXCEPT ALL / INTERSECT ALL): unlike q10's
     * distinct forms, these preserve duplicate counts — Spark plans them
     * as a count-difference aggregate + generate, one shuffle each. */
