@@ -69,6 +69,7 @@ object SparkEntry {
     "d03_ngram_jaccard"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "d04_simhash"         -> ((s, dir) => Dedup.simhash(s, dir)),
     "d05_dup_clusters"    -> ((s, dir) => Dedup.dupClusters(s, dir)),
+    "d06_capped_jaccard"  -> ((s, dir) => Dedup.cappedNgramJaccard(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
@@ -476,6 +477,30 @@ object SparkEntry {
          )
          SELECT n AS doc_id, min(m) AS cluster FROM reach
          GROUP BY n ORDER BY doc_id""",
+    "d06_capped_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)])) AS shingle
+           FROM toks WHERE len(tk) >= 3
+         ), rare AS (
+           SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50
+         ), kept AS (
+           SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         ), sized AS (
+           SELECT doc_id, count(*) AS n FROM kept GROUP BY 1
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sa.n AS n_a, sb.n AS n_b, count(*) AS i
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN sized sa ON sa.doc_id = a.doc_id
+           JOIN sized sb ON sb.doc_id = b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, round(i * 1.0 / (n_a + n_b - i), 4) AS jaccard
+         FROM inter WHERE round(i * 1.0 / (n_a + n_b - i), 4) >= 0.7
+         ORDER BY doc_a, doc_b""",
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (

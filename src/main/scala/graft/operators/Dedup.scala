@@ -136,6 +136,39 @@ object Dedup {
     * to bit i of xxhash64(shingle). Candidates come from 4 16-bit chunk
     * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
     * verified by exact hamming distance <= maxHamming. */
+  /** n-gram Jaccard with a document-frequency cap on shingles — the
+    * skew mitigation the plain inverted index needs at 100 TB: a
+    * stopword shingle with df=10⁶ contributes 10¹² pairs to the
+    * self-join; capping df bounds every shingle's pair contribution to
+    * cap² at the cost of slightly under-counting intersections for
+    * pairs that only share hot shingles. Denominators count the CAPPED
+    * shingle sets, so the score stays a true Jaccard of the filtered
+    * sets (and the DuckDB oracle reproduces it exactly). */
+  def cappedNgramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7,
+                         dfCap: Int = 50): DataFrame = {
+    val ex = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("shingle")
+    val kept = ex.join(rare, "shingle")
+    val sized = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exKept = kept.join(sized, "doc_id")
+    val inter = exKept.as("a").join(exKept.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the
     * jaccard>=threshold pair graph, labeled by the smallest doc_id in
     * each component — the step that turns pairwise dedup output into
