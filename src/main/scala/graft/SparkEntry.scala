@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextOps, Warehouse}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,9 @@ object SparkEntry {
     "t03_lang_id"         -> TextOps.langId,
     "t04_fingerprint"     -> TextOps.fingerprint,
     "t05_top_bigrams"     -> ((s, dir) => TextOps.topBigrams(s, dir)),
+    // deterministic sampling / splitting
+    "x01_split_counts"    -> Sampling.splitCounts,
+    "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -417,6 +420,20 @@ object SparkEntry {
                                 ORDER BY n DESC, bigram ASC) AS rk
            FROM counts)
          WHERE rk <= 5 ORDER BY lang, rk""",
+    "x01_split_counts" ->
+      """SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+              ELSE 'train' END AS split,
+         count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x02_stratified_sample" ->
+      """SELECT lang, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY lang, doc_id""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies

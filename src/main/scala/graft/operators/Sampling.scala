@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across retries and
+  * partitionings — a retried task would emit a different sample, which
+  * breaks exactly-once sinks and makes train/test splits unauditable.
+  * Everything here keys on the md5 of the row's stable id: the same row
+  * lands in the same bucket on any cluster, any partitioning, any
+  * engine (the hex comparison reproduces bit-for-bit in SQL, so these
+  * are exact-oracle queries, unlike hash functions that differ between
+  * engines).
+  *
+  * At 100 TB: all pure narrow projections/filters — no shuffle for the
+  * split; the stratified sample shuffles once on the stratum key.
+  */
+object Sampling {
+
+  /** Lowercase-hex md5 of the id — the deterministic "random" key. */
+  private def hashKey(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** Train/validation/test split by hash prefix. Two hex digits give
+    * 256 buckets; fixed-width lowercase hex orders lexically like its
+    * numeric value, so the bucket bounds are plain string compares
+    * (portable to any SQL engine verbatim). Defaults: 13/256 ≈ 5% test
+    * ('00'..'0c'), 13/256 val ('0d'..'19'), rest train. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         testBound: String = "0d", valBound: String = "1a"): DataFrame = {
+    val bucket = substring(hashKey(col(idCol)), 1, 2)
+    df.withColumn("split",
+      when(bucket < testBound, "test")
+        .when(bucket < valBound, "val")
+        .otherwise("train"))
+  }
+
+  /** Top-n-per-stratum deterministic sample: rank rows inside each
+    * stratum by their hash key (ties impossible — md5 of distinct ids)
+    * and keep the first n. Reproducible stratified sampling. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n).drop("rk")
+  }
+
+  // ----- query-registry entries -----
+
+  /** Split sizes per (lang, split) — proves the split is deterministic
+    * and the proportions hold. */
+  def splitCounts(s: SparkSession, dir: String): DataFrame =
+    deterministicSplit(t(s, dir, "documents"), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  /** 3 deterministic sample docs per language. */
+  def stratifiedSampleDocs(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 3)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "doc_id")
+}
