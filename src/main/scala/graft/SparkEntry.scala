@@ -66,6 +66,7 @@ object SparkEntry {
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
+    "x03_token_shards"    -> ((s, dir) => Sampling.tokenShards(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -434,6 +435,19 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
            FROM documents)
          WHERE rk <= 3 ORDER BY lang, doc_id""",
+    "x03_token_shards" ->
+      """WITH d AS (
+           SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies

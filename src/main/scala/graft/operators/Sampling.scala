@@ -64,4 +64,25 @@ object Sampling {
     stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 3)
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "doc_id")
+
+  /** Token-budget sharding: pack documents (in deterministic doc_id
+    * order within each language) into shards of ~`budget` whitespace
+    * tokens — how a corpus becomes fixed-size training files. The shard
+    * id is a running-sum window over the stratum; one shuffle on the
+    * stratum key. (A global ordering would serialize into one
+    * partition — stratify by lang/source/date so each stratum's cumsum
+    * is an independent partition, which is also what keeps this shape
+    * viable at 100 TB.) */
+  def tokenShards(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard", ((col("cum") - col("n_tokens")) / budget).cast("bigint"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("lang", "shard")
+  }
 }
