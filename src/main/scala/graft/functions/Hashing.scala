@@ -105,6 +105,7 @@ object Hashing {
     * the document-preprocessing hot path shared by MinHash-LSH, exact
     * n-gram Jaccard, and SimHash. */
   def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
     val toks = text.trim.split("\\s+")
     if (toks.length < n) return Array.emptyLongArray
     val th = new Array[Long](toks.length)

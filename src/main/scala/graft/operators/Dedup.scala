@@ -127,15 +127,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash near-duplicate pairs (rows-only check — the bit mix
-    * depends on xxhash64, which the SQL oracle cannot reproduce).
-    *
-    * The signature is computed over the doc's distinct 3-word shingles
-    * (raw tokens are useless on small shared vocabularies — every doc
-    * collides): bit i is the sign of sum over shingles of ±1 according
-    * to bit i of xxhash64(shingle). Candidates come from 4 16-bit chunk
-    * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
-    * verified by exact hamming distance <= maxHamming. */
   /** n-gram Jaccard with a document-frequency cap on shingles — the
     * skew mitigation the plain inverted index needs at 100 TB: a
     * stopword shingle with df=10⁶ contributes 10¹² pairs to the
@@ -193,7 +184,7 @@ object Dedup {
     // decreasing potential: unchanged sum ⇔ fixpoint. One scalar
     // aggregate per iteration instead of a join-based diff.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("lbl")).collect()(0).getLong(0)
+      df.agg(coalesce(sum("lbl"), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -213,7 +204,20 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** 64-bit SimHash near-duplicate pairs (rows-only check — the bit mix
+    * depends on xxhash64, which the SQL oracle cannot reproduce).
+    *
+    * The signature is computed over the doc's distinct 3-word shingles
+    * (raw tokens are useless on small shared vocabularies — every doc
+    * collides): bit i is the sign of sum over shingles of ±1 according
+    * to bit i of xxhash64(shingle). Candidates come from 4 16-bit chunk
+    * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
+    * verified by exact hamming distance <= maxHamming. */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // 4 chunks pigeonhole-guarantee a shared chunk only for hamming <= 3;
+    // a larger radius needs more chunks or multi-chunk probing
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
     val docs = docShingles(s, dir)
       .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))
       .cache()

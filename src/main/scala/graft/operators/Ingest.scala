@@ -54,7 +54,14 @@ object Ingest {
       val rows = spark.read.parquet(stateDir)
         .agg(max(col("watermark")).as("w")).collect()
       Option(rows(0).getString(0)).getOrElse(default)
-    } catch { case _: Throwable => default }
+    } catch {
+      // ONLY the missing-state-path case maps to the epoch default; a
+      // transient read failure must propagate — silently resetting the
+      // watermark would reprocess the entire history into the sink
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.toLowerCase.contains("path does not exist") => default
+    }
 
   def writeWatermark(spark: SparkSession, stateDir: String, value: String): Unit = {
     import spark.implicits._

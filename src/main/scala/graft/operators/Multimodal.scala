@@ -120,7 +120,7 @@ object Multimodal {
     * payload is NOT duplicated per frame (only the offset is carried). */
   def frameSample(ds: Dataset[MediaRow], stepMs: Int = 500): DataFrame =
     ds.toDF()
-      .filter(col("kind") === "video")
+      .filter(col("kind") === "video" && col("meta.durationMs") > 0)
       .select(col("media_id"), col("meta.durationMs").cast("bigint").as("duration_ms"),
         explode(sequence(lit(0L), col("meta.durationMs").cast("bigint") - 1,
           lit(stepMs.toLong))).as("frame_off_ms"))
@@ -144,11 +144,13 @@ object Multimodal {
     frameSample(media(s, dir)).orderBy("media_id", "frame_idx")
 
   private val nibbleCountUdf = udf((p: Array[Byte], bin: Int) => {
-    var i = 0
     var n = 0L
-    while (i < p.length) {
-      if (((p(i) & 0xF0) >>> 4) == bin) n += 1
-      i += 1
+    if (p != null) {
+      var i = 0
+      while (i < p.length) {
+        if (((p(i) & 0xF0) >>> 4) == bin) n += 1
+        i += 1
+      }
     }
     n
   })

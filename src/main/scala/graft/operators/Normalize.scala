@@ -58,15 +58,17 @@ object Normalize {
       col("resourceName"),
       col("resource"),
       col("type"),
-      try_cast_long(col("amount")).as("amount"),
-      try_cast_long(col("before")).as("before"),
-      try_cast_long(col("after")).as("after"),
+      tryCastLong("amount").as("amount"),
+      tryCastLong("before").as("before"),
+      tryCastLong("after").as("after"),
       col("notes"),
       expr("try_cast(executeAt AS TIMESTAMP)").as("executeAt"),
       expr("try_cast(createdAt AS TIMESTAMP)").as("createdAt"))
 
-  private def try_cast_long(c: Column): Column =
-    expr(s"try_cast(${c.toString} AS BIGINT)")
+  // takes the column NAME (backtick-quoted into SQL) — stringifying a
+  // Column via toString is not re-parseable in general
+  private def tryCastLong(name: String): Column =
+    expr(s"try_cast(`$name` AS BIGINT)")
 
   /** P1 (retrieval.py:89-95): record → JSON string with non-JSON types
     * coerced to strings (`default=str`); Spark's to_json handles

@@ -35,28 +35,27 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val nulls = rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v))
-    val lTagged = left
-      .withColumn("__side", lit(1))
-      .withColumn("__rts", lit(null).cast(right.schema(ts).dataType))
-      .select(col("*") +: nulls: _*)
+    // the whole right row rides in ONE struct so a single running-last
+    // picks the timestamp and every value from the SAME matched row —
+    // per-column last(ignoreNulls) would skip a null value and pair
+    // asof_ts with a value from an older row
+    val rStructFields = (col(ts).as("__t") +: rightVals.map(col)): Seq[Column]
     val rTagged = right
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col(ts))
-      .select(lTagged.columns.map(c =>
-        if (right.columns.contains(c) || c == "__side" || c == "__rts") col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .withColumn("__r", struct(rStructFields: _*))
+      .select(col(key), col(ts), col("__side"), col("__r"))
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rTagged.schema("__r").dataType))
     // right rows sort before left rows at equal ts → "<=" semantics
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = lTagged.unionByName(rTagged)
-      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    val carried = rightVals.map(v =>
-      last(col(v), ignoreNulls = true).over(w).as(s"asof_$v"))
+    val joined = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+    val carried = rightVals.map(v => col("__asof")(v).as(s"asof_$v"))
     joined
-      .select((leftCols.map(col) :+ col("__asof_ts").as("asof_ts")) ++ carried: _*)
       .where(col("__side") === 1)
-      .drop("__side")
+      .select((leftCols.map(col) :+ col("__asof")("__t").as("asof_ts")) ++ carried: _*)
   }
 
   /** Generic bucketed range join: for every left row, aggregate right

@@ -89,9 +89,12 @@ object TextOps {
     // (transform(sequence, element_at×2)) evaluates interpreted per
     // bigram — the same trap the dedup shingles hit (see Hashing)
     val bigramsUdf = udf { text: String =>
-      val toks = text.trim.split("\\s+")
-      if (toks.length < 2) Array.empty[String]
-      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.trim.split("\\s+")
+        if (toks.length < 2) Array.empty[String]
+        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+      }
     }
     val counts = t(s, dir, "documents")
       .select(col("lang"), explode(bigramsUdf(col("text"))).as("bigram"))

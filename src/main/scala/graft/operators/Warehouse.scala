@@ -277,7 +277,7 @@ object Warehouse {
       .orderBy("o_year")
   }
 
-  /** String-predicate pushdown: LIKE '%BRASS%' must reach the parquet
+  /** String-predicate pushdown: LIKE '%PROMO%' must reach the parquet
     * scan as a StringContains filter; revenue per brand for those parts. */
   def q22StringMatch(s: SparkSession, dir: String): DataFrame = {
     val brass = t(s, dir, "part").filter(col("p_type").contains("PROMO"))
@@ -304,9 +304,13 @@ object Warehouse {
     * left-anti join on recent order keys. */
   def q24DormantRich(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
-    val thresh = cust.filter(col("c_acctbal") > 0.0)
+    val threshRow = cust.filter(col("c_acctbal") > 0.0)
       .agg(avg(floor(col("c_acctbal") * 100 + 0.5)).as("t"))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    // no positive balances → NULL threshold → empty result (oracle's
+    // NULL-comparison semantics), not an NPE
+    val thresh =
+      if (threshRow.isNullAt(0)) Double.MaxValue else threshRow.getDouble(0)
     val recent = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
     cust

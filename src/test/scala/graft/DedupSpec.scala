@@ -47,6 +47,18 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dupClusters on a pair-free corpus returns empty, not an error") {
+    // threshold 1.01 > any possible jaccard → zero pairs
+    assert(Dedup.dupClusters(spark, sf, threshold = 1.01).count() == 0)
+  }
+
+  test("cappedNgramJaccard equals plain jaccard when the cap is never hit") {
+    val capped = Dedup.cappedNgramJaccard(spark, sf, dfCap = Int.MaxValue)
+      .collect().map(_.toSeq)
+    val plain = Dedup.ngramJaccard(spark, sf).collect().map(_.toSeq)
+    assert(capped.toSeq == plain.toSeq)
+  }
+
   test("simhash pairs are a subset of exact near-dups at loose threshold") {
     val sim = Dedup.simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -30,6 +30,18 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_ts")), "no right row <= left ts")
   }
 
+  test("asofJoin: a null value in the matched row stays null (same-row pairing)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (10L, ts("2024-01-01 11:00:00"), Option.empty[Double]) // matched row, null value
+    ).toDF("user_id", "ts", "p_value")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", Seq("p_value")).collect()
+    assert(out.head.getAs[Timestamp]("asof_ts") == ts("2024-01-01 11:00:00"))
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_p_value")),
+      "value must come from the matched row, not an older non-null one")
+  }
+
   test("asofJoin: equal timestamps match (<= semantics)") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((10L, ts("2024-01-01 10:00:00"), 3.0)).toDF("user_id", "ts", "p_value")
