@@ -82,6 +82,8 @@ object Dedup {
     * the exact-Jaccard oracle whenever true pairs sit well above the
     * LSH recall knee — which is the regime dedup runs in. */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+    // cache() (MEMORY_AND_DISK, LRU-evictable) — the frame is read three
+    // times inside this one query plan; eviction reclaims it afterwards
     val docs = docShingles(s, dir)
       .withColumn("bands", Hashing.minhashBands(col("sh")))
       .cache()
