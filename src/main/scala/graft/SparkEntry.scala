@@ -49,6 +49,7 @@ object SparkEntry {
     "q25_pivot"           -> Warehouse.q25Pivot,
     "q26_multiset_ops"    -> Warehouse.q26MultisetOps,
     "q27_running_window"  -> Warehouse.q27RunningWindow,
+    "q28_stateful_batch"  -> Warehouse.q28StatefulBatch,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -313,6 +314,11 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey, o_orderkey""",
+    "q28_stateful_batch" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(sum(value), 4) AS total_value,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+         FROM events GROUP BY 1 ORDER BY 1""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -378,6 +378,25 @@ object Warehouse {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** The custom-state path (graft.streaming.Stateful.runningUserStats,
+    * `mapGroupsWithState`) run on a BOUNDED frame: each group folds once
+    * and emits its final state, which must equal a plain aggregate —
+    * this pins the stateful operator's semantics to a SQL oracle. */
+  def q28StatefulBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.UserEvent]
+    graft.streaming.Stateful.runningUserStats(events).toDF()
+      .groupBy("user_id")
+      // batch mode emits one row per group; max() collapses the frame
+      // without assuming that (and keeps the plan a plain aggregate)
+      .agg(max("n_events").as("n_events"),
+        round(max("total_value"), 4).as("total_value"),
+        date_format(max("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** Session windows over the events table — the one genuinely stateful
     * window shape (SURVEY.md §7 "hard parts"). Runs the SAME transform
     * as the streaming path (graft.streaming.Windows.sessionCounts) on a
