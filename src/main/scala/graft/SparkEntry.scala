@@ -50,6 +50,7 @@ object SparkEntry {
     "q26_multiset_ops"    -> Warehouse.q26MultisetOps,
     "q27_running_window"  -> Warehouse.q27RunningWindow,
     "q28_stateful_batch"  -> Warehouse.q28StatefulBatch,
+    "q29_sliding"         -> Warehouse.q29Sliding,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -319,6 +320,13 @@ object SparkEntry {
          round(sum(value), 4) AS total_value,
          strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q29_sliding" ->
+      """SELECT strftime(make_timestamp(
+           CAST((floor(epoch(ts) / 300) - k) * 300 * 1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS w_start,
+         event_type, count(*) AS n
+         FROM events, unnest(range(0, 4)) AS t(k)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

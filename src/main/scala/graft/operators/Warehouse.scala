@@ -378,6 +378,19 @@ object Warehouse {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Sliding windows (20-minute length, 5-minute slide): every event
+    * contributes to 4 overlapping windows — Spark's `window()` plans an
+    * Expand (4 rows per event) before the aggregate, which is also the
+    * 100 TB-correct shape (shuffle carries window-assigned partials). */
+  def q29Sliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "20 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+
   /** The custom-state path (graft.streaming.Stateful.runningUserStats,
     * `mapGroupsWithState`) run on a BOUNDED frame: each group folds once
     * and emits its final state, which must equal a plain aggregate —

@@ -71,6 +71,24 @@ class StreamingSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L))
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = input.toDF().join(dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 00:00:00"), "click", 1.0, 1),
+        Ev(ts("2024-01-01 00:00:01"), "click", 1.0, 9)) // no dim row → dropped
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enriched").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "gold")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
