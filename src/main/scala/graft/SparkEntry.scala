@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,7 @@ object SparkEntry {
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
     "x03_token_shards"    -> ((s, dir) => Sampling.tokenShards(s, dir)),
+    "x04_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -462,6 +463,35 @@ object SparkEntry {
          SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x04_curation_funnel" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nonspace
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             floor((least(1.0, n_tok/20.0)*0.4
+                   + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                   + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4 AS quality
+           FROM f),
+         passing AS (SELECT * FROM q WHERE quality >= 0.5),
+         keepers AS (SELECT fp, min(doc_id) AS doc_id FROM passing GROUP BY 1),
+         sp AS (
+           SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                       ELSE 'train' END AS split
+           FROM keepers)
+         SELECT stage, n FROM (
+           SELECT '1_raw' AS stage, count(*) AS n FROM q
+           UNION ALL SELECT '2_quality_pass', count(*) FROM passing
+           UNION ALL SELECT '3_dedup_keepers', count(*) FROM keepers
+           UNION ALL SELECT concat('4_', split), count(*) FROM sp GROUP BY split)
+         ORDER BY stage""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies
