@@ -7,6 +7,10 @@ package graft
   * and (spot-checked in the oracle gate) matching aliases. */
 class RegistrySmokeSpec extends SparkSuite {
 
+  test("flagship entry returns rows (the driver's t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracle without query: $missing")
