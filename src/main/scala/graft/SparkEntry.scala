@@ -318,7 +318,8 @@ object SparkEntry {
          ORDER BY o_custkey, o_orderkey""",
     "q28_stateful_batch" ->
       """SELECT user_id, count(*) AS n_events,
-         round(sum(value), 4) AS total_value,
+         round(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) / 100.0, 4)
+           AS total_value,
          strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
          FROM events GROUP BY 1 ORDER BY 1""",
     "q29_sliding" ->

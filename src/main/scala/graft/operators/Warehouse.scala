@@ -383,11 +383,9 @@ object Warehouse {
     * Expand (4 rows per event) before the aggregate, which is also the
     * 100 TB-correct shape (shuffle carries window-assigned partials). */
   def q29Sliding(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "20 minutes", "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    graft.streaming.Windows.slidingCounts(t(s, dir, "events"))
       .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"))
       .orderBy("w_start", "event_type")
 
@@ -405,7 +403,7 @@ object Warehouse {
       // batch mode emits one row per group; max() collapses the frame
       // without assuming that (and keeps the plan a plain aggregate)
       .agg(max("n_events").as("n_events"),
-        round(max("total_value"), 4).as("total_value"),
+        round(max("total_cents") / 100.0, 4).as("total_value"),
         date_format(max("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
       .orderBy("user_id")
   }

@@ -9,8 +9,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,
                      value: Double)
 
-/** Running per-user state. */
-case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+/** Running per-user state. Values accumulate as integer cents — an
+  * order-independent exact sum (a double fold would make the result
+  * depend on shuffle-fetch order within the group). */
+case class UserStats(user_id: Long, n_events: Long, total_cents: Long,
                      last_ts: Timestamp)
 
 /** One emitted session summary. */
@@ -39,9 +41,10 @@ object Stateful {
         GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
           val prev = state.getOption.getOrElse(
-            UserStats(user, 0L, 0.0, new Timestamp(0L)))
+            UserStats(user, 0L, 0L, new Timestamp(0L)))
           val next = batch.foldLeft(prev) { (acc, e) =>
-            UserStats(user, acc.n_events + 1, acc.total_value + e.value,
+            UserStats(user, acc.n_events + 1,
+              acc.total_cents + math.floor(e.value * 100 + 0.5).toLong,
               if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
           }
           state.update(next)

@@ -27,7 +27,7 @@ class StatefulSpec extends SparkSuite {
       val last = spark.sql(
         "SELECT * FROM running_stats WHERE user_id=1 ORDER BY n_events DESC").collect().head
       assert(last.getAs[Long]("n_events") == 3, "state persisted across micro-batches")
-      assert(last.getAs[Double]("total_value") == 10.0)
+      assert(last.getAs[Long]("total_cents") == 1000L)
       assert(last.getAs[Timestamp]("last_ts") == ts("2024-01-01 00:02:00"))
     } finally q.stop()
   }

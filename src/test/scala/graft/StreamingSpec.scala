@@ -71,6 +71,16 @@ class StreamingSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L))
   }
 
+  test("sliding windows: each event lands in length/slide = 4 windows") {
+    val batch = Seq(Ev(ts("2024-01-01 00:21:00"), "click", 1.0, 1)).toDF()
+    val out = Windows.slidingCounts(batch).orderBy("w_start").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[java.sql.Timestamp]("w_start").toString).toSeq ==
+      Seq("2024-01-01 00:05:00.0", "2024-01-01 00:10:00.0",
+          "2024-01-01 00:15:00.0", "2024-01-01 00:20:00.0"))
+    assert(out.forall(_.getAs[Long]("n") == 1L))
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
