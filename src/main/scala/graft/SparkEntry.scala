@@ -83,6 +83,7 @@ object SparkEntry {
     "s03_lsh_pairs"       -> ((s, dir) => Similarity.lshPairs(s, dir)),
     "s04_ann_ivf"         -> ((s, dir) => Similarity.annIvf(s, dir)),
     "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir)),
+    "s06_label_norms"     -> Similarity.labelNorms,
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -577,6 +578,16 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(i * 1.0 / (n_a + n_b - i), 4) AS jaccard
          FROM inter WHERE round(i * 1.0 / (n_a + n_b - i), 4) >= 0.7
          ORDER BY doc_a, doc_b""",
+    "s06_label_norms" ->
+      """WITH e AS (SELECT label,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings)
+         SELECT label, count(*) AS n,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+         FROM e GROUP BY 1 ORDER BY 1""",
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (

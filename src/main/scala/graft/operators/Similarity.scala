@@ -107,6 +107,17 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-label embedding statistics — array columns as first-class
+    * aggregate inputs (norms via the codegen'd dot). */
+  def labelNorms(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .orderBy("label")
+
   /** Deterministic k-means coarse quantizer (Lloyd's, fixed iteration
     * count, init = first k vectors by vec_id). Centroids are driver-held
     * model state (k × dim doubles — bytes, not data); every data pass is
