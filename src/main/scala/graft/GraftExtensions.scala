@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.DotProduct
 
@@ -29,7 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private[graft] val dotBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
-    DotProduct(children.head, children(1))
+    // Cast to array<double> so SQL callers can pass array<float>/array<int>
+    // (DotProduct itself rejects non-double storage at analysis time);
+    // non-array arguments fail Cast's own analysis check.
+    val widened = children.map(Cast(_, ArrayType(DoubleType)))
+    DotProduct(widened.head, widened(1))
   }
 
   /** Register graft's SQL functions on an already-running session (the

@@ -371,17 +371,21 @@ object SparkEntry {
                FROM documents WHERE doc_id % 3 = 2)
          ORDER BY media_id, frame_idx""",
     "m04_byte_histogram" ->
+      // UTF-8 BYTE semantics, not characters: hex(encode(text)) renders
+      // each payload byte as 2 hex digits, so the high nibble of byte i
+      // is hex char 2i-1 — matches the Spark side's (b & 0xF0) >>> 4
+      // for any input, ASCII or not.
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
          count(*) AS n_docs,
-         CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(sum(len(list_filter(
-           list_transform(range(1, length(text) + 1),
-             i -> ascii(substring(text, CAST(i AS INT), 1))),
-           a -> a // 16 = 2))) AS BIGINT) AS bin2_bytes,
+           range(1, octet_length(encode(text)) + 1),
+           i -> substring(hex(encode(text)), CAST(2*i-1 AS INT), 1) = '2')))
+           AS BIGINT) AS bin2_bytes,
          CAST(sum(len(list_filter(
-           list_transform(range(1, length(text) + 1),
-             i -> ascii(substring(text, CAST(i AS INT), 1))),
-           a -> a // 16 = 6))) AS BIGINT) AS bin6_bytes
+           range(1, octet_length(encode(text)) + 1),
+           i -> substring(hex(encode(text)), CAST(2*i-1 AS INT), 1) = '6')))
+           AS BIGINT) AS bin6_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
     "t01_token_counts" ->
       """SELECT doc_id,

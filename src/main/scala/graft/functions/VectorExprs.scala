@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.{columnOf, expressionOf}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -25,7 +26,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must already be array<double>; callers in VectorExprs cast
+  // ArrayData.getDouble is only valid on array<double> storage — reject
+  // anything else at ANALYSIS time rather than returning garbage. The
+  // registered `graft_dot` SQL builder casts its inputs first, so
+  // array<float>/array<int> arguments still work through SQL; only a
+  // direct mistyped construction fails here.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def bad(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => false
+      case _                        => true
+    }
+    Seq(left, right).find(bad) match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires array<double> inputs, got ${e.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -16,12 +16,14 @@ object Curation {
   def curationFunnel(s: SparkSession, dir: String,
                      qualityMin: Double = 0.5): DataFrame = {
     val quality = TextOps.qualityScore(s, dir).select(col("doc_id"), col("quality"))
-    // cached: the funnel's four count branches all re-read this subtree
+    // localCheckpoint: the funnel's four count branches all re-read this
+    // subtree; blocks are auto-released when the returned plan is GC'd
+    // (cache() entries would accumulate across invocations)
     val docs = t(s, dir, "documents")
       .join(quality, "doc_id")
       .withColumn("fp",
         md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-      .cache()
+      .localCheckpoint()
     val passing = docs.filter(col("quality") >= qualityMin)
     val keepers = passing.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val split = Sampling.deterministicSplit(keepers, "doc_id")

@@ -82,11 +82,16 @@ object Dedup {
     * the exact-Jaccard oracle whenever true pairs sit well above the
     * LSH recall knee — which is the regime dedup runs in. */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    // cache() (MEMORY_AND_DISK, LRU-evictable) — the frame is read three
-    // times inside this one query plan; eviction reclaims it afterwards
+    // localCheckpoint (eager, MEMORY_AND_DISK): the frame is read three
+    // times inside this one query plan. Unlike cache(), the blocks are
+    // released by ContextCleaner as soon as the returned plan is GC'd —
+    // no CacheManager entry accumulates across invocations in a
+    // long-lived session. (Tradeoff: on a real cluster a lost executor
+    // loses the non-replicated blocks and fails the query instead of
+    // recomputing; acceptable for a frame this narrow.)
     val docs = docShingles(s, dir)
       .withColumn("bands", Hashing.minhashBands(col("sh")))
-      .cache()
+      .localCheckpoint()
     val banded = docs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -112,8 +117,12 @@ object Dedup {
     * this query's exact-pairs output is feasible for). */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
     val docs = docShingles(s, dir)
+    // localCheckpoint: both sides of the self-join read this frame — one
+    // materialization instead of running the shingle kernel twice
+    // (blocks auto-released on plan GC, see minhashLsh note)
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     val inter = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -146,7 +155,9 @@ object Dedup {
       .select("shingle")
     val kept = ex.join(rare, "shingle")
     val sized = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val exKept = kept.join(sized, "doc_id")
+    // both sides of the self-join read this — materialize once
+    // (blocks auto-released on plan GC, see minhashLsh note)
+    val exKept = kept.join(sized, "doc_id").localCheckpoint()
     val inter = exKept.as("a").join(exKept.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -179,7 +190,7 @@ object Dedup {
     val pairs = ngramJaccard(s, dir, threshold).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("n")).distinct()
       .withColumn("lbl", col("n")).localCheckpoint()
     // labels only ever decrease, so the label sum is a strictly
@@ -222,7 +233,7 @@ object Dedup {
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
     val docs = docShingles(s, dir)
       .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))
-      .cache()
+      .localCheckpoint() // read 3× in-plan; blocks auto-released (see minhashLsh)
     // 4 chunks of 16 bits each; bit i of the signature = bit i of `sig`,
     // so chunk j is just a shift+mask — no per-bit array materializes.
     val chunkKeys = array((0 until 4).map { j =>

@@ -162,7 +162,10 @@ object Similarity {
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
-      .cache()
+      // localCheckpoint, not cache: read k-means-iters× during fitting +
+      // twice in the final plan; blocks are freed on plan GC instead of
+      // pinning a CacheManager entry per invocation
+      .localCheckpoint()
     val cents = fitCentroids(normed, nCent, iters)
     val corpus = assignToCentroid(normed, cents)
     val queries = corpus.filter(col("vec_id") < nQueries)
