@@ -65,11 +65,15 @@ object SparkEntry {
     "t03_lang_id"         -> TextOps.langId,
     "t04_fingerprint"     -> TextOps.fingerprint,
     "t05_top_bigrams"     -> ((s, dir) => TextOps.topBigrams(s, dir)),
+    "t06_repetition"      -> TextOps.repetition,
+    "t07_pii_scrub"       -> ((s, dir) => TextOps.scrub(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
     "x03_token_shards"    -> ((s, dir) => Sampling.tokenShards(s, dir)),
     "x04_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
+    "x05_decontaminate"   -> Dedup.decontaminate,
+    "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -442,6 +446,30 @@ object SparkEntry {
                                 ORDER BY n DESC, bigram ASC) AS rk
            FROM counts)
          WHERE rk <= 5 ORDER BY lang, rk""",
+    "t06_repetition" ->
+      """WITH ex AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents
+         ), cnt AS (
+           SELECT doc_id, tok, count(*) AS n FROM ex GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           floor((1.0 - count(*) / CAST(sum(n) AS DOUBLE))*1e4 + 0.5)/1e4
+             AS dup_ratio,
+           floor((max(n) / CAST(sum(n) AS DOUBLE))*1e4 + 0.5)/1e4
+             AS top_tok_frac
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "t07_pii_scrub" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?:customer|supplier)\b'))
+           AS INT) AS n_redacted,
+         length(text) AS n_chars_before,
+         length(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?:customer|supplier)\b',
+           '[REDACTED]', 'g')) AS n_chars_after
+         FROM documents ORDER BY doc_id""",
     "x01_split_counts" ->
       """SELECT lang,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
@@ -498,6 +526,40 @@ object SparkEntry {
            UNION ALL SELECT '3_dedup_keepers', count(*) FROM keepers
            UNION ALL SELECT concat('4_', split), count(*) FROM sp GROUP BY split)
          ORDER BY stage""",
+    "x05_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+               for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), test_sh AS (
+           SELECT DISTINCT unnest(shingles) AS shingle
+           FROM sh WHERE bucket < '0d'
+         ), train AS (
+           SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+             unnest(shingles) AS shingle
+           FROM sh WHERE bucket >= '1a')
+         SELECT t.doc_id,
+           count(*) AS n_contaminated,
+           n_shingles,
+           floor((count(*) / CAST(n_shingles AS DOUBLE))*1e4 + 0.5)/1e4
+             AS contamination
+         FROM train t JOIN test_sh USING (shingle)
+         GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id""",
+    "x06_range_shards" ->
+      """WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders
+         ), b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o)
+         SELECT (cents - mn) * 8 // (mx - mn + 1) AS shard,
+           count(*) AS n_orders,
+           min(cents) AS min_cents, max(cents) AS max_cents
+         FROM o, b GROUP BY 1 ORDER BY 1""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies

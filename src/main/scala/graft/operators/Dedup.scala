@@ -217,6 +217,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag TRAIN documents sharing any 3-word
+    * shingle with the TEST split — the published LLM-corpus hygiene step
+    * (GPT-3 appendix C / PaLM-style n-gram collision removal), here with
+    * the library's own deterministic md5 split standing in for the
+    * benchmark set.
+    *
+    * Shape at 100 TB: the benchmark shingle set is tiny by construction
+    * (benchmarks are MBs, corpora are TBs), so it BROADCASTS — the train
+    * side stays a narrow explode→broadcast-semi-join→re-aggregate with
+    * no all-to-all shuffle of corpus shingles. Shingles travel as 8-byte
+    * hashes (see [[graft.functions.Hashing.hashedShingles]]), never as
+    * strings. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Sampling.deterministicSplit(docShingles(s, dir), "doc_id")
+    val testSh = sh.filter(col("split") === "test")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    // shingles are distinct within a doc, so count(*) = |doc ∩ benchmark|
+    train.join(broadcast(testSh), "shingle")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_contaminated"), col("n_shingles"),
+        TextOps.r4(col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash near-duplicate pairs (rows-only check — the bit mix
     * depends on xxhash64, which the SQL oracle cannot reproduce).
     *

@@ -73,6 +73,29 @@ object Sampling {
     * partition — stratify by lang/source/date so each stratum's cumsum
     * is an independent partition, which is also what keeps this shape
     * viable at 100 TB.) */
+  /** Range-bucketed ordered-export manifest over order totalprice:
+    * fixed-width integer-cent buckets between the global min/max, with
+    * per-shard counts and bounds — the manifest you'd publish next to a
+    * globally-sorted parquet export. Unlike `repartitionByRange` (whose
+    * sampled boundaries differ run-to-run), fixed-width bucketing is
+    * deterministic, so it oracle-checks exactly; the write-side
+    * `repartitionByRange + sortWithinPartitions` equivalent is proven at
+    * the plan/file level in SamplingSpec. Cost at 100 TB: one tiny
+    * min/max aggregate broadcast as a 1-row frame, then a narrow
+    * projection + one shuffle on the shard id. */
+  def rangeShardManifest(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    // integer cents: exact bucket arithmetic, no float knife edges
+    val o = t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"))
+    val bounds = o.agg(min("cents").as("mn"), max("cents").as("mx"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"(cents - mn) * $nShards div (mx - mn + 1)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_orders"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("shard")
+  }
+
   def tokenShards(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
     val w = Window.partitionBy("lang").orderBy("doc_id")

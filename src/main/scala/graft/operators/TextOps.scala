@@ -40,7 +40,8 @@ object TextOps {
     * floor(x*1e4+0.5)/1e4 evaluates identically in any IEEE-double
     * engine, unlike round() (Spark rounds via decimal string, DuckDB in
     * binary — they disagree on exact .5 boundaries). */
-  private def r4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+  private[operators] def r4(c: Column): Column =
+    floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
 
   /** Quality scoring: length ratio, stopword ratio, mean token length,
     * alpha ratio — combined into one deterministic score. Mirrors the
@@ -106,6 +107,49 @@ object TextOps {
       .filter(col("rk") <= k)
       .select("lang", "rk", "bigram", "n")
       .orderBy("lang", "rk")
+  }
+
+  /** Within-document repetition signals (Gopher-style repetition
+    * filters): duplicate-token ratio (1 - distinct/total) and the
+    * fraction of the document taken by its single most frequent token.
+    * Shaped as explode → count per (doc, token) → per-doc aggregate:
+    * one shuffle on (doc_id, token) with map-side partial counts — the
+    * same shape at 100 TB, since (doc_id, token) keys are near-unique
+    * and perfectly spread. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("tok"))
+    ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("n").as("mx"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r4(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"),
+        r4(col("mx").cast("double") / col("n_tokens").cast("double"))
+          .as("top_tok_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII / denylist scrubbing: one combined regex over emails, long
+    * digit runs, and a configurable sensitive-term denylist, reported as
+    * per-doc redaction counts plus before/after lengths. Pure narrow
+    * regexp_extract_all/regexp_replace projections — codegen'd, no
+    * shuffle. The pattern stays in the RE2-compatible subset (character
+    * classes, \b, (?:...)) so external SQL engines reproduce it exactly. */
+  def scrub(s: SparkSession, dir: String,
+            denylist: Seq[String] = Seq("customer", "supplier")): DataFrame = {
+    val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+      "|[0-9]{7,}" +
+      s"|\\b(?:${denylist.mkString("|")})\\b"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_redacted"),
+        length(col("text")).as("n_chars_before"),
+        length(regexp_replace(col("text"), pat, "[REDACTED]")).as("n_chars_after"))
+      .orderBy("doc_id")
   }
 
   /** Document fingerprinting: md5 over whitespace-normalized lowered

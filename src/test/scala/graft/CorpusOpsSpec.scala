@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, TextOps}
+
+/** Semantic checks for the round-2 corpus operators (t06/t07/x05/x06):
+  * each query's output is recomputed independently in plain Scala over
+  * the collected sf0.001 documents and compared row-for-row.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docs: Seq[(Long, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("t06 repetition matches a per-doc Scala recomputation") {
+    val expected = docs.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val counts = toks.groupBy(identity).map(_._2.size)
+      (id, toks.size.toLong, counts.size.toLong,
+        r4(1.0 - counts.size.toDouble / toks.size),
+        r4(counts.max.toDouble / toks.size))
+    }.sortBy(_._1)
+    val got = TextOps.repetition(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("t07 scrub counts and lengths match the same regex in plain Java") {
+    val pat = ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+      "|[0-9]{7,}|\\b(?:customer|supplier)\\b").r
+    val expected = docs.map { case (id, text) =>
+      val matches = pat.findAllIn(text).toSeq
+      (id, matches.size,
+        text.length, pat.replaceAllIn(text, "[REDACTED]").length)
+    }.sortBy(_._1)
+    val got = TextOps.scrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._2).sum > 0, "denylist terms must occur in testdata")
+  }
+
+  test("x05 decontaminate matches string-shingle overlap with the test split") {
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    def bucket(id: Long): String = md5hex(id.toString).substring(0, 2)
+    val withSh = docs.map { case (id, t) => (id, bucket(id), shingleSet(t)) }
+      .filter(_._3.nonEmpty)
+    val testSh = withSh.filter(_._2 < "0d").flatMap(_._3).toSet
+    val expected = withSh.filter(_._2 >= "1a").flatMap { case (id, _, sh) =>
+      val n = sh.count(testSh)
+      if (n == 0) None
+      else Some((id, n.toLong, sh.size.toLong, r4(n.toDouble / sh.size)))
+    }.sortBy(_._1)
+    val got = Dedup.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "testdata's planted near-dups must contaminate the split")
+  }
+
+  test("x06 shards are contiguous, non-overlapping, and cover all orders") {
+    val m = Sampling.rangeShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.nonEmpty && m.forall { case (s, _, _, _) => s >= 0 && s < 8 })
+    m.sliding(2).foreach {
+      case Array((_, _, _, maxPrev), (_, _, minNext, _)) =>
+        assert(maxPrev < minNext, "shard ranges must not overlap")
+      case _ =>
+    }
+    val total = m.map(_._2).sum
+    assert(total == spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("ordered export: repartitionByRange + sortWithinPartitions yields " +
+    "disjoint sorted files") {
+    val dir = Files.createTempDirectory("graft_ordered_export").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_totalprice"))
+      .sortWithinPartitions("o_totalprice")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.toString).sorted
+    assert(files.length > 1, "expected multiple range partitions")
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f).select("o_totalprice")
+        .collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted), s"file $f not internally sorted")
+      (vals.min, vals.max)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, maxPrev), (minNext, _)) =>
+        assert(maxPrev <= minNext, "file ranges overlap — not a global order")
+      case _ =>
+    }
+  }
+}
