@@ -88,6 +88,7 @@ object SparkEntry {
     "s04_ann_ivf"         -> ((s, dir) => Similarity.annIvf(s, dir)),
     "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir)),
     "s06_label_norms"     -> Similarity.labelNorms,
+    "s07_label_centroid"  -> Similarity.labelCentroids,
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -654,6 +655,13 @@ object SparkEntry {
            round(min(nrm), 4) AS min_norm,
            round(max(nrm), 4) AS max_norm
          FROM e GROUP BY 1 ORDER BY 1""",
+    "s07_label_centroid" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ex AS (SELECT label, unnest(v) AS x,
+                       unnest(range(0, len(v))) AS pos FROM e)
+         SELECT label, CAST(pos AS INT) AS pos, round(avg(x), 4) AS c
+         FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (

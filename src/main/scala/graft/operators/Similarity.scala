@@ -107,6 +107,24 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-label embedding centroids via the typed
+    * [[graft.functions.CentroidAggregator]] UDAF: one (sums, count)
+    * buffer per label per partition, so the shuffle carries k×dim
+    * doubles per partition instead of the n×dim exploded rows the
+    * declarative posexplode+avg formulation would move. Output is
+    * exploded to (label, pos, c) rows only for the oracle compare. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.CentroidAggregator().toColumn
+    emb(s, dir).select(col("label"), col("v")).as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .agg(agg.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"), round(col("x"), 4).as("c"))
+      .orderBy("label", "pos")
+  }
+
   /** Per-label embedding statistics — array columns as first-class
     * aggregate inputs (norms via the codegen'd dot). */
   def labelNorms(s: SparkSession, dir: String): DataFrame =

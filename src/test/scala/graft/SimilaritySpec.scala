@@ -56,4 +56,21 @@ class SimilaritySpec extends SparkSuite {
     assert(k1.sameElements(k2))
     assert(k1.forall(_.length == 8))
   }
+
+  test("centroid UDAF equals the declarative posexplode+avg formulation") {
+    val udaf = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val declarative = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 4).as("c"))
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(udaf.length == declarative.length && udaf.nonEmpty)
+    udaf.zip(declarative).foreach { case ((l1, p1, c1), (l2, p2, c2)) =>
+      assert(l1 == l2 && p1 == p2 && math.abs(c1 - c2) <= 1e-4,
+        s"($l1,$p1,$c1) vs ($l2,$p2,$c2)")
+    }
+  }
 }
