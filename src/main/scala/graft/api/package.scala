@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Dedup, Sampling, Skew, TemporalJoins, TextOps}
+
+/** User-facing fluent API: `import graft.api._` and every corpus
+  * operator hangs off any DataFrame with the right columns — the
+  * switch-over surface for a user of the reference pipeline.
+  *
+  * {{{
+  * import graft.api._
+  * val docs = spark.read.parquet("corpus/")           // (doc_id, text, …)
+  * docs.dedupExact("doc_id", "text")                  // exact dedup report
+  * docs.dedupNearMinhash("doc_id", "text", 0.8)       // LSH near-dups
+  * docs.scrubPii("doc_id", "text")                    // redaction stats
+  * docs.splitDeterministic("doc_id")                  // +split column
+  * clicks.asofJoin(purchases, "user_id", "ts", Seq("value"))
+  * }}}
+  *
+  * Every method delegates to the operator objects (Dedup / TextOps /
+  * Sampling / TemporalJoins / Skew); this file adds no semantics —
+  * only discoverability.
+  */
+package object api {
+
+  implicit class GraftDocumentOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- dedup ----
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      Dedup.exactDedup(df, idCol, textCol)
+
+    def dedupNearMinhash(idCol: String, textCol: String,
+                         threshold: Double = 0.7): DataFrame =
+      Dedup.minhashLsh(df, idCol, textCol, threshold)
+
+    def dedupNearExact(idCol: String, textCol: String,
+                       threshold: Double = 0.7): DataFrame =
+      Dedup.ngramJaccard(df, idCol, textCol, threshold)
+
+    def dedupNearSimhash(idCol: String, textCol: String,
+                         maxHamming: Int = 3): DataFrame =
+      Dedup.simhash(df, idCol, textCol, maxHamming)
+
+    // ---- text analysis ----
+    def textTokenCounts(idCol: String, textCol: String): DataFrame =
+      TextOps.tokenCounts(df, idCol, textCol)
+
+    def textQuality(idCol: String, textCol: String): DataFrame =
+      TextOps.qualityScore(df, idCol, textCol)
+
+    def textRepetition(idCol: String, textCol: String): DataFrame =
+      TextOps.repetition(df, idCol, textCol)
+
+    def scrubPii(idCol: String, textCol: String,
+                 denylist: Seq[String] = Seq("customer", "supplier")): DataFrame =
+      TextOps.scrub(df, idCol, textCol, denylist)
+
+    def fingerprint(idCol: String, textCol: String): DataFrame =
+      TextOps.fingerprint(df, idCol, textCol)
+
+    // ---- sampling / splitting ----
+    def splitDeterministic(idCol: String): DataFrame =
+      Sampling.deterministicSplit(df, idCol)
+
+    def sampleStratified(stratumCol: String, idCol: String, n: Int): DataFrame =
+      Sampling.stratifiedSample(df, stratumCol, idCol, n)
+
+    // ---- joins ----
+    def asofJoin(right: DataFrame, key: String, ts: String,
+                 rightVals: Seq[String]): DataFrame =
+      TemporalJoins.asofJoin(df, right, key, ts, rightVals)
+
+    def rangeJoinCount(right: DataFrame, key: String, ts: String,
+                       leftId: String, widthMicros: Long): DataFrame =
+      TemporalJoins.rangeJoinCount(df, right, key, ts, leftId, widthMicros)
+
+    def saltedJoin(small: DataFrame, key: String, idCol: String,
+                   salts: Int = 8): DataFrame =
+      Skew.saltedJoin(df, small, key, idCol, salts)
+  }
+}

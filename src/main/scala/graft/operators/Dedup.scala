@@ -42,16 +42,20 @@ object Dedup {
   }
 
   /** Exact dedup: group on the md5 fingerprint of normalized text, keep
-    * the smallest doc_id. The shuffle key is 16 bytes/doc regardless of
-    * document size — this is the 100 TB-safe shape. */
-  def exactDedup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    * the smallest id. The shuffle key is 16 bytes/doc regardless of
+    * document size — this is the 100 TB-safe shape. Generic core:
+    * any (id, text) frame. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
       .groupBy("fp")
-      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
       .select("fp", "keeper", "n_copies")
       .orderBy("keeper")
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    exactDedup(t(s, dir, "documents"), "doc_id", "text")
 
   /** Documents with their distinct HASHED 3-shingle sets (docs with none
     * drop out). One single-pass JVM kernel per document — see
@@ -59,10 +63,14 @@ object Dedup {
     * consumes the 8-byte hashes, never shingle strings. Set sizes and
     * intersections are identical to the string-shingle formulation
     * modulo 64-bit collisions (negligible at feasible corpus sizes). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Hashing.hashedShingles(col("text")).as("sh"))
+  private[operators] def docShingles(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), Hashing.hashedShingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) >= 1)
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShingles(t(s, dir, "documents"), "doc_id", "text")
 
   /** Exact Jaccard over the shingle sets of a candidate-pair frame with
     * columns (doc_a, doc_b, sh_a, sh_b). */
@@ -81,7 +89,11 @@ object Dedup {
     * Jaccard >= threshold filters false positives, so the result equals
     * the exact-Jaccard oracle whenever true pairs sit well above the
     * LSH recall knee — which is the regime dedup runs in. */
-  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    minhashLsh(t(s, dir, "documents"), "doc_id", "text", threshold)
+
+  def minhashLsh(docsIn: DataFrame, idCol: String, textCol: String,
+                 threshold: Double): DataFrame = {
     // localCheckpoint (eager, MEMORY_AND_DISK): the frame is read three
     // times inside this one query plan. Unlike cache(), the blocks are
     // released by ContextCleaner as soon as the returned plan is GC'd —
@@ -89,7 +101,7 @@ object Dedup {
     // long-lived session. (Tradeoff: on a real cluster a lost executor
     // loses the non-replicated blocks and fails the query instead of
     // recomputing; acceptable for a frame this narrow.)
-    val docs = docShingles(s, dir)
+    val docs = docShingles(docsIn, idCol, textCol)
       .withColumn("bands", Hashing.minhashBands(col("sh")))
       .localCheckpoint()
     val banded = docs
@@ -115,8 +127,12 @@ object Dedup {
     * xxhash64 of the shingle — 8 bytes through the shuffle instead of a
     * 3-word string (64-bit collisions are negligible at any corpus size
     * this query's exact-pairs output is feasible for). */
-  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    val docs = docShingles(s, dir)
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    ngramJaccard(t(s, dir, "documents"), "doc_id", "text", threshold)
+
+  def ngramJaccard(docsIn: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val docs = docShingles(docsIn, idCol, textCol)
     // localCheckpoint: both sides of the self-join read this frame — one
     // materialization instead of running the shingle kernel twice
     // (blocks auto-released on plan GC, see minhashLsh note)
@@ -147,8 +163,12 @@ object Dedup {
     * shingle sets, so the score stays a true Jaccard of the filtered
     * sets (and the DuckDB oracle reproduces it exactly). */
   def cappedNgramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7,
-                         dfCap: Int = 50): DataFrame = {
-    val ex = docShingles(s, dir)
+                         dfCap: Int = 50): DataFrame =
+    cappedNgramJaccard(t(s, dir, "documents"), "doc_id", "text", threshold, dfCap)
+
+  def cappedNgramJaccard(docsIn: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, dfCap: Int): DataFrame = {
+    val ex = docShingles(docsIn, idCol, textCol)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -186,8 +206,12 @@ object Dedup {
     * plans don't grow across iterations. At extreme graph sizes swap in
     * the large-star/small-star variant (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — same join shape. */
-  def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    val pairs = ngramJaccard(s, dir, threshold).select("doc_a", "doc_b")
+  def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    dupClusters(ngramJaccard(s, dir, threshold))
+
+  /** Generic core over any (doc_a, doc_b) near-dup pair frame. */
+  def dupClusters(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
@@ -231,9 +255,17 @@ object Dedup {
     * strings. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = Sampling.deterministicSplit(docShingles(s, dir), "doc_id")
-    val testSh = sh.filter(col("split") === "test")
+    decontaminate(
+      sh.filter(col("split") === "train"),
+      sh.filter(col("split") === "test"))
+  }
+
+  /** Generic core: corpus vs an explicit benchmark frame, both already
+    * shingled to (doc_id, sh) — see [[docShingles]]. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val testSh = benchmark
       .select(explode(col("sh")).as("shingle")).distinct()
-    val train = sh.filter(col("split") === "train")
+    val train = corpus
       .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
         explode(col("sh")).as("shingle"))
     // shingles are distinct within a doc, so count(*) = |doc ∩ benchmark|
@@ -255,12 +287,16 @@ object Dedup {
     * to bit i of xxhash64(shingle). Candidates come from 4 16-bit chunk
     * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
     * verified by exact hamming distance <= maxHamming. */
-  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhash(t(s, dir, "documents"), "doc_id", "text", maxHamming)
+
+  def simhash(docsIn: DataFrame, idCol: String, textCol: String,
+              maxHamming: Int): DataFrame = {
     // 4 chunks pigeonhole-guarantee a shared chunk only for hamming <= 3;
     // a larger radius needs more chunks or multi-chunk probing
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
-    val docs = docShingles(s, dir)
+    val docs = docShingles(docsIn, idCol, textCol)
       .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))
       .localCheckpoint() // read 3× in-plan; blocks auto-released (see minhashLsh)
     // 4 chunks of 16 bits each; bit i of the signature = bit i of `sig`,

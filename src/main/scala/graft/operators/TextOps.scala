@@ -19,22 +19,28 @@ object TextOps {
     * not a model). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  private def tokens: Column = split(trim(col("text")), "\\s+")
+  private def tokensOf(c: Column): Column = split(trim(c), "\\s+")
+  private def tokens: Column = tokensOf(col("text"))
 
-  private def stopCount: Column =
-    size(filter(tokens, tk => tk.isin(stopwords.map(lit(_): Any): _*)))
+  private def stopCountOf(c: Column): Column =
+    size(filter(tokensOf(c), tk => tk.isin(stopwords.map(lit(_): Any): _*)))
+  private def stopCount: Column = stopCountOf(col("text"))
 
   /** Whitespace token count plus a BPE-ish subword proxy: runs of
-    * letters, single digits, or single non-alphanumeric glyphs. */
-  def tokenCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    * letters, single digits, or single non-alphanumeric glyphs.
+    * Generic core: any (id, text) frame. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(
-        col("doc_id"),
-        size(tokens).as("n_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+        col(idCol),
+        size(tokensOf(col(textCol))).as("n_tokens"),
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
           .as("n_subwords"),
-        length(col("text")).as("n_text_chars"))
-      .orderBy("doc_id")
+        length(col(textCol)).as("n_text_chars"))
+      .orderBy(idCol)
+
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(t(s, dir, "documents"), "doc_id", "text")
 
   /** Engine-agnostic 4-decimal rounding for scalar double formulas:
     * floor(x*1e4+0.5)/1e4 evaluates identically in any IEEE-double
@@ -46,17 +52,21 @@ object TextOps {
   /** Quality scoring: length ratio, stopword ratio, mean token length,
     * alpha ratio — combined into one deterministic score. Mirrors the
     * published heuristic-filter recipes (C4/Gopher-style rules). */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val nTok = size(tokens).cast("double")
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScore(t(s, dir, "documents"), "doc_id", "text")
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nTok = size(tokensOf(text)).cast("double")
     val meanTokLen =
-      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
-    val stopRatio = stopCount.cast("double") / nTok
+      (length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
+    val stopRatio = stopCountOf(text).cast("double") / nTok
     val alphaRatio =
-      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
-        length(col("text")).cast("double")
-    t(s, dir, "documents")
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        length(text).cast("double")
+    docs
       .select(
-        col("doc_id"),
+        col(idCol),
         r4(stopRatio).as("stop_ratio"),
         r4(meanTokLen).as("mean_tok_len"),
         r4(alphaRatio).as("alpha_ratio"),
@@ -65,7 +75,7 @@ object TextOps {
             + least(lit(1.0), stopRatio * lit(5.0)) * lit(0.3)
             + when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.0) * lit(0.3))
           .as("quality"))
-      .orderBy("doc_id")
+      .orderBy(idCol)
   }
 
   /** Language-ID heuristic: stopword-marker density → 'en' vs 'unk',
@@ -116,9 +126,12 @@ object TextOps {
     * one shuffle on (doc_id, token) with map-side partial counts — the
     * same shape at 100 TB, since (doc_id, token) keys are near-unique
     * and perfectly spread. */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
-    val ex = t(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens).as("tok"))
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetition(t(s, dir, "documents"), "doc_id", "text")
+
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc_id"), explode(tokensOf(col(textCol))).as("tok"))
     ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_distinct"),
@@ -139,25 +152,32 @@ object TextOps {
     * shuffle. The pattern stays in the RE2-compatible subset (character
     * classes, \b, (?:...)) so external SQL engines reproduce it exactly. */
   def scrub(s: SparkSession, dir: String,
-            denylist: Seq[String] = Seq("customer", "supplier")): DataFrame = {
+            denylist: Seq[String] = Seq("customer", "supplier")): DataFrame =
+    scrub(t(s, dir, "documents"), "doc_id", "text", denylist)
+
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            denylist: Seq[String]): DataFrame = {
     val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
       "|[0-9]{7,}" +
       s"|\\b(?:${denylist.mkString("|")})\\b"
-    t(s, dir, "documents")
+    docs
       .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_redacted"),
-        length(col("text")).as("n_chars_before"),
-        length(regexp_replace(col("text"), pat, "[REDACTED]")).as("n_chars_after"))
-      .orderBy("doc_id")
+        col(idCol),
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as("n_redacted"),
+        length(col(textCol)).as("n_chars_before"),
+        length(regexp_replace(col(textCol), pat, "[REDACTED]")).as("n_chars_after"))
+      .orderBy(idCol)
   }
 
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fingerprint(t(s, dir, "documents"), "doc_id", "text")
+
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(
-        col("doc_id"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
-      .orderBy("doc_id")
+        col(idCol),
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
+      .orderBy(idCol)
 }

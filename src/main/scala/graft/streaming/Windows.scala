@@ -51,6 +51,28 @@ object Windows {
       .withWatermark("ts", watermark)
       .dropDuplicates(idCol, "ts")
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user within `[left.ts - lookback, left.ts]` —
+    * the streaming form of TemporalJoins.purchasesBeforeClick. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * BOTH directions, which is what lets Spark evict buffered state:
+    * without the time bounds the join would hold every row forever.
+    * State is partitioned by the equi-key (user_id), so at 100 TB this
+    * scales like any keyed shuffle — skewed users salt the same way. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lookback: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $lookback") &&
+        col("r.ts") <= col("l.ts"))
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"),
+        col("r.value").as("r_value"))
+  }
+
   /** Session windows: gap-based sessions per user. */
   def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
     events

@@ -1,0 +1,63 @@
+package graft
+
+import graft.api._
+
+/** The fluent facade works on arbitrary frames with user-chosen column
+  * names — the "switch your pipeline to graft" surface. */
+class ApiSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"),
+    (11L, "the quick brown fox jumps over the lazy dog"), // exact dup
+    (12L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (13L, "completely different text with nothing shared here at all"),
+    (14L, "customer data 12345678 mail me at a.b@example.com today"))
+    .toDF("id", "body")
+
+  test("dedupExact groups identical bodies under the smallest id") {
+    val out = corpus.dedupExact("id", "body").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 10L) // keeper
+  }
+
+  test("dedupNearExact and dedupNearMinhash agree on the planted near-dup") {
+    // 10 vs 12: one substituted word kills 3 of 7 shingles → J = 4/10 —
+    // found by the exact index, but below the 16x4-band LSH recall knee
+    // (collision prob ≈ 0.34 at J=0.4), so LSH is only guaranteed a
+    // SUBSET plus the high-J pairs
+    val exact = corpus.dedupNearExact("id", "body", 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = corpus.dedupNearMinhash("id", "body", 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((10L, 11L)), "J=1.0 pair must always be recalled")
+  }
+
+  test("scrubPii finds emails, digit runs, and denylist terms") {
+    val row = corpus.scrubPii("id", "body").collect().find(_.getLong(0) == 14L).get
+    assert(row.getInt(1) == 3) // customer, 12345678, a.b@example.com
+    assert(row.getInt(3) != row.getInt(2))
+  }
+
+  test("splitDeterministic is stable across invocations and column names") {
+    val a = corpus.splitDeterministic("id").select("id", "split").collect().toSeq
+    val b = corpus.withColumnRenamed("body", "text2")
+      .splitDeterministic("id").select("id", "split").collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+  }
+
+  test("asofJoin works through the facade with renamed columns") {
+    val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
+      .toDF("uid", "t", "tag")
+      .select($"uid", $"t".cast("timestamp").as("t"), $"tag")
+    val right = Seq((1L, 150L, 9.0))
+      .toDF("uid", "t", "v")
+      .select($"uid", $"t".cast("timestamp").as("t"), $"v")
+    val out = left.asofJoin(right, "uid", "t", Seq("v")).collect()
+      .map(r => (r.getString(2), r.isNullAt(4))).toMap
+    assert(out == Map("c1" -> true, "c2" -> false))
+  }
+}

@@ -99,6 +99,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Windows.intervalJoin(clicks.toDF(), buys.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      buys.addData(
+        Ev(ts("2024-01-01 00:05:00"), "purchase", 5.0, 1), // in window
+        Ev(ts("2024-01-01 00:20:00"), "purchase", 7.0, 1), // after click
+        Ev(ts("2023-12-31 23:00:00"), "purchase", 9.0, 1), // too old
+        Ev(ts("2024-01-01 00:06:00"), "purchase", 4.0, 2)) // other user
+      clicks.addData(Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, r_value FROM ssjoin").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
