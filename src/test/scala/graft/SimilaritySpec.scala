@@ -57,6 +57,23 @@ class SimilaritySpec extends SparkSuite {
     assert(k1.forall(_.length == 8))
   }
 
+  test("quantized ANN recalls most full-precision neighbors") {
+    val exact = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.annQuantized(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@3 too low: $recall")
+  }
+
+  test("quantizeInt8 emits integers in [-127, 127], 0-safe") {
+    val out = Seq(Seq(0.5, -1.0, 0.25), Seq(0.0, 0.0, 0.0))
+      .toDF("v").select(Similarity.quantizeInt8(col("v")).as("q"))
+      .collect().map(_.getSeq[Double](0))
+    assert(out(0) == Seq(64.0, -127.0, 32.0)) // floor(±x·127/1 + .5)
+    assert(out(1) == Seq(0.0, 0.0, 0.0))
+  }
+
   test("centroid UDAF equals the declarative posexplode+avg formulation") {
     val udaf = Similarity.labelCentroids(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
