@@ -51,6 +51,7 @@ object SparkEntry {
     "q27_running_window"  -> Warehouse.q27RunningWindow,
     "q28_stateful_batch"  -> Warehouse.q28StatefulBatch,
     "q29_sliding"         -> Warehouse.q29Sliding,
+    "q30_grouping_sets"   -> Warehouse.q30GroupingSets,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -336,6 +337,16 @@ object SparkEntry {
          event_type, count(*) AS n
          FROM events, unnest(range(0, 4)) AS t(k)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q30_grouping_sets" ->
+      """SELECT coalesce(o_year, 0) AS yr,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         CAST(GROUPING(o_year, o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n, round(sum(o_totalprice), 4) AS total
+         FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                      o_orderpriority, o_totalprice FROM orders)
+         GROUP BY GROUPING SETS ((o_year, o_orderpriority), (o_year),
+                                 (o_orderpriority))
+         ORDER BY gid, yr, priority""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -253,6 +253,25 @@ object Warehouse {
         col("n"), col("total"))
       .orderBy("yr", "priority")
 
+  /** Explicit GROUPING SETS — the asymmetric case cube/rollup can't
+    * express: (year, priority), (year), (priority) but NOT the grand
+    * total. One scan, one Expand (3 replicas), one shuffle;
+    * grouping_id() disambiguates the null-as-ALL encoding. */
+  def q30GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+    o.groupingSets(
+        Seq(Seq(col("o_year"), col("o_orderpriority")),
+          Seq(col("o_year")), Seq(col("o_orderpriority"))),
+        col("o_year"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_year"), lit(0)).as("yr"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "yr", "priority")
+  }
+
   /** Q8-style market share: fraction of yearly revenue supplied from
     * one region. Two aggregates from one scan via conditional sums. */
   def q21MarketShare(s: SparkSession, dir: String): DataFrame = {

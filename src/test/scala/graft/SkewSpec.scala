@@ -28,6 +28,46 @@ class SkewSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // testdata is KBs, the production defaults are 256MB — scale the
+      // thresholds down so the same detection logic fires
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // one key owns ~95% of rows, with a fat payload per row
+      val big = (1L to 20000L)
+        .map(i => (if (i <= 19000) 7L else i % 100, i, "x" * 64))
+        .toDF("k", "row_id", "pad")
+      val dim = (0L until 100L).map(k => (k, s"name_$k")).toDF("k", "name")
+      val joined = big.join(dim, "k").select("row_id", "name")
+      // collect() drives THIS Dataset's queryExecution (count() would
+      // execute a different, aggregated plan and leave this one unrun,
+      // so AQE would never finalize it)
+      assert(joined.collect().length == 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE-split skewed join in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("salt assignment is deterministic across evaluations") {
     val df = (1L to 100L).map(i => (1L, i)).toDF("k", "row_id")
     val dim = Seq((1L, "x")).toDF("k", "name")
