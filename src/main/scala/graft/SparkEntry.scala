@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_stateful_batch"  -> Warehouse.q28StatefulBatch,
     "q29_sliding"         -> Warehouse.q29Sliding,
     "q30_grouping_sets"   -> Warehouse.q30GroupingSets,
+    "q31_topk_per_group"  -> Warehouse.q31TopKPerGroup,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -347,6 +348,13 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((o_year, o_orderpriority), (o_year),
                                  (o_orderpriority))
          ORDER BY gid, yr, priority""",
+    "q31_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -272,6 +272,18 @@ object Warehouse {
       .orderBy("gid", "yr", "priority")
   }
 
+  /** Top-3 orders per priority through the CUSTOM top-k-per-group
+    * operator (graft.plans.TopKPerGroup): bounded per-group heaps with
+    * a map-side partial pass, instead of Window's full shuffle + group
+    * sort. The (price desc, key asc) order is total, so the result is
+    * deterministic and exactly oracle-checkable. */
+  def q31TopKPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+        t(s, dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .orderBy("o_orderpriority", "o_orderkey")
+
   /** Q8-style market share: fraction of yearly revenue supplied from
     * one region. Two aggregates from one scan via conditional sums. */
   def q21MarketShare(s: SparkSession, dir: String): DataFrame = {

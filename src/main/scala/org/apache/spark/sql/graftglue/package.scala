@@ -21,4 +21,11 @@ package object graftglue {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Lift a LogicalPlan into the public DataFrame API
+    * (`Dataset.ofRows` is `private[sql]`) — needed to hand a custom
+    * logical operator back to the user. */
+  def dataFrameOf(spark: SparkSession,
+                  plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
