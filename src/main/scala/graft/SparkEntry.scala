@@ -61,6 +61,8 @@ object SparkEntry {
     "m02_frame_sample"    -> Multimodal.frames,
     "m03_media_features"  -> Multimodal.featuresByKind,
     "m04_byte_histogram"  -> Multimodal.byteHistogram,
+    "m05_resize_meta"     -> Multimodal.resizedDims,
+    "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
     // text analysis (training-data pipeline ops)
     "t01_token_counts"    -> TextOps.tokenCounts,
     "t02_quality_score"   -> TextOps.qualityScore,
@@ -412,6 +414,35 @@ object SparkEntry {
            i -> substring(hex(encode(text)), CAST(2*i-1 AS INT), 1) = '6')))
            AS BIGINT) AS bin6_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "m05_resize_meta" ->
+      // replicate resizeMeta's double arithmetic exactly: scale =
+      // least(1.0, 96 / double(max(w,h))), then floor(dim * scale)
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(64 + n_chars % 64 AS INT) AS w,
+             CAST(64 + n_chars % 48 AS INT) AS h
+           FROM documents),
+         sc AS (SELECT *,
+             least(1.0, 96 / CAST(greatest(w, h) AS DOUBLE)) AS scale FROM m)
+         SELECT media_id, kind,
+           CAST(floor(w * scale) AS INT) AS r_width,
+           CAST(floor(h * scale) AS INT) AS r_height
+         FROM sc ORDER BY media_id""",
+    "j03_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           strftime(pp.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(pp.p_value, 4) AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT ts, p_value FROM p
+           WHERE p.user_id = c.user_id AND p.ts >= c.ts
+           ORDER BY ts ASC LIMIT 1) pp ON true
+         ORDER BY event_id""",
     "t01_token_counts" ->
       """SELECT doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -168,6 +168,15 @@ object Multimodal {
         sum(nibbleCountUdf(col("payload"), lit(6))).as("bin6_bytes"))
       .orderBy("kind")
 
+  /** Thumbnail-resize metadata per media row (max side 96): the
+    * metadata-only projection face of [[resizeMeta]] — integer-exact,
+    * so it gets a full DuckDB oracle. */
+  def resizedDims(s: SparkSession, dir: String): DataFrame =
+    resizeMeta(media(s, dir), maxSide = 96)
+      .select(col("media_id"), col("kind"),
+        col("meta.width").as("r_width"), col("meta.height").as("r_height"))
+      .orderBy("media_id")
+
   /** Decoded features aggregated per kind (rows-only check: the decode
     * stub is not SQL-expressible; correctness is unit-tested instead). */
   def featuresByKind(s: SparkSession, dir: String): DataFrame =

@@ -33,7 +33,19 @@ object TemporalJoins {
     * @param rightVals right-side value columns to carry (renamed as given)
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightVals: Seq[String]): DataFrame = {
+               rightVals: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, ts, rightVals, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with the
+    * same key and `rightTs >= leftTs` — "next event after". Same single
+    * window pass as the backward join, with the time axis reversed. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                      rightVals: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, ts, rightVals, forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, rightVals: Seq[String],
+                           forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // the whole right row rides in ONE struct so a single running-last
     // picks the timestamp and every value from the SAME matched row —
@@ -47,8 +59,11 @@ object TemporalJoins {
     val lTagged = left
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(rTagged.schema("__r").dataType))
-    // right rows sort before left rows at equal ts → "<=" semantics
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+    // right rows sort before left rows at equal ts → inclusive bound
+    // ("<=" backward, ">=" forward); forward just reverses the time
+    // axis so the running-last sees later rights first
+    val tsOrd = if (forward) col(ts).desc else col(ts).asc
+    val w = Window.partitionBy(key).orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
@@ -93,6 +108,20 @@ object TemporalJoins {
     val purchases = typed(s, dir, "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("p_value"))
     asofJoin(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        round(col("asof_p_value"), 4).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** For every click, the user's NEXT purchase at-or-after the click —
+    * the attribution-window direction of the as-of join. */
+  def clickNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val clicks = typed(s, dir, "click").select("event_id", "user_id", "ts")
+    val purchases = typed(s, dir, "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    asofJoinForward(clicks, purchases, "user_id", "ts", Seq("p_value"))
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
         date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),

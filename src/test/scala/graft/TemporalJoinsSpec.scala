@@ -67,6 +67,25 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_in_range")).toSeq == Seq(1L, 1L, 0L))
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after each left row") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 11:30:00")), // only the 12:00 right remains
+      (3L, 20L, ts("2024-01-01 10:00:00")) // key with no later right row
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 5.0), // equal ts → matches (>=)
+      (10L, ts("2024-01-01 12:00:00"), 7.0),
+      (20L, ts("2024-01-01 09:30:00"), 9.0)
+    ).toDF("user_id", "ts", "p_value")
+    val out = TemporalJoins.asofJoinForward(left, right, "user_id", "ts", Seq("p_value"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Timestamp]("asof_ts") == ts("2024-01-01 10:00:00"))
+    assert(out(0).getAs[Double]("asof_p_value") == 5.0)
+    assert(out(1).getAs[Timestamp]("asof_ts") == ts("2024-01-01 12:00:00"))
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_ts")), "no right row >= left ts")
+  }
+
   test("registered queries run on testdata and key uniquely by event_id") {
     val a = TemporalJoins.clickLastPurchase(spark, sf)
     assert(a.count() == a.select("event_id").distinct().count())
