@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    // plans the custom top-k-per-group logical node (partial + final
+    // bounded heaps around a hash exchange) — see graft.plans.TopKPerGroup
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
