@@ -43,6 +43,8 @@ class CentroidAggregator
     else if (y._2 == 0L) x
     else {
       val s = x._1
+      require(s.length == y._1.length,
+        s"ragged vectors: ${s.length} vs ${y._1.length}")
       var i = 0
       while (i < s.length) { s(i) += y._1(i); i += 1 }
       (s, x._2 + y._2)

@@ -157,6 +157,10 @@ object TextOps {
 
   def scrub(docs: DataFrame, idCol: String, textCol: String,
             denylist: Seq[String]): DataFrame = {
+    // terms are spliced into the regex — restrict to word characters so
+    // a caller can't inject alternation/anchors by accident
+    require(denylist.nonEmpty && denylist.forall(_.matches("\\w+")),
+      s"denylist terms must be plain \\w+ words, got: $denylist")
     val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
       "|[0-9]{7,}" +
       s"|\\b(?:${denylist.mkString("|")})\\b"

@@ -74,21 +74,24 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val groups = groupExprs
     val order = sortOrder
     child.execute().mapPartitions { rows =>
+      // UnsafeRow keys give value-based equals/hashCode for the map;
+      // heap entries stay plain InternalRow — no assumption that the
+      // child emits UnsafeRows (LocalTableScan/ColumnarToRow do, but
+      // the contract only promises InternalRow)
       val keyProj = UnsafeProjection.create(groups, childOutput)
       // codegen'd comparator; compare(a,b) < 0 ⇔ a ranks strictly
       // before b under the (total) requested order
       val ordering = new LazilyGeneratedOrdering(order, childOutput)
       // max-heap under ranking order: head = worst currently-kept row
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       rows.foreach { row =>
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](
-            ordering.asInstanceOf[Ordering[UnsafeRow]]))
+          mutable.PriorityQueue.empty[InternalRow](ordering))
         if (heap.size < limit) {
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(row.copy())
         } else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(row.copy())
         }
       }
       heaps.valuesIterator.flatMap(_.iterator)
