@@ -203,6 +203,17 @@ object Similarity {
       (array_position(dots, array_max(dots)) - 1).cast("int"))
   }
 
+  /** The `p` centroid indices with the highest dot product against `v`,
+    * best first (ties to the lower index): sort (dot, index) structs on
+    * negated dot, slice, project the index back out — pure Column
+    * expression, no UDF. */
+  private def topCells(v: Column, cents: Array[Array[Double]], p: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-dot(v, typedlit(c.toSeq))).as("nd"), lit(i).as("i"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, p), s => s("i").cast("int"))
+  }
+
   /** True IVF ANN: k-means coarse quantizer over L2-normalized
     * embeddings, probe the query's cell, exact cosine re-rank inside it.
     * The 100 TB shape: centroids broadcast implicitly as plan literals,
@@ -210,7 +221,9 @@ object Similarity {
     * (nprobe=1 here; more cells = higher recall, linearly more work).
     * Rows-only check — recall is probabilistic, like s03/s04. */
   def annKmeansIvf(s: SparkSession, dir: String, nQueries: Int = 5,
-                   k: Int = 3, nCent: Int = 8, iters: Int = 3): DataFrame = {
+                   k: Int = 3, nCent: Int = 8, iters: Int = 3,
+                   nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCent, s"nprobe=$nprobe out of [1, $nCent]")
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
@@ -220,8 +233,11 @@ object Similarity {
       .localCheckpoint()
     val cents = fitCentroids(normed, nCent, iters)
     val corpus = assignToCentroid(normed, cents)
+    // each query probes its nprobe closest cells (nprobe=1 ≡ own cell);
+    // recall and probe cost both scale linearly with nprobe
     val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(topCells(col("v"), cents, nprobe)).as("c"))
     val scored = corpus.join(broadcast(queries), Seq("c"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

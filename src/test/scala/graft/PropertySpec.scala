@@ -101,4 +101,60 @@ class PropertySpec extends AnyFunSuite {
     assert(byId("b").getAs[String]("after") == "", "empty object → empty string")
     assert(out.exists(_.isNullAt(0)), "malformed line survives as a null row")
   }
+
+  test("topKPerGroup law: equals groupBy-sortBy-take on random data") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(120, for {
+      g <- Gen.choose(0, 5)
+      v <- Gen.choose(-50, 50)
+      id <- Gen.choose(0L, 10000L)
+    } yield (g, id, v))
+    // a handful of random frames, not 100 — each sample is a Spark job
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    Iterator.iterate(seed0)(_.next).take(5).foreach { seed =>
+      rowGen.apply(Gen.Parameters.default, seed).foreach { rows =>
+        val distinctRows = rows.distinct // (g, id) must be a unique sort key
+        val df = distinctRows.toDF("g", "id", "v")
+        val got = graft.plans.TopKPerGroup.topKPerGroup(df, Seq("g"),
+            Seq("v" -> false, "id" -> true), 4)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+          .sortBy(t => (t._1, t._2))
+        val want = distinctRows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          rs.sortBy { case (_, id, v) => (-v, id) }.take(4)
+        }.map { case (g, id, v) => (g, id, v) }.sortBy(t => (t._1, t._2))
+        assert(got.toSeq == want, s"seed $seed")
+      }
+    }
+  }
+
+  test("quantizeInt8 law: bounds, sign preservation, determinism") {
+    import spark.implicits._
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0))
+    forAll(vecGen) { v =>
+      val q = Seq(v).toDF("v")
+        .select(graft.operators.Similarity.quantizeInt8(col("v")).as("q"))
+        .collect().head.getSeq[Double](0)
+      assert(q.length == v.length)
+      assert(q.forall(x => x >= -127.0 && x <= 127.0 && x == math.rint(x)),
+        s"non-integer or out of int8 range: $q")
+      v.zip(q).foreach { case (orig, quant) =>
+        if (orig > 0) assert(quant >= 0.0) else if (orig < 0) assert(quant <= 0.0)
+      }
+      val m = v.map(math.abs).max
+      if (m > 0) assert(q.map(math.abs).max == 127.0, "max element maps to ±127")
+    }
+  }
+
+  test("repetition law: ratios in range, counts consistent") {
+    val out = graft.operators.TextOps.repetition(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, d, dup, top) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(d >= 1 && d <= n)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(math.abs(dup - math.floor((1.0 - d.toDouble / n) * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+  }
 }

@@ -57,6 +57,19 @@ class SimilaritySpec extends SparkSuite {
     assert(k1.forall(_.length == 8))
   }
 
+  test("IVF nprobe=2 recall vs brute force is at least nprobe=1 recall") {
+    val exact = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(np: Int): Double = {
+      val got = Similarity.annKmeansIvf(spark, sf, nQueries = 5, k = 3, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"probing more cells must not lose recall: $r2 < $r1")
+  }
+
   test("quantized ANN recalls most full-precision neighbors") {
     val exact = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
