@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event for the stateful path. */
 case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,
@@ -94,4 +94,41 @@ object Stateful {
           }
       }
   }
+
+  /** [[runningUserStats]] on the `transformWithState` API (Spark 4's
+    * successor to mapGroupsWithState): typed composable state handles
+    * (`ValueState`/`ListState`/`MapState` per key, optional per-state
+    * TTL) on the RocksDB state store — the surface that scales custom
+    * state past executor memory. Semantics here are identical to the
+    * mapGroupsWithState form (StatefulSpec proves it). */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var stats: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[UserStats](
+        "stats", Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserStats] = {
+      val prev = Option(stats.get())
+        .getOrElse(UserStats(user, 0L, 0L, new Timestamp(0L)))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserStats(user, acc.n_events + 1,
+          acc.total_cents + math.floor(e.value * 100 + 0.5).toLong,
+          if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+      }
+      stats.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Requires the RocksDB state store provider:
+    * `spark.sql.streaming.stateStore.providerClass =
+    *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`. */
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStats] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())(Encoders.product[UserStats])
 }

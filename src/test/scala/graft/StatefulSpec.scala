@@ -32,6 +32,37 @@ class StatefulSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (RocksDB store) matches the mapGroupsWithState stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val q = Stateful.runningUserStatsTws(input.toDS())
+      .writeStream.format("memory").queryName("running_stats_tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), "click", 2.0),
+        UserEvent(1L, ts("2024-01-01 00:01:00"), "click", 3.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, ts("2024-01-01 00:02:00"), "view", 5.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT * FROM running_stats_tws WHERE user_id=1 ORDER BY n_events DESC")
+        .collect().head
+      assert(last.getAs[Long]("n_events") == 3, "ValueState persisted across batches")
+      assert(last.getAs[Long]("total_cents") == 1000L)
+      assert(last.getAs[Timestamp]("last_ts") == ts("2024-01-01 00:02:00"))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
