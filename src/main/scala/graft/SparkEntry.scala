@@ -78,6 +78,7 @@ object SparkEntry {
     "x04_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
     "x05_decontaminate"   -> Dedup.decontaminate,
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
+    "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -578,6 +579,16 @@ object SparkEntry {
            UNION ALL SELECT '3_dedup_keepers', count(*) FROM keepers
            UNION ALL SELECT concat('4_', split), count(*) FROM sp GROUP BY split)
          ORDER BY stage""",
+    "x07_proportional_sample" ->
+      """WITH r AS (
+           SELECT lang, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_stratum
+           FROM documents)
+         SELECT lang, source, count(*) AS n FROM r
+         WHERE rk <= ceil(n_stratum * 0.2)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,

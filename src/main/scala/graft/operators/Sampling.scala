@@ -73,6 +73,30 @@ object Sampling {
     * partition — stratify by lang/source/date so each stratum's cumsum
     * is an independent partition, which is also what keeps this shape
     * viable at 100 TB.) */
+  /** Proportional per-stratum sample: keep ceil(frac·|stratum|) rows
+    * per stratum, chosen deterministically by hash rank — "10% of every
+    * source/language", the domain-balancing knob corpus curation
+    * actually turns (vs [[stratifiedSample]]'s fixed n). Rank + count
+    * come from one window pass over each stratum. */
+  def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
+                         frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(stratumCol)
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .filter(col("rk") <= ceil(col("n_stratum") * frac))
+      .drop("rk", "n_stratum")
+  }
+
+  /** x07: 20% per (lang, source) — counts prove the per-stratum quota. */
+  def proportionalCounts(s: SparkSession, dir: String, frac: Double = 0.2): DataFrame =
+    proportionalSample(t(s, dir, "documents"), "source", "doc_id", frac)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "source")
+
   /** Range-bucketed ordered-export manifest over order totalprice:
     * fixed-width integer-cent buckets between the global min/max, with
     * per-shard counts and bounds — the manifest you'd publish next to a

@@ -86,6 +86,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(total == spark.read.parquet(s"$sf/orders.parquet").count())
   }
 
+  test("x07 proportional sample keeps ceil(frac*n) rows per stratum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.proportionalSample(docs, "source", "doc_id", 0.2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == perSource.keySet, "every stratum survives")
+    sampled.foreach { case (src, n) =>
+      assert(n == math.ceil(perSource(src) * 0.2).toLong, s"stratum $src")
+    }
+    // determinism: same rows on re-evaluation
+    val a = Sampling.proportionalSample(docs, "source", "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.proportionalSample(docs, "source", "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("ordered export: repartitionByRange + sortWithinPartitions yields " +
     "disjoint sorted files") {
     val dir = Files.createTempDirectory("graft_ordered_export").toString
