@@ -168,8 +168,12 @@ object Dedup {
 
   def cappedNgramJaccard(docsIn: DataFrame, idCol: String, textCol: String,
                          threshold: Double, dfCap: Int): DataFrame = {
+    // the df-count AND the kept-side join both read this — materialize
+    // once so the shingle kernel runs once, not twice (same class of fix
+    // as ngramJaccard's checkpoint; blocks auto-released on plan GC)
     val ex = docShingles(docsIn, idCol, textCol)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("shingle")
@@ -198,47 +202,166 @@ object Dedup {
     * each component — the step that turns pairwise dedup output into
     * "keep one per group".
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors'; converges in <= graph
-    * diameter rounds (dup clusters are near-cliques, so 2-3 rounds in
-    * practice). Each round is one equi-join + one aggregate — all
-    * shuffles are on the node id; `localCheckpoint` truncates lineage so
-    * plans don't grow across iterations. At extreme graph sizes swap in
-    * the large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") — same join shape. */
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14): unlike
+    * naive min-label propagation (rounds = graph DIAMETER — a
+    * chain-shaped near-dup component at 100 TB means a long sequential
+    * job chain), star contraction converges in O(log n) rounds
+    * regardless of shape. Each round is two groupBy-min + join passes,
+    * all shuffled on the node id; `localCheckpoint` per round truncates
+    * lineage; the convergence check is one metadata-sized scalar
+    * aggregate (see [[ccCheckEvery]]); and graphs that fit on the
+    * driver skip the loop for one union-find pass (see
+    * [[connectedComponents]]). */
   def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
     dupClusters(ngramJaccard(s, dir, threshold))
 
   /** Generic core over any (doc_a, doc_b) near-dup pair frame. */
-  def dupClusters(pairFrame: DataFrame): DataFrame = {
-    val pairs = pairFrame.select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("n")).distinct()
-      .withColumn("lbl", col("n")).localCheckpoint()
-    // labels only ever decrease, so the label sum is a strictly
-    // decreasing potential: unchanged sum ⇔ fixpoint. One scalar
-    // aggregate per iteration instead of a join-based diff.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    while (!converged) {
-      val neighborMin = edges
-        .join(labels.select(col("n").as("dst"), col("lbl")), "dst")
-        .groupBy(col("src").as("n")).agg(min("lbl").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("n"), "left")
-        .select(col("n"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val newSum = labelSum(updated)
-      converged = newSum == prevSum
-      prevSum = newSum
-      labels = updated
-    }
-    labels.select(col("n").as("doc_id"), col("lbl").as("cluster"))
+  def dupClusters(pairFrame: DataFrame): DataFrame =
+    connectedComponents(
+      pairFrame.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
+      .select(col("n").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
+
+  /** Rounds between driver-side convergence checks. Default 1 — and
+    * deliberately so: a check is ONE metadata-sized scalar aggregate
+    * over the already-checkpointed edge frame (~1% of a round at any
+    * scale), while every round it avoids costs ~6 full-data shuffles.
+    * Checking every k>1 rounds trades those tiny jobs for up to k-1
+    * WASTED full rounds after the fixpoint — strictly worse at 100 TB
+    * too, where a round is minutes and the check is milliseconds. The
+    * knob exists for callers who want to amortize driver round-trips
+    * anyway (e.g. speculative job submission). Measured at sf0.1:
+    * checkEvery=2 ran 4 rounds where 2 suffice, +60% on d05. */
+  val ccCheckEvery = 1
+
+  /** large-star: every node u sends its strictly-larger neighbors to
+    * m = min(N(u) ∪ {u}). Processes the SYMMETRIC edge set (each edge
+    * seen from both endpoints). */
+  private def ccLargeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src"), least(col("src"), col("nmin")).as("m"))
+    // no distinct here: output is bounded by |sym| = 2|E| with or
+    // without it, and the round's terminal distinct (in small-star)
+    // dedups anyway — dropping it saves one full-data shuffle per round
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src")) // m <= src < dst, so never a self-loop
+      .select(col("dst").as("src"), col("m").as("dst"))
+  }
+
+  /** small-star: orient every edge large→small, then every node u sends
+    * its (all-smaller) neighbors AND itself to m = min(N(u)). Output
+    * stays canonically oriented src > dst. */
+  private def ccSmallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = dir.groupBy("src").agg(min("dst").as("m"))
+    dir.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected (src, dst) edge frame.
+    * Returns (labels, rounds): labels has one row per distinct endpoint
+    * with `lbl` = the smallest node of its component; rounds == 0 means
+    * the graph was empty or solved on the driver (see below).
+    *
+    * Small-graph finisher: when the surviving edge set fits comfortably
+    * on the driver (≤ `localEdgeThreshold` edges, long-typed nodes), it
+    * is collected and solved with union-find in one pass — the same
+    * size-gated locality trade a broadcast join makes, and the standard
+    * endgame move for MPC connected-components (run distributed rounds
+    * only while the problem is actually distributed-sized). Near-dup
+    * pair graphs are tiny relative to their corpora (pairs ∝ dups, not
+    * docs), so this is the common case even at 100 TB corpus scale; a
+    * billion-edge graph takes the star-contraction loop below instead.
+    *
+    * Convergence: the round function (large-star ∘ small-star) is a
+    * deterministic function of the edge set, so an unchanged edge set
+    * across a check interval is a fixpoint — and the fixpoint of star
+    * contraction is the star forest (every node points at its component
+    * min). "Unchanged" is decided by an (edge count, XOR of
+    * xxhash64(src,dst)) signature: one tiny scalar aggregate over the
+    * already-checkpointed frame instead of a set-difference join, taken
+    * every [[ccCheckEvery]] rounds to amortize the driver sync. (XOR,
+    * not sum: order-independent, collision-resistant on distinct edge
+    * sets, and can't hit ANSI-mode long overflow.) */
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         checkEvery: Int = ccCheckEvery,
+                                         maxRounds: Int = 64,
+                                         localEdgeThreshold: Long = 500000L): (DataFrame, Int) = {
+    val nodes = pairs.select(col("src").as("n"))
+      .union(pairs.select(col("dst").as("n"))).distinct()
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // NO up-front canonicalize/distinct: the first round normalizes
+    // orientation and dups anyway (large-star symmetrizes, small-star
+    // ends in a distinct), so pre-deduping would only add a full-data
+    // shuffle. If the input happens to already be a canonical star
+    // forest its signature matches round 1's and we stop there.
+    var edges = pairs.filter(col("src") =!= col("dst")).localCheckpoint()
+    var prevSig = signature(edges)
+    val longTyped = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (prevSig._1 > 0L && prevSig._1 <= localEdgeThreshold && longTyped) {
+      val roots = localUnionFind(
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val rootsDf = edges.sparkSession
+        .createDataFrame(roots.toSeq).toDF("src", "root")
+      val labels = nodes
+        .join(broadcast(rootsDf), nodes("n") === col("src"), "left")
+        .select(col("n"), coalesce(col("root"), col("n")).as("lbl"))
+      return (labels, 0)
+    }
+    var rounds = 0
+    var converged = prevSig._1 == 0L
+    while (!converged) {
+      if (rounds >= maxRounds) // 64 rounds covers any feasible graph; a loop here is a bug
+        throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxRounds rounds")
+      edges = ccSmallStar(ccLargeStar(edges)).localCheckpoint()
+      rounds += 1
+      if (rounds % checkEvery == 0) {
+        val sig = signature(edges)
+        converged = sig == prevSig
+        prevSig = sig
+      }
+    }
+    // at the fixpoint edges form a star forest (src > dst = component
+    // min); roots appear only as dst and label themselves
+    val labels = nodes
+      .join(edges.groupBy("src").agg(min("dst").as("root")),
+        nodes("n") === col("src"), "left")
+      .select(col("n"), coalesce(col("root"), col("n")).as("lbl"))
+    (labels, rounds)
+  }
+
+  /** Path-halving union-find, then relabel every component by its
+    * smallest member. Driver-side finisher for [[connectedComponents]]
+    * — only ever sees ≤ localEdgeThreshold edges. */
+  private def localUnionFind(es: Array[(Long, Long)]): scala.collection.Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElseUpdate(x, x)
+      while (p != x) {
+        val gp = parent.getOrElseUpdate(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElseUpdate(x, x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
   }
 
   /** Benchmark decontamination: flag TRAIN documents sharing any 3-word

@@ -65,14 +65,6 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "doc_id")
 
-  /** Token-budget sharding: pack documents (in deterministic doc_id
-    * order within each language) into shards of ~`budget` whitespace
-    * tokens — how a corpus becomes fixed-size training files. The shard
-    * id is a running-sum window over the stratum; one shuffle on the
-    * stratum key. (A global ordering would serialize into one
-    * partition — stratify by lang/source/date so each stratum's cumsum
-    * is an independent partition, which is also what keeps this shape
-    * viable at 100 TB.) */
   /** Proportional per-stratum sample: keep ceil(frac·|stratum|) rows
     * per stratum, chosen deterministically by hash rank — "10% of every
     * source/language", the domain-balancing knob corpus curation
@@ -120,14 +112,57 @@ object Sampling {
       .orderBy("shard")
   }
 
+  /** Token-budget sharding: pack documents (in deterministic id order
+    * within each stratum) into shards of ~`budget` whitespace tokens —
+    * how a corpus becomes fixed-size training files.
+    *
+    * The cumulative sum is TWO-PHASE, never one window partition per
+    * stratum (a single `Window.partitionBy(stratum)` serializes the
+    * whole all-English stratum into ONE task at 100 TB):
+    *   1. range-partition on (stratum, id) — contiguous, ordered,
+    *      non-overlapping slices, each bounded by partition size, not
+    *      stratum size;
+    *   2. per-slice partial token sums per stratum → a tiny
+    *      (slice, stratum) frame whose running sum gives each slice its
+    *      prefix OFFSET (broadcast back — rows = slices × strata);
+    *   3. local running sum within each slice + offset = the exact
+    *      global cumsum.
+    * Every data-sized pass is bounded by the range-partition width; the
+    * only sequential object is the offset table, which is metadata-
+    * sized. The result is integer-exact and partitioning-invariant
+    * (proven in CorpusOpsSpec), so the x03 oracle still hash-matches. */
+  def tokenShardAssignments(df: DataFrame, stratumCol: String, idCol: String,
+                            nTokensCol: Column, budget: Long,
+                            numSlices: Int = 0): DataFrame = {
+    val ranged = (if (numSlices > 0)
+        df.select(col(stratumCol), col(idCol), nTokensCol.as("n_tokens"))
+          .repartitionByRange(numSlices, col(stratumCol), col(idCol))
+      else
+        df.select(col(stratumCol), col(idCol), nTokensCol.as("n_tokens"))
+          .repartitionByRange(col(stratumCol), col(idCol)))
+      // pin the slice ids: spark_partition_id is only stable once the
+      // frame is materialized, and two downstream passes read it
+      .withColumn("slice", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged
+      .groupBy("slice", stratumCol).agg(sum("n_tokens").as("part_sum"))
+      .withColumn("offset", coalesce(
+        sum("part_sum").over(Window.partitionBy(stratumCol).orderBy("slice")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("slice"), col(stratumCol), col("offset"))
+    val wLocal = Window.partitionBy("slice", stratumCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("local_cum", sum("n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("slice", stratumCol))
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .withColumn("shard", ((col("cum") - col("n_tokens")) / budget).cast("bigint"))
+      .select(col(stratumCol), col(idCol), col("n_tokens"), col("shard"))
+  }
+
   def tokenShards(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
-      .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("shard", ((col("cum") - col("n_tokens")) / budget).cast("bigint"))
+    tokenShardAssignments(t(s, dir, "documents"), "lang", "doc_id", nTokens, budget)
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("lang", "shard")

@@ -332,20 +332,22 @@ object Warehouse {
   /** Q22-style: high-balance customers with no orders at all. The
     * threshold is an average over integer cents (exact in double below
     * 2^53 → deterministic vs the oracle); the dormancy check is a
-    * left-anti join on recent order keys. */
+    * left-anti join on recent order keys.
+    *
+    * The scalar threshold stays IN the plan as a broadcast 1-row
+    * aggregate crossJoin (the [[Sampling.rangeShardManifest]] pattern) —
+    * no driver `collect()`, so the whole query is one job with no hard
+    * boundary. No positive balances → NULL threshold → the comparison is
+    * NULL → empty result, exactly the oracle's NULL semantics. */
   def q24DormantRich(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
-    val threshRow = cust.filter(col("c_acctbal") > 0.0)
+    val thresh = cust.filter(col("c_acctbal") > 0.0)
       .agg(avg(floor(col("c_acctbal") * 100 + 0.5)).as("t"))
-      .collect()(0)
-    // no positive balances → NULL threshold → empty result (oracle's
-    // NULL-comparison semantics), not an NPE
-    val thresh =
-      if (threshRow.isNullAt(0)) Double.MaxValue else threshRow.getDouble(0)
     val recent = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
     cust
-      .filter(floor(col("c_acctbal") * 100 + 0.5) > thresh)
+      .crossJoin(broadcast(thresh))
+      .filter(floor(col("c_acctbal") * 100 + 0.5) > col("t"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 4).as("acctbal"))

@@ -105,6 +105,33 @@ class CorpusOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("x03 two-phase cumsum is partitioning-invariant and equals the single-window form") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    def run(slices: Int, inputParts: Int): Seq[(String, Long, Long, Long)] =
+      Sampling.tokenShardAssignments(docsDf.repartition(inputParts),
+        "lang", "doc_id", nTokens, 2000L, numSlices = slices)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val one = run(slices = 1, inputParts = 1) // degenerate: a single slice
+    val many = run(slices = 7, inputParts = 8) // strata split across slices
+    assert(one == many, "shard assignment must not depend on partitioning")
+    // and both equal the naive one-window-partition-per-stratum form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = docsDf
+      .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard", ((col("cum") - col("n_tokens")) / 2000L).cast("bigint"))
+      .select("lang", "doc_id", "n_tokens", "shard")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(many == expected)
+  }
+
   test("ordered export: repartitionByRange + sortWithinPartitions yields " +
     "disjoint sorted files") {
     val dir = Files.createTempDirectory("graft_ordered_export").toString

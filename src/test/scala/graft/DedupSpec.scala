@@ -47,6 +47,35 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents: 33-node chain converges in O(log n) rounds, not O(diameter)") {
+    // worst case for plain min-label propagation: a path graph,
+    // diameter 32 → 32 sequential rounds; star contraction must not
+    val pairs = (1L to 32L).map(i => (i + 1, i)).toDF("src", "dst")
+    // threshold 0 forces the distributed star-contraction loop (the
+    // driver union-find finisher would otherwise absorb a toy graph)
+    val (labels, rounds) = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 33)
+    assert(out.values.forall(_ == 1L), s"every chain node must label to the min: $out")
+    // log2(33) ≈ 5; slack covers the fixpoint-confirming check interval,
+    // but regression toward diameter behavior (32 rounds) fails hard
+    assert(rounds <= 10, s"expected O(log n) rounds on a chain, got $rounds")
+  }
+
+  test("connectedComponents: mixed orientation, dup edges, multiple components, self-loop") {
+    val pairs = Seq((5L, 7L), (7L, 5L), (9L, 5L), (20L, 21L), (30L, 30L))
+      .toDF("src", "dst")
+    val expected = Map(5L -> 5L, 7L -> 5L, 9L -> 5L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L)
+    // both code paths must agree: driver union-find (default gate) and
+    // the distributed star-contraction loop (gate forced off)
+    val (local, localRounds) = Dedup.connectedComponents(pairs)
+    assert(localRounds == 0, "toy graph must take the driver finisher")
+    assert(local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    val (dist, _) = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+    assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("dupClusters on a pair-free corpus returns empty, not an error") {
     // threshold 1.01 > any possible jaccard → zero pairs
     assert(Dedup.dupClusters(spark, sf, threshold = 1.01).count() == 0)
