@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.{columnOf, expressionOf}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -75,8 +75,53 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 16-bin histogram over the high nibble of each payload byte, as one
+  * codegen'd pass — the binary-scan kernel the multimodal path needs
+  * (same binning as Multimodal.FakeDecoder, but integer-exact). A
+  * single expression emitting all 16 bins replaces N per-bin UDF
+  * invocations that would each rescan the payload; downstream picks
+  * bins with `element_at`, which stays in whole-stage codegen. */
+case class NibbleHistogram(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_nibble_hist requires a binary input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { bins((bytes(i) & 0xF0) >>> 4) += 1L; i += 1 }
+    new GenericArrayData(bins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val bins = ctx.freshName("bins")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $bins = new long[16];
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  $bins[($x[$i] & 0xF0) >>> 4]++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NibbleHistogram =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Σ aᵢ·bᵢ over two array<double> columns, whole-stage-codegen'd. */
   def dot(a: Column, b: Column): Column =
     columnOf(DotProduct(expressionOf(a), expressionOf(b)))
+
+  /** 16 high-nibble byte counts of a binary column, one codegen'd scan. */
+  def nibbleHistogram(payload: Column): Column =
+    columnOf(NibbleHistogram(expressionOf(payload)))
 }

@@ -143,29 +143,22 @@ object Multimodal {
   def frames(s: SparkSession, dir: String): DataFrame =
     frameSample(media(s, dir)).orderBy("media_id", "frame_idx")
 
-  private val nibbleCountUdf = udf((p: Array[Byte], bin: Int) => {
-    var n = 0L
-    if (p != null) {
-      var i = 0
-      while (i < p.length) {
-        if (((p(i) & 0xF0) >>> 4) == bin) n += 1
-        i += 1
-      }
-    }
-    n
-  })
-
   /** Byte-level histogram facts per kind — the integer-exact face of the
     * decode kernel (same nibble binning as [[FakeDecoder]]), so the
-    * multimodal path gets a real DuckDB oracle, not just a row count. */
+    * multimodal path gets a real DuckDB oracle, not just a row count.
+    * ONE codegen'd payload scan per row ([[graft.functions.NibbleHistogram]])
+    * emits all 16 bins; the per-bin picks are `element_at` projections —
+    * no UDF anywhere in the multimodal path. */
   def byteHistogram(s: SparkSession, dir: String): DataFrame =
     media(s, dir).toDF()
+      .select(col("kind"), length(col("payload")).as("n_bytes"),
+        graft.functions.VectorExprs.nibbleHistogram(col("payload")).as("hist"))
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(length(col("payload"))).as("total_bytes"),
-        sum(nibbleCountUdf(col("payload"), lit(2))).as("bin2_bytes"),
-        sum(nibbleCountUdf(col("payload"), lit(6))).as("bin6_bytes"))
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(element_at(col("hist"), 3)).as("bin2_bytes"),
+        sum(element_at(col("hist"), 7)).as("bin6_bytes"))
       .orderBy("kind")
 
   /** Thumbnail-resize metadata per media row (max side 96): the
