@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at
+  * `SPARK_GRAFT_SF_DIR` and emits ONE machine-parsable JSON line, plus
+  * the SAME JSON to a file (`SPARK_GRAFT_BENCH_OUT`, default
+  * `bench_results.json` in the cwd) — the external driver's tail
+  * capture truncates lines near 2000 chars, so the file is the
+  * authoritative artifact and the printed line is a fallback kept
+  * short by rounding timings to milliseconds.
+  *
+  * `SPARK_GRAFT_ONLY=x03,d0` runs only queries whose name starts with
+  * one of the comma-separated prefixes, and `SPARK_GRAFT_REPEAT=5`
+  * times each query N times reporting the MINIMUM — the local
+  * iteration loop (min over repeats cancels this sandbox's noisy
+  * scheduler; the driver leaves both unset).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,25 +32,40 @@ object Bench {
     // JVM/janino startup that isn't the query's own cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          false
-        }
-      // A failed query must not masquerade as a fast success: report -1
-      // instead of the elapsed time of the failed attempt.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            false
+          }
+        // A failed query must not masquerade as a fast success: report
+        // -1 instead of the elapsed time of the failed attempt.
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms(v: Double): String =
+      if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

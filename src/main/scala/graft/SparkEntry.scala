@@ -516,11 +516,11 @@ object SparkEntry {
     "t07_pii_scrub" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?:customer|supplier)\b'))
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?i:customer|supplier)\b'))
            AS INT) AS n_redacted,
          length(text) AS n_chars_before,
          length(regexp_replace(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?:customer|supplier)\b',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?i:customer|supplier)\b',
            '[REDACTED]', 'g')) AS n_chars_after
          FROM documents ORDER BY doc_id""",
     "x01_split_counts" ->
@@ -540,11 +540,12 @@ object SparkEntry {
     "x03_token_shards" ->
       """WITH d AS (
            SELECT lang, doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS hk
            FROM documents
          ), c AS (
            SELECT lang, doc_id, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM d)
          SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,

@@ -32,7 +32,17 @@ object Normalize {
   private val lineSchema = ArrayType(MapType(StringType, StringType))
 
   /** Stringify-nested rule: JSON object/array values arrive as their
-    * JSON text from the map parse; the empty object becomes "". */
+    * JSON text from the map parse; the empty object becomes "".
+    *
+    * DELIBERATE DEVIATION from the reference: normalization.py:96-102
+    * stringifies nested values with Python `str()`, producing Python
+    * repr text (`{'a': 1}`, `True`, `None`); this engine emits the
+    * value's compact JSON text (`{"a":1}`, `true`, `null`). JSON text
+    * is the contract here because it is machine-parseable downstream
+    * and identical across engines — Python repr is neither (its quote
+    * and literal spelling are CPython implementation detail). Pinned by
+    * NormalizeSpec ("nested values stringify to JSON text, not Python
+    * repr"). */
   private def normValue(v: Column): Column =
     when(v === "{}", lit("")).otherwise(v)
 

@@ -112,49 +112,62 @@ object Sampling {
       .orderBy("shard")
   }
 
-  /** Token-budget sharding: pack documents (in deterministic id order
-    * within each stratum) into shards of ~`budget` whitespace tokens —
-    * how a corpus becomes fixed-size training files.
+  /** Token-budget sharding: pack documents into shards of ~`budget`
+    * whitespace tokens — how a corpus becomes fixed-size training
+    * files. Packing order within each stratum is (md5(id), id): any
+    * deterministic total order works for shard packing, and hash order
+    * buys the whole algorithm for free (it also decorrelates adjacent
+    * documents, which id order does not).
     *
     * The cumulative sum is TWO-PHASE, never one window partition per
     * stratum (a single `Window.partitionBy(stratum)` serializes the
     * whole all-English stratum into ONE task at 100 TB):
-    *   1. range-partition on (stratum, id) — contiguous, ordered,
-    *      non-overlapping slices, each bounded by partition size, not
-    *      stratum size;
-    *   2. per-slice partial token sums per stratum → a tiny
-    *      (slice, stratum) frame whose running sum gives each slice its
-    *      prefix OFFSET (broadcast back — rows = slices × strata);
-    *   3. local running sum within each slice + offset = the exact
+    *   1. bucket = the first `bucketHexDigits` chars of md5(id) — a
+    *      PURE COLUMN EXPRESSION that is monotone-contiguous in the
+    *      packing order (a hex prefix coarsens full-hash order), so
+    *      unlike `repartitionByRange` + `spark_partition_id` it needs
+    *      no boundary sampling, no extra scan, and no checkpoint to
+    *      stay consistent across passes. md5 uniformity bounds every
+    *      bucket at ~|stratum| / 16^digits rows;
+    *   2. per-bucket token sums per stratum → a tiny (stratum, bucket)
+    *      frame whose running sum gives each bucket its prefix OFFSET
+    *      (broadcast back — rows = strata × 16^digits);
+    *   3. local running sum within each bucket + offset = the exact
     *      global cumsum.
-    * Every data-sized pass is bounded by the range-partition width; the
-    * only sequential object is the offset table, which is metadata-
-    * sized. The result is integer-exact and partitioning-invariant
-    * (proven in CorpusOpsSpec), so the x03 oracle still hash-matches. */
+    * Every data-sized pass is bounded by the bucket width; the only
+    * sequential object is the offset table, which is metadata-sized.
+    * `bucketHexDigits` is a parallelism knob, NOT a semantics knob:
+    * the result is identical for any value (and for any input
+    * partitioning) — proven in CorpusOpsSpec — so the x03 oracle
+    * hash-matches. Size it so the largest stratum / 16^digits fits a
+    * task (2 → 256 buckets; 4 → 65k, still a broadcastable offset
+    * table).
+    *
+    * `nTokensCol` is evaluated twice (offsets pass + final pass) —
+    * correct either way since every derived column is deterministic;
+    * callers with an expensive token expression over a huge corpus
+    * should persist the projected input themselves (a cache here would
+    * outlive the query and is the caller's lifecycle to manage). */
   def tokenShardAssignments(df: DataFrame, stratumCol: String, idCol: String,
                             nTokensCol: Column, budget: Long,
-                            numSlices: Int = 0): DataFrame = {
-    val ranged = (if (numSlices > 0)
-        df.select(col(stratumCol), col(idCol), nTokensCol.as("n_tokens"))
-          .repartitionByRange(numSlices, col(stratumCol), col(idCol))
-      else
-        df.select(col(stratumCol), col(idCol), nTokensCol.as("n_tokens"))
-          .repartitionByRange(col(stratumCol), col(idCol)))
-      // pin the slice ids: spark_partition_id is only stable once the
-      // frame is materialized, and two downstream passes read it
-      .withColumn("slice", spark_partition_id())
-      .localCheckpoint()
-    val offsets = ranged
-      .groupBy("slice", stratumCol).agg(sum("n_tokens").as("part_sum"))
+                            bucketHexDigits: Int = 2): DataFrame = {
+    require(bucketHexDigits >= 1 && bucketHexDigits <= 8,
+      s"bucketHexDigits must be in [1, 8], got $bucketHexDigits")
+    val narrow = df.select(col(stratumCol), col(idCol),
+        nTokensCol.as("n_tokens"), hashKey(col(idCol)).as("hk"))
+      .withColumn("bucket", substring(col("hk"), 1, bucketHexDigits))
+    val offsets = narrow
+      .groupBy(col(stratumCol), col("bucket")).agg(sum("n_tokens").as("part_sum"))
       .withColumn("offset", coalesce(
-        sum("part_sum").over(Window.partitionBy(stratumCol).orderBy("slice")
+        sum("part_sum").over(Window.partitionBy(stratumCol).orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("slice"), col(stratumCol), col("offset"))
-    val wLocal = Window.partitionBy("slice", stratumCol).orderBy(idCol)
+      .select(col(stratumCol), col("bucket"), col("offset"))
+    val wLocal = Window.partitionBy(col(stratumCol), col("bucket"))
+      .orderBy(col("hk").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    narrow
       .withColumn("local_cum", sum("n_tokens").over(wLocal))
-      .join(broadcast(offsets), Seq("slice", stratumCol))
+      .join(broadcast(offsets), Seq(stratumCol, "bucket"))
       .withColumn("cum", col("local_cum") + col("offset"))
       .withColumn("shard", ((col("cum") - col("n_tokens")) / budget).cast("bigint"))
       .select(col(stratumCol), col(idCol), col("n_tokens"), col("shard"))

@@ -25,13 +25,24 @@ object Sinks {
       .withColumn("hr", date_format(current_timestamp(), "HH"))
       .write.partitionBy("dt", "hr").mode("append").json(outDir)
 
+  /** dt/hr partition columns derived from an event-time column — the
+    * projection shared by the batch JSONL writer below and the
+    * streaming [[graft.streaming.NormalizationJob]]. try_cast keeps a
+    * malformed timestamp STRING (the normalize stage emits strings)
+    * from failing the job under ANSI mode: it lands in the null
+    * partition instead, preserving the row. */
+  def withEventTimePartitions(df: DataFrame, tsCol: String): DataFrame = {
+    val ts = expr(s"try_cast(`$tsCol` AS TIMESTAMP)")
+    df
+      .withColumn("dt", date_format(ts, "yyyy-MM-dd"))
+      .withColumn("hr", date_format(ts, "HH"))
+  }
+
   /** K1 (event-time variant): partitions derived from an event-time
     * column instead of the wall clock — what the reference *should* do
     * so late data lands in its own partition (SURVEY.md §2.7 C5). */
   def writePartitionedJsonlByEventTime(df: DataFrame, tsCol: String, outDir: String): Unit =
-    df
-      .withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
-      .withColumn("hr", date_format(col(tsCol), "HH"))
+    withEventTimePartitions(df, tsCol)
       .write.partitionBy("dt", "hr").mode("append").json(outDir)
 
   /** K2: publish rows in bounded batches with one client per partition.

@@ -150,7 +150,10 @@ object TextOps {
     * per-doc redaction counts plus before/after lengths. Pure narrow
     * regexp_extract_all/regexp_replace projections — codegen'd, no
     * shuffle. The pattern stays in the RE2-compatible subset (character
-    * classes, \b, (?:...)) so external SQL engines reproduce it exactly. */
+    * classes, \b, (?i:...)) so external SQL engines reproduce it
+    * exactly. The denylist match is CASE-INSENSITIVE — a scrub that
+    * lets 'Customer' through is a leak, not a feature; the email and
+    * digit-run branches keep their explicit character classes. */
   def scrub(s: SparkSession, dir: String,
             denylist: Seq[String] = Seq("customer", "supplier")): DataFrame =
     scrub(t(s, dir, "documents"), "doc_id", "text", denylist)
@@ -163,7 +166,7 @@ object TextOps {
       s"denylist terms must be plain \\w+ words, got: $denylist")
     val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
       "|[0-9]{7,}" +
-      s"|\\b(?:${denylist.mkString("|")})\\b"
+      s"|\\b(?i:${denylist.mkString("|")})\\b"
     docs
       .select(
         col(idCol),

@@ -40,7 +40,7 @@ class CorpusOpsSpec extends SparkSuite {
 
   test("t07 scrub counts and lengths match the same regex in plain Java") {
     val pat = ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
-      "|[0-9]{7,}|\\b(?:customer|supplier)\\b").r
+      "|[0-9]{7,}|\\b(?i:customer|supplier)\\b").r
     val expected = docs.map { case (id, text) =>
       val matches = pat.findAllIn(text).toSeq
       (id, matches.size,
@@ -50,6 +50,9 @@ class CorpusOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
     assert(got == expected)
     assert(expected.map(_._2).sum > 0, "denylist terms must occur in testdata")
+    // the case-insensitivity is the point: mixed-case denylist hits
+    // must be redacted (plain-Scala cross-check, independent of Spark)
+    assert("\\b(?i:customer)\\b".r.findFirstIn("a Customer here").isDefined)
   }
 
   test("x05 decontaminate matches string-shingle overlap with the test split") {
@@ -105,21 +108,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
-  test("x03 two-phase cumsum is partitioning-invariant and equals the single-window form") {
+  test("x03 two-phase cumsum is partitioning- and bucket-width-invariant " +
+    "and equals the single-window form") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
-    def run(slices: Int, inputParts: Int): Seq[(String, Long, Long, Long)] =
+    def run(digits: Int, inputParts: Int): Seq[(String, Long, Long, Long)] =
       Sampling.tokenShardAssignments(docsDf.repartition(inputParts),
-        "lang", "doc_id", nTokens, 2000L, numSlices = slices)
+        "lang", "doc_id", nTokens, 2000L, bucketHexDigits = digits)
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .sortBy(x => (x._1, x._2)).toSeq
-    val one = run(slices = 1, inputParts = 1) // degenerate: a single slice
-    val many = run(slices = 7, inputParts = 8) // strata split across slices
-    assert(one == many, "shard assignment must not depend on partitioning")
+    val coarse = run(digits = 1, inputParts = 1) // 16 buckets per stratum
+    val fine = run(digits = 3, inputParts = 8)   // 4096, strata widely split
+    assert(coarse == fine,
+      "shard assignment must not depend on partitioning or bucket width")
     // and both equal the naive one-window-partition-per-stratum form
+    // over the same (hash, id) packing order
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
+      .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Long.MinValue, 0)
     val expected = docsDf
       .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
@@ -129,7 +135,7 @@ class CorpusOpsSpec extends SparkSuite {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(x => (x._1, x._2)).toSeq
-    assert(many == expected)
+    assert(fine == expected)
   }
 
   test("ordered export: repartitionByRange + sortWithinPartitions yields " +

@@ -29,6 +29,15 @@ class NormalizeSpec extends SparkSuite {
     assert(rows.head.getAs[String]("resource") == """{"b":1}""")
   }
 
+  test("nested values stringify to JSON text, not Python repr " +
+    "(deviation from normalization.py:96-102, see Normalize.normValue)") {
+    // reference would emit {'a': 1, 'ok': True, 'x': None}; the engine's
+    // contract is the value's compact JSON text — double quotes, JSON
+    // literals, no spaces
+    val rows = normalize("""[{"resource":{"a":1,"ok":true,"x":null},"_id":"x"}]""")
+    assert(rows.head.getAs[String]("resource") == """{"a":1,"ok":true,"x":null}""")
+  }
+
   test("nested array value is stringified") {
     val rows = normalize("""[{"notes":[1,2,3],"_id":"x"}]""")
     assert(rows.head.getAs[String]("notes") == "[1,2,3]")

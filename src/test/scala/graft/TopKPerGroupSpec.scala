@@ -57,4 +57,63 @@ class TopKPerGroupSpec extends SparkSuite {
       TopKPerGroup.topKPerGroup(df, Seq("nope"), Seq("x" -> true), 1)
     }
   }
+
+  test("high-cardinality group key equals the window formulation") {
+    // per-customer top-k: ~1 group per 1.5 rows at sf0.001 — the shape
+    // the capped partial map + streaming final pass exist for
+    val orders = Tables.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val custom = TopKPerGroup.topKPerGroup(orders,
+        Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 2)
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val window = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toString)
+    assert(custom.nonEmpty && custom.sameElements(window))
+  }
+
+  test("partial-map cap: overflow groups pass through unreduced, result unchanged") {
+    // cap = 1 forces every partition to pass almost all rows through
+    // un-combined — the final pass must still produce the exact answer
+    spark.conf.set("spark.graft.topk.maxPartialGroups", "1")
+    try {
+      val orders = Tables.t(spark, sf, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      val capped = TopKPerGroup.topKPerGroup(orders,
+          Seq("o_orderpriority"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 5)
+        .orderBy("o_orderpriority", "o_orderkey").collect().map(_.toString)
+      spark.conf.unset("spark.graft.topk.maxPartialGroups")
+      val uncapped = TopKPerGroup.topKPerGroup(orders,
+          Seq("o_orderpriority"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 5)
+        .orderBy("o_orderpriority", "o_orderkey").collect().map(_.toString)
+      assert(capped.nonEmpty && capped.sameElements(uncapped))
+    } finally spark.conf.unset("spark.graft.topk.maxPartialGroups")
+  }
+
+  test("empty groupCols = global top-k") {
+    val orders = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val global = TopKPerGroup.topKPerGroup(orders, Nil,
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 7)
+      .collect().map(r => r.getLong(0)).sorted
+    val expected = orders.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(7).collect().map(r => r.getLong(0)).sorted
+    assert(global.sameElements(expected))
+  }
+
+  test("rows of each group are emitted in ranked order without an explicit orderBy") {
+    val df = Seq(("a", 3L, 1.0), ("a", 1L, 9.0), ("a", 2L, 5.0),
+                 ("b", 9L, 2.0), ("b", 8L, 7.0))
+      .toDF("g", "id", "v")
+    val rows = TopKPerGroup.topKPerGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    // within each group, v must be descending in emission order
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val vs = rs.map(_._2).toSeq
+      assert(vs == vs.sorted.reverse, s"group $g emitted unranked: $vs")
+    }
+  }
 }
