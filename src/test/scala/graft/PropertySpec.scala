@@ -127,6 +127,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenShardAssignments law: exactly-once, exact cumsum packing " +
+    "(plain-Scala recheck, engine-independent)") {
+    import spark.implicits._
+    val md5hex = { (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val rows = (0L until 300L).map(i => (s"s${i % 3}", i, 1L + (i * 7) % 40))
+    val df = rows.toDF("stratum", "id", "n")
+    val got = graft.operators.Sampling
+      .tokenShardAssignments(df, "stratum", "id", col("n"), budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    // every row assigned exactly once
+    assert(got.map(t => (t._1, t._2)).sorted ==
+      rows.map(t => (t._1, t._2)).sorted, "exactly-once assignment")
+    // recompute shards in plain Scala over the (md5(id), id) packing order
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (stratum, rs) =>
+      val ordered = rs.sortBy { case (_, id, _) => (md5hex(id), id) }
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).map { case ((_, id, n), cum) =>
+        (stratum, id, (cum - n) / 100L)
+      }
+    }
+    assert(got.sorted == want.sorted, "shard = floor(start-offset / budget)")
+  }
+
   test("quantizeInt8 law: bounds, sign preservation, determinism") {
     import spark.implicits._
     val vecGen = Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0))
