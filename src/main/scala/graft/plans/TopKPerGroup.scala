@@ -234,7 +234,19 @@ object TopKPerGroup {
     val order = orderBy.map { case (c, asc) =>
       SortOrder(attr(c), if (asc) Ascending else Descending)
     }
-    dataFrameOf(spark,
-      TopKPerGroupPlan(k, groupCols.map(attr), order, analyzed))
+    // Group keys are compared BYTE-wise (UnsafeRow equality in the
+    // heaps, hash exchange between the passes), so float keys must be
+    // normalized first — otherwise -0.0 vs 0.0 and distinct NaN bit
+    // patterns split one logical group across partitions, exactly the
+    // hole Spark's own aggregates plug with NormalizeFloatingNumbers.
+    val groups = groupCols.map(attr).map { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.graftglue.normalizeFloats(a)
+        case _ => a
+      }
+    }
+    dataFrameOf(spark, TopKPerGroupPlan(k, groups, order, analyzed))
   }
 }

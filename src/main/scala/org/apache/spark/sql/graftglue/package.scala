@@ -22,6 +22,13 @@ package object graftglue {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** Normalize -0.0/NaN in a float/double expression for byte-wise key
+    * comparison (`NormalizeFloatingNumbers.normalize` is
+    * `private[sql]`) — what Spark's own aggregates apply to grouping
+    * keys before hashing. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Lift a LogicalPlan into the public DataFrame API
     * (`Dataset.ofRows` is `private[sql]`) — needed to hand a custom
     * logical operator back to the user. */

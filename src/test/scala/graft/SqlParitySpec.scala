@@ -22,27 +22,38 @@ class SqlParitySpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
   }
 
+  // some filters legitimately select nothing at the tiny smoke SF
+  // (e.g. q24's dormant-rich predicate) — parity still must hold
+  private val mayBeEmpty = Set("q24_dormant_rich")
+
   private def assertParity(name: String, sql: String): Unit = {
     val viaSql = canon(spark.sql(sql))
     val viaDf = canon(SparkEntry.queries(name)(spark, sf))
-    assert(viaSql.nonEmpty, s"$name SQL form returned no rows")
+    assert(viaSql.nonEmpty || mayBeEmpty(name),
+      s"$name SQL form returned no rows")
     assert(viaSql == viaDf, s"$name: SQL and DataFrame forms disagree")
   }
 
-  test("q01 pricing summary: SQL text equals the DataFrame form") {
-    // the oracle SQL doubles as the Spark SQL form — one dialect
-    assertParity("q01_pricing_summary",
-      SparkEntry.oracleSql("q01_pricing_summary"))
-  }
+  /** Every oracle whose SQL is dialect-portable enough to run VERBATIM
+    * in Spark (the rest use DuckDB-isms: strftime, unnest,
+    * regexp_split_to_array, quantile_cont, `//`, the 'g' regexp flag).
+    * 22 of 61 — the whole scan/join/aggregate/window/set-op warehouse
+    * surface plus the range join and the custom top-k (whose SQL form
+    * is the row_number window the custom plan must agree with). */
+  private val portable = Seq(
+    "j02_range_join",
+    "q01_pricing_summary", "q02_filter_project", "q03_ship_priority",
+    "q04_order_priority", "q05_region_revenue", "q06_forecast",
+    "q07_top_orders", "q08_window_rank", "q09_rollup", "q10_set_ops",
+    "q11_anti_join", "q12_distinct_agg", "q15_having", "q17_cube",
+    "q18_above_cust_avg", "q21_market_share", "q22_string_match",
+    "q24_dormant_rich", "q26_multiset_ops", "q27_running_window",
+    "q31_topk_per_group")
 
-  test("q05 region revenue: SQL text equals the DataFrame form") {
-    assertParity("q05_region_revenue",
-      SparkEntry.oracleSql("q05_region_revenue"))
-  }
-
-  test("q31: SQL window formulation equals the custom top-k plan") {
-    assertParity("q31_topk_per_group",
-      SparkEntry.oracleSql("q31_topk_per_group"))
+  portable.foreach { name =>
+    test(s"$name: oracle SQL runs verbatim via spark.sql and equals the DataFrame form") {
+      assertParity(name, SparkEntry.oracleSql(name))
+    }
   }
 
   test("graft_dot resolves in SQL text and matches the native expression") {

@@ -104,6 +104,18 @@ class TopKPerGroupSpec extends SparkSuite {
     assert(global.sameElements(expected))
   }
 
+  test("float group keys are normalized: -0.0 joins 0.0, NaN bit patterns unify") {
+    // byte-wise key comparison would split these into 4 groups; the
+    // normalized plan must see exactly 2 (0.0 and NaN)
+    val altNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (altNaN, 4L))
+      .toDF("g", "id").repartition(4) // spread keys across input partitions
+    val top1 = TopKPerGroup.topKPerGroup(df, Seq("g"), Seq("id" -> true), 1)
+      .collect().map(_.getLong(1)).sorted
+    assert(top1.toSeq == Seq(1L, 3L),
+      s"expected one row per logical group, got ids ${top1.toSeq}")
+  }
+
   test("rows of each group are emitted in ranked order without an explicit orderBy") {
     val df = Seq(("a", 3L, 1.0), ("a", 1L, 9.0), ("a", 2L, 5.0),
                  ("b", 9L, 2.0), ("b", 8L, 7.0))
