@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.operators.{Dedup, Sampling, Skew, TemporalJoins, TextOps}
 
@@ -42,6 +42,11 @@ package object api {
                          maxHamming: Int = 3): DataFrame =
       Dedup.simhash(df, idCol, textCol, maxHamming)
 
+    /** Connected components over a near-dup pair frame
+      * (`doc_a`,`doc_b` columns, e.g. [[dedupNearMinhash]] output) →
+      * (doc_id, cluster) labels, cluster = smallest member id. */
+    def dupClusters(): DataFrame = Dedup.dupClusters(df)
+
     // ---- text analysis ----
     def textTokenCounts(idCol: String, textCol: String): DataFrame =
       TextOps.tokenCounts(df, idCol, textCol)
@@ -65,6 +70,23 @@ package object api {
 
     def sampleStratified(stratumCol: String, idCol: String, n: Int): DataFrame =
       Sampling.stratifiedSample(df, stratumCol, idCol, n)
+
+    def sampleProportional(stratumCol: String, idCol: String,
+                           frac: Double): DataFrame =
+      Sampling.proportionalSample(df, stratumCol, idCol, frac)
+
+    /** Pack rows into ~`budget`-token shards per stratum (deterministic
+      * (md5(id), id) packing order; `nTokens` is any token-count
+      * expression over this frame's columns). */
+    def shardByTokenBudget(stratumCol: String, idCol: String,
+                           nTokens: Column, budget: Long): DataFrame =
+      Sampling.tokenShardAssignments(df, stratumCol, idCol, nTokens, budget)
+
+    /** First k rows per group under (col, ascending) order — the custom
+      * bounded-memory top-k plan, not a Window. */
+    def topKPerGroup(groupCols: Seq[String], orderBy: Seq[(String, Boolean)],
+                     k: Int): DataFrame =
+      graft.plans.TopKPerGroup.topKPerGroup(df, groupCols, orderBy, k)
 
     // ---- joins ----
     def asofJoin(right: DataFrame, key: String, ts: String,

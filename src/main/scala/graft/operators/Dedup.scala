@@ -293,8 +293,14 @@ object Dedup {
                                          checkEvery: Int = ccCheckEvery,
                                          maxRounds: Int = 64,
                                          localEdgeThreshold: Long = 500000L): (DataFrame, Int) = {
-    val nodes = pairs.select(col("src").as("n"))
-      .union(pairs.select(col("dst").as("n"))).distinct()
+    // The pair frame is typically an EXPENSIVE near-dup join, and it is
+    // consumed three times below (both node projections + the initial
+    // edge set). A lazy checkpoint makes the join run once — the eager
+    // edge-seed checkpoint right after materializes it as a side
+    // effect. (d05 at sf0.1: 6.4 s -> 2.9 s.)
+    val pairsOnce = pairs.localCheckpoint(eager = false)
+    val nodes = pairsOnce.select(col("src").as("n"))
+      .union(pairsOnce.select(col("dst").as("n"))).distinct()
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
         .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).collect()(0)
@@ -305,7 +311,7 @@ object Dedup {
     // ends in a distinct), so pre-deduping would only add a full-data
     // shuffle. If the input happens to already be a canonical star
     // forest its signature matches round 1's and we stop there.
-    var edges = pairs.filter(col("src") =!= col("dst")).localCheckpoint()
+    var edges = pairsOnce.filter(col("src") =!= col("dst")).localCheckpoint()
     var prevSig = signature(edges)
     val longTyped = edges.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)

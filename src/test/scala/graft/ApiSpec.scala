@@ -49,6 +49,25 @@ class ApiSpec extends SparkSuite {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("dupClusters chains off a near-dup pair frame") {
+    val clusters = corpus.dedupNearExact("id", "body", 0.35)
+      .dupClusters().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("shardByTokenBudget and topKPerGroup through the facade") {
+    import org.apache.spark.sql.functions._
+    val sharded = corpus.withColumn("lang", lit("en"))
+      .shardByTokenBudget("lang", "id",
+        size(split(trim($"body"), "\\s+")).cast("bigint"), budget = 20L)
+    assert(sharded.count() == 5 &&
+      sharded.columns.toSeq == Seq("lang", "id", "n_tokens", "shard"))
+    val top = corpus.withColumn("len", length($"body"))
+      .topKPerGroup(Seq.empty, Seq("len" -> false), 2).collect()
+    assert(top.length == 2)
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")
