@@ -86,6 +86,7 @@ object SparkEntry {
     "d04_simhash"         -> ((s, dir) => Dedup.simhash(s, dir)),
     "d05_dup_clusters"    -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "d06_capped_jaccard"  -> ((s, dir) => Dedup.cappedNgramJaccard(s, dir)),
+    "d07_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
@@ -708,6 +709,24 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(i * 1.0 / (n_a + n_b - i), 4) AS jaccard
          FROM inter WHERE round(i * 1.0 / (n_a + n_b - i), 4) >= 0.7
          ORDER BY doc_a, doc_b""",
+    "d07_embedding_clusters" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), pairs AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+         ), edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a
+         )
+         SELECT n AS vec_id, min(m) AS cluster FROM reach
+         GROUP BY n ORDER BY vec_id""",
     "s06_label_norms" ->
       """WITH e AS (SELECT label,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

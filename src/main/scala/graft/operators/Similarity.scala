@@ -72,6 +72,21 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** d07: near-duplicate CLUSTERS in embedding space — the cosine
+    * variant of d05 dup-clustering: the exact pair baseline
+    * ([[cosinePairs]], oracle-checked in s02) feeds the same
+    * star-contraction connected components as the text path
+    * ([[Dedup.dupClusters]]). Output: (vec_id, cluster) for every
+    * vector in a near-dup pair, cluster = smallest member id. At
+    * 100 TB swap the pair source for [[lshPairs]] — the CC stage is
+    * pair-source-agnostic. */
+  def embeddingClusters(s: SparkSession, dir: String,
+                        threshold: Double = 0.4): DataFrame =
+    Dedup.dupClusters(cosinePairs(s, dir, threshold)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+
   /** Deterministic pseudo-random hyperplanes: planes(i)(d) in [-1, 1),
     * a pure function of (i, d) via SplitMix64 — identical across JVMs. */
   private def plane(i: Int, dim: Int): Seq[Double] =

@@ -103,4 +103,19 @@ class SimilaritySpec extends SparkSuite {
         s"($l1,$p1,$c1) vs ($l2,$p2,$c2)")
     }
   }
+
+  test("d07 embedding clusters: pairs are intra-cluster, labels are roots and minima") {
+    val pairs = Similarity.cosinePairs(spark, sf, 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Similarity.embeddingClusters(spark, sf, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(clusters.forall { case (id, lbl) => lbl <= id }, "label = smallest member")
+    assert(clusters.values.toSet.forall(l => clusters.get(l).contains(l)),
+      "every label is its own cluster root")
+  }
 }
