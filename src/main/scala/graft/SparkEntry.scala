@@ -63,6 +63,7 @@ object SparkEntry {
     "m04_byte_histogram"  -> Multimodal.byteHistogram,
     "m05_resize_meta"     -> Multimodal.resizedDims,
     "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
+    "j04_nearest_event"   -> TemporalJoins.clickNearestPurchase,
     // text analysis (training-data pipeline ops)
     "t01_token_counts"    -> TextOps.tokenCounts,
     "t02_quality_score"   -> TextOps.qualityScore,
@@ -71,6 +72,7 @@ object SparkEntry {
     "t05_top_bigrams"     -> ((s, dir) => TextOps.topBigrams(s, dir)),
     "t06_repetition"      -> TextOps.repetition,
     "t07_pii_scrub"       -> ((s, dir) => TextOps.scrub(s, dir)),
+    "t08_gopher_rules"    -> ((s, dir) => TextOps.gopherRules(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -79,6 +81,7 @@ object SparkEntry {
     "x05_decontaminate"   -> Dedup.decontaminate,
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
+    "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -87,6 +90,7 @@ object SparkEntry {
     "d05_dup_clusters"    -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "d06_capped_jaccard"  -> ((s, dir) => Dedup.cappedNgramJaccard(s, dir)),
     "d07_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
+    "d08_keep_best"       -> ((s, dir) => Dedup.keepBest(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
@@ -359,6 +363,22 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
            FROM orders)
          WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""",
+    "j04_nearest_event" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           strftime(pp.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(pp.p_value, 4) AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT ts, p_value FROM p
+           WHERE p.user_id = c.user_id
+           ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP))
+                      - epoch_us(CAST(c.ts AS TIMESTAMP))) ASC, ts ASC
+           LIMIT 1) pp ON true
+         ORDER BY event_id""",
     "j01_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -524,6 +544,31 @@ object SparkEntry {
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}|\b(?i:customer|supplier)\b',
            '[REDACTED]', 'g')) AS n_chars_after
          FROM documents ORDER BY doc_id""",
+    "t08_gopher_rules" ->
+      """WITH f AS (
+           SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nospace,
+             CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(len(text) AS DOUBLE) AS n_chars,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               w -> w IN ('the','a','of','and','to','in','is'))) AS n_stop
+           FROM documents
+         ), g AS (
+           SELECT lang,
+             NOT (n_tok BETWEEN 30.0 AND 50000.0) AS fail_len,
+             NOT (n_nospace / n_tok BETWEEN 2.0 AND 10.0) AS fail_tok,
+             n_stop < 2 AS fail_stop,
+             n_alpha / n_chars < 0.6 AS fail_alpha
+           FROM f)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN fail_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+           CAST(sum(CASE WHEN fail_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_tok,
+           CAST(sum(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+           CAST(sum(CASE WHEN fail_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+           CAST(sum(CASE WHEN NOT fail_len AND NOT fail_tok AND NOT fail_stop
+                         AND NOT fail_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM g GROUP BY lang ORDER BY lang""",
     "x01_split_counts" ->
       """SELECT lang,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
@@ -591,6 +636,21 @@ object SparkEntry {
          SELECT lang, source, count(*) AS n FROM r
          WHERE rk <= ceil(n_stratum * 0.2)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x08_temperature_mix" ->
+      """WITH r AS (
+           SELECT source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents
+         ), samp AS (
+           SELECT source, count(*) AS n_sampled FROM r
+           WHERE rk <= least(n, CAST(ceil(4.0 * sqrt(n)) AS BIGINT))
+           GROUP BY source
+         ), tot AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+         SELECT source, n_docs, n_sampled
+         FROM tot JOIN samp USING (source) ORDER BY source""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -709,6 +769,37 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(i * 1.0 / (n_a + n_b - i), 4) AS jaccard
          FROM inter WHERE round(i * 1.0 / (n_a + n_b - i), 4) >= 0.7
          ORDER BY doc_a, doc_b""",
+    "d08_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a
+           JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.7
+         ), edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         ), clusters AS (
+           SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n
+         ), sel AS (
+           SELECT c.cluster, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY c.cluster) AS n_members
+           FROM clusters c JOIN documents d USING (doc_id))
+         SELECT cluster, doc_id AS kept_doc_id, n_chars AS kept_chars, n_members
+         FROM sel WHERE rk = 1 ORDER BY cluster""",
     "d07_embedding_clusters" ->
       """WITH RECURSIVE e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.t
 import graft.functions.Hashing
@@ -222,6 +223,28 @@ object Dedup {
       pairFrame.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
       .select(col("n").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
+
+  /** d08: canonical-document selection — the step AFTER clustering that
+    * dedup exists for: keep exactly one representative per near-dup
+    * cluster (here: most content, ties to the smallest id) and report
+    * what was dropped. One row per cluster: the kept doc and the member
+    * count. At 100 TB this is [[dupClusters]] plus one broadcast-sized
+    * join (the cluster map covers only docs that appear in a pair —
+    * vastly smaller than the corpus) and one window over clusters,
+    * whose partitions are near-dup groups: small by construction. */
+  def keepBest(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+    val members = dupClusters(s, dir, threshold)
+      .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    members
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc_id"),
+        col("n_chars").as("kept_chars"), col("n_members"))
+      .orderBy("cluster")
+  }
 
   /** Rounds between driver-side convergence checks. Default 1 — and
     * deliberately so: a check is ONE metadata-sized scalar aggregate

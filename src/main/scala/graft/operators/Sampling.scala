@@ -180,4 +180,43 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("lang", "shard")
   }
+
+  /** Quota-per-stratum sample: keep the first `quotaFn(|stratum|)` rows
+    * of each stratum in hash order (clamped to the stratum size). The
+    * quota is a FUNCTION of the stratum size, which is what
+    * temperature-style source mixing needs — [[proportionalSample]] is
+    * the special case `n => n·frac`. Same single window pass per
+    * stratum as the other samplers; the caller's quota expression must
+    * be engine-portable if the result is to oracle-check (prefer
+    * `sqrt`/integer arithmetic — IEEE-exact everywhere — over `pow`,
+    * which differs across libm implementations in the last ulp). */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+                  quotaFn: Column => Column): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(stratumCol)
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .filter(col("rk") <= least(col("n_stratum"), quotaFn(col("n_stratum"))))
+      .drop("rk", "n_stratum")
+  }
+
+  /** x08: temperature-flattened source mix — the multinomial-mixing
+    * knob every LLM training run turns (sample source i with weight
+    * ∝ nᵢ^α, α<1 upweights small sources relative to their natural
+    * share). Deterministic form: per-source quota = min(n, ⌈c·√n⌉)
+    * (α = 0.5), members chosen by hash rank, so the mix is reproducible
+    * across retries and partitionings and the quota law is visible in
+    * the output: a source 100× larger contributes only 10× the docs.
+    * √ rather than pow(·, α): sqrt is correctly rounded in every IEEE
+    * engine, so the quota — and therefore the oracle hash — is exact. */
+  def temperatureMix(s: SparkSession, dir: String, c: Double = 4.0): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quota = (n: Column) => ceil(lit(c) * sqrt(n.cast("double"))).cast("bigint")
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(quotaSample(docs, "source", "doc_id", quota)
+          .groupBy("source").agg(count(lit(1)).as("n_sampled")),
+        Seq("source"))
+      .orderBy("source")
+  }
 }

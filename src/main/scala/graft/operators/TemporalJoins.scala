@@ -129,6 +129,37 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** j04: NEAREST-event join — for every click, the purchase by the
+    * same user closest in time in EITHER direction (ties to the earlier
+    * one). Composed from the two as-of passes: backward gives the
+    * nearest at-or-before, forward the nearest at-or-after, and the
+    * true nearest is whichever of the two is closer — so the pair
+    * blowup of a |Δt|-ordered join never happens. Cost at 100 TB: two
+    * key-sorted window passes plus one equi-join on the (unique) left
+    * id; the join is on the probe table alone, never on pairs. */
+  def clickNearestPurchase(s: SparkSession, dir: String): DataFrame = {
+    val clicks = typed(s, dir, "click").select("event_id", "user_id", "ts")
+    val purchases = typed(s, dir, "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    val back = asofJoin(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .select(col("event_id"), col("asof_ts").as("b_ts"), col("asof_p_value").as("b_val"))
+    val fwd = asofJoinForward(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .select(col("event_id"), col("asof_ts").as("f_ts"), col("asof_p_value").as("f_val"))
+    // back wins ties: at equal distance its ts is the earlier one,
+    // matching the oracle's ORDER BY (abs distance, ts)
+    val useBack = col("f_ts").isNull || (col("b_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("b_ts")) <=
+        unix_micros(col("f_ts")) - unix_micros(col("ts")))
+    clicks.join(back, "event_id").join(fwd, "event_id")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        date_format(when(useBack, col("b_ts")).otherwise(col("f_ts")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        round(when(useBack, col("b_val")).otherwise(col("f_val")), 4)
+          .as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** For every click, how many purchases the same user made in the 10
     * minutes before it. */
   def purchasesBeforeClick(s: SparkSession, dir: String): DataFrame = {

@@ -176,6 +176,48 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** t08: Gopher-style rule CASCADE with per-rule rejection accounting —
+    * the published heuristic filters as hard gates (vs [[qualityScore]]'s
+    * soft score), reported per language as "how many docs does each rule
+    * reject, and how many survive all of them". The accounting is what a
+    * curation run actually needs: a rule that silently rejects 40% of a
+    * source is a pipeline bug, not a quality win.
+    *
+    * Rules (each an independent flag, counted independently):
+    *   len   — token count in [30, 50000]      (Gopher word-count gate)
+    *   tok   — mean token length in [2, 10]    (gibberish/boilerplate gate)
+    *   stop  — ≥ 2 stopword hits               (Gopher "has stop words")
+    *   alpha — ≥ 60% alphabetic characters     (symbol-soup gate)
+    *
+    * All pure Column expressions over one scan — the flags share the
+    * tokenization subexpression, so at 100 TB this is a single narrow
+    * codegen'd map + one tiny groupBy(lang). Ratio comparisons are raw
+    * IEEE doubles (identical in any engine); no rounding needed because
+    * no float crosses an engine boundary, only the boolean counts do. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRules(t(s, dir, "documents"), "text", "lang")
+
+  def gopherRules(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val text = col(textCol)
+    val nTok = size(tokensOf(text)).cast("double")
+    val meanTokLen =
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+    val alphaRatio =
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        length(text).cast("double")
+    val failLen   = !nTok.between(30.0, 50000.0)
+    val failTok   = !meanTokLen.between(2.0, 10.0)
+    val failStop  = stopCountOf(text) < 2
+    val failAlpha = alphaRatio < 0.6
+    def n(c: Column): Column = sum(c.cast("long"))
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        n(failLen).as("n_fail_len"), n(failTok).as("n_fail_tok"),
+        n(failStop).as("n_fail_stop"), n(failAlpha).as("n_fail_alpha"),
+        n(!failLen && !failTok && !failStop && !failAlpha).as("n_pass"))
+      .orderBy(groupCol)
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

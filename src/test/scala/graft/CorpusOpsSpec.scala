@@ -161,4 +161,59 @@ class CorpusOpsSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("x08 temperature mix: per-source quota is exactly min(n, ceil(4·√n))") {
+    val rows = Sampling.temperatureMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val quota = math.min(n, math.ceil(4.0 * math.sqrt(n.toDouble)).toLong)
+      assert(r.getAs[Long]("n_sampled") == quota,
+        s"source ${r.getString(0)}: n=$n sampled=${r.getAs[Long]("n_sampled")} quota=$quota")
+    }
+    // flattening law, on a deliberately-skewed frame (testdata sources
+    // are equal-sized, where flattening is a no-op by definition):
+    // a 100× bigger stratum contributes ~10×, not 100×, the rows
+    import spark.implicits._
+    val skewed = ((1 to 400).map(i => ("big", i.toLong)) ++
+      (1 to 4).map(i => ("small", 1000L + i))).toDF("source", "doc_id")
+    val counts = Sampling.quotaSample(skewed, "source", "doc_id",
+        n => ceil(lit(4.0) * sqrt(n.cast("double"))).cast("bigint"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") == 80L && counts("small") == 4L,
+      s"got $counts — expected ceil(4·√400)=80 and min(4, ceil(4·√4))=4")
+  }
+
+  test("t08 gopher rules match a per-doc Scala recomputation") {
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val stop = TextOps.stopwords.toSet
+    val expected = full.groupBy(_._1).map { case (lang, ds) =>
+      val flags = ds.map { case (_, text) =>
+        val toks = text.trim.split("\\s+").toSeq
+        val nTok = toks.size.toDouble
+        val meanTok = text.replaceAll("\\s+", "").length / nTok
+        val alpha = text.count(_.isLetter).toDouble / text.length
+        (!(nTok >= 30.0 && nTok <= 50000.0),
+          !(meanTok >= 2.0 && meanTok <= 10.0),
+          toks.count(stop) < 2,
+          alpha < 0.6)
+      }
+      lang -> (ds.size.toLong, flags.count(_._1).toLong, flags.count(_._2).toLong,
+        flags.count(_._3).toLong, flags.count(_._4).toLong,
+        flags.count(f => !f._1 && !f._2 && !f._3 && !f._4).toLong)
+    }
+    val got = TextOps.gopherRules(spark, sf).collect().map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_fail_len"),
+        r.getAs[Long]("n_fail_tok"), r.getAs[Long]("n_fail_stop"),
+        r.getAs[Long]("n_fail_alpha"), r.getAs[Long]("n_pass"))
+    }.toMap
+    assert(got == expected)
+    // the cascade must actually discriminate at this corpus: something
+    // passes and something fails, or the gates are vacuous
+    assert(got.values.map(_._6).sum > 0 && got.values.map(_._6).sum <
+      got.values.map(_._1).sum)
+  }
 }

@@ -97,4 +97,23 @@ class DedupSpec extends SparkSuite {
     assert(sim.subsetOf(exact),
       s"simhash found non-near-dup pairs: ${sim.diff(exact).take(5)}")
   }
+
+  test("d08 keepBest: one row per cluster, the longest member wins, counts match") {
+    val members = Dedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))                 // (doc_id, cluster)
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = members.groupBy(_._2)
+    val kept = Dedup.keepBest(spark, sf).collect()
+    assert(kept.map(_.getAs[Long]("cluster")).toSet == byCluster.keySet)
+    kept.foreach { r =>
+      val ms = byCluster(r.getAs[Long]("cluster")).map(_._1)
+      val best = ms.map(id => (chars(id), id)).sortBy(p => (-p._1, p._2)).head
+      assert(r.getAs[Long]("kept_doc_id") == best._2)
+      assert(r.getAs[Long]("kept_chars") == best._1)
+      assert(r.getAs[Long]("n_members") == ms.length.toLong)
+      assert(r.getAs[Long]("n_members") >= 2, "pair-derived clusters have ≥2 members")
+    }
+  }
 }

@@ -92,4 +92,30 @@ class TemporalJoinsSpec extends SparkSuite {
     val r = TemporalJoins.purchasesBeforeClick(spark, sf)
     assert(r.count() == r.select("event_id").distinct().count())
   }
+
+  test("j04 nearest = the closer of backward/forward as-of, ties backward") {
+    def byEvent(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("purchase_ts")).toMap
+    val back = byEvent(TemporalJoins.clickLastPurchase(spark, sf))
+    val fwd = byEvent(TemporalJoins.clickNextPurchase(spark, sf))
+    val nearest = TemporalJoins.clickNearestPurchase(spark, sf).collect()
+    assert(nearest.nonEmpty && nearest.length == back.size)
+    def us(s: String): Long = {
+      val t = Timestamp.valueOf(s)
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000 // µs incl. sub-ms digits
+    }
+    nearest.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val t = us(r.getAs[String]("ts_s"))
+      val got = Option(r.getAs[String]("purchase_ts"))
+      val exp = (back.get(id).flatMap(Option(_)), fwd.get(id).flatMap(Option(_))) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) =>
+          if (t - us(b) <= us(f) - t) Some(b) else Some(f)
+      }
+      assert(got == exp, s"event $id: got $got, expected $exp")
+    }
+  }
 }
