@@ -100,6 +100,7 @@ object SparkEntry {
     "s06_label_norms"     -> Similarity.labelNorms,
     "s07_label_centroid"  -> Similarity.labelCentroids,
     "s08_ann_quantized"   -> ((s, dir) => Similarity.annQuantized(s, dir)),
+    "s09_ann_pq"          -> ((s, dir) => Similarity.annPq(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

@@ -194,9 +194,41 @@ object Similarity {
   def fitCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     var cents = vecs.orderBy("vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val dim = cents.head.length
     for (_ <- 1 to iters) {
       val sums = assignToCentroid(vecs, cents)
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next // empty clusters keep their previous centroid
+    }
+    cents
+  }
+
+  /** Squared-L2 argmin against a 2-level codebook literal, as a pure
+    * Column expression: scores(j)(c) = 2⟨sv, B(j)(c)⟩ − ‖B(j)(c)‖², so
+    * argmin L2 = argmax score. `jCol` selects the subspace's codebook
+    * out of the m×k×(dim/m) literal at runtime — ALL m subspaces share
+    * one expression, which is what lets the whole PQ fit run as one job
+    * per Lloyd iteration instead of m independent fits. */
+  private def pqCode(sv: Column, jCol: Column,
+                     books: Array[Array[Array[Double]]]): Column = {
+    val b = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val bNorm2 = typedlit(books.map(_.map(_.map(x => x * x).sum).toSeq).toSeq)
+    val scores = zip_with(element_at(b, jCol + 1), element_at(bNorm2, jCol + 1),
+      (c, n2) => lit(2.0) * dot(sv, c) - n2)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  private def fitCentroidsBy(vecs: DataFrame, k: Int, iters: Int,
+      assign: (DataFrame, Array[Array[Double]]) => DataFrame): Array[Array[Double]] = {
+    var cents = vecs.orderBy("vec_id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val sums = assign(vecs, cents)
         .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c", "pos").agg(avg("x").as("m"))
         .collect()
@@ -216,6 +248,21 @@ object Similarity {
     val dots = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
     vecs.withColumn("c",
       (array_position(dots, array_max(dots)) - 1).cast("int"))
+  }
+
+  /** Nearest centroid by squared L2 distance: argmin ‖v−c‖² =
+    * argmax (2⟨v,c⟩ − ‖c‖²), so assignment stays one codegen'd dot per
+    * centroid plus a precomputed scalar bias. */
+  private def l2Scores(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(2.0) * dot(v, typedlit(c.toSeq)) - lit(cc)
+    }: _*)
+
+  private def assignToCentroidL2(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scores = l2Scores(col("v"), cents)
+    vecs.withColumn("c",
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
   }
 
   /** The `p` centroid indices with the highest dot product against `v`,
@@ -259,6 +306,111 @@ object Similarity {
         round(dot(col("qv"), col("v")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** s09: product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the ANN variant whose
+    * lever is CORPUS MEMORY, complementing [[annKmeansIvf]] (probe
+    * pruning) and [[annQuantized]] (scalar int8):
+    *
+    *  1. split each L2-normalized vector into `m` subvectors; fit an
+    *     independent `codebookSize`-centroid L2 k-means codebook per
+    *     subspace (distributed Lloyd's — the codebooks are m×k×(dim/m)
+    *     doubles of driver model state, every fit pass is a corpus scan);
+    *  2. ENCODE: corpus rows carry only their m code ids from then on —
+    *     m bytes instead of dim floats (64-dim float → 8 bytes here,
+    *     32× smaller), which is what lets a 100 TB corpus' index live
+    *     in executor memory;
+    *  3. query via ADC (asymmetric distance): per query, a driver-built
+    *     m×k lookup table of subvector·centroid dots; the approximate
+    *     cosine of a corpus row is the sum of m LUT entries picked by
+    *     its codes — a pure Column fold, no vector math per pair.
+    *
+    *  4. RE-RANK: the top `rerank` ADC candidates per query (and only
+    *     those — a candidate-sized join, not a corpus scan) are scored
+    *     with the exact dot, and the final top-k comes from that. This
+    *     is Jégou's ADC + re-ranking: the PQ index prunes 500→C, the
+    *     exact pass fixes the quantization error where it matters.
+    *
+    * Rows-only check (recall is probabilistic — measured vs [[annBruteForce]]
+    * in SimilaritySpec); at 100 TB compose with the IVF probe: coarse
+    * cell first, PQ-ADC inside the cell, exact re-rank of the top C. */
+  def annPq(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+            m: Int = 8, codebookSize: Int = 32, iters: Int = 3,
+            rerank: Int = 100): DataFrame = {
+    import s.implicits._
+    val normed = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+      .localCheckpoint() // read per fit pass + once to encode + re-rank
+    val dim = normed.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // all m subspaces fit TOGETHER on one exploded (vec_id, j, sv)
+    // frame: one init collect + ONE assignment/update job per Lloyd
+    // iteration for the whole codebook set (m separate fits would run
+    // m×(iters+1) serial jobs — pure scheduler overhead at any scale)
+    val subs = normed.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
+      .localCheckpoint()
+    // init: subspace slices of the first k vectors by vec_id
+    var books: Array[Array[Array[Double]]] =
+      subs.filter(col("vec_id") < codebookSize)
+        .orderBy("vec_id").collect()
+        .groupBy(_.getAs[Int]("j")).toArray.sortBy(_._1)
+        .map(_._2.map(_.getSeq[Double](2).toArray))
+    for (_ <- 1 to iters) {
+      val sums = subs
+        .withColumn("c", pqCode(col("sv"), col("j"), books))
+        .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "c", "pos").agg(avg("x").as("mu"))
+        .collect() // m×k×(dim/m) rows — model-state-sized
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getAs[Int]("j"))(r.getAs[Int]("c"))(r.getAs[Int]("pos")) =
+          r.getAs[Double]("mu")
+      }
+      books = next // empty cells keep their previous centroid
+    }
+    val codeCols = (0 until m).map { j =>
+      pqCode(slice(col("v"), j * sub + 1, sub), lit(j), books)
+    }
+    val encoded = normed.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // per-query ADC lookup tables: lut(j)(c) = ⟨q_sub_j, books(j)(c)⟩ —
+    // nQueries × m × k doubles of driver model state, like the codebooks
+    val luts = normed.filter(col("vec_id") < nQueries)
+      .select("vec_id", "v").collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        (r.getLong(0), (0 until m).map { j =>
+          books(j).map(c =>
+            c.indices.map(i => c(i) * q(j * sub + i)).sum).toSeq
+        })
+      }.toSeq.toDF("q_id", "lut")
+    val approx = aggregate(
+      transform(sequence(lit(0), lit(m - 1)),
+        j => element_at(element_at(col("lut"), j + 1),
+          element_at(col("codes"), j + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encoded.join(broadcast(luts), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), approx.as("approx_cos"))
+    val wApprox = Window.partitionBy("q_id").orderBy(desc("approx_cos"), asc("n_id"))
+    val candidates = scored.withColumn("crk", row_number().over(wApprox))
+      .filter(col("crk") <= rerank)
+      .select("q_id", "n_id")
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = candidates
+      .join(normed.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    exact.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "n_id", "cos")
       .orderBy("q_id", "rk")

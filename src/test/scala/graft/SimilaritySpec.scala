@@ -104,6 +104,22 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s09 PQ-ADC recalls most brute-force neighbors and keys correctly") {
+    val exact = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.annPq(spark, sf).collect()
+    val got = pq.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, ns) => assert(ns.size == 3, s"query $q: $ns") }
+    val recall = exact.keys.toSeq
+      .map(q => got(q).intersect(exact(q)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    info(f"PQ recall@3 vs brute force: $recall%.3f")
+    assert(recall >= 0.8, f"PQ recall@3 collapsed: $recall%.3f")
+  }
+
   test("d07 embedding clusters: pairs are intra-cluster, labels are roots and minima") {
     val pairs = Similarity.cosinePairs(spark, sf, 0.4)
       .select("id_a", "id_b").collect()
