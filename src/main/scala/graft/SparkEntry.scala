@@ -73,6 +73,8 @@ object SparkEntry {
     "t06_repetition"      -> TextOps.repetition,
     "t07_pii_scrub"       -> ((s, dir) => TextOps.scrub(s, dir)),
     "t08_gopher_rules"    -> ((s, dir) => TextOps.gopherRules(s, dir)),
+    "t09_chunk_windows"   -> ((s, dir) => TextOps.chunkWindows(s, dir)),
+    "t10_bm25"            -> ((s, dir) => TextOps.bm25TopK(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -570,6 +572,69 @@ object SparkEntry {
            CAST(sum(CASE WHEN NOT fail_len AND NOT fail_tok AND NOT fail_stop
                          AND NOT fail_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
          FROM g GROUP BY lang ORDER BY lang""",
+    "t09_chunk_windows" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(len(tk) - 32, 0) + 23) / 24.0) AS BIGINT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM meta)
+         SELECT doc_id, i AS chunk_id,
+           CAST(len(tk[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(tk[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ')
+             AS chunk_text
+         FROM ex ORDER BY doc_id, chunk_id""",
+    "t10_bm25" ->
+      """WITH tf AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x = 'customer')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x = 'window')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x = 'query')) AS BIGINT) AS tf2
+           FROM documents
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           FROM tf
+         ), scored AS (
+           SELECT doc_id,
+             floor((
+               ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             )*1e4 + 0.5)/1e4 AS score
+           FROM tf, stats)
+         SELECT rk, doc_id, score FROM (
+           SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM scored WHERE score > 0)
+         WHERE rk <= 10 ORDER BY rk""",
     "x01_split_counts" ->
       """SELECT lang,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'

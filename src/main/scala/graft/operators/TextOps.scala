@@ -218,6 +218,94 @@ object TextOps {
       .orderBy(groupCol)
   }
 
+  /** t09: fixed-size overlapping token windows — the chunking step that
+    * turns documents into training/retrieval sequences (context-window
+    * packing, RAG chunking). Each document yields
+    * `1 + ceil(max(0, n - width) / stride)` chunks starting at token
+    * offsets 0, stride, 2·stride, …; the tail chunk may be short but
+    * every token is covered when stride ≤ width (adjacent chunks overlap
+    * by `width - stride` tokens).
+    *
+    * Pure generator + slice Column expressions: at 100 TB this is a
+    * narrow flatMap-shaped stage — no shuffle, no UDF, output rows
+    * carry only the chunk text (never the whole document), so the
+    * downstream shuffle unit is a chunk, not a doc. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkWindows(t(s, dir, "documents"), "doc_id", "text")
+
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && stride <= width,
+      s"stride $stride must be in [1, width=$width] so chunks cover all tokens")
+    val tk = tokensOf(col(textCol))
+    val nTok = size(tk)
+    // 1 + ceil(max(0, n - width) / stride), in exact integer arithmetic
+    val nChunks =
+      (lit(1) + floor((greatest(nTok - lit(width), lit(0)) + lit(stride - 1))
+        .cast("double") / lit(stride.toDouble))).cast("int")
+    docs
+      .select(col(idCol), tk.as("tk"), nChunks.as("nc"))
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), col("nc") - 1)).as("i"))
+      .select(col(idCol), col("i").cast("long").as("chunk_id"),
+        slice(col("tk"), col("i") * stride + 1, lit(width)).as("ck"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+      .orderBy(idCol, "chunk_id")
+  }
+
+  /** t10: BM25 keyword relevance — top-k documents for a bag of query
+    * terms (Robertson/Spärck Jones; the Okapi BM25 formula with
+    * k1=1.2, b=0.75). The corpus statistics (N, Σdl, per-term df) are
+    * ONE tiny aggregate row broadcast back over the corpus — every
+    * count is integer-exact, so the only float math is the final
+    * per-row formula, evaluated in a fixed term order and rounded to
+    * 4 decimals before ranking (engine-exact, see [[r4]]).
+    *
+    * At 100 TB: two narrow corpus scans (stats, then score) + a top-k —
+    * no inverted index needed for a fixed small query set; the df/dl
+    * aggregate is the only (single-row) shuffle. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(t(s, dir, "documents"), "doc_id", "text")
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String] = Seq("customer", "window", "query"),
+               k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    val tk = tokensOf(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      size(filter(col("tk"), x => x === tm)).cast("long").as(s"tf$i")
+    }
+    val perDoc = docs
+      .select(col(idCol), tk.as("tk"))
+      .select(col(idCol) +: size(col("tk")).cast("long").as("dl") +: tfCols: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))): _*)
+    // avgdl enters as (sum_dl / n_docs) — both exact longs, one division
+    val lenNorm = lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * (col("dl").cast("double") /
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + lit(0.5)) /
+        (df + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _) // fixed left-assoc term order: engine-deterministic
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol), r4(score).as("score"))
+      .filter(col("score") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", idCol, "score")
+      .orderBy("rk")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -55,6 +55,54 @@ class CorpusOpsSpec extends SparkSuite {
     assert("\\b(?i:customer)\\b".r.findFirstIn("a Customer here").isDefined)
   }
 
+  test("t09 chunk windows match a Scala recomputation and reassemble the doc") {
+    val width = 32; val stride = 24
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val nc = 1 + (math.max(0, toks.size - width) + stride - 1) / stride
+      (0 until nc).map { i =>
+        val ck = toks.slice(i * stride, i * stride + width)
+        (id, i.toLong, ck.size.toLong, ck.mkString(" "))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.chunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // coverage law: first chunk + the non-overlap suffix of each later
+    // chunk reassembles the exact token stream of the document
+    got.groupBy(_._1).foreach { case (id, cks) =>
+      val ordered = cks.sortBy(_._2).map(_._4.split(" ").toSeq)
+      val reassembled =
+        ordered.head ++ ordered.tail.flatMap(_.drop(width - stride))
+      val orig = docs.toMap.apply(id).trim.split("\\s+").toSeq
+      assert(reassembled == orig, s"doc $id: chunking lost or reordered tokens")
+    }
+  }
+
+  test("t10 BM25 matches a plain-Scala computation of the Okapi formula") {
+    val terms = Seq("customer", "window", "query")
+    val k1 = 1.2; val b = 0.75
+    val toks = docs.map { case (id, text) => (id, text.trim.split("\\s+").toSeq) }
+    val n = toks.size.toLong
+    val sumDl = toks.map(_._2.size.toLong).sum
+    val df = terms.map(t => toks.count(_._2.contains(t)).toLong)
+    val expected = toks.map { case (id, tk) =>
+      val dl = tk.size.toLong
+      val score = terms.indices.map { i =>
+        val tf = tk.count(_ == terms(i)).toDouble
+        val idf = math.log((n.toDouble - df(i) + 0.5) / (df(i) + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * (1.0 - b + b * (dl.toDouble / (sumDl.toDouble / n))))
+      }.sum
+      (id, r4(score))
+    }.filter(_._2 > 0).sortBy(t => (-t._2, t._1)).take(10).zipWithIndex
+      .map { case ((id, s), i) => (i + 1L, id, s) }
+    val got = TextOps.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._3).sameElements(got.map(_._3).sorted.reverse))
+  }
+
   test("x05 decontaminate matches string-shingle overlap with the test split") {
     def shingleSet(text: String): Set[String] = {
       val toks = text.trim.split("\\s+")
