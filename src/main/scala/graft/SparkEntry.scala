@@ -103,6 +103,7 @@ object SparkEntry {
     "s07_label_centroid"  -> Similarity.labelCentroids,
     "s08_ann_quantized"   -> ((s, dir) => Similarity.annQuantized(s, dir)),
     "s09_ann_pq"          -> ((s, dir) => Similarity.annPq(s, dir)),
+    "s10_ann_ivfpq"       -> ((s, dir) => Similarity.annIvfPq(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

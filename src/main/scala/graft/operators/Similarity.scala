@@ -191,22 +191,8 @@ object Similarity {
     * distributed: assignment is k codegen'd dots per row, the update is
     * a posexplode + (cluster, dim) average — one shuffle of k×dim
     * partial sums per iteration regardless of corpus size. */
-  def fitCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    var cents = vecs.orderBy("vec_id").limit(k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    for (_ <- 1 to iters) {
-      val sums = assignToCentroid(vecs, cents)
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c", "pos").agg(avg("x").as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.foreach { r =>
-        next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
-      }
-      cents = next // empty clusters keep their previous centroid
-    }
-    cents
-  }
+  def fitCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    fitCentroidsBy(vecs, k, iters, assignToCentroid)
 
   /** Squared-L2 argmin against a 2-level codebook literal, as a pure
     * Column expression: scores(j)(c) = 2⟨sv, B(j)(c)⟩ − ‖B(j)(c)‖², so
@@ -248,21 +234,6 @@ object Similarity {
     val dots = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
     vecs.withColumn("c",
       (array_position(dots, array_max(dots)) - 1).cast("int"))
-  }
-
-  /** Nearest centroid by squared L2 distance: argmin ‖v−c‖² =
-    * argmax (2⟨v,c⟩ − ‖c‖²), so assignment stays one codegen'd dot per
-    * centroid plus a precomputed scalar bias. */
-  private def l2Scores(v: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map { c =>
-      val cc = c.map(x => x * x).sum
-      lit(2.0) * dot(v, typedlit(c.toSeq)) - lit(cc)
-    }: _*)
-
-  private def assignToCentroidL2(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val scores = l2Scores(col("v"), cents)
-    vecs.withColumn("c",
-      (array_position(scores, array_max(scores)) - 1).cast("int"))
   }
 
   /** The `p` centroid indices with the highest dot product against `v`,
@@ -357,7 +328,32 @@ object Similarity {
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("v"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
       .localCheckpoint()
-    // init: subspace slices of the first k vectors by vec_id
+    val books = fitPqBooks(subs, codebookSize, iters)
+    val codeCols = (0 until m).map { j =>
+      pqCode(slice(col("v"), j * sub + 1, sub), lit(j), books)
+    }
+    val encoded = normed.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // per-query ADC lookup tables: lut(j)(c) = ⟨q_sub_j, books(j)(c)⟩ —
+    // nQueries × m × k doubles of driver model state, like the codebooks
+    val luts = normed.filter(col("vec_id") < nQueries)
+      .select("vec_id", "v").collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        (r.getLong(0), pqLut(q, books, sub))
+      }.toSeq.toDF("q_id", "lut")
+    val scored = encoded.join(broadcast(luts), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adcScore(m).as("approx_cos"))
+    adcRerank(scored, normed, nQueries, k, rerank)
+  }
+
+  /** One joint Lloyd fit of all m PQ codebooks over an exploded
+    * (vec_id, j, sv) subvector frame: init = subspace slices of the
+    * first `codebookSize` vectors by vec_id, then one assignment/update
+    * job per iteration for the WHOLE codebook set (m separate fits
+    * would run m×(iters+1) serial jobs — scheduler overhead at any
+    * scale). Returns books(j)(c) = the c-th centroid of subspace j. */
+  private def fitPqBooks(subs: DataFrame, codebookSize: Int,
+                         iters: Int): Array[Array[Array[Double]]] = {
     var books: Array[Array[Array[Double]]] =
       subs.filter(col("vec_id") < codebookSize)
         .orderBy("vec_id").collect()
@@ -376,28 +372,31 @@ object Similarity {
       }
       books = next // empty cells keep their previous centroid
     }
-    val codeCols = (0 until m).map { j =>
-      pqCode(slice(col("v"), j * sub + 1, sub), lit(j), books)
+    books
+  }
+
+  /** Driver-side ADC lookup table for one query vector: lut(j)(c) =
+    * ⟨q subvector j, books(j)(c)⟩, summed in index order. */
+  private def pqLut(q: Array[Double], books: Array[Array[Array[Double]]],
+                    sub: Int): Seq[Seq[Double]] =
+    books.indices.map { j =>
+      books(j).map(c =>
+        c.indices.map(i => c(i) * q(j * sub + i)).sum).toSeq
     }
-    val encoded = normed.select(col("vec_id"), array(codeCols: _*).as("codes"))
-    // per-query ADC lookup tables: lut(j)(c) = ⟨q_sub_j, books(j)(c)⟩ —
-    // nQueries × m × k doubles of driver model state, like the codebooks
-    val luts = normed.filter(col("vec_id") < nQueries)
-      .select("vec_id", "v").collect()
-      .map { r =>
-        val q = r.getSeq[Double](1).toArray
-        (r.getLong(0), (0 until m).map { j =>
-          books(j).map(c =>
-            c.indices.map(i => c(i) * q(j * sub + i)).sum).toSeq
-        })
-      }.toSeq.toDF("q_id", "lut")
-    val approx = aggregate(
-      transform(sequence(lit(0), lit(m - 1)),
-        j => element_at(element_at(col("lut"), j + 1),
-          element_at(col("codes"), j + 1) + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val scored = encoded.join(broadcast(luts), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), approx.as("approx_cos"))
+
+  /** The ADC sum: m LUT entries picked by the row's codes, folded in
+    * subspace order — a pure Column expression over (`lut`, `codes`). */
+  private def adcScore(m: Int): Column = aggregate(
+    transform(sequence(lit(0), lit(m - 1)),
+      j => element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)),
+    lit(0.0), (acc, x) => acc + x)
+
+  /** Shared ADC tail: keep the top `rerank` approximate candidates per
+    * query, score ONLY those with the exact dot (a candidate-sized
+    * join, not a corpus scan), return the exact top-k. */
+  private def adcRerank(scored: DataFrame, normed: DataFrame,
+                        nQueries: Int, k: Int, rerank: Int): DataFrame = {
     val wApprox = Window.partitionBy("q_id").orderBy(desc("approx_cos"), asc("n_id"))
     val candidates = scored.withColumn("crk", row_number().over(wApprox))
       .filter(col("crk") <= rerank)
@@ -414,6 +413,69 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("q_id", "rk", "n_id", "cos")
       .orderBy("q_id", "rk")
+  }
+
+  /** s10: IVF + residual PQ — the composition the 100 TB path actually
+    * deploys (Jégou's IVFADC): a coarse k-means quantizer prunes the
+    * corpus to `nprobe` cells per query, and a product quantizer over
+    * the RESIDUALS (v − coarse centroid) — finer-grained than s09's
+    * direct PQ because residuals concentrate near 0 — gives each row an
+    * m-byte code for in-cell ADC scoring. approx_cos = ⟨q, centroid_c⟩
+    * + Σ_j lut_c(j)(code_j), since v ≈ centroid_c + residual̂; the LUT
+    * is per (query, probed cell), nQueries × nprobe × m × k doubles of
+    * driver model state. Exact re-rank of the top `rerank` candidates,
+    * as in s09. Rows-only (probabilistic recall, measured vs s01 in
+    * SimilaritySpec). */
+  def annIvfPq(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+               nCoarse: Int = 8, coarseIters: Int = 3, nprobe: Int = 2,
+               m: Int = 8, codebookSize: Int = 32, pqIters: Int = 3,
+               rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    require(nprobe >= 1 && nprobe <= nCoarse, s"nprobe=$nprobe out of [1, $nCoarse]")
+    val normed = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+      .localCheckpoint() // coarse-fit passes + residual + queries
+    val dim = normed.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cents = fitCentroids(normed, nCoarse, coarseIters)
+    val centLit = typedlit(cents.map(_.toSeq).toSeq)
+    val resid = assignToCentroid(normed, cents)
+      .withColumn("r", zip_with(col("v"), element_at(centLit, col("c") + 1),
+        (x, mu) => x - mu))
+      .select("vec_id", "c", "r")
+      .localCheckpoint() // PQ fit passes + encode
+    val subs = resid.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("r"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
+      .localCheckpoint()
+    val books = fitPqBooks(subs, codebookSize, pqIters)
+    val codeCols = (0 until m).map { j =>
+      pqCode(slice(col("r"), j * sub + 1, sub), lit(j), books)
+    }
+    val encoded = resid.select(col("vec_id"), col("c"), array(codeCols: _*).as("codes"))
+    def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // per (query, probed cell): the ⟨q, centroid⟩ bias + the residual LUT
+    val luts = normed.filter(col("vec_id") < nQueries)
+      .select("vec_id", "v").collect().toSeq
+      .flatMap { row =>
+        val qid = row.getLong(0)
+        val q = row.getSeq[Double](1).toArray
+        cents.zipWithIndex.map { case (cv, i) => (i, dotLocal(q, cv)) }
+          .sortBy { case (i, d) => (-d, i) }.take(nprobe)
+          .map { case (c, qDotCent) => (qid, c, qDotCent, pqLut(q, books, sub)) }
+      }.toDF("q_id", "c", "q_dot_cent", "lut")
+    // the cell id is the join key: each query scans only its probed cells
+    val scored = encoded.join(broadcast(luts), Seq("c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("q_dot_cent") + adcScore(m)).as("approx_cos"))
+    adcRerank(scored, normed, nQueries, k, rerank)
   }
 
   /** IVF-style search: assign every vector to its LSH bucket (the

@@ -120,6 +120,25 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, f"PQ recall@3 collapsed: $recall%.3f")
   }
 
+  test("s10 IVF+PQ returns k well-formed neighbors with usable recall") {
+    val exact = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, ns) => assert(ns.size == 3, s"query $q: $ns") }
+    val recall = exact.keys.toSeq
+      .map(q => got(q).intersect(exact(q)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    info(f"IVF+PQ recall@3 vs brute force: $recall%.3f")
+    // the probe prunes 6/8 cells AND the codes quantize residuals, so
+    // the bar is lower than s09's single-stage PQ — but it must stay
+    // far above random (3/1999 ≈ 0.0015)
+    assert(recall >= 0.5, f"IVF+PQ recall@3 collapsed: $recall%.3f")
+  }
+
   test("d07 embedding clusters: pairs are intra-cluster, labels are roots and minima") {
     val pairs = Similarity.cosinePairs(spark, sf, 0.4)
       .select("id_a", "id_b").collect()
