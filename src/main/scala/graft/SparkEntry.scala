@@ -75,6 +75,7 @@ object SparkEntry {
     "t08_gopher_rules"    -> ((s, dir) => TextOps.gopherRules(s, dir)),
     "t09_chunk_windows"   -> ((s, dir) => TextOps.chunkWindows(s, dir)),
     "t10_bm25"            -> ((s, dir) => TextOps.bm25TopK(s, dir)),
+    "t11_heavy_hitters"   -> ((s, dir) => TextOps.heavyHitters(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -635,6 +636,16 @@ object SparkEntry {
            SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS rk
            FROM scored WHERE score > 0)
+         WHERE rk <= 10 ORDER BY rk""",
+    "t11_heavy_hitters" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents
+         ), c AS (SELECT w, count(*) AS n FROM w GROUP BY 1)
+         SELECT rk, w, n FROM (
+           SELECT w, CAST(n AS BIGINT) AS n,
+             row_number() OVER (ORDER BY n DESC, w) AS rk
+           FROM c)
          WHERE rk <= 10 ORDER BY rk""",
     "x01_split_counts" ->
       """SELECT lang,

@@ -306,6 +306,44 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** t11: exact top-k tokens via a Misra-Gries candidate pass — the
+    * bounded-memory route to global heavy hitters:
+    *
+    *  1. one distributed pass folds every token into a
+    *     [[graft.functions.MisraGriesAggregator]] summary (O(capacity)
+    *     memory per partition, ≤ capacity entries shuffled per
+    *     partition — vs the full `groupBy(token)` shuffle of every
+    *     distinct token, the classic OOM at 100 TB vocabulary scale);
+    *  2. the ≤ capacity survivors — guaranteed to include every token
+    *     with frequency > n/(capacity+1) — become a broadcast `isin`
+    *     filter for a second pass that counts ONLY the candidates
+    *     exactly.
+    *
+    * Output is the exact top-k (count desc, token asc) and therefore
+    * deterministic and SQL-oracle-checkable, PROVIDED the true top-k
+    * all clear the n/(capacity+1) survival bar — the caller sizes
+    * `capacity` for that (here 64 against a ≤40-word synthetic
+    * vocabulary; the guarantee-vs-capacity trade is spec-checked with
+    * adversarial small capacities in CorpusOpsSpec). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(t(s, dir, "documents"), "text")
+
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   capacity: Int = 64, k: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
+    val mg = new graft.functions.MisraGriesAggregator(capacity).toColumn
+    val candidates = words.as[String].select(mg).head().keys.toSeq
+    val counts = words
+      .filter(col("w").isin(candidates.map(x => x: Any): _*))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("w"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "w", "n")
+      .orderBy("rk")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -103,6 +103,52 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.nonEmpty && got.map(_._3).sameElements(got.map(_._3).sorted.reverse))
   }
 
+  test("t11 heavy hitters equal the exact top-10 token counts") {
+    val counts = docs.flatMap(_._2.trim.split("\\s+")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    val expected = counts.sortBy { case (w, n) => (-n, w) }.take(10)
+      .zipWithIndex.map { case ((w, n), i) => (i + 1L, w, n) }
+    val got = TextOps.heavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("Misra-Gries laws: survival guarantee, undercount bound, mergeability") {
+    import graft.functions.MisraGriesAggregator
+    val rng = new scala.util.Random(42)
+    // skewed stream: item i drawn with weight ~ 1/(i+1) over 50 items
+    val stream = Seq.fill(20000) {
+      val u = rng.nextDouble()
+      var i = 0; var acc = 0.0
+      val z = (0 until 50).map(j => 1.0 / (j + 1)).sum
+      while ({ acc += 1.0 / ((i + 1) * z); acc < u && i < 49 }) i += 1
+      s"item$i"
+    }
+    val truth = stream.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val n = stream.size.toLong
+    for (c <- Seq(3, 8, 20)) {
+      val agg = new MisraGriesAggregator(c)
+      // single-pass fold, then a 4-way split merged pairwise (the
+      // partition/merge shapes Spark will actually run)
+      val whole = stream.foldLeft(agg.zero)(agg.reduce)
+      val parts = stream.grouped(stream.size / 4 + 1).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.reduce(agg.merge)
+      for (summary <- Seq(whole, merged)) {
+        assert(summary.size <= c, s"capacity $c exceeded: ${summary.size}")
+        val bound = n / (c + 1)
+        truth.foreach { case (item, f) =>
+          if (f > bound)
+            assert(summary.contains(item),
+              s"c=$c: item with freq $f > n/(c+1)=$bound evicted")
+          val est = summary.getOrElse(item, 0L)
+          assert(est <= f, s"c=$c: overcount $est > $f for $item")
+          assert(f - est <= bound, s"c=$c: undercount ${f - est} > $bound")
+        }
+      }
+    }
+  }
+
   test("x05 decontaminate matches string-shingle overlap with the test split") {
     def shingleSet(text: String): Set[String] = {
       val toks = text.trim.split("\\s+")
