@@ -76,6 +76,7 @@ object SparkEntry {
     "t09_chunk_windows"   -> ((s, dir) => TextOps.chunkWindows(s, dir)),
     "t10_bm25"            -> ((s, dir) => TextOps.bm25TopK(s, dir)),
     "t11_heavy_hitters"   -> ((s, dir) => TextOps.heavyHitters(s, dir)),
+    "t12_perplexity"      -> TextOps.perplexity,
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -647,6 +648,31 @@ object SparkEntry {
              row_number() OVER (ORDER BY n DESC, w) AS rk
            FROM c)
          WHERE rk <= 10 ORDER BY rk""",
+    "t12_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), bg AS (
+           SELECT doc_id, i - 1 AS pos, tk[CAST(i AS INT)] AS v,
+             tk[CAST(i + 1 AS INT)] AS w
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                 FROM toks WHERE len(tk) >= 2)
+         ), cvw AS (SELECT v, w, count(*) AS cvw FROM bg GROUP BY 1, 2
+         ), cv AS (SELECT v, count(*) AS cv FROM bg GROUP BY 1
+         ), vocab AS (
+           SELECT count(DISTINCT tk2) AS vsz
+           FROM (SELECT unnest(tk) AS tk2 FROM toks)
+         ), scored AS (
+           SELECT bg.doc_id, bg.pos,
+             ln((CAST(cvw AS DOUBLE) + 1.0)
+                / (CAST(cv AS DOUBLE) + CAST(vsz AS DOUBLE))) AS lnp
+           FROM bg JOIN cvw USING (v, w) JOIN cv USING (v) CROSS JOIN vocab)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(((-sum(lnp ORDER BY pos)) / CAST(count(*) AS DOUBLE))*1e4
+             + 0.5)/1e4 AS cross_entropy,
+           floor(exp((-sum(lnp ORDER BY pos)) / CAST(count(*) AS DOUBLE))*1e4
+             + 0.5)/1e4 AS ppl
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "x01_split_counts" ->
       """SELECT lang,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'

@@ -95,18 +95,19 @@ object TextOps {
     * count → windowed top-k. The shuffle key is (lang, bigram) — at
     * 100 TB add a map-side partial count (automatic) and a frequency
     * floor before the window to keep the rank shuffle tiny. */
-  def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    // one-pass JVM kernel: the column-expression formulation
-    // (transform(sequence, element_at×2)) evaluates interpreted per
-    // bigram — the same trap the dedup shingles hit (see Hashing)
-    val bigramsUdf = udf { text: String =>
-      if (text == null) Array.empty[String]
-      else {
-        val toks = text.trim.split("\\s+")
-        if (toks.length < 2) Array.empty[String]
-        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
-      }
+  // one-pass JVM kernel: the column-expression formulation
+  // (transform(sequence, element_at×2)) evaluates interpreted per
+  // bigram — the same trap the dedup shingles hit (see Hashing)
+  private val bigramsUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < 2) Array.empty[String]
+      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
     }
+  }
+
+  def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val counts = t(s, dir, "documents")
       .select(col("lang"), explode(bigramsUdf(col("text"))).as("bigram"))
       .groupBy("lang", "bigram")
@@ -342,6 +343,62 @@ object TextOps {
       .filter(col("rk") <= k)
       .select("rk", "w", "n")
       .orderBy("rk")
+  }
+
+  /** t12: bigram-LM perplexity scoring — the CCNet-style quality
+    * signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): train a smoothed bigram
+    * language model on the corpus, score every document by its
+    * cross-entropy under that model; low-perplexity ≈ fluent/typical,
+    * high ≈ noise. Here the LM is trained on the scored corpus itself
+    * (self-perplexity); a held-out LM slots in by passing a different
+    * `lmDocs`.
+    *
+    * Scale shape: the LM is two integer count tables (bigram, context)
+    * + the vocab size — built with plain groupBy aggregations (exact,
+    * map-side-combined) and joined back to the per-doc bigram stream
+    * on the bigram key. No model state on the driver, no UDF in the
+    * scoring path.
+    *
+    * Engine-exact determinism: every LM count is an integer; the only
+    * float math is ln((c(v,w)+1)/(c(v)+|V|)) per bigram — computed
+    * from exact ints — and the per-doc sum, which is folded over the
+    * doc's bigrams IN POSITION ORDER on both engines (Spark:
+    * fold over the pos-sorted collect_list; oracle: DuckDB's ordered
+    * aggregate `sum(lnp ORDER BY pos)`, verified bit-equal to a
+    * sequential left fold), then rounded to 4 decimals. */
+  def perplexity(s: SparkSession, dir: String): DataFrame =
+    perplexity(t(s, dir, "documents"), "doc_id", "text")
+
+  def perplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol), posexplode(bigramsUdf(col(textCol))).as(Seq("pos", "bg")))
+      .select(col(idCol), col("pos"),
+        substring_index(col("bg"), " ", 1).as("v"),
+        substring_index(col("bg"), " ", -1).as("w"))
+    val cvw = bg.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+    val cv = bg.groupBy("v").agg(count(lit(1)).as("cv"))
+    val vocab = docs.select(explode(tokensOf(col(textCol))).as("tk"))
+      .agg(count_distinct(col("tk")).as("vsz"))
+    // Laplace-smoothed conditional: p(w|v) = (c(v,w)+1) / (c(v)+|V|)
+    val scored = bg
+      .join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"),
+        log((col("cvw").cast("double") + lit(1.0)) /
+          (col("cv").cast("double") + col("vsz").cast("double"))).as("lnp"))
+    scored.groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+            st => st("lnp")),
+          lit(0.0), (a, x) => a + x).as("sumlnp"))
+      .select(col(idCol), col("n_bigrams"),
+        r4((-col("sumlnp")) / col("n_bigrams").cast("double")).as("cross_entropy"),
+        r4(exp((-col("sumlnp")) / col("n_bigrams").cast("double"))).as("ppl"))
+      .orderBy(idCol)
   }
 
   /** Document fingerprinting: md5 over whitespace-normalized lowered

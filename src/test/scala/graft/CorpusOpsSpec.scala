@@ -149,6 +149,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t12 perplexity matches a plain-Scala bigram-LM recomputation") {
+    val allBigrams = docs.flatMap { case (id, text) =>
+      val tk = text.trim.split("\\s+").toSeq
+      (0 until tk.size - 1).map(i => (id, i, tk(i), tk(i + 1)))
+    }
+    val cvw = allBigrams.groupBy(b => (b._3, b._4)).map { case (k, v) => (k, v.size.toLong) }
+    val cv = allBigrams.groupBy(_._3).map { case (k, v) => (k, v.size.toLong) }
+    val vsz = docs.flatMap(_._2.trim.split("\\s+")).distinct.size.toLong
+    val expected = allBigrams.groupBy(_._1).map { case (id, bgs) =>
+      val lnps = bgs.sortBy(_._2).map { case (_, _, v, w) =>
+        math.log((cvw((v, w)).toDouble + 1.0) / (cv(v).toDouble + vsz.toDouble))
+      }
+      val sum = lnps.foldLeft(0.0)(_ + _) // position-ordered left fold
+      val ce = -sum / bgs.size.toDouble
+      (id, bgs.size.toLong, r4(ce), r4(math.exp(ce)))
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.perplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // sanity: every ce positive (probabilities < 1), ppl = exp(ce) > 1
+    got.foreach { case (id, n, ce, ppl) =>
+      assert(n > 0 && ce > 0 && ppl > 1, s"doc $id: n=$n ce=$ce ppl=$ppl")
+    }
+  }
+
   test("x05 decontaminate matches string-shingle overlap with the test split") {
     def shingleSet(text: String): Set[String] = {
       val toks = text.trim.split("\\s+")
