@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
+import graft.operators.{Checks, Curation, Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -86,6 +86,7 @@ object SparkEntry {
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
+    "v01_quality_checks"  -> Checks.ordersContract,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -673,6 +674,24 @@ object SparkEntry {
            floor(exp((-sum(lnp ORDER BY pos)) / CAST(count(*) AS DOUBLE))*1e4
              + 0.5)/1e4 AS ppl
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "v01_quality_checks" ->
+      """WITH m AS (SELECT
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             AS nn,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS uq,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+             AS DOUBLE) AS st
+         FROM orders)
+         SELECT * FROM (
+           SELECT 'not_null(o_custkey)' AS chk, nn AS metric, nn = 0 AS passed
+             FROM m
+           UNION ALL SELECT 'unique(o_orderkey)', uq, uq = 0 FROM m
+           UNION ALL SELECT 'min_bound(o_totalprice)', mn, mn >= 0 FROM m
+           UNION ALL SELECT 'max_bound(o_totalprice)', mx, mx <= 100000 FROM m
+           UNION ALL SELECT 'in_set(o_orderstatus)', st, st = 0 FROM m)
+         ORDER BY chk""",
     "x01_split_counts" ->
       """SELECT lang,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'

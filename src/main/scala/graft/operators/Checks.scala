@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Declarative data-quality constraints, Deequ-style (Schelter et al.,
+  * "Automating Large-Scale Data Quality Verification", VLDB 2018): a
+  * pipeline declares the invariants its tables must satisfy and gets a
+  * (check, metric, passed) report — the gate a curation/ingest job
+  * runs before publishing a snapshot.
+  *
+  * Scale shape: EVERY declared check folds into ONE aggregate pass
+  * over the table (all metrics are native map-side-combinable
+  * aggregates — counts, count-distinct, min/max), and the report rows
+  * are exploded from the single 1-row result. One scan, one tiny
+  * shuffle, regardless of how many checks are declared. Metrics are
+  * integer counts or exact min/max — no float accumulation, so the
+  * report is engine-exact and oracle-checkable.
+  */
+object Checks {
+
+  sealed trait Check {
+    /** Stable report key, e.g. `not_null(o_custkey)`. */
+    def id: String
+    /** The aggregate expression producing this check's metric. */
+    def metric: Column
+    /** Pass/fail verdict over the computed metric. */
+    def verdict(m: Column): Column
+  }
+
+  /** Violations = rows where the column is null; pass iff 0. */
+  final case class NotNull(c: String) extends Check {
+    val id = s"not_null($c)"
+    def metric: Column = sum(col(c).isNull.cast("long")).cast("double")
+    def verdict(m: Column): Column = m === 0.0
+  }
+
+  /** Violations = rows − distinct values; pass iff 0 (key property). */
+  final case class Unique(c: String) extends Check {
+    val id = s"unique($c)"
+    def metric: Column = (count(lit(1)) - count_distinct(col(c))).cast("double")
+    def verdict(m: Column): Column = m === 0.0
+  }
+
+  /** Metric = observed min; pass iff min ≥ lo. */
+  final case class MinBound(c: String, lo: Double) extends Check {
+    val id = s"min_bound($c)"
+    def metric: Column = min(col(c)).cast("double")
+    def verdict(m: Column): Column = m >= lo
+  }
+
+  /** Metric = observed max; pass iff max ≤ hi. */
+  final case class MaxBound(c: String, hi: Double) extends Check {
+    val id = s"max_bound($c)"
+    def metric: Column = max(col(c)).cast("double")
+    def verdict(m: Column): Column = m <= hi
+  }
+
+  /** Violations = rows whose value is outside the allowed set (nulls
+    * count as violations); pass iff 0. */
+  final case class InSet(c: String, allowed: Seq[String]) extends Check {
+    val id = s"in_set($c)"
+    def metric: Column =
+      sum(when(col(c).isin(allowed.map(x => x: Any): _*), 0L).otherwise(1L))
+        .cast("double")
+    def verdict(m: Column): Column = m === 0.0
+  }
+
+  /** Run every check in ONE aggregate pass; report (chk, metric,
+    * passed) sorted by check id. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    val metricCols = checks.zipWithIndex.map { case (c, i) => c.metric.as(s"m$i") }
+    val one = df.agg(metricCols.head, metricCols.tail: _*)
+    one.select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.id).as("chk"), col(s"m$i").as("metric"),
+          c.verdict(col(s"m$i")).as("passed"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("chk")
+  }
+
+  /** v01: the orders-table contract — keys unique, FK non-null, price
+    * positive, status in its domain — plus one deliberately-failing
+    * bound (max ≤ 100k) so the report demonstrates both verdicts. */
+  def ordersContract(s: SparkSession, dir: String): DataFrame =
+    run(t(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Unique("o_orderkey"),
+      MinBound("o_totalprice", 0.0),
+      MaxBound("o_totalprice", 100000.0),
+      InSet("o_orderstatus", Seq("O", "F", "P"))))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.operators.Checks
+import graft.operators.Checks._
+
+/** The declarative data-quality gate (v01): verdict semantics on
+  * crafted frames, and the one-scan plan contract. */
+class ChecksSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("each check type flags exactly its violations") {
+    val df = Seq(
+      (Some(1L), "a", 5.0, "O"),
+      (Some(2L), "b", -1.0, "F"),
+      (None, "b", 50.0, "Z") // null id, dup key b, bad status Z
+    ).toDF("id", "k", "price", "status")
+    val got = Checks.run(df, Seq(
+        NotNull("id"), Unique("k"), MinBound("price", 0.0),
+        MaxBound("price", 10.0), InSet("status", Seq("O", "F"))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      ("in_set(status)", 1.0, false),
+      ("max_bound(price)", 50.0, false),
+      ("min_bound(price)", -1.0, false),
+      ("not_null(id)", 1.0, false),
+      ("unique(k)", 1.0, false)))
+    // and the all-pass shape
+    val ok = Checks.run(df.filter($"id".isNotNull && $"price".between(0, 10)
+        && $"status".isin("O", "F")),
+      Seq(NotNull("id"), MinBound("price", 0.0), InSet("status", Seq("O", "F"))))
+      .collect()
+    assert(ok.forall(_.getBoolean(2)), ok.mkString(","))
+  }
+
+  test("null values count as in_set violations") {
+    val df = Seq(Some("O"), None, Some("X")).toDF("s")
+    val got = Checks.run(df, Seq(InSet("s", Seq("O")))).collect()
+    assert(got.head.getDouble(1) == 2.0 && !got.head.getBoolean(2))
+  }
+
+  test("v01 orders contract: one parquet scan no matter how many checks") {
+    val report = Checks.ordersContract(spark, sf)
+    val plan = report.queryExecution.executedPlan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum +
+        other.subqueries.map(scans).sum
+    }
+    assert(scans(plan) == 1, s"expected exactly one scan:\n$plan")
+    val rows = report.collect()
+    assert(rows.length == 5)
+    // the deliberately-failing bound fails; the contract checks pass
+    val byId = rows.map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!byId("max_bound(o_totalprice)"))
+    assert(byId("not_null(o_custkey)") && byId("unique(o_orderkey)")
+      && byId("min_bound(o_totalprice)") && byId("in_set(o_orderstatus)"))
+  }
+}
