@@ -77,6 +77,7 @@ object SparkEntry {
     "t10_bm25"            -> ((s, dir) => TextOps.bm25TopK(s, dir)),
     "t11_heavy_hitters"   -> ((s, dir) => TextOps.heavyHitters(s, dir)),
     "t12_perplexity"      -> TextOps.perplexity,
+    "t13_bpe_merges"      -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,

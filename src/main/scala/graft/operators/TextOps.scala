@@ -401,6 +401,75 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  // left-to-right greedy pair merge — the sequential inner step of BPE
+  // (overlaps resolve leftmost: aaa + (a,a) → [aa, a]); a JVM kernel
+  // because the step is inherently order-dependent, not expressible as
+  // a per-element HOF
+  private val mergePairUdf = udf { (syms: Seq[String], a: String, b: String) =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** t13: byte-pair-encoding merge training (Sennrich et al., "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+    * tokenizer induction as a distributed job. The corpus collapses to
+    * the (distinct word, frequency) table — THAT is the distributed
+    * frame (at 100 TB: one token-count shuffle, then every merge
+    * iteration scans the distinct-word table, never the corpus) — and
+    * each of the `nMerges` rounds is:
+    *
+    *   1. weighted adjacent-symbol-pair counts (posexplode + groupBy —
+    *      map-side combined, exact integers);
+    *   2. argmax pair, ties to the lexicographically smallest — ONE
+    *      collected row of driver model state per round, like the
+    *      k-means centroids;
+    *   3. apply the merge to every word's symbol array (narrow map).
+    *
+    * Output: the merge table (rank, left, right, merged, weighted
+    * count) — deterministic, so the driver's rows-only check is stable;
+    * exactness is pinned by the Scala recomputation in CorpusOpsSpec
+    * (no SQL oracle: the loop is iterative-stateful). Words carry an
+    * end-of-word marker `</w>` so learned units respect boundaries. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(t(s, dir, "documents"), "text")
+
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = docs
+      .select(explode(tokensOf(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", // split("", -1) keeps a trailing "" — drop it
+        concat(filter(split(col("word"), ""), x => x =!= lit("")),
+          array(lit("</w>"))))
+      .localCheckpoint() // the merge loop re-reads it nMerges times
+    var cur = words
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val pairCols = posexplode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("a"),
+          element_at(col("syms"), i + 2).as("b"))))
+      val best = cur.filter(size(col("syms")) >= 2)
+        .select(col("freq"), pairCols.as(Seq("pos", "p")))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .head()
+      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((rank.toLong, a, b, a + b, n))
+      cur = cur.withColumn("syms", mergePairUdf(col("syms"), lit(a), lit(b)))
+        .localCheckpoint()
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "n")
+      .orderBy("rank")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -174,6 +174,39 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t13 BPE merges match the classic algorithm run in plain Scala") {
+    // reference implementation: word-freq dict, greedy leftmost merges
+    var vocab: Map[Seq[String], Long] = docs.flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.split("").toSeq :+ "</w>", ws.size.toLong)
+      }
+    def mergeSeq(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val expected = (1 to 8).map { rank =>
+      val counts = vocab.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f))
+      }.groupBy(_._1).map { case (p, v) => (p, v.map(_._2).sum) }
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.toSeq.map { case (syms, f) => (mergeSeq(syms, a, b), f) }
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      (rank.toLong, a, b, a + b, n)
+    }
+    val got = TextOps.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // merged units must compose their parts
+    got.foreach { case (_, a, b, m, n) => assert(m == a + b && n > 0) }
+  }
+
   test("x05 decontaminate matches string-shingle overlap with the test split") {
     def shingleSet(text: String): Set[String] = {
       val toks = text.trim.split("\\s+")
