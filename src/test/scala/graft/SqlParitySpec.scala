@@ -37,9 +37,10 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL is dialect-portable enough to run VERBATIM
     * in Spark (the rest use DuckDB-isms: strftime, unnest,
     * regexp_split_to_array, quantile_cont, `//`, the 'g' regexp flag).
-    * 22 of 61 — the whole scan/join/aggregate/window/set-op warehouse
-    * surface plus the range join and the custom top-k (whose SQL form
-    * is the row_number window the custom plan must agree with). */
+    * 23 of 71 — the whole scan/join/aggregate/window/set-op warehouse
+    * surface plus the range join, the custom top-k (whose SQL form
+    * is the row_number window the custom plan must agree with), and
+    * the v01 quality-check report. */
   private val portable = Seq(
     "j02_range_join",
     "q01_pricing_summary", "q02_filter_project", "q03_ship_priority",
@@ -48,7 +49,7 @@ class SqlParitySpec extends SparkSuite {
     "q11_anti_join", "q12_distinct_agg", "q15_having", "q17_cube",
     "q18_above_cust_avg", "q21_market_share", "q22_string_match",
     "q24_dormant_rich", "q26_multiset_ops", "q27_running_window",
-    "q31_topk_per_group")
+    "q31_topk_per_group", "v01_quality_checks")
 
   portable.foreach { name =>
     test(s"$name: oracle SQL runs verbatim via spark.sql and equals the DataFrame form") {
