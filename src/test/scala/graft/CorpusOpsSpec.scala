@@ -79,6 +79,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t09 chunking laws hold across width/stride combos") {
+    val frame = spark.read.parquet(s"$sf/documents.parquet")
+    val nToks = docs.map { case (id, text) => (id, text.trim.split("\\s+").length) }.toMap
+    for ((w, s) <- Seq((16, 16), (20, 10), (50, 50), (40, 15))) {
+      val rows = TextOps.chunkWindows(frame, "doc_id", "text", w, s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc.keySet == nToks.keySet)
+      byDoc.foreach { case (id, cks) =>
+        val n = nToks(id)
+        val expectChunks = 1 + (math.max(0, n - w) + s - 1) / s
+        assert(cks.length == expectChunks, s"(w=$w,s=$s) doc $id chunk count")
+        val ordered = cks.sortBy(_._2)
+        // every chunk but the tail is full when it fits; tail covers to n
+        ordered.init.foreach(c => assert(c._3 == w, s"(w=$w,s=$s) short mid-chunk"))
+        val tailStart = (expectChunks - 1) * s
+        assert(ordered.last._3 == math.min(w, n - tailStart).toLong)
+        // reassembly: token stream is preserved
+        val reassembled = ordered.head._4.split(" ").toSeq ++
+          ordered.tail.toSeq.flatMap(_._4.split(" ").drop(w - s).toSeq)
+        assert(reassembled.size == n, s"(w=$w,s=$s) doc $id coverage")
+      }
+    }
+  }
+
   test("t10 BM25 matches a plain-Scala computation of the Okapi formula") {
     val terms = Seq("customer", "window", "query")
     val k1 = 1.2; val b = 0.75
