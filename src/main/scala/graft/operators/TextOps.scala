@@ -450,7 +450,9 @@ object TextOps {
       .localCheckpoint() // the merge loop re-reads it nMerges times
     var cur = words
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (rank <- 1 to nMerges) {
+    var rank = 1
+    var drained = false
+    while (rank <= nMerges && !drained) {
       val pairCols = posexplode(transform(
         sequence(lit(0), size(col("syms")) - 2),
         i => struct(element_at(col("syms"), i + 1).as("a"),
@@ -460,11 +462,16 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(desc("n"), asc("a"), asc("b"))
-        .head()
-      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((rank.toLong, a, b, a + b, n))
-      cur = cur.withColumn("syms", mergePairUdf(col("syms"), lit(a), lit(b)))
-        .localCheckpoint()
+        .limit(1).collect()
+      best.headOption match {
+        case None => drained = true // every word is one symbol — done
+        case Some(r) =>
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((rank.toLong, a, b, a + b, n))
+          cur = cur.withColumn("syms", mergePairUdf(col("syms"), lit(a), lit(b)))
+            .localCheckpoint()
+          rank += 1
+      }
     }
     merges.result().toDF("rank", "left", "right", "merged", "n")
       .orderBy("rank")

@@ -232,6 +232,16 @@ class CorpusOpsSpec extends SparkSuite {
     got.foreach { case (_, a, b, m, n) => assert(m == a + b && n > 0) }
   }
 
+  test("t13 BPE stops early when every word collapses to one symbol") {
+    import spark.implicits._
+    // two 2-char words: only 3 possible merges exist (ab, ab</w>, cd…)
+    val tiny = Seq("ab", "ab", "cd").toDF("text")
+    val got = TextOps.bpeMerges(tiny, "text", nMerges = 50).collect()
+    assert(got.length < 50 && got.nonEmpty)
+    // after the learned merges, re-applying them collapses each word
+    assert(got.forall(_.getLong(4) > 0))
+  }
+
   test("x05 decontaminate matches string-shingle overlap with the test split") {
     def shingleSet(text: String): Set[String] = {
       val toks = text.trim.split("\\s+")
