@@ -26,45 +26,56 @@ object Checks {
     def id: String
     /** The aggregate expression producing this check's metric. */
     def metric: Column
-    /** Pass/fail verdict over the computed metric. */
+    /** Pass/fail verdict over the computed metric. Must be NON-NULL for
+      * every metric value the check can produce, including the
+      * empty-table case — a gate filtering `passed = false` must not
+      * silently skip a NULL verdict, and `getBoolean` must not NPE. */
     def verdict(m: Column): Column
   }
 
-  /** Violations = rows where the column is null; pass iff 0. */
+  /** Violations = rows where the column is null; pass iff 0.
+    * Empty table: 0 violations (sum() is NULL over zero rows, so the
+    * count is coalesced), vacuously passing. */
   final case class NotNull(c: String) extends Check {
     val id = s"not_null($c)"
-    def metric: Column = sum(col(c).isNull.cast("long")).cast("double")
+    def metric: Column =
+      coalesce(sum(col(c).isNull.cast("long")), lit(0L)).cast("double")
     def verdict(m: Column): Column = m === 0.0
   }
 
-  /** Violations = rows − distinct values; pass iff 0 (key property). */
+  /** Violations = rows − distinct values; pass iff 0 (key property).
+    * count()/count_distinct() are 0 (never NULL) on an empty table, so
+    * the empty case passes vacuously with metric 0. */
   final case class Unique(c: String) extends Check {
     val id = s"unique($c)"
     def metric: Column = (count(lit(1)) - count_distinct(col(c))).cast("double")
     def verdict(m: Column): Column = m === 0.0
   }
 
-  /** Metric = observed min; pass iff min ≥ lo. */
+  /** Metric = observed min; pass iff min ≥ lo. Empty table: there is no
+    * observed min — metric stays NULL (honest) but the verdict is a
+    * definite vacuous `true`, never NULL. */
   final case class MinBound(c: String, lo: Double) extends Check {
     val id = s"min_bound($c)"
     def metric: Column = min(col(c)).cast("double")
-    def verdict(m: Column): Column = m >= lo
+    def verdict(m: Column): Column = coalesce(m >= lo, lit(true))
   }
 
-  /** Metric = observed max; pass iff max ≤ hi. */
+  /** Metric = observed max; pass iff max ≤ hi. Empty-table semantics as
+    * [[MinBound]]: NULL metric, vacuously-true non-null verdict. */
   final case class MaxBound(c: String, hi: Double) extends Check {
     val id = s"max_bound($c)"
     def metric: Column = max(col(c)).cast("double")
-    def verdict(m: Column): Column = m <= hi
+    def verdict(m: Column): Column = coalesce(m <= hi, lit(true))
   }
 
   /** Violations = rows whose value is outside the allowed set (nulls
-    * count as violations); pass iff 0. */
+    * count as violations); pass iff 0. Empty table: 0 violations. */
   final case class InSet(c: String, allowed: Seq[String]) extends Check {
     val id = s"in_set($c)"
     def metric: Column =
-      sum(when(col(c).isin(allowed.map(x => x: Any): _*), 0L).otherwise(1L))
-        .cast("double")
+      coalesce(sum(when(col(c).isin(allowed.map(x => x: Any): _*), 0L)
+        .otherwise(1L)), lit(0L)).cast("double")
     def verdict(m: Column): Column = m === 0.0
   }
 

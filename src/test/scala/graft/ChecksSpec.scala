@@ -42,6 +42,24 @@ class ChecksSpec extends SparkSuite {
     assert(got.head.getDouble(1) == 2.0 && !got.head.getBoolean(2))
   }
 
+  test("empty table: count metrics are 0, every verdict non-null (vacuous pass)") {
+    val df = Seq((Some(1L), "a", 5.0, "O")).toDF("id", "k", "price", "status")
+      .filter($"price" < 0) // empty, schema intact
+    val got = Checks.run(df, Seq(
+        NotNull("id"), Unique("k"), MinBound("price", 0.0),
+        MaxBound("price", 10.0), InSet("status", Seq("O", "F"))))
+      .collect()
+    // getBoolean must not NPE on any row, and all pass vacuously
+    assert(got.forall(r => !r.isNullAt(2) && r.getBoolean(2)), got.mkString(","))
+    val byId = got.map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // violation counts coalesce to 0; bounds honestly report "no observed value"
+    assert(byId("not_null(id)").contains(0.0))
+    assert(byId("unique(k)").contains(0.0))
+    assert(byId("in_set(status)").contains(0.0))
+    assert(byId("min_bound(price)").isEmpty && byId("max_bound(price)").isEmpty)
+  }
+
   test("v01 orders contract: one parquet scan no matter how many checks") {
     val report = Checks.ordersContract(spark, sf)
     val plan = report.queryExecution.executedPlan
