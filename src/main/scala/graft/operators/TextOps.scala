@@ -299,12 +299,27 @@ object TextOps {
     val scored = perDoc.crossJoin(broadcast(stats))
       .select(col(idCol), r4(score).as("score"))
       .filter(col("score") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("score"), col(idCol).asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    globalTopK(scored, Seq(("score", false), (idCol, true)), k)
       .select("rk", idCol, "score")
       .orderBy("rk")
+  }
+
+  /** Global top-k with an explicit 1-based `rk` column, routed through
+    * [[graft.plans.TopKPerGroup]]'s AllTuples path: each map partition
+    * reduces to its local k rows BEFORE the single-partition merge, so
+    * only k×partitions rows funnel into one task — unlike a
+    * partition-less `row_number().over(Window)`, which drags EVERY
+    * scored row through a single task's sort. The residual Window here
+    * ranks only the k survivors (k rows, one tiny task). `orderBy`
+    * must be a total order (include an id tie-breaker). */
+  private def globalTopK(df: DataFrame,
+                         orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val top = graft.plans.TopKPerGroup.topKPerGroup(df, Seq.empty, orderBy, k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy.map {
+      case (c, true) => col(c).asc
+      case (c, false) => col(c).desc
+    }: _*)
+    top.withColumn("rk", row_number().over(w).cast("long"))
   }
 
   /** t11: exact top-k tokens via a Misra-Gries candidate pass — the
@@ -338,9 +353,11 @@ object TextOps {
     val counts = words
       .filter(col("w").isin(candidates.map(x => x: Any): _*))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("w"))
-    counts.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    // counts is already ≤ capacity rows post-aggregate, but route the
+    // rank through the same AllTuples top-k as bm25 anyway — free here,
+    // and the claim "never a full-corpus single-task sort" stays true
+    // for any capacity.
+    globalTopK(counts, Seq(("n", false), ("w", true)), k)
       .select("rk", "w", "n")
       .orderBy("rk")
   }
