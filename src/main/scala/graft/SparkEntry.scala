@@ -97,6 +97,8 @@ object SparkEntry {
     "d06_capped_jaccard"  -> ((s, dir) => Dedup.cappedNgramJaccard(s, dir)),
     "d07_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
     "d08_keep_best"       -> ((s, dir) => Dedup.keepBest(s, dir)),
+    "d09_embedding_clusters_lsh" -> ((s, dir) => Similarity.embeddingClustersLsh(s, dir)),
+    "d10_keep_best_lsh"   -> ((s, dir) => Dedup.keepBestLsh(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
@@ -894,6 +896,41 @@ object SparkEntry {
          FROM inter WHERE round(i * 1.0 / (n_a + n_b - i), 4) >= 0.7
          ORDER BY doc_a, doc_b""",
     "d08_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a
+           JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.7
+         ), edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         ), clusters AS (
+           SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n
+         ), sel AS (
+           SELECT c.cluster, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY c.cluster) AS n_members
+           FROM clusters c JOIN documents d USING (doc_id))
+         SELECT cluster, doc_id AS kept_doc_id, n_chars AS kept_chars, n_members
+         FROM sel WHERE rk = 1 ORDER BY cluster""",
+    // d10 = the minhash-banded composition; it carries d08's EXACT
+    // oracle because the band recall is 1.0 on this corpus at the 0.7
+    // threshold (d02 ≡ d03; DedupSpec pins pair-set equality at the
+    // correctness SFs), so LSH-sourced clusters == exact clusters.
+    "d10_keep_best_lsh" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
          ), sh AS (

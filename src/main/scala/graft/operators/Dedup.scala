@@ -232,9 +232,31 @@ object Dedup {
     * join (the cluster map covers only docs that appear in a pair —
     * vastly smaller than the corpus) and one window over clusters,
     * whose partitions are near-dup groups: small by construction. */
-  def keepBest(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    val members = dupClusters(s, dir, threshold)
-      .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+  def keepBest(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    keepBestFrom(dupClusters(s, dir, threshold),
+      t(s, dir, "documents").select("doc_id", "n_chars"))
+
+  /** d10: the same selection fed from the SCALABLE pair source —
+    * [[minhashLsh]] banded candidates (exact-Jaccard re-ranked) into
+    * the pair-source-agnostic CC core into [[keepBestFrom]]. This is
+    * the composition a 100 TB dedup actually runs end-to-end; it
+    * carries d08's EXACT oracle because the minhash band recall is
+    * 1.0 on this corpus at the 0.7 Jaccard threshold (d02 ≡ d03 every
+    * round; DedupSpec pins the pair-set equality at sf0.001 and
+    * sf0.01, the correctness SF). */
+  def keepBestLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    keepBestFrom(
+      dupClusters(minhashLsh(s, dir, threshold).select("doc_a", "doc_b")),
+      t(s, dir, "documents").select("doc_id", "n_chars"))
+
+  /** Generic canonical selection over any (doc_id, cluster) frame:
+    * keep the member with the most content (ties to the smallest id),
+    * report the member count. The cluster map covers only docs that
+    * appear in a pair — vastly smaller than the corpus — so the join
+    * is broadcast-sized and the window partitions are near-dup
+    * groups: small by construction. */
+  def keepBestFrom(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val members = clusters.join(docs, "doc_id")
     val w = Window.partitionBy("cluster")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     members

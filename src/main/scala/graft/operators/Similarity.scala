@@ -98,10 +98,14 @@ object Similarity {
   /** Sign-LSH bucket key: `nPlanes` hyperplane sign bits packed into a
     * string key. Vectors in the same bucket are candidate neighbors.
     * Each plane is ONE array literal (`typedlit`, not 64 scalar
-    * literals) and the projection is the codegen'd dot product. */
-  def lshBucket(v: Column, nPlanes: Int = 12, dim: Int = 64): Column =
+    * literals) and the projection is the codegen'd dot product.
+    * `planeOffset` selects a disjoint plane set, so multi-table LSH
+    * ([[lshPairsMulti]]) gets independent hash tables from the same
+    * deterministic plane family. */
+  def lshBucket(v: Column, nPlanes: Int = 12, dim: Int = 64,
+                planeOffset: Int = 0): Column =
     concat_ws("", (0 until nPlanes).map { i =>
-      when(dot(v, typedlit(plane(i, dim))) >= 0, "1").otherwise("0")
+      when(dot(v, typedlit(plane(planeOffset + i, dim))) >= 0, "1").otherwise("0")
     }: _*)
 
   /** LSH-bucketed near-neighbor pairs: shuffle on the bucket key, exact
@@ -121,6 +125,68 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** Multi-table sign-LSH near-neighbor pairs: `nTables` independent
+    * hash tables (disjoint `nPlanes`-plane sets from the deterministic
+    * SplitMix64 family), a pair is a candidate if it collides in ANY
+    * table (the OR-construction that buys recall), and every candidate
+    * is re-ranked with the EXACT cosine — so precision is exactly 1.0
+    * (output ⊆ [[cosinePairs]], same `cos` values) and only recall is
+    * probabilistic, at per-pair hit rate 1 − (1 − p^nPlanes)^nTables,
+    * p = 1 − θ/π. On real near-dup corpora (cos ≥ 0.9 ⇒ p ≥ 0.86) the
+    * defaults give per-pair recall > 0.999; on uniform data where all
+    * threshold survivors sit AT the threshold (this repo's synthetic
+    * embeddings), recall is structurally capped — LshClusterSpec pins
+    * both regimes.
+    *
+    * Scale shape: one narrow pass computes all table keys, one
+    * posexplode → shuffle on (table, key), per-bucket self-join, exact
+    * dot inline (the vectors are already in the joined rows — no
+    * second join back to the corpus), then a pair-level distinct.
+    * Candidate volume is sized by nPlanes (bucket count 2^nPlanes per
+    * table): more planes = smaller buckets = fewer candidates and
+    * lower recall; more tables = linearly more candidates and higher
+    * recall. */
+  def lshPairsMulti(embFrame: DataFrame, threshold: Double, nTables: Int,
+                    nPlanes: Int, dim: Int): DataFrame = {
+    val keys = array((0 until nTables).map { tb =>
+      lshBucket(col("v"), nPlanes, dim, planeOffset = tb * nPlanes)
+    }: _*)
+    val keyed = embFrame
+      .select(col("vec_id"), col("v"), col("nrm"), posexplode(keys).as(Seq("tb", "key")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.tb") === col("b.tb") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      // duplicates (pairs colliding in several tables) carry identical
+      // (id_a, id_b, cos) rows, so this distinct is deterministic
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  def lshPairsMulti(s: SparkSession, dir: String, threshold: Double = 0.4,
+                    nTables: Int = 12, nPlanes: Int = 8): DataFrame =
+    lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  /** d09: the 100 TB twin of [[embeddingClusters]] — the SAME
+    * pair-source-agnostic star-contraction CC core, fed from
+    * [[lshPairsMulti]] instead of the exact O(n²) pair join. This is
+    * the composition a real dedup deploys: banded/bucketed candidate
+    * generation, exact re-rank, then clustering. Rows-only check
+    * (bucketing recall is probabilistic — no SQL oracle can express
+    * the seeded hyperplanes); LshClusterSpec asserts the deterministic
+    * laws instead: pairs ⊆ exact pairs, every LSH cluster refines an
+    * exact cluster, and on planted near-dup data (cos ≥ 0.97) the LSH
+    * clustering is IDENTICAL to the exact one. */
+  def embeddingClustersLsh(s: SparkSession, dir: String,
+                           threshold: Double = 0.4, nTables: Int = 12,
+                           nPlanes: Int = 8): DataFrame =
+    Dedup.dupClusters(lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
 
   /** Symmetric per-vector int8 quantization: q_i = half-up-round of
     * v_i·127/max|v|, values in [-127, 127] (kept in a double array so

@@ -116,4 +116,21 @@ class DedupSpec extends SparkSuite {
       assert(r.getAs[Long]("n_members") >= 2, "pair-derived clusters have ≥2 members")
     }
   }
+
+  test("d10 keepBestLsh (minhash-sourced) is identical to the exact d08 path") {
+    val lsh = Dedup.keepBestLsh(spark, sf).collect().map(_.toSeq).toSeq
+    val exact = Dedup.keepBest(spark, sf).collect().map(_.toSeq).toSeq
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
+
+  test("minhash band recall is 1.0 at sf0.01 too (the correctness SF)") {
+    val dir = "/root/testdata/sf0.01"
+    val lsh = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
 }
