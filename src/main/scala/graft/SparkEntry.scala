@@ -110,6 +110,8 @@ object SparkEntry {
     "s08_ann_quantized"   -> ((s, dir) => Similarity.annQuantized(s, dir)),
     "s09_ann_pq"          -> ((s, dir) => Similarity.annPq(s, dir)),
     "s10_ann_ivfpq"       -> ((s, dir) => Similarity.annIvfPq(s, dir)),
+    "s11_ann_pq_fitserve" -> ((s, dir) => Similarity.annPqFitServe(s, dir,
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}")),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

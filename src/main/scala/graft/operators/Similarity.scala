@@ -353,10 +353,13 @@ object Similarity {
     * lever is CORPUS MEMORY, complementing [[annKmeansIvf]] (probe
     * pruning) and [[annQuantized]] (scalar int8):
     *
-    *  1. split each L2-normalized vector into `m` subvectors; fit an
-    *     independent `codebookSize`-centroid L2 k-means codebook per
-    *     subspace (distributed Lloyd's — the codebooks are m×k×(dim/m)
-    *     doubles of driver model state, every fit pass is a corpus scan);
+    *  1. split each L2-normalized vector into `m` subvectors; a
+    *     `codebookSize`-centroid L2 k-means codebook per subspace comes
+    *     from the FIT-ONCE [[PqModel]] — trained driver-side on a
+    *     bounded deterministic sample (one collect, zero per-iteration
+    *     jobs; Jégou trains on a learning subset too) and either fit
+    *     inline or passed in pre-trained via `model` after
+    *     [[PqModel.save]]/[[PqModel.load]];
     *  2. ENCODE: corpus rows carry only their m code ids from then on —
     *     m bytes instead of dim floats (64-dim float → 8 bytes here,
     *     32× smaller), which is what lets a 100 TB corpus' index live
@@ -377,24 +380,22 @@ object Similarity {
     * cell first, PQ-ADC inside the cell, exact re-rank of the top C. */
   def annPq(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
             m: Int = 8, codebookSize: Int = 32, iters: Int = 3,
-            rerank: Int = 100): DataFrame = {
+            rerank: Int = 100, model: Option[PqModel] = None,
+            sampleCap: Int = 4096): DataFrame = {
     import s.implicits._
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
-      .localCheckpoint() // read per fit pass + once to encode + re-rank
-    val dim = normed.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    // all m subspaces fit TOGETHER on one exploded (vec_id, j, sv)
-    // frame: one init collect + ONE assignment/update job per Lloyd
-    // iteration for the whole codebook set (m separate fits would run
-    // m×(iters+1) serial jobs — pure scheduler overhead at any scale)
-    val subs = normed.select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("v"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
-      .localCheckpoint()
-    val books = fitPqBooks(subs, codebookSize, iters)
+      .localCheckpoint() // read to sample/fit + encode + re-rank
+    // fit-once model state: either passed in (the serve path — fit
+    // elsewhere, persisted via PqModel.save/load) or fit here from a
+    // bounded deterministic sample in ONE collect — no per-iteration
+    // driver-synced jobs (the r4 s09 bottleneck)
+    val mdl = model.getOrElse(
+      PqModel.fit(PqModel.sampleVectors(normed, sampleCap), m, codebookSize, iters))
+    require(mdl.m == m, s"model has ${mdl.m} subspaces, expected $m")
+    val sub = mdl.sub
+    val books = mdl.books
     val codeCols = (0 until m).map { j =>
       pqCode(slice(col("v"), j * sub + 1, sub), lit(j), books)
     }
@@ -412,33 +413,21 @@ object Similarity {
     adcRerank(scored, normed, nQueries, k, rerank)
   }
 
-  /** One joint Lloyd fit of all m PQ codebooks over an exploded
-    * (vec_id, j, sv) subvector frame: init = subspace slices of the
-    * first `codebookSize` vectors by vec_id, then one assignment/update
-    * job per iteration for the WHOLE codebook set (m separate fits
-    * would run m×(iters+1) serial jobs — scheduler overhead at any
-    * scale). Returns books(j)(c) = the c-th centroid of subspace j. */
-  private def fitPqBooks(subs: DataFrame, codebookSize: Int,
-                         iters: Int): Array[Array[Array[Double]]] = {
-    var books: Array[Array[Array[Double]]] =
-      subs.filter(col("vec_id") < codebookSize)
-        .orderBy("vec_id").collect()
-        .groupBy(_.getAs[Int]("j")).toArray.sortBy(_._1)
-        .map(_._2.map(_.getSeq[Double](2).toArray))
-    for (_ <- 1 to iters) {
-      val sums = subs
-        .withColumn("c", pqCode(col("sv"), col("j"), books))
-        .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("j", "c", "pos").agg(avg("x").as("mu"))
-        .collect() // m×k×(dim/m) rows — model-state-sized
-      val next = books.map(_.map(_.clone()))
-      sums.foreach { r =>
-        next(r.getAs[Int]("j"))(r.getAs[Int]("c"))(r.getAs[Int]("pos")) =
-          r.getAs[Double]("mu")
-      }
-      books = next // empty cells keep their previous centroid
-    }
-    books
+  /** The full fit-once / persist / serve lifecycle as ONE operator
+    * (s11): fit the PQ model from a bounded sample, [[PqModel.save]]
+    * it, [[PqModel.load]] it back, and answer the query from the
+    * LOADED model — proving the persisted artifact carries the whole
+    * model. At 100 TB the three phases run as separate jobs (fit once,
+    * serve many); this registered form exercises the seam end-to-end. */
+  def annPqFitServe(s: SparkSession, dir: String, modelPath: String,
+                    m: Int = 8, codebookSize: Int = 32,
+                    iters: Int = 3): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+    val mdl = PqModel.fit(PqModel.sampleVectors(corpus, 4096), m, codebookSize, iters)
+    mdl.save(s, modelPath)
+    annPq(s, dir, model = Some(PqModel.load(s, modelPath)))
   }
 
   /** Driver-side ADC lookup table for one query vector: lut(j)(c) =
@@ -493,30 +482,32 @@ object Similarity {
     * as in s09. Rows-only (probabilistic recall, measured vs s01 in
     * SimilaritySpec). */
   def annIvfPq(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-               nCoarse: Int = 8, coarseIters: Int = 3, nprobe: Int = 2,
+               nCoarse: Int = 8, coarseIters: Int = 3, nprobe: Int = 3,
                m: Int = 8, codebookSize: Int = 32, pqIters: Int = 3,
-               rerank: Int = 50): DataFrame = {
+               rerank: Int = 50, model: Option[PqModel] = None,
+               sampleCap: Int = 4096): DataFrame = {
     import s.implicits._
     require(nprobe >= 1 && nprobe <= nCoarse, s"nprobe=$nprobe out of [1, $nCoarse]")
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
-      .localCheckpoint() // coarse-fit passes + residual + queries
-    val dim = normed.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    val cents = fitCentroids(normed, nCoarse, coarseIters)
+      .localCheckpoint() // sample/fit + encode + queries + re-rank
+    // fit-once IVFADC model (coarse centroids + residual codebooks):
+    // passed in on the serve path, else ONE sample collect here
+    val mdl = model.getOrElse(
+      PqModel.fit(PqModel.sampleVectors(normed, sampleCap), m, codebookSize,
+        pqIters, nCoarse = nCoarse, coarseIters = coarseIters))
+    require(mdl.m == m, s"model has ${mdl.m} subspaces, expected $m")
+    require(mdl.coarse.exists(_.length == nCoarse),
+      s"model coarse quantizer missing or not $nCoarse centroids")
+    val sub = mdl.sub
+    val books = mdl.books
+    val cents = mdl.coarse.get
     val centLit = typedlit(cents.map(_.toSeq).toSeq)
     val resid = assignToCentroid(normed, cents)
       .withColumn("r", zip_with(col("v"), element_at(centLit, col("c") + 1),
         (x, mu) => x - mu))
       .select("vec_id", "c", "r")
-      .localCheckpoint() // PQ fit passes + encode
-    val subs = resid.select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("r"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
-      .localCheckpoint()
-    val books = fitPqBooks(subs, codebookSize, pqIters)
     val codeCols = (0 until m).map { j =>
       pqCode(slice(col("r"), j * sub + 1, sub), lit(j), books)
     }

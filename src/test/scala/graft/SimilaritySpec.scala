@@ -139,6 +139,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, f"IVF+PQ recall@3 collapsed: $recall%.3f")
   }
 
+  test("s11 PqModel: save/load roundtrip is exact, serve path matches inline fit") {
+    import graft.operators.PqModel
+    // roundtrip preserves every coefficient, coarse quantizer included
+    val sample = Array.tabulate(64)(i =>
+      Array.tabulate(16)(d => math.sin(i * 16 + d))) // deterministic, non-degenerate
+    val mdl = PqModel.fit(sample, m = 4, codebookSize = 8, iters = 2, nCoarse = 4)
+    val dir0 = java.nio.file.Files.createTempDirectory("pqmodel")
+    val p = dir0.resolve("model").toString
+    mdl.save(spark, p)
+    val back = PqModel.load(spark, p)
+    def deep(b: Array[Array[Array[Double]]]) = b.map(_.map(_.toSeq).toSeq).toSeq
+    assert(deep(back.books) == deep(mdl.books))
+    assert(back.coarse.map(_.map(_.toSeq).toSeq) == mdl.coarse.map(_.map(_.toSeq).toSeq))
+    // the registered fit→save→load→serve lifecycle answers exactly like
+    // an inline fit (same sample, same deterministic Lloyd)
+    val served = Similarity.annPqFitServe(spark, sf, dir0.resolve("s11").toString)
+      .collect().map(_.toSeq).toSeq
+    val inline = Similarity.annPq(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == inline && served.nonEmpty)
+  }
+
   test("d07 embedding clusters: pairs are intra-cluster, labels are roots and minima") {
     val pairs = Similarity.cosinePairs(spark, sf, 0.4)
       .select("id_a", "id_b").collect()
