@@ -1038,4 +1038,356 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
          ORDER BY id_a, id_b""",
   )
+
+  /** SPARK-dialect SQL text for operators whose DuckDB oracle uses
+    * dialect-specific constructs (regexp_split_to_array, list
+    * comprehensions, quantile_cont, strftime, `//`, the 'g' regexp
+    * flag, …) and therefore can't run verbatim through `spark.sql`.
+    *
+    * This is the "delegated SQL" surface the reference hands to
+    * BigQuery (README.md:2), re-expressed in Spark SQL: SqlParitySpec
+    * proves every entry yields a frame IDENTICAL to the DataFrame-API
+    * form on the same session (same views, same custom functions —
+    * `graft_dot` via GraftExtensions, `window()` as a SQL grouping
+    * function). Together with the 23 dialect-portable oracles that run
+    * verbatim, this puts the whole t/x/d/s text surface plus the
+    * windowed-event and percentile/pivot/grouping-set warehouse
+    * queries behind plain SQL text. */
+  def sparkSql: Map[String, String] = Map(
+    "t01_token_counts" ->
+      """SELECT doc_id,
+           size(split(trim(text), '\\s+')) AS n_tokens,
+           size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS n_subwords,
+           length(text) AS n_text_chars
+         FROM documents ORDER BY doc_id""",
+    "t02_quality_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '\\s+', '')) AS DOUBLE) AS n_nonspace,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) AS n_alpha,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents)
+         SELECT doc_id,
+           floor((n_stop / n_tok)*1e4 + 0.5)/1e4 AS stop_ratio,
+           floor((n_nonspace / n_tok)*1e4 + 0.5)/1e4 AS mean_tok_len,
+           floor((n_alpha / n_chars)*1e4 + 0.5)/1e4 AS alpha_ratio,
+           floor((least(1.0, n_tok/20.0)*0.4
+                 + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                 + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4 AS quality
+         FROM f ORDER BY doc_id""",
+    "t03_lang_id" ->
+      """WITH f AS (
+           SELECT lang,
+             CASE WHEN CAST(size(filter(split(trim(text), '\\s+'),
+                    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                  / size(split(trim(text), '\\s+')) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred
+           FROM documents)
+         SELECT lang, lang_pred, count(*) AS n FROM f
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "t05_top_bigrams" ->
+      """WITH toks AS (
+           SELECT lang, split(trim(text), '\\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT lang, explode(transform(sequence(1, size(tk) - 1),
+             i -> array_join(slice(tk, i, 2), ' '))) AS bigram
+           FROM toks WHERE size(tk) >= 2
+         ), counts AS (
+           SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+         SELECT lang, rk, bigram, n FROM (
+           SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram ASC) AS rk
+           FROM counts)
+         WHERE rk <= 5 ORDER BY lang, rk""",
+    "t06_repetition" ->
+      """WITH ex AS (
+           SELECT doc_id, explode(split(trim(text), '\\s+')) AS tok
+           FROM documents
+         ), cnt AS (
+           SELECT doc_id, tok, count(*) AS n FROM ex GROUP BY 1, 2)
+         SELECT doc_id,
+           sum(n) AS n_tokens,
+           count(*) AS n_distinct,
+           floor((1.0 - count(*) / CAST(sum(n) AS DOUBLE))*1e4 + 0.5)/1e4
+             AS dup_ratio,
+           floor((max(n) / CAST(sum(n) AS DOUBLE))*1e4 + 0.5)/1e4
+             AS top_tok_frac
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "t07_pii_scrub" ->
+      """SELECT doc_id,
+           size(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{7,}|\\b(?i:customer|supplier)\\b',
+             0)) AS n_redacted,
+           length(text) AS n_chars_before,
+           length(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{7,}|\\b(?i:customer|supplier)\\b',
+             '[REDACTED]')) AS n_chars_after
+         FROM documents ORDER BY doc_id""",
+    "t08_gopher_rules" ->
+      """WITH f AS (
+           SELECT lang,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace(text, '\\s+', '')) AS DOUBLE) AS n_nospace,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) AS n_alpha,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             size(filter(split(trim(text), '\\s+'),
+               w -> w IN ('the','a','of','and','to','in','is'))) AS n_stop
+           FROM documents
+         ), g AS (
+           SELECT lang,
+             NOT (n_tok BETWEEN 30.0 AND 50000.0) AS fail_len,
+             NOT (n_nospace / n_tok BETWEEN 2.0 AND 10.0) AS fail_tok,
+             n_stop < 2 AS fail_stop,
+             n_alpha / n_chars < 0.6 AS fail_alpha
+           FROM f)
+         SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN fail_len THEN 1 ELSE 0 END) AS n_fail_len,
+           sum(CASE WHEN fail_tok THEN 1 ELSE 0 END) AS n_fail_tok,
+           sum(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS n_fail_stop,
+           sum(CASE WHEN fail_alpha THEN 1 ELSE 0 END) AS n_fail_alpha,
+           sum(CASE WHEN NOT fail_len AND NOT fail_tok AND NOT fail_stop
+                    AND NOT fail_alpha THEN 1 ELSE 0 END) AS n_pass
+         FROM g GROUP BY lang ORDER BY lang""",
+    "t09_chunk_windows" ->
+      """WITH toks AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(size(tk) - 32, 0) + 23) / 24.0) AS INT) AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, explode(sequence(0, nc - 1)) AS i FROM meta)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(size(slice(tk, i*24 + 1, 32)) AS BIGINT) AS n_chunk_tokens,
+           array_join(slice(tk, i*24 + 1, 32), ' ') AS chunk_text
+         FROM ex ORDER BY doc_id, chunk_id""",
+    "x01_split_counts" ->
+      """SELECT lang,
+           CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'
+                WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '1a' THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x02_stratified_sample" ->
+      """SELECT lang, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY lang, doc_id""",
+    "x03_token_shards" ->
+      """WITH d AS (
+           SELECT lang, doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS STRING)) AS hk
+           FROM documents
+         ), c AS (
+           SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT lang, (cum - n_tokens) div 2000 AS shard,
+           count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x05_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket,
+             split(trim(text), '\\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             array_distinct(transform(sequence(1, size(tk) - 2),
+               i -> array_join(slice(tk, i, 3), ' '))) AS shingles
+           FROM toks WHERE size(tk) >= 3
+         ), test_sh AS (
+           SELECT DISTINCT explode(shingles) AS shingle
+           FROM sh WHERE bucket < '0d'
+         ), train AS (
+           SELECT doc_id, CAST(size(shingles) AS BIGINT) AS n_shingles,
+             explode(shingles) AS shingle
+           FROM sh WHERE bucket >= '1a')
+         SELECT t.doc_id,
+           count(*) AS n_contaminated,
+           n_shingles,
+           floor((count(*) / CAST(n_shingles AS DOUBLE))*1e4 + 0.5)/1e4
+             AS contamination
+         FROM train t JOIN test_sh USING (shingle)
+         GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id""",
+    "x06_range_shards" ->
+      """WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders
+         ), b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o)
+         SELECT (cents - mn) * 8 div (mx - mn + 1) AS shard,
+           count(*) AS n_orders,
+           min(cents) AS min_cents, max(cents) AS max_cents
+         FROM o CROSS JOIN b GROUP BY 1 ORDER BY 1""",
+    "x07_proportional_sample" ->
+      """WITH r AS (
+           SELECT lang, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_stratum
+           FROM documents)
+         SELECT lang, source, count(*) AS n FROM r
+         WHERE rk <= ceil(n_stratum * 0.2)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x08_temperature_mix" ->
+      """WITH r AS (
+           SELECT source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents
+         ), samp AS (
+           SELECT source, count(*) AS n_sampled FROM r
+           WHERE rk <= least(n, CAST(ceil(4.0 * sqrt(n)) AS BIGINT))
+           GROUP BY source
+         ), tot AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+         SELECT source, n_docs, n_sampled
+         FROM tot JOIN samp USING (source) ORDER BY source""",
+    "d01_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
+           min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper""",
+    "s02_cosine_pairs" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), n AS (
+           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE round(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+         ORDER BY id_a, id_b""",
+    "s06_label_norms" ->
+      """WITH e AS (SELECT label,
+           sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                          CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+         FROM embeddings)
+         SELECT label, count(*) AS n,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+         FROM e GROUP BY 1 ORDER BY 1""",
+    "q13_events_tumbling" ->
+      """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY window(ts, '20 minutes'), event_type
+         ORDER BY w_start, event_type""",
+    "q14_normalize_events" ->
+      """WITH p AS (
+           SELECT ts, event_type, from_json(props, 'k BIGINT').k AS k FROM events)
+         SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+           event_type, count(*) AS n, sum(k) AS sum_k
+         FROM p WHERE k IS NOT NULL
+         GROUP BY window(ts, '20 minutes'), event_type
+         ORDER BY w_start, event_type""",
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+           round(percentile(l_quantity, 0.5), 4) AS median_qty,
+           round(percentile(l_extendedprice, 0.9), 4) AS p90_price,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q23_monthly_trend" ->
+      """SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS month,
+           count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q25_pivot" ->
+      """SELECT date_format(date_trunc('month', ts), 'yyyy-MM') AS month,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q29_sliding" ->
+      """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+           event_type, count(*) AS n
+         FROM events GROUP BY window(ts, '20 minutes', '5 minutes'), event_type
+         ORDER BY w_start, event_type""",
+    "q30_grouping_sets" ->
+      """SELECT coalesce(o_year, 0) AS yr,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping_id() AS gid,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+         FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                      o_orderpriority, o_totalprice FROM orders)
+         GROUP BY GROUPING SETS ((o_year, o_orderpriority), (o_year),
+                                 (o_orderpriority))
+         ORDER BY gid, yr, priority""",
+    "q19_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+           FROM x)
+         SELECT user_id,
+           date_format(min(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS w_start,
+           date_format(max(ts) + INTERVAL 10 MINUTE,
+                       'yyyy-MM-dd HH:mm:ss.SSSSSS') AS w_end,
+           count(*) AS n
+         FROM y GROUP BY user_id, grp ORDER BY user_id, w_start""",
+    "j01_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           date_format(c.ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+           date_format(pp.ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+           round(pp.p_value, 4) AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT ts, p_value FROM p
+           WHERE p.user_id = c.user_id AND p.ts <= c.ts
+           ORDER BY ts DESC LIMIT 1) pp ON true
+         ORDER BY event_id""",
+    "x04_curation_funnel" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '\\s+', '')) AS DOUBLE) AS n_nonspace
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
+             floor((least(1.0, n_tok/20.0)*0.4
+                   + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                   + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4 AS quality
+           FROM f),
+         passing AS (SELECT * FROM q WHERE quality >= 0.5),
+         keepers AS (SELECT fp, min(doc_id) AS doc_id FROM passing GROUP BY 1),
+         sp AS (
+           SELECT CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'
+                       WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '1a' THEN 'val'
+                       ELSE 'train' END AS split
+           FROM keepers)
+         SELECT stage, n FROM (
+           SELECT '1_raw' AS stage, count(*) AS n FROM q
+           UNION ALL SELECT '2_quality_pass', count(*) FROM passing
+           UNION ALL SELECT '3_dedup_keepers', count(*) FROM keepers
+           UNION ALL SELECT concat('4_', split), count(*) FROM sp GROUP BY split)
+         ORDER BY stage""",
+  )
 }

@@ -57,6 +57,21 @@ class SqlParitySpec extends SparkSuite {
     }
   }
 
+  // The Spark-dialect forms (SparkEntry.sparkSql) for every operator
+  // whose DuckDB oracle can't run verbatim — together these put the
+  // t/x/d/s text surface and the windowed/percentile/pivot/grouping-set
+  // warehouse queries behind plain SQL text too.
+  SparkEntry.sparkSql.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: Spark-dialect SQL via spark.sql equals the DataFrame form") {
+      assertParity(name, SparkEntry.sparkSql(name))
+    }
+  }
+
+  test("sparkSql names all resolve to registered queries") {
+    val unknown = SparkEntry.sparkSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"sparkSql entries without a query: $unknown")
+  }
+
   test("graft_dot resolves in SQL text and matches the native expression") {
     val viaSql = spark.sql(
       """SELECT label, round(sum(graft_dot(embedding, embedding)), 4) AS sq_norm
