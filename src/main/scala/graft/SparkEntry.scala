@@ -78,6 +78,7 @@ object SparkEntry {
     "t11_heavy_hitters"   -> ((s, dir) => TextOps.heavyHitters(s, dir)),
     "t12_perplexity"      -> TextOps.perplexity,
     "t13_bpe_merges"      -> ((s, dir) => TextOps.bpeMerges(s, dir)),
+    "t14_bpe_encode"      -> ((s, dir) => TextOps.bpeEncode(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,

@@ -494,6 +494,70 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Leftmost-greedy application of a rank-ordered merge list to one
+    * word's symbol sequence — the same sequential kernel as one
+    * training round, folded over every merge in rank order, so
+    * encoding a training-corpus word reproduces exactly the symbols
+    * the training loop left it with. */
+  private def applyMergesLocal(word: String,
+                               merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] =
+      word.toCharArray.map(_.toString).toSeq :+ "</w>"
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  /** t14: BPE ENCODING — the serve half of the tokenizer lifecycle
+    * ([[bpeMerges]] trains the merge table; this applies it), reporting
+    * the per-document subword token count: the number that token-budget
+    * sharding (x03) and context-window chunking (t09) actually need
+    * from a trained tokenizer.
+    *
+    * Scale shape: the merge table is driver model state (nMerges rows —
+    * like the PQ codebooks); encoding runs ONCE PER DISTINCT WORD (the
+    * same corpus→vocabulary collapse as training — a Zipf-bounded
+    * frame), and documents get their counts back through a join on the
+    * word key, never re-running the kernel per occurrence. Rows-only
+    * check (the merge loop is iterative-stateful, no SQL oracle);
+    * CorpusOpsSpec pins it against an independent driver-side
+    * recomputation and the train/encode consistency law. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(t(s, dir, "documents"), "doc_id", "text")
+
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                nMerges: Int = 8): DataFrame = {
+    val merges = bpeMerges(docs, textCol, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeWith(docs, idCol, textCol, merges)
+  }
+
+  /** Encode with a pre-trained merge list (the fit-once serve path —
+    * symmetric with [[graft.operators.PqModel]]). */
+  def bpeEncodeWith(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val nSubUdf = udf { word: String =>
+      applyMergesLocal(word, merges).length
+    }
+    val words = docs
+      .select(col(idCol), explode(tokensOf(col(textCol))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("n_sub", nSubUdf(col("word")).cast("long"))
+    words.join(vocab, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_bpe_tokens"))
+      .orderBy(idCol)
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
