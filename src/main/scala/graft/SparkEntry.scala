@@ -1272,6 +1272,48 @@ object SparkEntry {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE round(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
          ORDER BY id_a, id_b""",
+    "s01_ann_bruteforce" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), n AS (
+           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e
+         ), scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6) AS cos
+           FROM n q JOIN n a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s08_ann_quantized" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), q AS (
+           SELECT vec_id,
+             transform(v, x -> floor(x * 127.0D /
+               array_max(transform(v, y -> abs(y))) + 0.5D)) AS qv
+           FROM e
+         ), n AS (
+           SELECT vec_id, qv, sqrt(graft_dot(qv, qv)) AS nrm FROM q
+         ), scored AS (
+           SELECT qq.vec_id AS q_id, a.vec_id AS n_id,
+             round(graft_dot(qq.qv, a.qv) / (qq.nrm * a.nrm), 6) AS qcos
+           FROM n qq JOIN n a ON a.vec_id <> qq.vec_id
+           WHERE qq.vec_id < 5)
+         SELECT q_id, rk, n_id, qcos FROM (
+           SELECT q_id, n_id, qcos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY qcos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s07_label_centroid" ->
+      """WITH e AS (SELECT label, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                    FROM embeddings),
+         ex AS (SELECT label, posexplode(v) AS (pos, x) FROM e)
+         SELECT label, CAST(pos AS INT) AS pos, round(avg(x), 4) AS c
+         FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
     "s06_label_norms" ->
       """WITH e AS (SELECT label,
            sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
@@ -1361,6 +1403,171 @@ object SparkEntry {
            WHERE p.user_id = c.user_id AND p.ts <= c.ts
            ORDER BY ts DESC LIMIT 1) pp ON true
          ORDER BY event_id""",
+    "m01_media_stats" ->
+      """SELECT doc_id AS media_id,
+           element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS kind,
+           octet_length(text) AS n_bytes,
+           CAST(64 + n_chars % 64 AS INT) AS width,
+           CAST(64 + n_chars % 48 AS INT) AS height,
+           CAST(n_chars * 10 AS INT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    "m02_frame_sample" ->
+      """SELECT doc_id AS media_id,
+           CAST(f / 500 AS BIGINT) AS frame_idx,
+           CAST(f AS BIGINT) AS frame_off_ms,
+           CAST(n_chars * 10 AS BIGINT) AS duration_ms
+         FROM (SELECT doc_id, n_chars,
+                 explode(sequence(CAST(0 AS BIGINT),
+                   CAST(n_chars * 10 AS BIGINT) - 1, CAST(500 AS BIGINT))) AS f
+               FROM documents WHERE doc_id % 3 = 2)
+         ORDER BY media_id, frame_idx""",
+    "m04_byte_histogram" ->
+      """SELECT element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS kind,
+           count(*) AS n_docs,
+           sum(CAST(octet_length(text) AS BIGINT)) AS total_bytes,
+           sum(CAST(size(filter(sequence(1, octet_length(text)),
+             i -> substring(hex(encode(text, 'UTF-8')), CAST(2*i-1 AS INT), 1) = '2'))
+             AS BIGINT)) AS bin2_bytes,
+           sum(CAST(size(filter(sequence(1, octet_length(text)),
+             i -> substring(hex(encode(text, 'UTF-8')), CAST(2*i-1 AS INT), 1) = '6'))
+             AS BIGINT)) AS bin6_bytes
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "m05_resize_meta" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS kind,
+             CAST(64 + n_chars % 64 AS INT) AS w,
+             CAST(64 + n_chars % 48 AS INT) AS h
+           FROM documents),
+         sc AS (SELECT *,
+             least(1.0, 96 / CAST(greatest(w, h) AS DOUBLE)) AS scale FROM m)
+         SELECT media_id, kind,
+           CAST(floor(w * scale) AS INT) AS r_width,
+           CAST(floor(h * scale) AS INT) AS r_height
+         FROM sc ORDER BY media_id""",
+    "j03_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           date_format(c.ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+           date_format(pp.ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+           round(pp.p_value, 4) AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT ts, p_value FROM p
+           WHERE p.user_id = c.user_id AND p.ts >= c.ts
+           ORDER BY ts ASC LIMIT 1) pp ON true
+         ORDER BY event_id""",
+    // Spark rejects correlated references in a LATERAL subquery's ORDER
+    // BY, so the nearest-event pick is a ranked join instead (same
+    // tie-break: abs distance, then earlier purchase ts)
+    "j04_nearest_event" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.p_value,
+             row_number() OVER (PARTITION BY c.event_id
+               ORDER BY abs(unix_micros(p.ts) - unix_micros(c.ts)) ASC,
+                        p.ts ASC) AS rk
+           FROM c LEFT JOIN p ON p.user_id = c.user_id)
+         SELECT event_id, user_id,
+           date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+           date_format(pts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+           round(p_value, 4) AS purchase_value
+         FROM j WHERE rk = 1 ORDER BY event_id""",
+    "q28_stateful_batch" ->
+      """SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) / CAST(100.0 AS DOUBLE), 4)
+             AS total_value,
+           date_format(max(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS last_ts
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "t10_bm25" ->
+      """WITH tf AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS dl,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x = 'customer')) AS BIGINT) AS tf0,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x = 'window')) AS BIGINT) AS tf1,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x = 'query')) AS BIGINT) AS tf2
+           FROM documents
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           FROM tf
+         ), scored AS (
+           SELECT doc_id,
+             floor((
+               log((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + log((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + log((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             )*1e4 + 0.5)/1e4 AS score
+           FROM tf CROSS JOIN stats)
+         SELECT rk, doc_id, score FROM (
+           SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM scored WHERE score > 0)
+         WHERE rk <= 10 ORDER BY rk""",
+    "t11_heavy_hitters" ->
+      """WITH w AS (
+           SELECT explode(split(trim(text), '\\s+')) AS w FROM documents
+         ), c AS (SELECT w, count(*) AS n FROM w GROUP BY 1)
+         SELECT rk, w, n FROM (
+           SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rk
+           FROM c)
+         WHERE rk <= 10 ORDER BY rk""",
+    "t12_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT doc_id, i - 1 AS pos, element_at(tk, CAST(i AS INT)) AS v,
+             element_at(tk, CAST(i + 1 AS INT)) AS w
+           FROM (SELECT doc_id, tk, explode(sequence(1, size(tk) - 1)) AS i
+                 FROM toks WHERE size(tk) >= 2)
+         ), cvw AS (SELECT v, w, count(*) AS cvw FROM bg GROUP BY 1, 2
+         ), cv AS (SELECT v, count(*) AS cv FROM bg GROUP BY 1
+         ), vocab AS (
+           SELECT count(DISTINCT tk2) AS vsz
+           FROM (SELECT explode(tk) AS tk2 FROM toks)
+         ), scored AS (
+           SELECT bg.doc_id, bg.pos,
+             log((CAST(cvw AS DOUBLE) + 1.0)
+                / (CAST(cv AS DOUBLE) + CAST(vsz AS DOUBLE))) AS lnp
+           FROM bg JOIN cvw USING (v, w) JOIN cv USING (v) CROSS JOIN vocab
+         ), folded AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             aggregate(transform(array_sort(collect_list(struct(pos, lnp))),
+                 s -> s.lnp),
+               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS lnp_sum
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           floor(((-lnp_sum) / CAST(n_bigrams AS DOUBLE))*1e4 + 0.5)/1e4
+             AS cross_entropy,
+           floor(exp((-lnp_sum) / CAST(n_bigrams AS DOUBLE))*1e4 + 0.5)/1e4
+             AS ppl
+         FROM folded ORDER BY doc_id""",
     "x04_curation_funnel" ->
       """WITH f AS (
            SELECT doc_id, text,
