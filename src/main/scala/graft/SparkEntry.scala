@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Checks, Curation, Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
+import graft.operators.{Checks, Curation, Dedup, Multimodal, Pca, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,7 @@ object SparkEntry {
     "s10_ann_ivfpq"       -> ((s, dir) => Similarity.annIvfPq(s, dir)),
     "s11_ann_pq_fitserve" -> ((s, dir) => Similarity.annPqFitServe(s, dir,
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}")),
+    "s12_pca_project"     -> ((s, dir) => Pca.project(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
