@@ -114,6 +114,7 @@ object SparkEntry {
     "s11_ann_pq_fitserve" -> ((s, dir) => Similarity.annPqFitServe(s, dir,
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}")),
     "s12_pca_project"     -> ((s, dir) => Pca.project(s, dir)),
+    "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

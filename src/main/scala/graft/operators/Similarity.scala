@@ -382,10 +382,52 @@ object Similarity {
             m: Int = 8, codebookSize: Int = 32, iters: Int = 3,
             rerank: Int = 100, model: Option[PqModel] = None,
             sampleCap: Int = 4096): DataFrame = {
-    import s.implicits._
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
+    annPqFrom(s, normed, nQueries, k, m, codebookSize, iters, rerank,
+      model, sampleCap)
+  }
+
+  /** s13: PQ over a ROTATED basis — the OPQ idea (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013) realized with the [[Pca]] model
+    * as the rotation: project each L2-normalized vector onto the full
+    * orthonormal PCA basis (inner products are invariant under the
+    * rotation, so exact re-rank scores still equal original cosines)
+    * and deal the decorrelated dimensions ROUND-ROBIN across the m
+    * subspaces, so every subspace sees a balanced slice of the
+    * spectrum instead of raw correlated coordinates — the variance-
+    * balancing that lets the per-subspace codebooks spend their
+    * capacity evenly. Then the standard PQ pipeline
+    * ([[annPqFrom]]: fit-once codebooks, ADC, exact re-rank) runs
+    * unchanged on the rotated frame. Rows-only; SimilaritySpec measures
+    * recall@3 vs brute force beside plain s09. */
+  def annPqRotated(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+                   m: Int = 8, codebookSize: Int = 32, iters: Int = 3,
+                   rerank: Int = 100): DataFrame = {
+    val dim = 64
+    val normed = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+      .localCheckpoint() // PCA moment pass + rotation input
+    val rot = Pca.fit(normed, dim, k = dim).components
+    val sub = dim / m
+    // position p = (d mod m)·sub + (d div m): dimension d of the
+    // rotated space lands in subspace d mod m — round-robin dealing
+    val cols = new Array[Column](dim)
+    for (d <- 0 until dim)
+      cols((d % m) * sub + d / m) = dot(col("v"), typedlit(rot(d).toSeq))
+    val rotated = normed.select(col("vec_id"), array(cols.toSeq: _*).as("v"))
+    annPqFrom(s, rotated, nQueries, k, m, codebookSize, iters, rerank,
+      model = None, sampleCap = 4096)
+  }
+
+  private def annPqFrom(s: SparkSession, vecs: DataFrame, nQueries: Int,
+                        k: Int, m: Int, codebookSize: Int, iters: Int,
+                        rerank: Int, model: Option[PqModel],
+                        sampleCap: Int): DataFrame = {
+    import s.implicits._
+    val normed = vecs
       .localCheckpoint() // read to sample/fit + encode + re-rank
     // fit-once model state: either passed in (the serve path — fit
     // elsewhere, persisted via PqModel.save/load) or fit here from a

@@ -139,6 +139,22 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, f"IVF+PQ recall@3 collapsed: $recall%.3f")
   }
 
+  test("s13 rotated (OPQ-style) PQ keeps recall and well-formed output") {
+    val exact = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annPqRotated(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, ns) => assert(ns.size == 3, s"query $q: $ns") }
+    val recall = exact.keys.toSeq
+      .map(q => got(q).intersect(exact(q)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    info(f"rotated-PQ recall@3 vs brute force: $recall%.3f")
+    assert(recall >= 0.8, f"rotated-PQ recall@3 collapsed: $recall%.3f")
+  }
+
   test("s11 PqModel: save/load roundtrip is exact, serve path matches inline fit") {
     import graft.operators.PqModel
     // roundtrip preserves every coefficient, coarse quantizer included
