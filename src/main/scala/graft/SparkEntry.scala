@@ -53,6 +53,7 @@ object SparkEntry {
     "q29_sliding"         -> Warehouse.q29Sliding,
     "q30_grouping_sets"   -> Warehouse.q30GroupingSets,
     "q31_topk_per_group"  -> Warehouse.q31TopKPerGroup,
+    "q32_approx_percentiles" -> Warehouse.q32ApproxPercentiles,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,

@@ -411,6 +411,24 @@ object Warehouse {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** q32: the mergeable-sketch percentile path q16's scaladoc promises
+    * for 100 TB — `approx_percentile` (Greenwald-Khanna / Karnin-Lang-
+    * Liberty style summaries): constant-size partial aggregates that
+    * merge associatively, vs q16's exact per-group sort. The exact q16
+    * is the oracle-verified baseline; this is rows-only (sketch
+    * internals are engine-specific), with WarehouseSpec bounding the
+    * estimate against the exact answer. */
+  def q32ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
+          .as("median_qty"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
+          .as("p90_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Sliding windows (20-minute length, 5-minute slide): every event
     * contributes to 4 overlapping windows — Spark's `window()` plans an
     * Expand (4 rows per event) before the aggregate, which is also the

@@ -54,6 +54,19 @@ class WarehouseSpec extends SparkSuite {
     assert(total == raw)
   }
 
+  test("q32 approx percentiles track the exact q16 within sketch accuracy") {
+    val exact = Warehouse.q16Percentiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    val approx = Warehouse.q32ApproxPercentiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(approx.map(_._1) == exact.map(_._1))
+    assert(approx.map(_._4) == exact.map(_._4), "row counts are exact")
+    exact.zip(approx).foreach { case ((f, mq, p90, _), (_, amq, ap90, _)) =>
+      assert(math.abs(amq - mq) <= 0.02 * math.abs(mq) + 1.0, s"$f median: $amq vs $mq")
+      assert(math.abs(ap90 - p90) <= 0.02 * math.abs(p90) + 1.0, s"$f p90: $ap90 vs $p90")
+    }
+  }
+
   test("q02 plan pushes filters down to the parquet scan") {
     val plan = Warehouse.q02FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
