@@ -167,14 +167,18 @@ object Pca {
     * dependent in its last ulps — no SQL oracle); PcaSpec pins the
     * spectral laws. */
   def project(s: SparkSession, dir: String, k: Int = 4,
-              model: Option[PcaModel] = None): DataFrame = {
+              model: Option[PcaModel] = None,
+              whiten: Boolean = false): DataFrame = {
     val vecs = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
     val mdl = model.getOrElse(fit(vecs, dim = 64, k = k))
     val centered = zip_with(col("v"), typedlit(mdl.mean.toSeq), (x, mu) => x - mu)
     val pcs = mdl.components.zipWithIndex.map { case (w, i) =>
-      round(dot(centered, typedlit(w.toSeq)), 4).as(s"pc${i + 1}")
+      // whitening rescales each axis to unit variance (divide by √λ) —
+      // the decorrelate-and-equalize transform quantizers want
+      val scale = if (whiten) math.sqrt(mdl.eigenvalues(i)).max(1e-12) else 1.0
+      round(dot(centered, typedlit(w.map(_ / scale).toSeq)), 4).as(s"pc${i + 1}")
     }
     vecs.select(col("vec_id") +: col("label") +: pcs: _*)
       .orderBy("vec_id")

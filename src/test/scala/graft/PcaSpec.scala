@@ -73,6 +73,13 @@ class PcaSpec extends SparkSuite {
     }
     // spectral ordering visible in the projection itself
     assert(stats.getDouble(0) >= stats.getDouble(1))
+    // whitening equalizes: every component comes out at unit variance
+    val white = Pca.project(spark, sf, k = 4, model = Some(mdl), whiten = true)
+      .agg(variance(col("pc1")), variance(col("pc2")),
+        variance(col("pc3")), variance(col("pc4"))).head()
+    for (i <- 0 until 4)
+      assert(math.abs(white.getDouble(i) - 1.0) < 0.05,
+        s"whitened pc${i + 1} variance ${white.getDouble(i)}")
   }
 
   test("save/load roundtrips the model; served projection matches") {
