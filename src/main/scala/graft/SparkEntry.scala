@@ -80,6 +80,7 @@ object SparkEntry {
     "t12_perplexity"      -> TextOps.perplexity,
     "t13_bpe_merges"      -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     "t14_bpe_encode"      -> ((s, dir) => TextOps.bpeEncode(s, dir)),
+    "t15_chunk_dedup"     -> ((s, dir) => TextOps.chunkDedup(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -89,6 +90,7 @@ object SparkEntry {
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
+    "x09_domain_caps"     -> ((s, dir) => Sampling.domainCaps(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
@@ -116,6 +118,7 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}")),
     "s12_pca_project"     -> ((s, dir) => Pca.project(s, dir)),
     "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir)),
+    "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -783,6 +786,39 @@ object SparkEntry {
            SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
          SELECT source, n_docs, n_sampled
          FROM tot JOIN samp USING (source) ORDER BY source""",
+    "x09_domain_caps" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY source, doc_id""",
+    "t15_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(len(tk) - 32, 0) + 31) / 32.0) AS BIGINT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM meta
+         ), ck AS (
+           SELECT doc_id, i AS chunk_id,
+             array_to_string(tk[CAST(i*32+1 AS INT) : CAST(i*32+32 AS INT)], ' ')
+               AS chunk_text
+           FROM ex
+         ), rk AS (
+           SELECT doc_id, chunk_id,
+             row_number() OVER (PARTITION BY chunk_text
+               ORDER BY doc_id ASC, chunk_id ASC) AS rn
+           FROM ck)
+         SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           floor((count(CASE WHEN rn = 1 THEN 1 END)
+             / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS kept_frac
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1261,6 +1297,37 @@ object SparkEntry {
            SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
          SELECT source, n_docs, n_sampled
          FROM tot JOIN samp USING (source) ORDER BY source""",
+    "x09_domain_caps" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY source, doc_id""",
+    "t15_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(size(tk) - 32, 0) + 31) / 32.0) AS INT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, explode(sequence(0, nc - 1)) AS i FROM meta
+         ), ck AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             array_join(slice(tk, i*32 + 1, 32), ' ') AS chunk_text
+           FROM ex
+         ), rk AS (
+           SELECT doc_id, chunk_id,
+             row_number() OVER (PARTITION BY chunk_text
+               ORDER BY doc_id ASC, chunk_id ASC) AS rn
+           FROM ck)
+         SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           floor((count(CASE WHEN rn = 1 THEN 1 END)
+             / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS kept_frac
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies

@@ -219,4 +219,29 @@ object Sampling {
         Seq("source"))
       .orderBy("source")
   }
+
+  /** x09: fixed per-domain document cap — "at most k docs per source",
+    * the crawl-curation rule that stops one mega-domain from dominating
+    * the corpus. Same deterministic hash-rank member choice as
+    * [[quotaSample]] (so the kept set is reproducible and
+    * oracle-exact), but routed through the [[graft.plans.TopKPerGroup]]
+    * physical plan instead of a `Window.partitionBy`: a window funnels
+    * each domain through ONE task, and the domains this operator exists
+    * for are precisely the skewed ones (one host can be 10% of a
+    * crawl). TopKPerGroup keeps only k rows per group in a capped
+    * partial map on the map side, so the giant domain costs O(k) memory
+    * per task and the shuffle carries at most k rows per (partition,
+    * domain) — the cap is enforced BEFORE the exchange, not after.
+    * Equivalence with the window form is spec-pinned
+    * (BucketingSpec). */
+  def domainCaps(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    domainCaps(t(s, dir, "documents"), "source", "doc_id", k)
+
+  def domainCaps(df: DataFrame, stratumCol: String, idCol: String,
+                 k: Int): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+        df.select(col(stratumCol), col(idCol), hashKey(col(idCol)).as("pick")),
+        Seq(stratumCol), Seq("pick" -> true, idCol -> true), k)
+      .select(col(stratumCol), col(idCol))
+      .orderBy(stratumCol, idCol)
 }

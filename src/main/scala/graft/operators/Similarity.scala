@@ -188,6 +188,66 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")
 
+  /** Cluster-bucketed near-neighbor pairs — the candidate generator of
+    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    * corpus into cells, compare only within a cell. Multi-probe
+    * (`nprobe` nearest cells per vector, OR-construction like
+    * [[lshPairsMulti]]) recovers pairs that straddle a cell boundary.
+    * Every candidate is re-ranked with the EXACT cosine, so precision
+    * is 1.0 (output ⊆ [[cosinePairs]], identical `cos` values) and
+    * only recall is approximate — the same contract as the LSH path,
+    * but with DATA-ADAPTIVE buckets: k-means cells track the corpus's
+    * own density, where hyperplane buckets are oblivious.
+    *
+    * Scale shape: the k-means fit is k×dim driver model state
+    * ([[fitCentroids]] — one shuffle of partial sums per Lloyd
+    * iteration); serving is `nprobe` cell keys per row (codegen'd dots
+    * against centroid literals), one explode, one shuffle on the cell
+    * id, per-cell self-join, pair-level dedup. Cell population is
+    * corpus/k on average — the quadratic term is bounded per cell. */
+  def semDedupPairs(embFrame: DataFrame, threshold: Double, kCells: Int,
+                    iters: Int, nprobe: Int): DataFrame = {
+    val normed = embFrame
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .localCheckpoint()
+    val cents = fitCentroids(normed, kCells, iters)
+    val keyed = embFrame
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(topCells(transform(col("v"), x => x / col("nrm")), cents, nprobe))
+          .as("cell"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      // multi-probe: a pair sharing several cells repeats with identical
+      // (id_a, id_b, cos), so the dedup is deterministic
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  def semDedupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
+                    kCells: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame =
+    semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe)
+      .orderBy("id_a", "id_b")
+
+  /** s14: SemDeDup — semantic near-duplicate CLUSTERS from
+    * cluster-bucketed candidates: [[semDedupPairs]] feeding the same
+    * pair-source-agnostic star-contraction CC as d07 (exact) and d09
+    * (LSH). This is the third — and at 100 TB usually the cheapest —
+    * pair source: the paper's observation is that near-duplicates
+    * co-locate in embedding-space clusters, so comparing within cells
+    * finds almost all of them at O(n²/k) pair cost. Rows-only check
+    * (k-means recall is data-dependent, no SQL oracle); SimilaritySpec
+    * pins the deterministic laws: pairs ⊆ exact pairs with equal cos,
+    * every cluster refines an exact cluster, and planted near-dup
+    * groups are recovered identically. */
+  def semDedupClusters(s: SparkSession, dir: String, threshold: Double = 0.4,
+                       kCells: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame =
+    Dedup.dupClusters(semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+
   /** Symmetric per-vector int8 quantization: q_i = half-up-round of
     * v_i·127/max|v|, values in [-127, 127] (kept in a double array so
     * the codegen'd DotProduct consumes them directly). At 100 TB this

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -235,7 +236,17 @@ object TextOps {
     chunkWindows(t(s, dir, "documents"), "doc_id", "text")
 
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
-                   width: Int = 32, stride: Int = 24): DataFrame = {
+                   width: Int = 32, stride: Int = 24): DataFrame =
+    chunkOccurrences(docs, idCol, textCol, width, stride)
+      .orderBy(idCol, "chunk_id")
+
+  /** The chunk stream of [[chunkWindows]] WITHOUT the presentation
+    * sort — the form downstream operators compose with (a consumer
+    * that re-shuffles, like [[chunkDedup]], must not pay a range
+    * exchange it immediately destroys). */
+  private def chunkOccurrences(docs: DataFrame, idCol: String,
+                               textCol: String, width: Int,
+                               stride: Int): DataFrame = {
     require(stride >= 1 && stride <= width,
       s"stride $stride must be in [1, width=$width] so chunks cover all tokens")
     val tk = tokensOf(col(textCol))
@@ -253,7 +264,6 @@ object TextOps {
       .select(col(idCol), col("chunk_id"),
         size(col("ck")).cast("long").as("n_chunk_tokens"),
         array_join(col("ck"), " ").as("chunk_text"))
-      .orderBy(idCol, "chunk_id")
   }
 
   /** t10: BM25 keyword relevance — top-k documents for a bag of query
@@ -569,4 +579,39 @@ object TextOps {
         col(idCol),
         md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
       .orderBy(idCol)
+
+  /** t15: span-level exact dedup, C4-style — the corpus-wide "keep the
+    * FIRST occurrence of every repeated span" pass (C4 does it on
+    * 3-sentence spans; here the span unit is the non-overlapping
+    * [[chunkWindows]] chunk, width = stride = 32 tokens, since the
+    * synthetic docs have no sentence boundaries). A chunk occurrence
+    * survives iff no earlier (doc_id, chunk_id) has byte-identical
+    * chunk text; the per-doc report is (n_chunks, n_kept, kept_frac) —
+    * the signal a curation run thresholds on ("drop docs that are
+    * mostly boilerplate seen elsewhere").
+    *
+    * Scale shape: one narrow explode (no shuffle), then ONE shuffle on
+    * the 16-byte md5 of the chunk — never the chunk text — into
+    * per-fingerprint first-occurrence windows (each fingerprint group
+    * is tiny: the duplicate multiplicity), then a hash re-agg on
+    * doc_id. No global window, no driver state; the heavy key is the
+    * fingerprint, which is uniform by construction — skew-free. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDedup(t(s, dir, "documents"), "doc_id", "text")
+
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 width: Int = 32): DataFrame = {
+    val occ = chunkOccurrences(docs, idCol, textCol, width = width, stride = width)
+      .select(col(idCol), col("chunk_id"), md5(col("chunk_text")).as("fp"))
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc, col("chunk_id").asc)
+    occ
+      .withColumn("rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"))
+      .withColumn("kept_frac",
+        r4(col("n_kept").cast("double") / col("n_chunks")))
+      .orderBy(idCol)
+  }
 }

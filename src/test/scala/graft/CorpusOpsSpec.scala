@@ -403,6 +403,66 @@ class CorpusOpsSpec extends SparkSuite {
       s"got $counts — expected ceil(4·√400)=80 and min(4, ceil(4·√4))=4")
   }
 
+  test("t15 chunk dedup matches a full-corpus Scala recomputation") {
+    val width = 32
+    // every chunk occurrence, in (doc_id, chunk_id) order of appearance
+    val occ = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val nc = 1 + (math.max(0, toks.size - width) + width - 1) / width
+      (0 until nc).map { i =>
+        (id, i.toLong, toks.slice(i * width, i * width + width).mkString(" "))
+      }
+    }
+    val firstOf = occ.groupBy(_._3).map { case (txt, os) =>
+      txt -> os.map(o => (o._1, o._2)).min
+    }
+    val expected = occ.groupBy(_._1).toSeq.map { case (id, os) =>
+      val kept = os.count(o => firstOf(o._3) == ((o._1, o._2)))
+      (id, os.size.toLong, kept.toLong, r4(kept.toDouble / os.size))
+    }.sortBy(_._1)
+    val got = TextOps.chunkDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("t15 planted duplicate spans survive only at their first occurrence") {
+    import spark.implicits._
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val other = (33 to 64).map(i => s"w$i").mkString(" ")
+    val frame = Seq(
+      (1L, span + " " + span), // two chunks, both the same span
+      (2L, span),              // the span again, later doc
+      (3L, other)              // unique content
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(frame, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5), // (1, 0) is the corpus-wide first occurrence
+      (2L, 1L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0)))
+  }
+
+  test("x09 domain caps: TopKPerGroup path equals the window formulation") {
+    val frame = spark.read.parquet(s"$sf/documents.parquet")
+    val k = 20
+    val got = Sampling.domainCaps(frame, "source", "doc_id", k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // driver recomputation: per source, the k smallest (md5(id), id)
+    val bySource = frame.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.groupBy(_._1)
+    val expected = bySource.toSeq.flatMap { case (src, rows) =>
+      rows.map(_._2).sortBy(id => (md5hex(id.toString), id)).take(k)
+        .map(src -> _)
+    }.sorted
+    assert(got == expected)
+    assert(bySource.exists(_._2.size > k), "fixture never exercises the cap")
+    // and the window-based sampler with a constant quota agrees exactly
+    val windowed = Sampling.quotaSample(frame, "source", "doc_id", _ => lit(k))
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == windowed)
+  }
+
   test("t08 gopher rules match a per-doc Scala recomputation") {
     val full = spark.read.parquet(s"$sf/documents.parquet")
       .select("lang", "text").collect()

@@ -100,6 +100,25 @@ class LshClusterSpec extends SparkSuite {
     assert(recall >= 0.15, f"recall $recall%.3f collapsed below the floor")
   }
 
+  test("planted near-dups: SemDeDup cell pairs == exact pairs, clusters identical") {
+    val exact = exactPairs(planted, threshold = 0.9)
+    assert(exact.size >= 15, s"plant produced only ${exact.size} pairs")
+    val sem = Similarity.semDedupPairs(frameOf(planted), 0.9,
+        kCells = 8, iters = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a planted dup is a tiny perturbation of its base, so the two top-2
+    // probe cell lists overlap — multi-probe recall is 1.0 here
+    assert(sem == exact, "cell-bucketed recall must be 1.0 in the near-dup regime")
+    val clusters = Dedup.dupClusters(
+        Similarity.semDedupPairs(frameOf(planted), 0.9, 8, 3, 2)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (a, b, _) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(clusters.values.toSet.forall(_ < 40L))
+  }
+
   test("testdata: every LSH cluster refines an exact cluster") {
     val lshClusters = Similarity.embeddingClustersLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

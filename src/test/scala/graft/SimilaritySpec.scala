@@ -190,4 +190,25 @@ class SimilaritySpec extends SparkSuite {
     assert(clusters.values.toSet.forall(l => clusters.get(l).contains(l)),
       "every label is its own cluster root")
   }
+
+  test("s14 semdedup pairs are an exact-cosine subset; clusters refine exact") {
+    val exact = Similarity.cosinePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sem = Similarity.semDedupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem.nonEmpty, "cell-bucketed candidates found no pairs at all")
+    // precision 1.0: every emitted pair is an exact pair with the exact cos
+    assert(sem.subsetOf(exact),
+      s"non-exact pairs emitted: ${(sem -- exact).take(3)}")
+    // CC over a subset of the exact edges refines the exact clustering
+    val exactClusters = Similarity.embeddingClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val semClusters = Similarity.semDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    semClusters.groupBy(_._2).values.foreach { members =>
+      val exLabels = members.keys.map(exactClusters).toSet
+      assert(exLabels.size == 1,
+        s"sem cluster ${members.keys.toSeq.sorted} spans exact clusters $exLabels")
+    }
+  }
 }
