@@ -54,6 +54,8 @@ object SparkEntry {
     "q30_grouping_sets"   -> Warehouse.q30GroupingSets,
     "q31_topk_per_group"  -> Warehouse.q31TopKPerGroup,
     "q32_approx_percentiles" -> Warehouse.q32ApproxPercentiles,
+    "q33_scd2_intervals"  -> Warehouse.q33Scd2Intervals,
+    "q34_latest_snapshot" -> Warehouse.q34LatestSnapshot,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -119,6 +121,7 @@ object SparkEntry {
     "s12_pca_project"     -> ((s, dir) => Pca.project(s, dir)),
     "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir)),
     "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir)),
+    "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -382,6 +385,27 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
            FROM orders)
          WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""",
+    "q33_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+           round(o_totalprice, 4) AS price,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d %H:%M:%S')
+             AS valid_to,
+           lead(o_orderdate, 1) OVER w IS NULL AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, valid_from, o_orderkey""",
+    "q34_latest_snapshot" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+           SELECT user_id, event_id, event_type,
+             round(value, 4) AS value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f') DESC,
+                        event_id DESC) AS rk
+           FROM events)
+         WHERE rk = 1 ORDER BY user_id""",
     "j04_nearest_event" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -1058,6 +1082,20 @@ object SparkEntry {
                                 ORDER BY qcos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s15_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                    FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id, a.label AS n_label,
+             round(list_cosine_similarity(q.v, a.v), 6) AS cos
+           FROM e q JOIN e a
+             ON a.vec_id <> q.vec_id AND a.label <> q.label
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, n_label, cos FROM (
+           SELECT q_id, n_id, n_label, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (
@@ -1357,6 +1395,44 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s15_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, label
+           FROM embeddings
+         ), n AS (
+           SELECT vec_id, v, label, sqrt(graft_dot(v, v)) AS nrm FROM e
+         ), scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id, a.label AS n_label,
+             round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6) AS cos
+           FROM n q JOIN n a
+             ON a.vec_id <> q.vec_id AND a.label <> q.label
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, n_label, cos FROM (
+           SELECT q_id, n_id, n_label, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "q33_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+           round(o_totalprice, 4) AS price,
+           date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS valid_from,
+           date_format(lead(o_orderdate, 1) OVER w, 'yyyy-MM-dd HH:mm:ss')
+             AS valid_to,
+           lead(o_orderdate, 1) OVER w IS NULL AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, valid_from, o_orderkey""",
+    "q34_latest_snapshot" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+           SELECT user_id, event_id, event_type,
+             round(value, 4) AS value,
+             date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') DESC,
+                        event_id DESC) AS rk
+           FROM events)
+         WHERE rk = 1 ORDER BY user_id""",
     "s08_ann_quantized" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings

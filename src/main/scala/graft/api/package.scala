@@ -88,6 +88,19 @@ package object api {
                      k: Int): DataFrame =
       graft.plans.TopKPerGroup.topKPerGroup(df, groupCols, orderBy, k)
 
+    /** At most k rows per domain, chosen by deterministic hash rank —
+      * skew-safe (TopKPerGroup under the hood, not a per-domain
+      * window). */
+    def capPerDomain(domainCol: String, idCol: String, k: Int): DataFrame =
+      Sampling.domainCaps(df, domainCol, idCol, k)
+
+    /** Corpus-wide C4-style span dedup report: per doc, how many of its
+      * `width`-token chunks are the FIRST occurrence of that exact
+      * span. */
+    def dedupSpans(idCol: String, textCol: String,
+                   width: Int = 32): DataFrame =
+      TextOps.chunkDedup(df, idCol, textCol, width)
+
     // ---- joins ----
     def asofJoin(right: DataFrame, key: String, ts: String,
                  rightVals: Seq[String]): DataFrame =

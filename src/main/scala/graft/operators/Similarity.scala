@@ -57,6 +57,32 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** s15: hard-negative mining for contrastive training — for each
+    * query vector, the k most-similar vectors carrying a DIFFERENT
+    * label (the "close but wrong" examples a contrastive loss needs;
+    * random negatives are trivially separable). Same broadcast-queries
+    * × corpus-stream shape as [[annBruteForce]] — the label inequality
+    * is one extra predicate in the broadcast join, so the 100 TB cost
+    * is identical: linear corpus scan, no corpus shuffle, codegen'd
+    * dot. Deterministic: cosine rounded to 6 decimals, ties to the
+    * lower vec_id. */
+  def hardNegatives(s: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val all = emb(s, dir)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val scored = all.join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "n_label", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** All-pairs near-duplicate embeddings above a cosine threshold —
     * brute force (corpus x corpus). Correct at any scale but O(n^2):
     * the oracle-checked exact baseline for [[lshPairs]]. */

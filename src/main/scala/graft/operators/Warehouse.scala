@@ -429,6 +429,49 @@ object Warehouse {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** q33: SCD2-style validity intervals — each customer's order
+    * history as slowly-changing-dimension rows: [valid_from, valid_to)
+    * per (status, price) observation, open-ended (null valid_to) for
+    * the latest. The standard warehouse change-capture shape: ONE
+    * shuffle on the entity key, `lead()` over the per-entity timeline —
+    * no self-join (the naive formulation joins each row to its
+    * successor; at 100 TB that is a second shuffle and a row blowup on
+    * entities with many versions). */
+  def q33Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc,
+      col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 4).as("price"), col("o_orderdate"))
+      .withColumn("valid_from",
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("valid_to",
+        date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("is_current", lead(col("o_orderdate"), 1).over(w).isNull)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "price",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** q34: CDC snapshot compaction — the latest event per user, the
+    * "merge a change stream into a snapshot" kernel of every
+    * incremental table format (argmax by event time, ties to the
+    * highest event_id). Routed through the [[graft.plans.TopKPerGroup]]
+    * plan with k=1: the per-key cap is enforced in the map-side partial
+    * pass, so a hot entity that dominates the change log (the exact
+    * case compaction exists for) contributes ONE row per input
+    * partition to the shuffle, not its whole history — a window over
+    * user_id would carry every version to the reducer first. */
+  def q34LatestSnapshot(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value"), 4).as("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts")),
+        Seq("user_id"),
+        Seq("ts" -> false, "event_id" -> false), k = 1)
+      .orderBy("user_id")
+
   /** Sliding windows (20-minute length, 5-minute slide): every event
     * contributes to 4 overlapping windows — Spark's `window()` plans an
     * Expand (4 rows per event) before the aggregate, which is also the

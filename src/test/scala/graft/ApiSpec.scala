@@ -68,6 +68,20 @@ class ApiSpec extends SparkSuite {
     assert(top.length == 2)
   }
 
+  test("capPerDomain and dedupSpans work on user-named columns") {
+    val domains = Seq(
+      ("a.com", 1L), ("a.com", 2L), ("a.com", 3L), ("b.org", 4L))
+      .toDF("host", "id")
+    val capped = domains.capPerDomain("host", "id", 2).collect()
+      .map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(capped == Map("a.com" -> 2, "b.org" -> 1))
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val spans = Seq((1L, span), (2L, span)).toDF("id", "body")
+      .dedupSpans("id", "body", width = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(spans == Map(1L -> 1L, 2L -> 0L), "doc 2's span is a repeat")
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")

@@ -191,6 +191,36 @@ class SimilaritySpec extends SparkSuite {
       "every label is its own cluster root")
   }
 
+  test("s15 hard negatives: different label, exactly the label-filtered top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val labelOf = emb.map(e => e._1 -> e._3).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = emb.filter(_._1 < 5).flatMap { case (q, qv, qLabel) =>
+      val qn = math.sqrt(dot(qv, qv))
+      emb.filter(e => e._1 != q && e._3 != qLabel)
+        .map { case (id, v, lbl) =>
+          (q, id, lbl, r6(dot(qv, v) / (qn * math.sqrt(dot(v, v))))) }
+        .sortBy(t => (-t._4, t._2)).take(3).zipWithIndex
+        .map { case ((_, id, lbl, cos), i) => (q, i + 1L, id, lbl, cos) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (q, _, _, nLabel, _) =>
+      assert(nLabel != labelOf(q), s"query $q got a same-label negative")
+    }
+  }
+
   test("s14 semdedup pairs are an exact-cosine subset; clusters refine exact") {
     val exact = Similarity.cosinePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

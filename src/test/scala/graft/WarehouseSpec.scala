@@ -74,4 +74,39 @@ class WarehouseSpec extends SparkSuite {
       (plan.contains("l_shipdate") || plan.contains("l_discount")),
       s"expected parquet pushdown in plan:\n$plan")
   }
+
+  test("q33 SCD2 intervals chain per customer, exactly one current version") {
+    val rows = Warehouse.q33Scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(4), Option(r.getString(5)),
+        r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, hist) =>
+      // already in (valid_from, orderkey) order; each row's valid_to is
+      // the NEXT row's valid_from, and only the final row is open-ended
+      hist.init.zip(hist.tail).foreach { case (cur, next) =>
+        assert(cur._3.contains(next._2),
+          s"cust $cust: interval chain broken at ${cur._2}")
+        assert(!cur._4, s"cust $cust: non-final row marked current")
+      }
+      assert(hist.last._3.isEmpty && hist.last._4,
+        s"cust $cust: final version must be open-ended and current")
+    }
+  }
+
+  test("q34 latest snapshot equals the window formulation, one row per user") {
+    val got = Warehouse.q34LatestSnapshot(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1).distinct.size == got.size, "duplicate user rows")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s").desc, col("event_id").desc)
+    val expected = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_id").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
 }
