@@ -105,6 +105,7 @@ object SparkEntry {
     "d08_keep_best"       -> ((s, dir) => Dedup.keepBest(s, dir)),
     "d09_embedding_clusters_lsh" -> ((s, dir) => Similarity.embeddingClustersLsh(s, dir)),
     "d10_keep_best_lsh"   -> ((s, dir) => Dedup.keepBestLsh(s, dir)),
+    "d11_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
@@ -881,6 +882,17 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "d11_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents
+         ), store AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         batch AS (SELECT * FROM f WHERE doc_id >= 250)
+         SELECT b.fp, min(b.doc_id) AS keeper, count(*) AS n_copies
+         FROM batch b LEFT JOIN store s ON b.fp = s.fp
+         WHERE s.fp IS NULL
+         GROUP BY b.fp ORDER BY keeper""",
     "d02_minhash_lsh" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
@@ -1370,6 +1382,16 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "d11_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+           FROM documents
+         ), store AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         batch AS (SELECT * FROM f WHERE doc_id >= 250)
+         SELECT b.fp, min(b.doc_id) AS keeper, count(*) AS n_copies
+         FROM batch b LEFT ANTI JOIN store s ON b.fp = s.fp
+         GROUP BY b.fp ORDER BY keeper""",
     "s02_cosine_pairs" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings

@@ -58,6 +58,41 @@ object Dedup {
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     exactDedup(t(s, dir, "documents"), "doc_id", "text")
 
+  /** d11: INCREMENTAL exact dedup — dedup a new batch against the
+    * corpus already ingested, the shape every production crawl
+    * pipeline actually runs (the full-corpus d01 re-shuffle is a
+    * backfill, not a daily job). The "corpus so far" is carried as a
+    * fingerprint STORE — 16 bytes/doc, not documents — so the state a
+    * 100 TB pipeline persists between runs is ~1.6 TB of hashes, and
+    * the day's work is sized by the batch: fingerprint the batch
+    * (narrow), anti-join against the store on the hash (the store side
+    * can runtime-Bloom-prune the batch scan — RuntimeFilterSpec), then
+    * first-occurrence within the batch. Survivors ∪ store is the next
+    * run's store. */
+  def incrementalDedup(newDocs: DataFrame, storeFps: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    newDocs
+      .select(col(idCol),
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
+      .join(storeFps.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("fp", "keeper", "n_copies")
+      .orderBy("keeper")
+
+  /** The registered d11 split: docs with id < `splitAt` are the
+    * already-ingested corpus (reduced to their fingerprint store), the
+    * rest are the incoming batch. */
+  def incrementalDedup(s: SparkSession, dir: String,
+                       splitAt: Long = 250L): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = docs.filter(col("doc_id") < splitAt)
+      .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .distinct()
+    incrementalDedup(docs.filter(col("doc_id") >= splitAt), store,
+      "doc_id", "text")
+  }
+
   /** Documents with their distinct HASHED 3-shingle sets (docs with none
     * drop out). One single-pass JVM kernel per document — see
     * [[graft.functions.Hashing.shingleHashes]]; every sketch below

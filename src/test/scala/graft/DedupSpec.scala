@@ -133,4 +133,17 @@ class DedupSpec extends SparkSuite {
     assert(lsh == exact)
     assert(lsh.nonEmpty)
   }
+
+  test("d11 incremental dedup = full dedup restricted to batch-only fingerprints") {
+    // an fp survives the incremental pass iff NO occurrence predates the
+    // batch, i.e. iff the full-corpus keeper is itself in the batch —
+    // and then keeper and n_copies agree exactly
+    val full = Dedup.exactDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = Dedup.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full.filter(_._2 >= 250L))
+    assert(inc.nonEmpty)
+    assert(inc.size < full.size, "store filtered nothing — split is vacuous")
+  }
 }
