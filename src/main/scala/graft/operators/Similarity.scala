@@ -225,9 +225,12 @@ object Similarity {
     * but with DATA-ADAPTIVE buckets: k-means cells track the corpus's
     * own density, where hyperplane buckets are oblivious.
     *
-    * Scale shape: the k-means fit is k×dim driver model state
-    * ([[fitCentroids]] — one shuffle of partial sums per Lloyd
-    * iteration); serving is `nprobe` cell keys per row (codegen'd dots
+    * Scale shape: the k-means fit follows the s11 lesson — a bounded
+    * deterministic sample ([[PqModel.sampleVectors]], one TakeOrdered
+    * pass, no corpus shuffle) and driver-side Lloyd
+    * ([[PqModel.lloyd]]: microseconds of arithmetic vs a full job
+    * round-trip per distributed iteration). The model is k×dim
+    * doubles; serving is `nprobe` cell keys per row (codegen'd dots
     * against centroid literals), one explode, one shuffle on the cell
     * id, per-cell self-join, pair-level dedup. Cell population is
     * corpus/k on average — the quadratic term is bounded per cell. */
@@ -235,8 +238,8 @@ object Similarity {
                     iters: Int, nprobe: Int): DataFrame = {
     val normed = embFrame
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
-      .localCheckpoint()
-    val cents = fitCentroids(normed, kCells, iters)
+    val cents = PqModel.lloyd(
+      PqModel.sampleVectors(normed, cap = 4096), kCells, iters)
     val keyed = embFrame
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(topCells(transform(col("v"), x => x / col("nrm")), cents, nprobe))
