@@ -65,6 +65,7 @@ object SparkEntry {
     "m03_media_features"  -> Multimodal.featuresByKind,
     "m04_byte_histogram"  -> Multimodal.byteHistogram,
     "m05_resize_meta"     -> Multimodal.resizedDims,
+    "m06_media_dedup"     -> Multimodal.mediaDedup,
     "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
     "j04_nearest_event"   -> TemporalJoins.clickNearestPurchase,
     // text analysis (training-data pipeline ops)
@@ -454,6 +455,10 @@ object SparkEntry {
          CAST(64 + n_chars % 48 AS INT) AS height,
          CAST(n_chars * 10 AS INT) AS duration_ms
          FROM documents ORDER BY media_id""",
+    "m06_media_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper,
+           count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper""",
     "m02_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(f / 500 AS BIGINT) AS frame_idx,
@@ -1613,6 +1618,10 @@ object SparkEntry {
            CAST(floor(w * scale) AS INT) AS r_width,
            CAST(floor(h * scale) AS INT) AS r_height
          FROM sc ORDER BY media_id""",
+    "m06_media_dedup" ->
+      """SELECT md5(CAST(text AS BINARY)) AS fp, min(doc_id) AS keeper,
+           count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper""",
     "j03_asof_forward" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -179,4 +179,18 @@ object Multimodal {
         round(avg(element_at(col("features"), 5)), 4).as("avg_f4"),
         round(sum(col("n_bytes")).cast("double"), 4).as("total_bytes"))
       .orderBy("kind")
+
+  /** m06: content-hash dedup over BINARY payloads — the d01 shape
+    * applied to the media column: md5 of the raw bytes (no text
+    * normalization — for images/audio the bytes ARE the identity),
+    * group, keep the smallest media_id. At 100 TB this is how
+    * image/video corpora dedup: the shuffle carries 16-byte digests,
+    * the payloads never leave their scan partitions. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).toDF()
+      .select(col("media_id"), md5(col("payload")).as("fp"))
+      .groupBy("fp")
+      .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select("fp", "keeper", "n_copies")
+      .orderBy("keeper")
 }

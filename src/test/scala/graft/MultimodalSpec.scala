@@ -60,4 +60,21 @@ class MultimodalSpec extends SparkSuite {
       assert(r.getString(1) == kind)
     }
   }
+
+  test("m06 payload dedup matches a driver md5 over the raw UTF-8 bytes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(d => md5hex(d._2.getBytes("UTF-8")))
+      .map { case (fp, g) =>
+        (fp, g.map(_._1).min, g.length.toLong)
+      }.toSeq.sortBy(_._2)
+    val got = Multimodal.mediaDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == docs.length, "every payload accounted for")
+  }
 }
