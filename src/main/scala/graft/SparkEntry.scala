@@ -84,6 +84,7 @@ object SparkEntry {
     "t13_bpe_merges"      -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     "t14_bpe_encode"      -> ((s, dir) => TextOps.bpeEncode(s, dir)),
     "t15_chunk_dedup"     -> ((s, dir) => TextOps.chunkDedup(s, dir)),
+    "t16_inverted_index"  -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -849,6 +850,19 @@ object SparkEntry {
            floor((count(CASE WHEN rn = 1 THEN 1 END)
              / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS kept_frac
          FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    "t16_inverted_index" ->
+      """WITH ex AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM ex GROUP BY 1, 2)
+         SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           array_to_string(
+             (list(doc_id || ':' || tf ORDER BY doc_id))[1:10], ',')
+             AS postings
+         FROM tf GROUP BY term ORDER BY term""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1383,6 +1397,19 @@ object SparkEntry {
            floor((count(CASE WHEN rn = 1 THEN 1 END)
              / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS kept_frac
          FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    "t16_inverted_index" ->
+      """WITH ex AS (
+           SELECT doc_id, explode(split(trim(text), '\\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM ex GROUP BY 1, 2)
+         SELECT term, count(*) AS df, sum(tf) AS cf,
+           array_join(
+             transform(
+               slice(array_sort(collect_list(struct(doc_id, tf))), 1, 10),
+               e -> concat_ws(':', e.doc_id, e.tf)),
+             ',') AS postings
+         FROM tf GROUP BY term ORDER BY term""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies

@@ -580,6 +580,42 @@ object TextOps {
         md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
       .orderBy(idCol)
 
+  /** t16: inverted-index build — the IR artifact BM25 (t10) documents
+    * as unnecessary for a fixed small query set, materialized for the
+    * serving case where it isn't: per term, document frequency,
+    * collection frequency, and a doc_id-ordered posting list of
+    * `doc:tf` pairs CAPPED at `postingCap` entries (the stopword row
+    * would otherwise be a posting list the size of the corpus — the
+    * same hot-key cap as the d06 DF-capped join; `df`/`cf` stay exact
+    * over ALL postings, only the materialized list is truncated).
+    *
+    * Scale shape: one explode (narrow), one shuffle on (term, doc) for
+    * tf, one hash re-agg on term whose per-group state is bounded by
+    * the cap + two counters. Every value is an integer or a string —
+    * no float in the artifact, so the oracle is exact. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    postingCap: Int = 10): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokensOf(col(textCol))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              1, postingCap),
+            e => concat_ws(":", e("doc_id"), e("tf"))),
+          ",").as("postings"))
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+      .orderBy("term")
+  }
+
   /** t15: span-level exact dedup, C4-style — the corpus-wide "keep the
     * FIRST occurrence of every repeated span" pass (C4 does it on
     * 3-sentence spans; here the span unit is the non-overlapping

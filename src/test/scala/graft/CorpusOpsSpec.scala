@@ -403,6 +403,26 @@ class CorpusOpsSpec extends SparkSuite {
       s"got $counts — expected ceil(4·√400)=80 and min(4, ceil(4·√4))=4")
   }
 
+  test("t16 inverted index matches a full-corpus Scala recomputation") {
+    val cap = 10
+    val tf = docs.flatMap { case (id, text) =>
+      text.trim.split("\\s+").toSeq.groupBy(identity).map {
+        case (term, occ) => (term, id, occ.size.toLong)
+      }
+    }
+    val expected = tf.groupBy(_._1).toSeq.map { case (term, rows) =>
+      val postings = rows.sortBy(_._2).take(cap)
+        .map(r => s"${r._2}:${r._3}").mkString(",")
+      (term, rows.size.toLong, rows.map(_._3).sum, postings)
+    }.sortBy(_._1)
+    val got = TextOps.invertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == expected)
+    // the cap must actually bite on the corpus vocabulary
+    assert(expected.exists(_._2 > cap), "no term exceeds the posting cap")
+  }
+
   test("t15 chunk dedup matches a full-corpus Scala recomputation") {
     val width = 32
     // every chunk occurrence, in (doc_id, chunk_id) order of appearance
