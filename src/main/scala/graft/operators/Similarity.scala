@@ -233,30 +233,81 @@ object Similarity {
     * doubles; serving is `nprobe` cell keys per row (codegen'd dots
     * against centroid literals), one explode, one shuffle on the cell
     * id, per-cell self-join, pair-level dedup. Cell population is
-    * corpus/k on average — the quadratic term is bounded per cell. */
+    * corpus/k on AVERAGE — but dup-heavy corpora are exactly the ones
+    * that produce a HOT cell holding most of the corpus, and an
+    * uncapped in-cell join then degrades toward O(n²). Two guards
+    * bound it (both no-ops for cells ≤ `cellCap`, so small-cell output
+    * is bit-identical to the uncapped form):
+    *
+    *  1. LSH sub-bucket refinement — a cell of size m > cellCap is
+    *     split by the first ⌈log₂(m/cellCap)⌉ bits of a deterministic
+    *     sign-LSH signature (disjoint plane set from the d02/d09
+    *     family), so a hot-but-DIVERSE cell falls back to hyperplane
+    *     buckets of expected size ≤ cellCap while near-duplicates
+    *     (matching signs) stay co-bucketed.
+    *  2. Anchor-star cap — refinement cannot split NEAR-IDENTICAL
+    *     vectors (same signature by construction), so within each
+    *     refined bucket of size r only "anchor" rows (deterministic:
+    *     xxhash64(vec_id) mod ⌈r/cellCap⌉ = 0, expected count ≈
+    *     cellCap) join against all rows. Candidates per bucket fall
+    *     from r²/2 to ≈ cellCap·r — linear in r — and because every
+    *     member pairs with every anchor, a genuine dup group stays
+    *     CONNECTED, so the downstream CC clustering is intact. Both
+    *     selections are map-side (no per-cell Window sort — a 10⁹-row
+    *     hot cell must not become one sort task); the two cell-size
+    *     counts are metadata-sized hash aggregates.
+    *
+    * Precision stays 1.0 (every candidate is exact-cosine re-ranked);
+    * only recall among NON-anchor members of an oversized refined
+    * bucket is sacrificed — the same contract as d06's df cap. */
   def semDedupPairs(embFrame: DataFrame, threshold: Double, kCells: Int,
-                    iters: Int, nprobe: Int): DataFrame = {
+                    iters: Int, nprobe: Int, cellCap: Int): DataFrame = {
     val normed = embFrame
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
     val cents = PqModel.lloyd(
       PqModel.sampleVectors(normed, cap = 4096), kCells, iters)
+    val dim = cents.headOption.map(_.length).getOrElse(64)
+    val maxBits = 16
+    // probe cells + the refinement signature in one narrow pass;
+    // materialized once (cell-size count + pair join both read it)
     val keyed = embFrame
       .select(col("vec_id"), col("v"), col("nrm"),
+        lshBucket(transform(col("v"), x => x / col("nrm")), maxBits, dim,
+          planeOffset = 4096).as("sig"),
         explode(topCells(transform(col("v"), x => x / col("nrm")), cents, nprobe))
           .as("cell"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+      .localCheckpoint()
+    val cellSizes = keyed.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    val refined = keyed.join(cellSizes, "cell")
+      .withColumn("bits",
+        when(col("cell_n") > cellCap,
+          least(lit(maxBits),
+            ceil(log(2.0, col("cell_n").cast("double") / cellCap))))
+          .otherwise(lit(0)).cast("int"))
+      .withColumn("rcell", concat_ws("|",
+        col("cell").cast("string"), col("sig").substr(lit(1), col("bits"))))
+      .select("vec_id", "v", "nrm", "rcell")
+    val rcellSizes = refined.groupBy("rcell").agg(count(lit(1)).as("rn"))
+    val rows = refined.join(rcellSizes, "rcell")
+      .withColumn("anchor",
+        pmod(xxhash64(col("vec_id")),
+          ceil(col("rn").cast("double") / cellCap).cast("long")) === 0)
+    rows.filter(col("anchor")).as("a").join(rows.as("b"),
+        col("a.rcell") === col("b.rcell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        // dot and the norm product are symmetric, so cos is identical
+        // whichever side was the anchor — the dedup is deterministic
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      // multi-probe: a pair sharing several cells repeats with identical
-      // (id_a, id_b, cos), so the dedup is deterministic
       .dropDuplicates("id_a", "id_b")
   }
 
   def semDedupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
-                    kCells: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame =
-    semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe)
+                    kCells: Int = 8, iters: Int = 3, nprobe: Int = 2,
+                    cellCap: Int = 1000): DataFrame =
+    semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap)
       .orderBy("id_a", "id_b")
 
   /** s14: SemDeDup — semantic near-duplicate CLUSTERS from
@@ -271,8 +322,10 @@ object Similarity {
     * every cluster refines an exact cluster, and planted near-dup
     * groups are recovered identically. */
   def semDedupClusters(s: SparkSession, dir: String, threshold: Double = 0.4,
-                       kCells: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame =
-    Dedup.dupClusters(semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe)
+                       kCells: Int = 8, iters: Int = 3, nprobe: Int = 2,
+                       cellCap: Int = 1000): DataFrame =
+    Dedup.dupClusters(
+        semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")

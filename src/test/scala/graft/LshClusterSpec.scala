@@ -104,13 +104,13 @@ class LshClusterSpec extends SparkSuite {
     val exact = exactPairs(planted, threshold = 0.9)
     assert(exact.size >= 15, s"plant produced only ${exact.size} pairs")
     val sem = Similarity.semDedupPairs(frameOf(planted), 0.9,
-        kCells = 8, iters = 3, nprobe = 2)
+        kCells = 8, iters = 3, nprobe = 2, cellCap = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // a planted dup is a tiny perturbation of its base, so the two top-2
     // probe cell lists overlap — multi-probe recall is 1.0 here
     assert(sem == exact, "cell-bucketed recall must be 1.0 in the near-dup regime")
     val clusters = Dedup.dupClusters(
-        Similarity.semDedupPairs(frameOf(planted), 0.9, 8, 3, 2)
+        Similarity.semDedupPairs(frameOf(planted), 0.9, 8, 3, 2, 1000)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     exact.foreach { case (a, b, _) =>
@@ -130,5 +130,47 @@ class LshClusterSpec extends SparkSuite {
       assert(images.size == 1,
         s"LSH cluster $c spans exact clusters $images")
     }
+  }
+
+  /** The hot-cell adversary the cap exists for: 181 near-identical
+    * vectors (~90% of the corpus) land in ONE k-means cell, and the
+    * LSH refinement cannot split them (identical sign signatures), so
+    * only the anchor-star cap stands between the in-cell join and
+    * O(n²). */
+  test("hot cell: SemDeDup pair count is capped, precision 1.0, dup group connected") {
+    val rnd = new scala.util.Random(4242)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = unit()
+    val blob = (0 until 180).map { i =>
+      val noise = Array.fill(64)(rnd.nextGaussian() * 1e-6)
+      (1000L + i, base.zip(noise).map { case (x, e) => x + e })
+    }
+    val diverse = (1L to 20L).map(id => (id, unit()))
+    val vecs = ((0L, base) +: blob) ++ diverse
+    val cap = 10
+    val sem = Similarity.semDedupPairs(frameOf(vecs), 0.9,
+        kCells = 4, iters = 3, nprobe = 1, cellCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = exactPairs(vecs, threshold = 0.9)
+    assert(exact.size >= 181 * 180 / 2, s"blob produced only ${exact.size} pairs")
+    // precision 1.0 survives the cap: every emitted pair is exact
+    assert(sem.subsetOf(exact), s"${(sem -- exact).take(3)} not in exact set")
+    // the cap bit: candidates per bucket are ~cellCap·r, not r²/2 —
+    // far below the exact pair count, far above a star's minimum
+    assert(sem.size < exact.size / 2,
+      s"cap did not engage: ${sem.size} of ${exact.size} exact pairs emitted")
+    assert(sem.size >= 180, s"only ${sem.size} pairs — spanning edges lost")
+    // anchor-star connectivity: the whole blob collapses to ONE cluster
+    val clusters = Dedup.dupClusters(
+        Similarity.semDedupPairs(frameOf(vecs), 0.9, 4, 3, 1, cap)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blobLabels = (Seq(0L) ++ blob.map(_._1)).map(clusters).toSet
+    assert(blobLabels == Set(0L),
+      s"blob split across clusters $blobLabels instead of collapsing to {0}")
   }
 }
