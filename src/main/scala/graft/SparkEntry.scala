@@ -82,7 +82,7 @@ object SparkEntry {
     "t11_heavy_hitters"   -> ((s, dir) => TextOps.heavyHitters(s, dir)),
     "t12_perplexity"      -> TextOps.perplexity,
     "t13_bpe_merges"      -> ((s, dir) => TextOps.bpeMerges(s, dir)),
-    "t14_bpe_encode"      -> ((s, dir) => TextOps.bpeEncode(s, dir)),
+    "t14_bpe_encode"      -> ((s, dir) => TextOps.bpeEncodePinned(s, dir)),
     "t15_chunk_dedup"     -> ((s, dir) => TextOps.chunkDedup(s, dir)),
     "t16_inverted_index"  -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     // deterministic sampling / splitting
@@ -289,6 +289,17 @@ object SparkEntry {
                     '%Y-%m-%d %H:%M:%S.%f') AS w_end,
            count(*) AS n
          FROM y GROUP BY user_id, grp ORDER BY user_id, w_start""",
+    // q20: exact distinct counts reproduced; the ε-band verdicts on the
+    // HLL estimates (ε = 0.15 = 3× the default 5% rsd) are asserted
+    // literally TRUE — a drifting sketch hash-fails the compare
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+         TRUE AS supp_ok,
+         TRUE AS part_ok,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q21_market_share" ->
       """WITH asia_supp AS (
            SELECT s_suppkey FROM supplier
@@ -388,6 +399,17 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
            FROM orders)
          WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""",
+    // q32: exact percentiles reproduced; the rank-band verdicts on the
+    // GK-sketch estimates (δ = 0.02 vs the theoretical 1/accuracy =
+    // 1e-4 rank error) are asserted literally TRUE
+    "q32_approx_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         TRUE AS median_ok,
+         TRUE AS p90_ok,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q33_scd2_intervals" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,
            round(o_totalprice, 4) AS price,
@@ -717,6 +739,52 @@ object SparkEntry {
            floor(exp((-sum(lnp ORDER BY pos)) / CAST(count(*) AS DOUBLE))*1e4
              + 0.5)/1e4 AS ppl
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // t14: the pinned-merge BPE encode replayed exactly — symbols as a
+    // space-separated sentinel string, one recursive step = replace the
+    // LEFTMOST occurrence of merge k's pair (equivalent to the
+    // non-overlapping left-to-right scan: a merge never creates a new
+    // occurrence of its own pair to its left), k advances when merge k
+    // no longer applies. n_sub = symbol count of the fixpoint string.
+    "t14_bpe_encode" ->
+      """WITH RECURSIVE
+         words AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents
+         ), vocab AS (SELECT DISTINCT word FROM words
+         ), merges(k, pat, rep) AS (
+           SELECT * FROM (VALUES
+             (1, ' e r ',     ' er '),
+             (2, ' e </w> ',  ' e</w> '),
+             (3, ' n </w> ',  ' n</w> '),
+             (4, ' er </w> ', ' er</w> '),
+             (5, ' o w ',     ' ow '),
+             (6, ' ow </w> ', ' ow</w> '),
+             (7, ' o r ',     ' or '),
+             (8, ' s t ',     ' st '))
+         ), enc AS (
+           SELECT word,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS s,
+             1 AS k
+           FROM vocab
+           UNION ALL
+           SELECT e.word,
+             CASE WHEN strpos(e.s, m.pat) > 0
+               THEN substr(e.s, 1, strpos(e.s, m.pat) - 1) || m.rep ||
+                    substr(e.s, strpos(e.s, m.pat) + length(m.pat))
+               ELSE e.s END,
+             CASE WHEN strpos(e.s, m.pat) > 0 THEN e.k ELSE e.k + 1 END
+           FROM enc e JOIN merges m ON m.k = e.k
+         ), encoded AS (
+           SELECT word,
+             length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS n_sub
+           FROM enc WHERE k = 9
+         )
+         SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens
+         FROM words w JOIN encoded e USING (word)
+         GROUP BY w.doc_id
+         ORDER BY doc_id""",
     "v01_quality_checks" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -943,6 +1011,77 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
          FROM pairs WHERE round(inter * 1.0 / uni, 4) >= 0.7
+         ORDER BY doc_a, doc_b""",
+    // d04: the 64-bit simhash replayed exactly in integer SQL — FNV-1a
+    // token hashes, SplitMix64-mixed 3-gram shingles, per-bit majority.
+    // All math is HUGEINT mod 2^64; the two ~2^63.5 SplitMix64 constants
+    // would overflow INT128 under direct multiply, so those use the
+    // split form (a_lo·c + ((a_hi·c mod 2^32) << 32)) mod 2^64. The
+    // oracle skips the engine's 16-bit-chunk pigeonhole bucketing and
+    // brute-forces all pairs: the bucketing guarantees recall for
+    // hamming ≤ 3 and the exact hamming filter makes both forms equal.
+    "d04_simhash" ->
+      """WITH
+         toks AS (
+           SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+             tk -> list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(tk, ''), c -> ord(c)::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT)) AS th
+           FROM documents
+         ),
+         sh_pos AS (
+           SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i
+           FROM toks WHERE len(th) >= 3
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id, a3 AS shingle FROM (
+             SELECT doc_id,
+               xor(11400714819323198485::HUGEINT, th[CAST(i AS INT)]) AS x1,
+               (x1 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p1,
+               xor(p1, p1 // 1073741824) AS t1,
+               ((t1 % 4294967296) * 13787848793156543929::HUGEINT + (((t1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q1,
+               xor(q1, q1 // 134217728) AS u1,
+               ((u1 % 4294967296) * 10723151780598845931::HUGEINT + (((u1 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r1,
+               xor(r1, r1 // 2147483648) AS a1,
+               xor(a1, th[CAST(i + 1 AS INT)]) AS x2,
+               (x2 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p2,
+               xor(p2, p2 // 1073741824) AS t2,
+               ((t2 % 4294967296) * 13787848793156543929::HUGEINT + (((t2 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q2,
+               xor(q2, q2 // 134217728) AS u2,
+               ((u2 % 4294967296) * 10723151780598845931::HUGEINT + (((u2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r2,
+               xor(r2, r2 // 2147483648) AS a2,
+               xor(a2, th[CAST(i + 2 AS INT)]) AS x3,
+               (x3 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p3,
+               xor(p3, p3 // 1073741824) AS t3,
+               ((t3 % 4294967296) * 13787848793156543929::HUGEINT + (((t3 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q3,
+               xor(q3, q3 // 134217728) AS u3,
+               ((u3 % 4294967296) * 10723151780598845931::HUGEINT + (((u3 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r3,
+               xor(r3, r3 // 2147483648) AS a3
+             FROM sh_pos)
+         ),
+         bits AS (
+           SELECT doc_id, b.i,
+             sum(CASE WHEN (shingle // (1::HUGEINT << CAST(b.i AS INT))) % 2 = 1
+                      THEN 1 ELSE -1 END) AS cnt
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+           GROUP BY doc_id, b.i
+         ),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN cnt >= 0 AND i < 32 THEN 1::BIGINT << CAST(i AS INT)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN cnt >= 0 AND i >= 32 THEN 1::BIGINT << CAST(i - 32 AS INT)
+                           ELSE 0 END) AS BIGINT) AS hi
+           FROM bits GROUP BY doc_id
+         )
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+               AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3
          ORDER BY doc_a, doc_b""",
     "d05_dup_clusters" ->
       """WITH RECURSIVE toks AS (

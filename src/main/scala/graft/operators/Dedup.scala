@@ -487,13 +487,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash near-duplicate pairs (rows-only check — the bit mix
-    * depends on xxhash64, which the SQL oracle cannot reproduce).
+  /** 64-bit SimHash near-duplicate pairs. Fully deterministic integer
+    * math (FNV-1a token hashes + SplitMix64 shingle mixing, both pure
+    * functions — [[graft.functions.Hashing]]), so the driver checks it
+    * against an EXACT DuckDB oracle that replays the same arithmetic
+    * in HUGEINT-mod-2⁶⁴ SQL and brute-forces the pair join (the oracle
+    * can afford O(n²); the engine's bucketing below guarantees the two
+    * forms emit identical rows).
     *
     * The signature is computed over the doc's distinct 3-word shingles
     * (raw tokens are useless on small shared vocabularies — every doc
     * collides): bit i is the sign of sum over shingles of ±1 according
-    * to bit i of xxhash64(shingle). Candidates come from 4 16-bit chunk
+    * to bit i of the shingle hash. Candidates come from 4 16-bit chunk
     * buckets (pigeonhole: hamming <= 3 guarantees a shared chunk),
     * verified by exact hamming distance <= maxHamming. */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =

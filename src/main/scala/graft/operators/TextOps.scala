@@ -536,10 +536,11 @@ object TextOps {
     * like the PQ codebooks); encoding runs ONCE PER DISTINCT WORD (the
     * same corpus→vocabulary collapse as training — a Zipf-bounded
     * frame), and documents get their counts back through a join on the
-    * word key, never re-running the kernel per occurrence. Rows-only
-    * check (the merge loop is iterative-stateful, no SQL oracle);
-    * CorpusOpsSpec pins it against an independent driver-side
-    * recomputation and the train/encode consistency law. */
+    * word key, never re-running the kernel per occurrence. The
+    * REGISTERED t14 is [[bpeEncodePinned]] (pinned merge table ⇒ exact
+    * DuckDB oracle); this train-then-encode composition stays for the
+    * lifecycle law CorpusOpsSpec pins (encode(train(corpus)) matches an
+    * independent driver-side recomputation). */
   def bpeEncode(s: SparkSession, dir: String): DataFrame =
     bpeEncode(t(s, dir, "documents"), "doc_id", "text")
 
@@ -549,6 +550,25 @@ object TextOps {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     bpeEncodeWith(docs, idCol, textCol, merges)
   }
+
+  /** The 8-merge tokenizer [[bpeMerges]] learns on the synthetic
+    * documents corpus at sf0.01, pinned as a literal model fixture.
+    * With the merge table pinned, the t14 encode becomes a PURE
+    * function of (text, merges) — so the driver can oracle it exactly
+    * (a DuckDB recursive CTE replays the leftmost-greedy merges over a
+    * space-separated symbol string; replace-first is equivalent to
+    * BPE's non-overlapping left-to-right scan because a merge never
+    * creates a new occurrence of its own pair to its left). This is
+    * the fit-once/serve-many split of s11 applied to the tokenizer:
+    * training (t13) stays iterative and driver-synced, serving is a
+    * pinned-model pure map. */
+  val pinnedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"))
+
+  /** t14 registered form: encode with the [[pinnedMerges]] fixture. */
+  def bpeEncodePinned(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeWith(t(s, dir, "documents"), "doc_id", "text", pinnedMerges)
 
   /** Encode with a pre-trained merge list (the fit-once serve path —
     * symmetric with [[graft.operators.PqModel]]). */

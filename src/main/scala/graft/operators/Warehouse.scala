@@ -400,32 +400,54 @@ object Warehouse {
 
   /** HLL++ approximate distinct — the 100 TB form of q12: mergeable
     * constant-size sketches instead of the exact two-phase expand.
-    * Rows-only check (sketch estimates are engine-specific); the exact
-    * counterpart q12 is the oracle-verified baseline. */
+    * Sketch INTERNALS are engine-specific, so the raw estimate has no
+    * SQL oracle — instead the query emits the exact counts plus the
+    * ε-band verdicts `abs(approx − exact) ≤ ε·exact` with ε = 0.15
+    * (3× the sketch's default 5% relative standard deviation), and the
+    * DuckDB oracle reproduces the exact counts and asserts the
+    * verdicts literally TRUE — so a drifting estimate now hash-FAILS
+    * the driver compare instead of hiding behind rows-only. The exact
+    * countDistinct lives here only to band the sketch; at 100 TB you
+    * run the sketch alone (q12 is the exact twin). */
   def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_suppkey")).as("approx_supp"),
-        approx_count_distinct(col("l_partkey")).as("approx_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        (abs(approx_count_distinct(col("l_suppkey")) -
+             countDistinct(col("l_suppkey"))).cast("double")
+          <= lit(0.15) * countDistinct(col("l_suppkey"))).as("supp_ok"),
+        (abs(approx_count_distinct(col("l_partkey")) -
+             countDistinct(col("l_partkey"))).cast("double")
+          <= lit(0.15) * countDistinct(col("l_partkey"))).as("part_ok"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
   /** q32: the mergeable-sketch percentile path q16's scaladoc promises
     * for 100 TB — `approx_percentile` (Greenwald-Khanna / Karnin-Lang-
     * Liberty style summaries): constant-size partial aggregates that
-    * merge associatively, vs q16's exact per-group sort. The exact q16
-    * is the oracle-verified baseline; this is rows-only (sketch
-    * internals are engine-specific), with WarehouseSpec bounding the
-    * estimate against the exact answer. */
+    * merge associatively, vs q16's exact per-group sort. Sketch
+    * internals are engine-specific, so the raw estimate has no SQL
+    * oracle — instead the query emits the exact percentiles plus the
+    * rank-band verdicts `approx_pct(p) ∈ [exact_pct(p−δ),
+    * exact_pct(p+δ)]` with δ = 0.02 (200× the sketch's theoretical
+    * 1/accuracy = 10⁻⁴ rank-error bound at accuracy 10000), and the
+    * DuckDB oracle reproduces the exact values and asserts the
+    * verdicts literally TRUE — a drifting sketch hash-FAILS instead of
+    * hiding behind rows-only. q16 is the exact twin. */
   def q32ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
-          .as("median_qty"),
-        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
-          .as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        expr("""approx_percentile(l_quantity, 0.5, 10000)
+                BETWEEN percentile(l_quantity, 0.48)
+                    AND percentile(l_quantity, 0.52)""").as("median_ok"),
+        expr("""approx_percentile(l_extendedprice, 0.9, 10000)
+                BETWEEN percentile(l_extendedprice, 0.88)
+                    AND percentile(l_extendedprice, 0.92)""").as("p90_ok"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 

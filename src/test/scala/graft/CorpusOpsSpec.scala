@@ -263,6 +263,30 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t14 pinned-merge encode matches a driver recomputation with the fixture") {
+    def mergeSeq(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    def enc(word: String): Long =
+      TextOps.pinnedMerges.foldLeft(word.split("").toSeq :+ "</w>") {
+        case (syms, (a, b)) => mergeSeq(syms, a, b)
+      }.length.toLong
+    val expected = docs.map { case (id, text) =>
+      val ws = text.trim.split("\\s+").toSeq
+      (id, ws.size.toLong, ws.map(enc).sum)
+    }.sortBy(_._1)
+    val got = TextOps.bpeEncodePinned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("t13 BPE stops early when every word collapses to one symbol") {
     import spark.implicits._
     // two 2-char words: only 3 possible merges exist (ab, ab</w>, cd…)
