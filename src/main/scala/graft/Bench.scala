@@ -88,6 +88,22 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
     }
+    // Append-only history beside the overwritten-per-run artifact: the
+    // per-round BENCH_rNN.json tail capture truncates at ~2000 chars
+    // (losing the front of the query map), and bench_results.json is
+    // clobbered by every run — this file keeps every full run line so
+    // rounds stay comparable query-by-query.
+    try {
+      val hist = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+      val stamped = json.dropRight(1) +
+        s""","ts":"${java.time.Instant.now()}"}"""
+      java.nio.file.Files.write(hist, (stamped + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not append history: ${e.getMessage}")
+    }
     println(json)
     spark.stop()
   }
