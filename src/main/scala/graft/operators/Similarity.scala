@@ -134,22 +134,83 @@ object Similarity {
       when(dot(v, typedlit(plane(planeOffset + i, dim))) >= 0, "1").otherwise("0")
     }: _*)
 
+  /** Anchor-star capped in-bucket pair join — the shared tail of every
+    * bucketed candidate generator ([[lshPairs]], [[lshPairsMulti]],
+    * [[semDedupPairs]]). `keyed` carries (vec_id, v, nrm, keyCols…);
+    * rows sharing all `keyCols` are candidate neighbors.
+    *
+    * The uncapped form (`a.key = b.key AND a.id < b.id`) degrades
+    * O(r²) on a hot bucket — and dup-heavy corpora, the very input a
+    * dedup exists for, are exactly the ones that produce a bucket
+    * holding most of the corpus (near-identical vectors share every
+    * sign bit / probe cell by construction). So within each bucket of
+    * size r only "anchor" rows join against all rows:
+    *
+    *  - hash anchors: xxhash64(vec_id) mod ⌈r/cap⌉ = 0, expected count
+    *    ≈ cap — candidates fall from r²/2 to ≈ cap·r, linear in r;
+    *  - plus the bucket's min vec_id is ALWAYS an anchor, so every
+    *    bucket has ≥ 1 anchor and every member pairs with it: each
+    *    bucket's surviving pair graph is strictly CONNECTED (a star
+    *    around the min id at minimum), which is what the downstream CC
+    *    clustering needs. (A dup group STRADDLING buckets reconnects
+    *    only through a shared bucket in another table / probe cell —
+    *    overwhelmingly likely for near-identical vectors, but
+    *    probabilistic, not strict.)
+    *
+    * For buckets ≤ cap, ⌈r/cap⌉ = 1 makes every row an anchor and the
+    * output is exactly the uncapped pair set. Both selections are
+    * map-side: bucket sizes are a metadata-sized agg joined back by
+    * BROADCAST (no shuffle of `keyed`, no per-bucket sort — a 10⁹-row
+    * hot bucket must not become one sort task). Precision stays 1.0
+    * (every candidate is exact-cosine re-ranked); only recall among
+    * non-anchor pairs of an oversized bucket is sacrificed — the same
+    * contract as d06's document-frequency cap. */
+  private def anchorStarPairs(keyed: DataFrame, keyCols: Seq[String],
+                              threshold: Double, cap: Int): DataFrame = {
+    val sizes = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("rn"), min(col("vec_id")).as("min_id"))
+    val rows = keyed.join(broadcast(sizes), keyCols)
+      .withColumn("anchor",
+        col("vec_id") === col("min_id") ||
+        pmod(xxhash64(col("vec_id")),
+          ceil(col("rn").cast("double") / cap).cast("long")) === 0)
+    rows.filter(col("anchor")).as("a").join(rows.as("b"),
+        keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        // dot and the norm product are symmetric, so cos is identical
+        // whichever side was the anchor — the dedup is deterministic
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** LSH-bucketed near-neighbor pairs: shuffle on the bucket key, exact
-    * cosine re-rank inside each bucket. The 100 TB path for all-pairs
+    * cosine re-rank inside each bucket, [[anchorStarPairs]] cap on hot
+    * buckets (near-identical vectors share every sign bit, so a
+    * dup-blob corpus funnels into ONE bucket — the cap keeps that
+    * bucket's join linear in its size). The 100 TB path for all-pairs
     * similarity — recall is tunable via nPlanes (fewer planes = bigger
     * buckets = higher recall and cost). Rows-only check: bucketing
     * recall is probabilistic, there is no exact SQL oracle. */
   def lshPairs(s: SparkSession, dir: String, threshold: Double = 0.3,
-               nPlanes: Int = 6): DataFrame = {
-    val docs = emb(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        lshBucket(col("v"), nPlanes).as("bucket"))
-    docs.as("a").join(docs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+               nPlanes: Int = 6, bucketCap: Int = 1000): DataFrame =
+    lshPairs(emb(s, dir), threshold, nPlanes, dim = 64, bucketCap)
       .orderBy("id_a", "id_b")
+
+  def lshPairs(embFrame: DataFrame, threshold: Double, nPlanes: Int,
+               dim: Int, bucketCap: Int): DataFrame = {
+    // localCheckpoint: the bucket-size count and both pair-join sides
+    // all read this frame — the nPlanes plane dots run once per row,
+    // not once per consumer (1× corpus materialized, same pattern as
+    // semDedupPairs/minhashLsh)
+    val docs = embFrame
+      .select(col("vec_id"), col("v"), col("nrm"),
+        lshBucket(col("v"), nPlanes, dim).as("bucket"))
+      .localCheckpoint()
+    anchorStarPairs(docs, Seq("bucket"), threshold, bucketCap)
   }
 
   /** Multi-table sign-LSH near-neighbor pairs: `nTables` independent
@@ -166,34 +227,39 @@ object Similarity {
     * both regimes.
     *
     * Scale shape: one narrow pass computes all table keys, one
-    * posexplode → shuffle on (table, key), per-bucket self-join, exact
-    * dot inline (the vectors are already in the joined rows — no
-    * second join back to the corpus), then a pair-level distinct.
+    * posexplode → shuffle on (table, key), per-bucket self-join capped
+    * by [[anchorStarPairs]] (a dup blob shares every sign bit, so it
+    * funnels into one bucket PER TABLE — without the cap each table
+    * pays O(r²) on it), exact dot inline (the vectors are already in
+    * the joined rows — no second join back to the corpus), then a
+    * pair-level distinct (pairs colliding in several tables carry
+    * identical (id_a, id_b, cos) rows, so it is deterministic).
     * Candidate volume is sized by nPlanes (bucket count 2^nPlanes per
     * table): more planes = smaller buckets = fewer candidates and
     * lower recall; more tables = linearly more candidates and higher
     * recall. */
   def lshPairsMulti(embFrame: DataFrame, threshold: Double, nTables: Int,
-                    nPlanes: Int, dim: Int): DataFrame = {
+                    nPlanes: Int, dim: Int, bucketCap: Int): DataFrame = {
     val keys = array((0 until nTables).map { tb =>
       lshBucket(col("v"), nPlanes, dim, planeOffset = tb * nPlanes)
     }: _*)
+    // localCheckpoint BEFORE the explode: the bucket-size count and
+    // both pair-join sides re-read the keys, and the nTables×nPlanes
+    // plane dots per row are the expensive part — materialize them
+    // once at 1× corpus size (id, v, nrm, nTables key strings), not
+    // the nTables×-exploded frame
     val keyed = embFrame
-      .select(col("vec_id"), col("v"), col("nrm"), posexplode(keys).as(Seq("tb", "key")))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.tb") === col("b.tb") && col("a.key") === col("b.key") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-      // duplicates (pairs colliding in several tables) carry identical
-      // (id_a, id_b, cos) rows, so this distinct is deterministic
-      .dropDuplicates("id_a", "id_b")
+      .select(col("vec_id"), col("v"), col("nrm"), keys.as("ks"))
+      .localCheckpoint()
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("ks")).as(Seq("tb", "key")))
+    anchorStarPairs(keyed, Seq("tb", "key"), threshold, bucketCap)
   }
 
   def lshPairsMulti(s: SparkSession, dir: String, threshold: Double = 0.4,
-                    nTables: Int = 12, nPlanes: Int = 8): DataFrame =
-    lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64)
+                    nTables: Int = 12, nPlanes: Int = 8,
+                    bucketCap: Int = 1000): DataFrame =
+    lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64, bucketCap)
       .orderBy("id_a", "id_b")
 
   /** d09: the 100 TB twin of [[embeddingClusters]] — the SAME
@@ -209,7 +275,7 @@ object Similarity {
   def embeddingClustersLsh(s: SparkSession, dir: String,
                            threshold: Double = 0.4, nTables: Int = 12,
                            nPlanes: Int = 8): DataFrame =
-    Dedup.dupClusters(lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64)
+    Dedup.dupClusters(lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64, bucketCap = 1000)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")
@@ -244,22 +310,27 @@ object Similarity {
     *     sign-LSH signature (disjoint plane set from the d02/d09
     *     family), so a hot-but-DIVERSE cell falls back to hyperplane
     *     buckets of expected size ≤ cellCap while near-duplicates
-    *     (matching signs) stay co-bucketed.
-    *  2. Anchor-star cap — refinement cannot split NEAR-IDENTICAL
-    *     vectors (same signature by construction), so within each
-    *     refined bucket of size r only "anchor" rows (deterministic:
-    *     xxhash64(vec_id) mod ⌈r/cellCap⌉ = 0, expected count ≈
-    *     cellCap) join against all rows. Candidates per bucket fall
-    *     from r²/2 to ≈ cellCap·r — linear in r — and because every
-    *     member pairs with every anchor, a genuine dup group stays
-    *     CONNECTED, so the downstream CC clustering is intact. Both
-    *     selections are map-side (no per-cell Window sort — a 10⁹-row
-    *     hot cell must not become one sort task); the two cell-size
-    *     counts are metadata-sized hash aggregates.
+    *     (matching signs) stay co-bucketed. (Recall caveat: a dup
+    *     group STRADDLING a refinement hyperplane — one sign bit
+    *     flipped by a tiny perturbation — splits across refined
+    *     buckets and reconnects only through another probe cell, so
+    *     group connectivity after refinement holds with overwhelming
+    *     probability, not strictly.)
+    *  2. Anchor-star cap ([[anchorStarPairs]]) — refinement cannot
+    *     split NEAR-IDENTICAL vectors (same signature by
+    *     construction), so within each refined bucket only anchor
+    *     rows join against all rows: candidates fall from r²/2 to
+    *     ≈ cellCap·r, each bucket's min vec_id is always an anchor
+    *     (no zero-anchor bucket), and every member pairs with it, so
+    *     each refined bucket's pair graph stays strictly connected
+    *     for the downstream CC clustering.
     *
-    * Precision stays 1.0 (every candidate is exact-cosine re-ranked);
-    * only recall among NON-anchor members of an oversized refined
-    * bucket is sacrificed — the same contract as d06's df cap. */
+    * Both selections are map-side (no per-cell Window sort — a
+    * 10⁹-row hot cell must not become one sort task); the two
+    * cell-size counts are metadata-sized hash aggregates. Precision
+    * stays 1.0 (every candidate is exact-cosine re-ranked); only
+    * recall among NON-anchor members of an oversized refined bucket is
+    * sacrificed — the same contract as d06's df cap. */
   def semDedupPairs(embFrame: DataFrame, threshold: Double, kCells: Int,
                     iters: Int, nprobe: Int, cellCap: Int): DataFrame = {
     val normed = embFrame
@@ -278,7 +349,7 @@ object Similarity {
           .as("cell"))
       .localCheckpoint()
     val cellSizes = keyed.groupBy("cell").agg(count(lit(1)).as("cell_n"))
-    val refined = keyed.join(cellSizes, "cell")
+    val refined = keyed.join(broadcast(cellSizes), "cell")
       .withColumn("bits",
         when(col("cell_n") > cellCap,
           least(lit(maxBits),
@@ -287,21 +358,7 @@ object Similarity {
       .withColumn("rcell", concat_ws("|",
         col("cell").cast("string"), col("sig").substr(lit(1), col("bits"))))
       .select("vec_id", "v", "nrm", "rcell")
-    val rcellSizes = refined.groupBy("rcell").agg(count(lit(1)).as("rn"))
-    val rows = refined.join(rcellSizes, "rcell")
-      .withColumn("anchor",
-        pmod(xxhash64(col("vec_id")),
-          ceil(col("rn").cast("double") / cellCap).cast("long")) === 0)
-    rows.filter(col("anchor")).as("a").join(rows.as("b"),
-        col("a.rcell") === col("b.rcell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(
-        least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
-        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
-        // dot and the norm product are symmetric, so cos is identical
-        // whichever side was the anchor — the dedup is deterministic
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    anchorStarPairs(refined, Seq("rcell"), threshold, cellCap)
   }
 
   def semDedupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,

@@ -73,10 +73,10 @@ class LshClusterSpec extends SparkSuite {
   test("planted near-dups: LSH pairs == exact pairs, clusters identical") {
     val exact = exactPairs(planted, threshold = 0.9)
     assert(exact.size >= 15, s"plant produced only ${exact.size} pairs")
-    val lsh = Similarity.lshPairsMulti(frameOf(planted), 0.9, nTables = 12, nPlanes = 8, dim = 64)
+    val lsh = Similarity.lshPairsMulti(frameOf(planted), 0.9, nTables = 12, nPlanes = 8, dim = 64, bucketCap = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(lsh == exact, "recall must be 1.0 in the near-dup regime")
-    val pairsDf = Similarity.lshPairsMulti(frameOf(planted), 0.9, 12, 8, 64)
+    val pairsDf = Similarity.lshPairsMulti(frameOf(planted), 0.9, 12, 8, 64, 1000)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val clusters = Dedup.dupClusters(pairsDf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -132,12 +132,14 @@ class LshClusterSpec extends SparkSuite {
     }
   }
 
-  /** The hot-cell adversary the cap exists for: 181 near-identical
-    * vectors (~90% of the corpus) land in ONE k-means cell, and the
-    * LSH refinement cannot split them (identical sign signatures), so
-    * only the anchor-star cap stands between the in-cell join and
-    * O(n²). */
-  test("hot cell: SemDeDup pair count is capped, precision 1.0, dup group connected") {
+  /** The hot-bucket adversary the anchor-star cap exists for: 181
+    * near-identical vectors (~90% of the corpus). In SemDeDup they land
+    * in ONE k-means cell and LSH refinement cannot split them
+    * (identical sign signatures); in the sign-LSH pair joins they share
+    * every sign bit, so they funnel into ONE bucket per table. In all
+    * three operators only the anchor-star cap stands between the
+    * in-bucket join and O(n²). */
+  private lazy val hotBlob: (Seq[(Long, Array[Double])], Seq[Long]) = {
     val rnd = new scala.util.Random(4242)
     def unit(): Array[Double] = {
       val v = Array.fill(64)(rnd.nextGaussian())
@@ -150,27 +152,55 @@ class LshClusterSpec extends SparkSuite {
       (1000L + i, base.zip(noise).map { case (x, e) => x + e })
     }
     val diverse = (1L to 20L).map(id => (id, unit()))
-    val vecs = ((0L, base) +: blob) ++ diverse
-    val cap = 10
-    val sem = Similarity.semDedupPairs(frameOf(vecs), 0.9,
-        kCells = 4, iters = 3, nprobe = 1, cellCap = cap)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    (((0L, base) +: blob) ++ diverse, 0L +: blob.map(_._1))
+  }
+
+  /** Shared assertions: capped pair count, precision 1.0, blob still
+    * one connected cluster. */
+  private def assertCapped(pairsOf: => DataFrame): Unit = {
+    val (vecs, blobIds) = hotBlob
+    val got = pairsOf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = exactPairs(vecs, threshold = 0.9)
     assert(exact.size >= 181 * 180 / 2, s"blob produced only ${exact.size} pairs")
     // precision 1.0 survives the cap: every emitted pair is exact
-    assert(sem.subsetOf(exact), s"${(sem -- exact).take(3)} not in exact set")
-    // the cap bit: candidates per bucket are ~cellCap·r, not r²/2 —
-    // far below the exact pair count, far above a star's minimum
-    assert(sem.size < exact.size / 2,
-      s"cap did not engage: ${sem.size} of ${exact.size} exact pairs emitted")
-    assert(sem.size >= 180, s"only ${sem.size} pairs — spanning edges lost")
+    assert(got.subsetOf(exact), s"${(got -- exact).take(3)} not in exact set")
+    // the cap bit: candidates per bucket are ~cap·r, not r²/2 — far
+    // below the exact pair count, far above a star's minimum
+    assert(got.size < exact.size / 2,
+      s"cap did not engage: ${got.size} of ${exact.size} exact pairs emitted")
+    assert(got.size >= 180, s"only ${got.size} pairs — spanning edges lost")
     // anchor-star connectivity: the whole blob collapses to ONE cluster
     val clusters = Dedup.dupClusters(
-        Similarity.semDedupPairs(frameOf(vecs), 0.9, 4, 3, 1, cap)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        pairsOf.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val blobLabels = (Seq(0L) ++ blob.map(_._1)).map(clusters).toSet
+    val blobLabels = blobIds.map(clusters).toSet
     assert(blobLabels == Set(0L),
       s"blob split across clusters $blobLabels instead of collapsing to {0}")
+  }
+
+  test("hot cell: SemDeDup pair count is capped, precision 1.0, dup group connected") {
+    assertCapped(Similarity.semDedupPairs(frameOf(hotBlob._1), 0.9,
+      kCells = 4, iters = 3, nprobe = 1, cellCap = 10))
+  }
+
+  test("hot bucket: lshPairs pair count is capped, precision 1.0, dup group connected") {
+    assertCapped(Similarity.lshPairs(frameOf(hotBlob._1), 0.9,
+      nPlanes = 6, dim = 64, bucketCap = 10))
+  }
+
+  test("hot bucket: lshPairsMulti pair count is capped, precision 1.0, dup group connected") {
+    assertCapped(Similarity.lshPairsMulti(frameOf(hotBlob._1), 0.9,
+      nTables = 12, nPlanes = 8, dim = 64, bucketCap = 10))
+  }
+
+  test("small buckets: capped lshPairsMulti output is identical to the uncapped pair set") {
+    // every planted bucket is far below the cap, so the anchor-star
+    // path must be a no-op: same pairs as the exact set in the
+    // near-dup regime (the uncapped form's proven behavior)
+    val exact = exactPairs(planted, threshold = 0.9)
+    val lsh = Similarity.lshPairsMulti(frameOf(planted), 0.9, 12, 8, 64, bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, "cap must be a no-op below bucketCap")
   }
 }
