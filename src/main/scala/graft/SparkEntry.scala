@@ -1285,7 +1285,95 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
          ORDER BY id_a, id_b""",
+    // The sign-LSH queries (s03/s04/d09) use the integer-grid bucket
+    // key (Similarity.lshBucketInt): quantized components
+    // ⌊v·10⁶ + 0.5⌋ against integer plane literals — every product
+    // and sum is exact integer arithmetic, so the bucket assignment
+    // (and with it the probe/pair/cluster output) is engine-portable.
+    // The plane components are embedded in the SQL as literals of the
+    // same SplitMix64 family the engine evaluates. The anchor-star
+    // hot-bucket cap is a NO-OP below 1000 rows per bucket, far above
+    // any bucket at the sf0.01 gate (500 vectors) — the capped regime
+    // is spec-pinned instead (LshClusterSpec hot-bucket tests).
+    "s03_lsh_pairs" -> s03OracleSql,
+    "s04_ann_ivf" -> s04OracleSql,
+    "d09_embedding_clusters_lsh" -> d09OracleSql,
   )
+
+  /** Shared CTE prefix for the integer-grid sign-LSH oracles: one
+    * bucket key per (vector, table), generated so the plane components
+    * stay single-sourced in [[graft.operators.Similarity.intPlane]].
+    * Table `tb`'s planes are intPlane(tb·nPlanes + i) — the same
+    * disjoint-offset family the engine's lshBucketInt uses. */
+  private def lshBucketsCte(nTables: Int, nPlanes: Int): String = {
+    val planeRows = (for { tb <- 0 until nTables; i <- 0 until nPlanes } yield
+      s"($tb, $i, ${Similarity.intPlane(tb * nPlanes + i, 64).mkString("[", ", ", "]")})")
+      .mkString(",\n           ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl(tb, i, p) AS (VALUES
+           $planeRows),
+         comp AS (
+           SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS k FROM e),
+         sums AS (
+           SELECT c.vec_id, pl.tb, pl.i,
+             SUM(CAST(floor(c.x * 1000000 + 0.5) AS BIGINT) * pl.p[CAST(c.k AS INT)]) AS s
+           FROM comp c CROSS JOIN pl GROUP BY c.vec_id, pl.tb, pl.i),
+         buckets AS (
+           SELECT vec_id, tb,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS bucket
+           FROM sums GROUP BY vec_id, tb)"""
+  }
+
+  private lazy val s03OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)}
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         FROM buckets a JOIN buckets b
+           ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN e ea ON ea.vec_id = a.vec_id
+         JOIN e eb ON eb.vec_id = b.vec_id
+         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+         ORDER BY id_a, id_b"""
+
+  private lazy val s04OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(qe.v, ae.v), 6) AS cos
+           FROM buckets q
+           JOIN buckets a
+             ON a.tb = q.tb AND a.bucket = q.bucket AND a.vec_id <> q.vec_id
+           JOIN e qe ON qe.vec_id = q.vec_id
+           JOIN e ae ON ae.vec_id = a.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** d09 = multi-table LSH pairs + connected components: the pair CTE
+    * is the 12-table OR-construction, the CC tail is the d05 oracle's
+    * reach/min recursive CTE over the pair edges. */
+  private lazy val d09OracleSql: String =
+    s"""WITH RECURSIVE ${lshBucketsCte(nTables = 12, nPlanes = 8)},
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a)
+         SELECT n AS vec_id, min(m) AS cluster FROM reach
+         GROUP BY n ORDER BY vec_id"""
 
   /** SPARK-dialect SQL text for operators whose DuckDB oracle uses
     * dialect-specific constructs (regexp_split_to_array, list

@@ -134,6 +134,36 @@ object Similarity {
       when(dot(v, typedlit(plane(planeOffset + i, dim))) >= 0, "1").otherwise("0")
     }: _*)
 
+  /** Integer-grid hyperplanes for ORACLE-EXACT sign-LSH: component
+    * (i, d) is a SplitMix64-derived integer in [-2¹⁹, 2¹⁹) — the same
+    * deterministic family as [[plane]], quantized so the bucket sign
+    * is integer arithmetic any engine reproduces bit-exactly. */
+  def intPlane(i: Int, dim: Int): Seq[Long] =
+    (0 until dim).map { d =>
+      val h = Dedup.splitmix64(i.toLong * 131071L + d)
+      (h >>> 44) - (1L << 19)
+    }
+
+  /** Sign-LSH bucket key over an INTEGER grid — [[lshBucket]]'s
+    * oracle-exact twin (s04): quantize each component to
+    * q_d = ⌊v_d·10⁶ + 0.5⌋ (an exact double→integer map both Spark and
+    * DuckDB evaluate identically) and take the sign of Σ q_d·P(i,d)
+    * against the integer plane [[intPlane]]. Every product ≤ 2⁴⁰ and
+    * the 64-term sum ≤ 2⁴⁶ — exact in doubles, so the codegen'd dot is
+    * usable AND the sum is order-independent (integer addition in
+    * double has no rounding here), which is what makes the bucket sign
+    * reproducible in SQL with no float-summation-order caveat. Recall
+    * behavior is the same as [[lshBucket]]: the grid shifts each
+    * hyperplane by < 10⁻⁵ relative, invisible to bucketing recall. */
+  def lshBucketInt(v: Column, nPlanes: Int, dim: Int = 64,
+                   planeOffset: Int = 0): Column = {
+    val qv = transform(v, x => floor(x * lit(1000000.0) + lit(0.5)).cast("double"))
+    concat_ws("", (0 until nPlanes).map { i =>
+      when(dot(qv, typedlit(intPlane(planeOffset + i, dim).map(_.toDouble))) >= 0, "1")
+        .otherwise("0")
+    }: _*)
+  }
+
   /** Anchor-star capped in-bucket pair join — the shared tail of every
     * bucketed candidate generator ([[lshPairs]], [[lshPairsMulti]],
     * [[semDedupPairs]]). `keyed` carries (vec_id, v, nrm, keyCols…);
@@ -193,8 +223,11 @@ object Similarity {
     * dup-blob corpus funnels into ONE bucket — the cap keeps that
     * bucket's join linear in its size). The 100 TB path for all-pairs
     * similarity — recall is tunable via nPlanes (fewer planes = bigger
-    * buckets = higher recall and cost). Rows-only check: bucketing
-    * recall is probabilistic, there is no exact SQL oracle. */
+    * buckets = higher recall and cost). ORACLE-EXACT: the bucket key
+    * is the integer-grid [[lshBucketInt]], so the full bucketed pair
+    * set is driver-verified against a DuckDB replay of the plane
+    * literals (the cap is a no-op at gate scale; the capped regime is
+    * spec-pinned in LshClusterSpec). */
   def lshPairs(s: SparkSession, dir: String, threshold: Double = 0.3,
                nPlanes: Int = 6, bucketCap: Int = 1000): DataFrame =
     lshPairs(emb(s, dir), threshold, nPlanes, dim = 64, bucketCap)
@@ -208,7 +241,7 @@ object Similarity {
     // semDedupPairs/minhashLsh)
     val docs = embFrame
       .select(col("vec_id"), col("v"), col("nrm"),
-        lshBucket(col("v"), nPlanes, dim).as("bucket"))
+        lshBucketInt(col("v"), nPlanes, dim).as("bucket"))
       .localCheckpoint()
     anchorStarPairs(docs, Seq("bucket"), threshold, bucketCap)
   }
@@ -241,7 +274,7 @@ object Similarity {
   def lshPairsMulti(embFrame: DataFrame, threshold: Double, nTables: Int,
                     nPlanes: Int, dim: Int, bucketCap: Int): DataFrame = {
     val keys = array((0 until nTables).map { tb =>
-      lshBucket(col("v"), nPlanes, dim, planeOffset = tb * nPlanes)
+      lshBucketInt(col("v"), nPlanes, dim, planeOffset = tb * nPlanes)
     }: _*)
     // localCheckpoint BEFORE the explode: the bucket-size count and
     // both pair-join sides re-read the keys, and the nTables×nPlanes
@@ -266,12 +299,13 @@ object Similarity {
     * pair-source-agnostic star-contraction CC core, fed from
     * [[lshPairsMulti]] instead of the exact O(n²) pair join. This is
     * the composition a real dedup deploys: banded/bucketed candidate
-    * generation, exact re-rank, then clustering. Rows-only check
-    * (bucketing recall is probabilistic — no SQL oracle can express
-    * the seeded hyperplanes); LshClusterSpec asserts the deterministic
-    * laws instead: pairs ⊆ exact pairs, every LSH cluster refines an
-    * exact cluster, and on planted near-dup data (cos ≥ 0.97) the LSH
-    * clustering is IDENTICAL to the exact one. */
+    * generation, exact re-rank, then clustering. ORACLE-EXACT: the
+    * integer-grid bucket key makes the 12-table pair set SQL-
+    * replayable, and the CC tail is the d05 oracle's recursive-CTE
+    * class — so the full clustering is driver-verified. LshClusterSpec
+    * additionally pins the laws: pairs ⊆ exact pairs, every LSH
+    * cluster refines an exact cluster, and on planted near-dup data
+    * (cos ≥ 0.97) the LSH clustering is IDENTICAL to the exact one. */
   def embeddingClustersLsh(s: SparkSession, dir: String,
                            threshold: Double = 0.4, nTables: Int = 12,
                            nPlanes: Int = 8): DataFrame =
@@ -779,12 +813,19 @@ object Similarity {
   /** IVF-style search: assign every vector to its LSH bucket (the
     * "inverted file"), probe only the query's bucket, exact re-rank.
     * Demonstrates the coarse-quantize → probe → re-rank shape; the
-    * k-means coarse quantizer variant is [[annKmeansIvf]]. */
+    * k-means coarse quantizer variant is [[annKmeansIvf]].
+    *
+    * ORACLE-EXACT (unlike s03/d09): the bucket key is the integer-grid
+    * [[lshBucketInt]], whose plane components are plain integer
+    * literals a SQL oracle can embed and whose quantized dot is
+    * order-independent integer arithmetic — so the full probe +
+    * exact-re-rank output is driver-verified against DuckDB, not just
+    * rows-counted. */
   def annIvf(s: SparkSession, dir: String,
              nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4): DataFrame = {
     val all = emb(s, dir)
       .select(col("vec_id"), col("v"), col("nrm"),
-        lshBucket(col("v"), nPlanes).as("bucket"))
+        lshBucketInt(col("v"), nPlanes).as("bucket"))
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("q_nrm"), col("bucket"))

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
 
-/** d09 — LSH-sourced embedding clustering: the deterministic laws that
-  * stand in for an SQL oracle (the seeded hyperplanes are not
-  * SQL-expressible):
+/** d09 — LSH-sourced embedding clustering. Since the integer-grid
+  * bucket key landed, s03/d09 ALSO carry exact DuckDB oracles (the
+  * plane literals are SQL-replayable); these laws pin the semantics
+  * the oracle can't see — precision/recall structure and the capped
+  * hot-bucket regime:
   *
   *   1. precision is EXACTLY 1.0: every emitted pair is an exact-pair,
   *      with the identical rounded cosine (the re-rank is exact);
