@@ -121,7 +121,7 @@ object SparkEntry {
     "s10_ann_ivfpq"       -> ((s, dir) => Similarity.annIvfPq(s, dir)),
     "s11_ann_pq_fitserve" -> ((s, dir) => Similarity.annPqFitServe(s, dir,
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}")),
-    "s12_pca_project"     -> ((s, dir) => Pca.project(s, dir)),
+    "s12_pca_project"     -> ((s, dir) => Pca.projectPinned(s, dir)),
     "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir)),
     "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir)),
     "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
@@ -1298,7 +1298,30 @@ object SparkEntry {
     "s03_lsh_pairs" -> s03OracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
+    // s12 projects with the PINNED rotation fixture (Pca.pinnedModel,
+    // signs canonicalized), so each pc is a pure centered dot the SQL
+    // replays as an unrolled LEFT-ASSOCIATIVE sum — the same sequential
+    // float-op order as the codegen'd loop, hence bit-identical before
+    // the 4-decimal rounding.
+    "s12_pca_project" -> s12OracleSql,
   )
+
+  /** The s12 oracle, generated so the 4×64(+64) fixture components
+    * stay single-sourced in [[graft.operators.Pca.pinnedModel]]. */
+  private lazy val s12OracleSql: String = {
+    val m = Pca.pinnedModel
+    def pcExpr(w: Array[Double]): String =
+      (0 until 64).map(d => s"(v[${d + 1}] - (${m.mean(d)}))*(${w(d)})")
+        .mkString(" + ")
+    val cols = m.components.zipWithIndex.map { case (w, i) =>
+      s"round(${pcExpr(w)}, 4) AS pc${i + 1}"
+    }.mkString(",\n           ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+         SELECT vec_id, label,
+           $cols
+         FROM e ORDER BY vec_id"""
+  }
 
   /** Shared CTE prefix for the integer-grid sign-LSH oracles: one
     * bucket key per (vector, table), generated so the plane components

@@ -48,10 +48,12 @@ class MomentsAggregator(dim: Int)
   * Fit-once / serve-many, like [[PqModel]]: the distributed work is the
   * one-pass moment aggregate; the eigen-decomposition runs driver-side
   * on the dim×dim covariance (power iteration with deflation — fixed
-  * iteration count, deterministic init, so the fit is reproducible for
-  * a given partitioning; float-sum order across partitions makes the
-  * last ulps partitioning-dependent, which is why s12 is a rows-only
-  * query and PcaSpec asserts LAWS with tolerances, not bit equality). */
+  * iteration count, deterministic init, canonical signs, so the fit is
+  * reproducible for a given partitioning; float-sum order across
+  * partitions makes the last ulps partitioning-dependent, which is why
+  * the FIT is law-tested with tolerances in PcaSpec while the
+  * registered s12 serves the [[Pca.pinnedModel]] fixture and is
+  * driver-oracled exactly). */
 case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
                     eigenvalues: Array[Double]) {
   def k: Int = components.length
@@ -133,6 +135,12 @@ object Pca {
       }
       val cv = matVec(v)
       val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+      // canonicalize the sign (eigenvectors are defined up to ±1):
+      // the largest-|component| entry is made positive, ties to the
+      // lowest index — so independently-run fits agree exactly instead
+      // of up-to-sign, and a pinned fixture is comparable to a re-fit
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(x => -x)
       comps(c) = v
       eigs(c) = lambda
       // deflate: C ← C − λvvᵀ
@@ -157,15 +165,42 @@ object Pca {
       cs.map(_.getAs[Double]("eig")))
   }
 
+
+  /** The rotation [[fit]] learns on the synthetic embeddings at
+    * sf0.01, pinned as a literal model fixture — the t14
+    * pinned-merges discipline applied to PCA. With the model pinned
+    * and eigenvector signs canonicalized (largest-|component| entry
+    * positive), the s12 projection is a PURE function of the
+    * embedding, so the driver oracles it exactly: DuckDB replays each
+    * centered dot as an unrolled left-associative sum, bit-identical
+    * to the codegen'd sequential loop. Fit-once/serve-many: the
+    * TRAINING path stays covered by PcaSpec's spectral laws plus a
+    * fixture-drift check (re-fit at sf0.01 must align with the pinned
+    * axes); the fixture is the sf0.01 model applied at every SF by
+    * design, like t14's merge table. Regenerate with
+    * `sbt "runMain graft.tools.PinPcaTool"`. */
+  val pinnedModel: PcaModel = PcaModel(
+    mean = Array(0.0021647098540561274, -0.004547794351470656, 0.003930154383007902, -0.004793201057444094, 0.009943076466443017, 0.007772532952541951, -0.01823135569485021, 0.009217355088097975, -0.0024274034147092607, -6.178791260463186E-4, 0.006436078068451025, 0.0033540127822197976, -0.0026588912964216433, 0.0020540317017294003, -2.1456623025005683E-4, 0.005910249243548606, 0.0033342206680827074, 0.005826121678226628, -4.6127636556047945E-4, 0.0012317155191558413, -0.0038391390424221752, 0.0023021840666187926, 0.004168265111627988, -0.008054586122045293, -0.0018911654613621067, 0.012808142676018179, -0.0015970649567898362, 0.01062632681982359, -0.0011532765734009445, 3.903653704910539E-4, 0.0056047214816790075, -0.005792685562460974, 0.008335300238788477, -0.0066753798398422074, 0.005155627750558779, 0.001177179405814968, -0.0053353315424174074, -0.0015937965741213702, -9.667016767925815E-4, -0.001140981935830496, -0.0017442115085141267, -0.01183411476330366, 3.1351819908741164E-4, -5.631569666620635E-4, -0.011520562025547406, 0.003832613509031944, -5.98060307384003E-4, 0.005890298187849112, -0.003749661162350094, -0.010264404615503736, 0.009377152467495762, -0.001481992187706055, 0.007770042697302415, -0.003917563282562696, 0.00470978261413984, -0.003577291431953199, 0.004773866848874604, -0.0024703639050130733, -0.004844514904165408, -0.00872118095526821, -2.811656921039685E-4, 0.005004184705336229, -0.0011590625974931754, -0.013266222528531216),
+    components = Array(
+      Array(0.1412066939152995, 0.045189777332556545, -0.038348678405545594, -0.06918819251422474, 0.05560024200336831, 0.005968168916904024, -0.007815715635593612, -0.2693052471195475, 0.019826814415415724, -0.2761906707233082, 0.023272438059344102, -0.14146666497451255, -0.041079607133753214, 0.1168094534221138, -0.11300504837636137, 0.1505612921748053, 0.04700391800180061, 0.35787198008021415, -0.009836817791520635, -0.05475495437859514, -0.02129790729304972, 0.11336947011602345, 0.10023759450085007, -0.17075249276290833, -0.18728811807363896, -0.30377624160888655, 0.017564466302633492, -0.11486911752205997, 0.06580942270829428, -0.121663581633004, 0.01975042051265903, -0.19013625057719435, -0.1912920363593702, -0.043248500784825374, 0.04475692353213985, -0.02520704112050374, 0.01575556281405025, -0.02994122837472243, 0.11318984371405334, 0.011074696936550959, 0.0937061794054768, 0.03800097034306352, 0.123947136418517, -0.2033941942028884, 0.14801861917107179, 0.03463512811906972, -0.036599330878884284, 0.15907323865286455, 0.13482184549036147, 0.004330038742339111, -0.20215629519330675, -0.11434951813339586, 0.032788415224434854, -0.0776740368237732, 0.16604998376999017, 0.0643523465640541, -0.1694694558860632, 0.054064287552974155, 0.05916494758433853, -0.02097474684392843, -0.1495263285058529, 0.036504316614586724, 0.1525063599621541, 0.01556161866131587),
+      Array(0.015603174408574444, -0.017674679728386364, 0.05582604241881733, -0.04001846346152661, 0.2756346962257336, 0.05246683045138926, -0.010671719750942029, 0.298837907949581, 0.028685298767321274, 0.17827763733861854, 0.11958230913513816, 0.04545862778699481, 0.08057507747040857, 0.07912459126076933, 0.07630346791641437, 0.11384745444626007, -0.013165254057438371, 0.17733571506304227, -0.12683196207650466, -0.06980555478358873, 0.03469094246750814, -0.1604409989895509, 0.07135071369046303, -0.22258817601448144, -0.19096310438132547, -0.10771901707509479, -0.0942542817228131, 0.16370802668674056, -0.12790836957667098, -0.014534469421869149, 0.05265643085878698, -0.1519501619907637, 0.108924317964721, 0.21146369083069388, 0.025458925476893483, 0.1601315052620024, -0.053168481885351074, 0.20477533652380875, 0.14601421394500425, 0.10889869923210367, -0.19152775092480598, -0.11487551841849357, -0.0439531622033453, 0.10469785995099336, -0.045939361014731436, -0.23380835086859475, -0.051999438929061496, 0.02509837776596715, 0.07267733523631115, -0.0724113108882711, 0.06704501203729991, 0.06818291595122551, -0.17050390234279664, 0.14147445639134884, 0.24641767010911947, -0.01622348847206432, -0.17446219167577962, -0.09539547455165794, -0.038521936844110996, -0.06272669593608263, 0.0630989884599955, -0.14743639763216104, -0.028221708412852806, -0.028575638457507564),
+      Array(-0.21371424345271478, -0.14963144996388877, -0.0295660603019483, -0.03894474489462469, -0.007248543485817626, -0.009390060475310701, 0.16606270002385834, -0.07246833012144174, 0.095935176314372, 0.2541120151254619, 0.054967197376847604, 0.11254419271763905, 0.0011575834400582182, 0.02540075708421456, 0.10554143414472375, -0.23558842057555343, 0.23882723430723687, 0.04333926912692966, 0.03392099130443549, 0.043092752321715826, 0.05810247283975408, 0.07636947246755665, -0.0788905625376455, -0.15209146444629726, -0.05939052620829861, 0.05144440249838726, 0.03018426174400443, -0.009712340620806848, -0.1299650588516426, -0.16330885775413728, -0.12612533720033292, -0.01689345835323515, 0.20663343655228048, -0.03261850389942732, -0.019968586003665346, 0.028301082098813865, 0.1475311491766469, -0.091122895183954, 0.05762678517040902, -0.03403483703045218, 0.06443472244527447, 0.15452304801262282, -0.24589632041187398, -0.18042644417350967, 0.18428994952862648, -0.18214721369361592, 0.009346276273666474, 0.04464359316569771, -0.03310225215628012, -0.15601175871628042, -0.10262946045943701, -0.07440437481193103, 0.15026278907267174, -0.06727567251111355, -0.006240471392083354, -0.025052977137855887, -0.18865887397253084, 0.054457187539970565, 0.2240041518688281, -0.14659058976980147, -0.024201262964176684, 0.2639322936536298, -0.17792694066064, -0.14567855778111136),
+      Array(-0.10511752341481512, -0.03930840999767883, -0.15265025402696966, -0.017767151092323717, 0.2521582048589707, -0.015165064375128077, 0.037870363852760006, -0.17790996785922825, 0.022464942830508608, -0.14957796330533354, -0.03317875573692546, -0.03872987078079915, -0.02195960827926666, 0.4083479927290896, 0.05655518821870215, -0.03383881244883333, -0.09447485412591983, -0.19688164356400545, -0.11401387341463973, 0.034547173406911755, 0.15010911476282301, -0.09375779606079512, 0.09972384136382567, -0.06777723328147908, 0.01701539203676669, 0.12682152457134127, -0.18353347519608287, -0.05069248697637234, -0.10110228147933713, 0.002338396554942589, -0.018637835937183524, -0.20886729356338757, -0.04217655191869785, -0.09756712580545303, 0.027168038019483066, -0.25468366332121806, 0.16251063173487543, 0.21117312456215165, -0.020660289441993735, 0.0787269179687528, -0.02674529412689225, 0.12292643236897796, -0.034663453054554476, -0.026033812031584957, 0.0708472214219336, -0.028613186944188056, 0.06868454604342185, -0.2990596318973791, 0.13013013463873818, 0.08861780998296032, 0.0017181006696737233, -4.0837731339048736E-4, -0.015573834863935569, 0.08364189812119839, -0.09885923561135712, -0.1325196474016685, 0.08290862467058391, -0.11806501479424573, 0.15341398801648387, 0.13277646492925851, 0.2077929101075493, 0.04407377365547597, 0.12863044310333144, 0.005491812287330877)),
+    eigenvalues = Array(0.027345522515895702, 0.026932118866171362, 0.02701968658465045, 0.02541297193858198))
+
+  /** s12 registered form: project with the [[pinnedModel]] fixture. */
+  def projectPinned(s: SparkSession, dir: String): DataFrame =
+    project(s, dir, model = Some(pinnedModel))
+
   /** s12: project every embedding onto the top-k principal components —
     * the dimensionality-reduction / decorrelation step a 100 TB
     * embedding pipeline runs before quantization or ANN (the same role
     * as OPQ's rotation). Serve path: each component is a plan literal;
     * the projection is k codegen'd dots per row, one narrow pass, no
-    * shuffle before the output sort. Rows-only (eigenvectors are
-    * sign-ambiguous and the covariance float-sum is partition-order-
-    * dependent in its last ulps — no SQL oracle); PcaSpec pins the
-    * spectral laws. */
+    * shuffle before the output sort. The registered s12 passes the
+    * [[pinnedModel]] fixture (exact DuckDB oracle); the model-free form
+    * fits inline and is law-tested (PcaSpec) since the covariance
+    * float-sum is partition-order-dependent in its last ulps. */
   def project(s: SparkSession, dir: String, k: Int = 4,
               model: Option[PcaModel] = None,
               whiten: Boolean = false): DataFrame = {

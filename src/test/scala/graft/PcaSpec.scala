@@ -98,4 +98,36 @@ class PcaSpec extends SparkSuite {
     val b = Pca.project(spark, sf, k = 2, model = Some(back)).collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("eigenvector signs are canonical: largest-|x| entry positive") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val mdl = Pca.fit(vecs, dim = 64, k = 4)
+    for ((c, i) <- mdl.components.zipWithIndex) {
+      val pivot = c.indices.maxBy(j => (math.abs(c(j)), -j))
+      assert(c(pivot) > 0, s"component $i pivot ${c(pivot)} not positive")
+    }
+  }
+
+  test("pinned fixture drift: re-fit at sf0.01 aligns with pinnedModel") {
+    // the registered s12 serves the fixture; this law catches the
+    // fixture rotting if the testdata or the fit ever changes — the
+    // re-fit must land on the SAME canonical axes (dot ≈ +1, not ±1,
+    // thanks to sign canonicalization) with the same spectrum
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val mdl = Pca.fit(vecs, dim = 64, k = 4)
+    val pin = Pca.pinnedModel
+    for (i <- 0 until 4) {
+      val d = dotL(mdl.components(i), pin.components(i))
+      assert(d > 0.999999, s"component $i drifted: <fit, pinned> = $d")
+      val rel = math.abs(mdl.eigenvalues(i) - pin.eigenvalues(i)) /
+        pin.eigenvalues(i)
+      assert(rel < 1e-6, s"eigenvalue $i drifted: rel err $rel")
+    }
+    assert(mdl.mean.zip(pin.mean).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 }, "mean drifted")
+  }
 }
