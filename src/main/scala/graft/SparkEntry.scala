@@ -508,6 +508,21 @@ object SparkEntry {
            i -> substring(hex(encode(text)), CAST(2*i-1 AS INT), 1) = '6')))
            AS BIGINT) AS bin6_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "m03_media_features" ->
+      // the decode stub's feature 5 (index 4) is bin4/len — integer
+      // nibble count (the m04 hex trick: high nibble of byte i = hex
+      // char 2i−1) divided in DOUBLE and rounded once to REAL, exactly
+      // what FakeDecoder.decode computes
+      """SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         count(*) AS n,
+         round(avg(CAST(
+           CAST(len(list_filter(
+             range(1, octet_length(encode(text)) + 1),
+             i -> substring(hex(encode(text)), CAST(2*i-1 AS INT), 1) = '4'))
+             AS DOUBLE)
+           / greatest(octet_length(encode(text)), 1) AS REAL)), 4) AS avg_f4,
+         round(CAST(sum(octet_length(encode(text))) AS DOUBLE), 4) AS total_bytes
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "m05_resize_meta" ->
       // replicate resizeMeta's double arithmetic exactly: scale =
       // least(1.0, 96 / double(max(w,h))), then floor(dim * scale)

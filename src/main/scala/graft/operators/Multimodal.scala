@@ -43,7 +43,11 @@ object Multimodal {
   final class FakeDecoder {
     /** 16-bin histogram over the high nibble of each byte, L1-normalized
       * — deterministic, order-independent, and shaped like a real
-      * feature vector. */
+      * feature vector. The normalization divides in DOUBLE and rounds
+      * once to float: integer bin counts and one double divide are
+      * engine-portable ops, which is what lets the m03 aggregate carry
+      * an exact DuckDB oracle (a float÷float divide would bake
+      * JVM-float semantics into the stub for no modeling gain). */
     def decode(payload: Array[Byte]): Array[Float] = {
       val bins = new Array[Int](16)
       var i = 0
@@ -51,10 +55,10 @@ object Multimodal {
         bins((payload(i) & 0xF0) >>> 4) += 1
         i += 1
       }
-      val n = math.max(payload.length, 1).toFloat
+      val n = math.max(payload.length, 1).toDouble
       val out = new Array[Float](16)
       i = 0
-      while (i < 16) { out(i) = bins(i) / n; i += 1 }
+      while (i < 16) { out(i) = (bins(i) / n).toFloat; i += 1 }
       out
     }
   }
@@ -170,8 +174,12 @@ object Multimodal {
         col("meta.width").as("r_width"), col("meta.height").as("r_height"))
       .orderBy("media_id")
 
-  /** Decoded features aggregated per kind (rows-only check: the decode
-    * stub is not SQL-expressible; correctness is unit-tested instead). */
+  /** m03: decoded features aggregated per kind. ORACLE-EXACT: the stub
+    * decode is integer bin counts + one double divide rounded to float
+    * (see [[FakeDecoder.decode]]), so the DuckDB oracle replays it with
+    * the m04 hex-nibble trick — the mapPartitions/batched-kernel
+    * plumbing is what a real decoder would swap into, and now even the
+    * stub's output is driver-verified, not just row-counted. */
   def featuresByKind(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(media(s, dir)).toDF()
       .groupBy("kind")
