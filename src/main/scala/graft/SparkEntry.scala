@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Checks, Curation, Dedup, Multimodal, Pca, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
+import graft.operators.{Checks, Curation, Dedup, Multimodal, Pca, Pinned, Sampling, Similarity, TemporalJoins, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,16 +113,21 @@ object SparkEntry {
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
     "s03_lsh_pairs"       -> ((s, dir) => Similarity.lshPairs(s, dir)),
     "s04_ann_ivf"         -> ((s, dir) => Similarity.annIvf(s, dir)),
-    "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir)),
+    "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir,
+      model = Some(Pinned.ivfCentroids))),
     "s06_label_norms"     -> Similarity.labelNorms,
     "s07_label_centroid"  -> Similarity.labelCentroids,
     "s08_ann_quantized"   -> ((s, dir) => Similarity.annQuantized(s, dir)),
-    "s09_ann_pq"          -> ((s, dir) => Similarity.annPq(s, dir)),
-    "s10_ann_ivfpq"       -> ((s, dir) => Similarity.annIvfPq(s, dir)),
+    "s09_ann_pq"          -> ((s, dir) => Similarity.annPq(s, dir,
+      model = Some(Pinned.pq))),
+    "s10_ann_ivfpq"       -> ((s, dir) => Similarity.annIvfPq(s, dir,
+      model = Some(Pinned.ivfPq))),
     "s11_ann_pq_fitserve" -> ((s, dir) => Similarity.annPqFitServe(s, dir,
-      s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}")),
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_${Integer.toHexString(dir.hashCode)}",
+      model = Some(Pinned.pq))),
     "s12_pca_project"     -> ((s, dir) => Pca.projectPinned(s, dir)),
-    "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir)),
+    "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir,
+      rotation = Some(Pinned.opqRotation), model = Some(Pinned.opqBooks))),
     "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir)),
     "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
   )
@@ -1313,6 +1318,20 @@ object SparkEntry {
     "s03_lsh_pairs" -> s03OracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
+    // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
+    // Pinned.pq), so cell assignment, PQ codes, ADC scores and the
+    // exact re-rank are pure functions the SQL replays with unrolled
+    // LEFT-ASSOCIATIVE sums — the same sequential float-op order as
+    // the codegen'd loops, so even the argmax comparisons see
+    // bit-identical doubles.
+    "s05_ann_kmeans_ivf" -> s05OracleSql,
+    "s09_ann_pq" -> s09OracleSql,
+    // s11 persists Pinned.pq and serves the LOADED copy; parquet
+    // round-trips doubles exactly, so its output is s09's and the
+    // oracle is shared.
+    "s11_ann_pq_fitserve" -> s09OracleSql,
+    "s10_ann_ivfpq" -> s10OracleSql,
+    "s13_ann_opq" -> s13OracleSql,
     // s12 projects with the PINNED rotation fixture (Pca.pinnedModel,
     // signs canonicalized), so each pc is a pure centered dot the SQL
     // replays as an unrolled LEFT-ASSOCIATIVE sum — the same sequential
@@ -1389,6 +1408,184 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** `Σ v[d]²` unrolled — the L2 norm both ANN oracles divide by,
+    * in the codegen'd dot's sequential order. */
+  private lazy val unrolledNorm: String =
+    (1 to 64).map(d => s"v[$d]*v[$d]").mkString(" + ")
+
+  /** s05: pinned-centroid k-means IVF — cell = first-max argmax over
+    * 8 unrolled centroid dots (ties to the lower index, same as
+    * array_position), probe the query's own cell (nprobe=1), exact
+    * re-rank. */
+  private lazy val s05OracleSql: String = {
+    val dts = Pinned.ivfCentroids.map { c =>
+      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
+    }.mkString("[", ",\n             ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         asg AS (SELECT vec_id, sv, list_position(dts, list_max(dts)) - 1 AS c
+                 FROM (SELECT vec_id, sv, $dts AS dts FROM n)),
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(${(1 to 64).map(d => s"q.sv[$d]*a.sv[$d]").mkString(" + ")}, 6) AS cos
+           FROM asg a JOIN asg q ON a.c = q.c AND a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  // --- shared builders for the PQ-family oracles (s09/s10/s11/s13) ---
+
+  /** Per-subspace encode scores over vector column `vc` (optionally
+    * with per-element expressions via `elem`): 2⟨x_j, B_jc⟩ − ‖B_jc‖²,
+    * the ‖·‖² constants baked with the same sequential sum the engine
+    * uses. */
+  private def pqScoreCols(books: Array[Array[Array[Double]]], sub: Int,
+                          elem: (Int) => String): String = {
+    def scores(j: Int): String = books(j).map { c =>
+      val n2 = c.map(x => x * x).sum
+      val d = c.indices.map(i => s"${elem(j * sub + i + 1)}*(${c(i)})").mkString(" + ")
+      s"2.0*($d) - ($n2)"
+    }.mkString("[", ",\n             ", "]")
+    books.indices.map(j => s"${scores(j)} AS s$j").mkString(",\n           ")
+  }
+
+  private def pqCodesList(m: Int): String =
+    (0 until m).map(j => s"list_position(s$j, list_max(s$j)) - 1")
+      .mkString("[", ", ", "]")
+
+  /** Query-side ADC lookup table: lut[j][c] = ⟨q_sub_j, B_jc⟩ with the
+    * engine's centroid-first product order. */
+  private def pqLutList(books: Array[Array[Array[Double]]], sub: Int,
+                        vc: String): String = {
+    def lutJ(j: Int): String = books(j).map { c =>
+      s"(${c.indices.map(i => s"(${c(i)})*$vc[${j * sub + i + 1}]").mkString(" + ")})"
+    }.mkString("[", ",\n             ", "]")
+    books.indices.map(lutJ).mkString("[", ",\n           ", "]")
+  }
+
+  /** ADC sum: m LUT picks folded in subspace order (the fold starts at
+    * 0.0, so the plain left-associative chain matches it exactly). */
+  private def pqApprox(m: Int): String =
+    (1 to m).map(j => s"q.lut[$j][c.codes[$j]+1]").mkString(" + ")
+
+  /** Shared tail: top-`rerank` ADC candidates per query, exact-dot
+    * re-rank over vector column `vc` of CTE `n`, top-3. */
+  private def pqRerankTail(rerank: Int, vc: String): String =
+    s"""cand AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS crk
+           FROM scored) WHERE crk <= $rerank),
+         ex AS (
+           SELECT cand.q_id, cand.n_id,
+             round(${(1 to 64).map(d => s"qn.$vc[$d]*an.$vc[$d]").mkString(" + ")}, 6) AS cos
+           FROM cand
+           JOIN n an ON an.vec_id = cand.n_id
+           JOIN n qn ON qn.vec_id = cand.q_id)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM ex)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s09: pinned-codebook PQ-ADC — encode = per-subspace first-max
+    * argmax of the score list, ADC = 8 LUT picks summed in subspace
+    * order, top-100 re-rank by the exact dot. */
+  private lazy val s09OracleSql: String = {
+    val books = Pinned.pq.books
+    val sub = Pinned.pq.sub
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         enc AS (SELECT vec_id,
+           ${pqScoreCols(books, sub, i => s"sv[$i]")}
+           FROM n),
+         codes AS (SELECT vec_id, ${pqCodesList(books.length)} AS codes FROM enc),
+         q AS (SELECT vec_id AS q_id,
+           ${pqLutList(books, sub, "sv")} AS lut
+           FROM n WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS n_id, ${pqApprox(books.length)} AS approx
+           FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         ${pqRerankTail(rerank = 100, vc = "sv")}"""
+  }
+
+  /** s10: pinned IVFADC — coarse cell by first-max argmax over plain
+    * centroid dots, PQ codes over the RESIDUAL (sv − centroid, inlined
+    * per term), queries probe their top-3 cells (dot desc, index asc),
+    * approx = ⟨q, centroid⟩ + ADC (parenthesized so the fold order
+    * matches the engine's q_dot_cent + Σ), top-50 exact re-rank. */
+  private lazy val s10OracleSql: String = {
+    val mdl = Pinned.ivfPq
+    val cents = mdl.coarse.get
+    val books = mdl.books
+    val sub = mdl.sub
+    val centsLit = cents.map(c => s"[${c.mkString(", ")}]").mkString("[", ",\n             ", "]")
+    val dts = cents.map { c =>
+      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
+    }.mkString("[", ",\n             ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         cl AS (SELECT $centsLit AS cl),
+         asg AS (SELECT vec_id, sv, list_position(dts, list_max(dts)) - 1 AS c
+                 FROM (SELECT vec_id, sv, $dts AS dts FROM n)),
+         enc AS (SELECT a.vec_id, a.c,
+           ${pqScoreCols(books, sub, i => s"(a.sv[$i] - cl.cl[a.c+1][$i])")}
+           FROM asg a CROSS JOIN cl),
+         codes AS (SELECT vec_id, c, ${pqCodesList(books.length)} AS codes FROM enc),
+         qd AS (SELECT vec_id AS q_id, $dts AS qdts,
+           ${pqLutList(books, sub, "sv")} AS lut
+           FROM n WHERE vec_id < 5),
+         probes AS (SELECT q_id, c, q_dot_cent, lut FROM (
+           SELECT q_id, lut,
+             generate_subscripts(qdts, 1) - 1 AS c,
+             unnest(qdts) AS q_dot_cent FROM qd) p
+           QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY q_dot_cent DESC, c ASC) <= 3),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS n_id,
+             q.q_dot_cent + (${pqApprox(books.length)}) AS approx
+           FROM codes c JOIN probes q ON c.c = q.c AND c.vec_id <> q.q_id),
+         ${pqRerankTail(rerank = 50, vc = "sv")}"""
+  }
+
+  /** s13: pinned OPQ — project onto the pinned 64-dim rotation, deal
+    * the rotated dimensions round-robin into subspaces (rv[p] is
+    * rotated dim d = (p−1 mod 8)·8 + (p−1) div 8 — the dealing
+    * permutation is an involution), then the s09 machinery over the
+    * rotated frame, exact re-rank in rotated coordinates (inner
+    * products are rotation-invariant mathematically; float-wise the
+    * engine re-ranks in rotated coords, so the oracle does too). */
+  private lazy val s13OracleSql: String = {
+    val rot = Pinned.opqRotation
+    val books = Pinned.opqBooks.books
+    val sub = Pinned.opqBooks.sub
+    val m = books.length
+    val rv = (1 to 64).map { p =>
+      val d = ((p - 1) % m) * sub + (p - 1) / m
+      s"(${(1 to 64).map(k => s"sv[$k]*(${rot(d)(k - 1)})").mkString(" + ")})"
+    }.mkString("[", ",\n             ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n0 AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         n AS (SELECT vec_id, $rv AS rv FROM n0),
+         enc AS (SELECT vec_id,
+           ${pqScoreCols(books, sub, i => s"rv[$i]")}
+           FROM n),
+         codes AS (SELECT vec_id, ${pqCodesList(m)} AS codes FROM enc),
+         q AS (SELECT vec_id AS q_id,
+           ${pqLutList(books, sub, "rv")} AS lut
+           FROM n WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS n_id, ${pqApprox(m)} AS approx
+           FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         ${pqRerankTail(rerank = 100, vc = "rv")}"""
+  }
 
   /** d09 = multi-table LSH pairs + connected components: the pair CTE
     * is the 12-table OR-construction, the CC tail is the d05 oracle's

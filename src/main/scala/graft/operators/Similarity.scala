@@ -551,10 +551,15 @@ object Similarity {
     * The 100 TB shape: centroids broadcast implicitly as plan literals,
     * the corpus partitioned by cell, each query touches one cell
     * (nprobe=1 here; more cells = higher recall, linearly more work).
-    * Rows-only check — recall is probabilistic, like s03/s04. */
+    * The REGISTERED s05 serves the [[Pinned.ivfCentroids]] fixture
+    * (exact DuckDB oracle — cell argmax and re-rank replayed as
+    * unrolled sums); `model = None` fits inline (law-tested, since the
+    * distributed centroid averages are partition-order-dependent in
+    * their last ulps). */
   def annKmeansIvf(s: SparkSession, dir: String, nQueries: Int = 5,
                    k: Int = 3, nCent: Int = 8, iters: Int = 3,
-                   nprobe: Int = 1): DataFrame = {
+                   nprobe: Int = 1,
+                   model: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nCent, s"nprobe=$nprobe out of [1, $nCent]")
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
@@ -563,7 +568,7 @@ object Similarity {
       // twice in the final plan; blocks are freed on plan GC instead of
       // pinning a CacheManager entry per invocation
       .localCheckpoint()
-    val cents = fitCentroids(normed, nCent, iters)
+    val cents = model.getOrElse(fitCentroids(normed, nCent, iters))
     val corpus = assignToCentroid(normed, cents)
     // each query probes its nprobe closest cells (nprobe=1 ≡ own cell);
     // recall and probe cost both scale linearly with nprobe
@@ -637,22 +642,31 @@ object Similarity {
     * recall@3 vs brute force beside plain s09. */
   def annPqRotated(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
                    m: Int = 8, codebookSize: Int = 32, iters: Int = 3,
-                   rerank: Int = 100): DataFrame = {
+                   rerank: Int = 100,
+                   rotation: Option[Array[Array[Double]]] = None,
+                   model: Option[PqModel] = None): DataFrame = {
     val dim = 64
     val normed = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
       .localCheckpoint() // PCA moment pass + rotation input
-    val rot = Pca.fit(normed, dim, k = dim).components
+    val rot = rotation.getOrElse(Pca.fit(normed, dim, k = dim).components)
+    annPqFrom(s, rotatedFrame(normed, rot, m), nQueries, k, m, codebookSize,
+      iters, rerank, model, sampleCap = 4096)
+  }
+
+  /** Project onto the full orthonormal `rot` basis and deal the rotated
+    * dimensions round-robin across the m subspaces: position
+    * p = (d mod m)·sub + (d div m) — dimension d of the rotated space
+    * lands in subspace d mod m, balancing the spectrum per subspace. */
+  private[graft] def rotatedFrame(normed: DataFrame,
+                                  rot: Array[Array[Double]], m: Int): DataFrame = {
+    val dim = rot.length
     val sub = dim / m
-    // position p = (d mod m)·sub + (d div m): dimension d of the
-    // rotated space lands in subspace d mod m — round-robin dealing
     val cols = new Array[Column](dim)
     for (d <- 0 until dim)
       cols((d % m) * sub + d / m) = dot(col("v"), typedlit(rot(d).toSeq))
-    val rotated = normed.select(col("vec_id"), array(cols.toSeq: _*).as("v"))
-    annPqFrom(s, rotated, nQueries, k, m, codebookSize, iters, rerank,
-      model = None, sampleCap = 4096)
+    normed.select(col("vec_id"), array(cols.toSeq: _*).as("v"))
   }
 
   private def annPqFrom(s: SparkSession, vecs: DataFrame, nQueries: Int,
@@ -689,18 +703,25 @@ object Similarity {
   }
 
   /** The full fit-once / persist / serve lifecycle as ONE operator
-    * (s11): fit the PQ model from a bounded sample, [[PqModel.save]]
-    * it, [[PqModel.load]] it back, and answer the query from the
-    * LOADED model — proving the persisted artifact carries the whole
-    * model. At 100 TB the three phases run as separate jobs (fit once,
-    * serve many); this registered form exercises the seam end-to-end. */
+    * (s11): fit the PQ model from a bounded sample (or take a
+    * pre-fit one), [[PqModel.save]] it, [[PqModel.load]] it back, and
+    * answer the query from the LOADED model — proving the persisted
+    * artifact carries the whole model. At 100 TB the three phases run
+    * as separate jobs (fit once, serve many); this registered form
+    * exercises the seam end-to-end. The REGISTERED s11 persists the
+    * [[Pinned.pq]] fixture, which makes its served output equal s09's
+    * pinned output — parquet round-trips doubles exactly — so it
+    * shares s09's exact DuckDB oracle; the real-fit lifecycle
+    * (`model = None`) stays spec-covered in SimilaritySpec. */
   def annPqFitServe(s: SparkSession, dir: String, modelPath: String,
                     m: Int = 8, codebookSize: Int = 32,
-                    iters: Int = 3): DataFrame = {
-    val corpus = emb(s, dir)
-      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-      .select(col("vec_id"), col("nv").as("v"))
-    val mdl = PqModel.fit(PqModel.sampleVectors(corpus, 4096), m, codebookSize, iters)
+                    iters: Int = 3, model: Option[PqModel] = None): DataFrame = {
+    val mdl = model.getOrElse {
+      val corpus = emb(s, dir)
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+        .select(col("vec_id"), col("nv").as("v"))
+      PqModel.fit(PqModel.sampleVectors(corpus, 4096), m, codebookSize, iters)
+    }
     mdl.save(s, modelPath)
     annPq(s, dir, model = Some(PqModel.load(s, modelPath)))
   }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs.dot
+import graft.operators.{Pca, Pinned, PqModel, Similarity}
+
+/** Drift laws for the pinned model fixtures behind the oracle-exact
+  * serve paths (s05/s09/s10/s11/s13): re-fit at sf0.01 and compare
+  * against the literals in [[graft.operators.Pinned]].
+  *
+  * The PQ fits are pure functions of the data (deterministic
+  * TakeOrdered sample + driver-side Lloyd), so they must equal the
+  * fixtures EXACTLY; the distributed fits (k-means centroid averages,
+  * PCA moments) are partition-order-dependent in their last ulps, so
+  * they get tolerances. A red test here means the fixture rotted
+  * (testdata or fit changed) — regenerate with
+  * `sbt "runMain graft.tools.PinModelsTool"`. */
+class PinnedModelsSpec extends SparkSuite {
+
+  private lazy val normed: DataFrame =
+    graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .localCheckpoint()
+
+  private def sameBooks(a: Array[Array[Array[Double]]],
+                        b: Array[Array[Array[Double]]]): Boolean =
+    a.length == b.length && a.indices.forall(j =>
+      a(j).indices.forall(c => a(j)(c).sameElements(b(j)(c))))
+
+  test("Pinned.pq equals a re-fit exactly (pure-function fit)") {
+    val refit = PqModel.fit(PqModel.sampleVectors(normed, 4096),
+      m = 8, codebookSize = 32, iters = 3)
+    assert(refit.coarse.isEmpty)
+    assert(sameBooks(refit.books, Pinned.pq.books))
+  }
+
+  test("Pinned.ivfPq equals a re-fit exactly (coarse + residual books)") {
+    val refit = PqModel.fit(PqModel.sampleVectors(normed, 4096),
+      m = 8, codebookSize = 32, iters = 3, nCoarse = 8, coarseIters = 3)
+    assert(refit.coarse.get.indices.forall(i =>
+      refit.coarse.get(i).sameElements(Pinned.ivfPq.coarse.get(i))))
+    assert(sameBooks(refit.books, Pinned.ivfPq.books))
+  }
+
+  test("Pinned.ivfCentroids matches a distributed re-fit to 1e-9") {
+    val refit = Similarity.fitCentroids(normed, k = 8, iters = 3)
+    for (i <- refit.indices; d <- refit(i).indices)
+      assert(math.abs(refit(i)(d) - Pinned.ivfCentroids(i)(d)) < 1e-9,
+        s"centroid $i dim $d drifted")
+  }
+
+  test("Pinned.opqRotation aligns with a PCA re-fit; opqBooks exact given the rotation") {
+    val rot = Pca.fit(normed, dim = 64, k = 64).components
+    for (i <- 0 until 64) {
+      val d = rot(i).zip(Pinned.opqRotation(i)).map { case (a, b) => a * b }.sum
+      assert(d > 0.999999, s"rotation row $i drifted: <fit, pinned> = $d")
+    }
+    // given the PINNED rotation literals, the codebook fit is again a
+    // pure function — exact equality required
+    val refit = PqModel.fit(
+      PqModel.sampleVectors(
+        Similarity.rotatedFrame(normed, Pinned.opqRotation, 8), 4096),
+      m = 8, codebookSize = 32, iters = 3)
+    assert(sameBooks(refit.books, Pinned.opqBooks.books))
+  }
+}
