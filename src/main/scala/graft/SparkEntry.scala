@@ -128,7 +128,8 @@ object SparkEntry {
     "s12_pca_project"     -> ((s, dir) => Pca.projectPinned(s, dir)),
     "s13_ann_opq"         -> ((s, dir) => Similarity.annPqRotated(s, dir,
       rotation = Some(Pinned.opqRotation), model = Some(Pinned.opqBooks))),
-    "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir)),
+    "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir,
+      cells = Some(Pinned.semCells))),
     "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
   )
 
@@ -1332,6 +1333,11 @@ object SparkEntry {
     "s11_ann_pq_fitserve" -> s09OracleSql,
     "s10_ann_ivfpq" -> s10OracleSql,
     "s13_ann_opq" -> s13OracleSql,
+    // s14 serves Pinned.semCells; at gate scale every cell is far
+    // below cellCap, so the LSH refinement and anchor cap are no-ops
+    // (spec-pinned separately) and the pair source is exactly
+    // "collide in any of the top-2 probe cells".
+    "s14_semdedup" -> s14OracleSql,
     // s12 projects with the PINNED rotation fixture (Pca.pinnedModel,
     // signs canonicalized), so each pc is a pure centered dot the SQL
     // replays as an unrolled LEFT-ASSOCIATIVE sum — the same sequential
@@ -1585,6 +1591,44 @@ object SparkEntry {
            SELECT q.q_id, c.vec_id AS n_id, ${pqApprox(m)} AS approx
            FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
          ${pqRerankTail(rerank = 100, vc = "rv")}"""
+  }
+
+  /** s14: pinned-cell SemDeDup — every vector probes its top-2 cells
+    * by centroid dot (ties to the lower index, matching the engine's
+    * struct(-dot, i) sort), vectors sharing a probed cell pair up,
+    * exact-cosine filter at 0.4, then the d05-class recursive-CTE CC.
+    * Valid while every cell stays below cellCap (true at the gate
+    * scales; the capped regime is spec-pinned, not oracled). */
+  private lazy val s14OracleSql: String = {
+    val dts = Pinned.semCells.map { c =>
+      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
+    }.mkString("[", ",\n             ", "]")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         dd AS (SELECT vec_id, $dts AS dts FROM n),
+         probes AS (SELECT vec_id, c FROM (
+           SELECT vec_id,
+             generate_subscripts(dts, 1) - 1 AS c,
+             unnest(dts) AS d FROM dd) p
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) <= 2),
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM probes a JOIN probes b
+             ON a.c = b.c AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a)
+         SELECT n AS vec_id, min(m) AS cluster FROM reach
+         GROUP BY n ORDER BY vec_id"""
   }
 
   /** d09 = multi-table LSH pairs + connected components: the pair CTE

@@ -120,7 +120,7 @@ object PqModel {
 
   /** Driver-side Lloyd's: init = first k sample rows, fixed iteration
     * count, empty clusters keep their previous centroid. */
-  private[operators] def lloyd(xs: Array[Array[Double]], k: Int,
+  private[graft] def lloyd(xs: Array[Array[Double]], k: Int,
                                iters: Int): Array[Array[Double]] = {
     val dim = xs(0).length
     var cents = xs.take(k).map(_.clone())

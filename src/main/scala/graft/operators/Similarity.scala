@@ -366,11 +366,12 @@ object Similarity {
     * recall among NON-anchor members of an oversized refined bucket is
     * sacrificed — the same contract as d06's df cap. */
   def semDedupPairs(embFrame: DataFrame, threshold: Double, kCells: Int,
-                    iters: Int, nprobe: Int, cellCap: Int): DataFrame = {
+                    iters: Int, nprobe: Int, cellCap: Int,
+                    cells: Option[Array[Array[Double]]]): DataFrame = {
     val normed = embFrame
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
-    val cents = PqModel.lloyd(
-      PqModel.sampleVectors(normed, cap = 4096), kCells, iters)
+    val cents = cells.getOrElse(PqModel.lloyd(
+      PqModel.sampleVectors(normed, cap = 4096), kCells, iters))
     val dim = cents.headOption.map(_.length).getOrElse(64)
     val maxBits = 16
     // probe cells + the refinement signature in one narrow pass;
@@ -398,7 +399,8 @@ object Similarity {
   def semDedupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
                     kCells: Int = 8, iters: Int = 3, nprobe: Int = 2,
                     cellCap: Int = 1000): DataFrame =
-    semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap)
+    semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap,
+        cells = None)
       .orderBy("id_a", "id_b")
 
   /** s14: SemDeDup — semantic near-duplicate CLUSTERS from
@@ -407,16 +409,22 @@ object Similarity {
     * (LSH). This is the third — and at 100 TB usually the cheapest —
     * pair source: the paper's observation is that near-duplicates
     * co-locate in embedding-space clusters, so comparing within cells
-    * finds almost all of them at O(n²/k) pair cost. Rows-only check
-    * (k-means recall is data-dependent, no SQL oracle); SimilaritySpec
+    * finds almost all of them at O(n²/k) pair cost. The REGISTERED s14
+    * serves the [[Pinned.semCells]] fixture (exact DuckDB oracle:
+    * probe cells + pair cosine + the d05-class recursive-CTE CC are
+    * all replayable; the refinement/anchor cap is a no-op below
+    * cellCap per cell — the capped regime is spec-pinned in
+    * LshClusterSpec). `cells = None` re-fits inline; SimilaritySpec
     * pins the deterministic laws: pairs ⊆ exact pairs with equal cos,
     * every cluster refines an exact cluster, and planted near-dup
     * groups are recovered identically. */
   def semDedupClusters(s: SparkSession, dir: String, threshold: Double = 0.4,
                        kCells: Int = 8, iters: Int = 3, nprobe: Int = 2,
-                       cellCap: Int = 1000): DataFrame =
+                       cellCap: Int = 1000,
+                       cells: Option[Array[Array[Double]]] = None): DataFrame =
     Dedup.dupClusters(
-        semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap)
+        semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap,
+          cells)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")

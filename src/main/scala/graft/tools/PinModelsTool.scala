@@ -35,6 +35,7 @@ object PinModelsTool {
     val opqBooks = PqModel.fit(
       PqModel.sampleVectors(Similarity.rotatedFrame(normed, rot, 8), 4096),
       m = 8, codebookSize = 32, iters = 3)
+    val semCells = PqModel.lloyd(sample, 8, 3)
 
     def row(a: Array[Double]): String = "row(\"" + a.mkString(",") + "\")"
     def mat(a: Array[Array[Double]], ind: String): String =
@@ -88,6 +89,10 @@ object PinModelsTool {
        |  lazy val opqBooks: PqModel = PqModel(
        |    coarse = None,
        |    books = ${books(opqBooks.books)})
+       |
+       |  /** s14 SemDeDup cells: kCells=8, iters=3 Lloyd over the same
+       |    * deterministic sample - exact-reproducible like [[pq]]. */
+       |  lazy val semCells: Array[Array[Double]] = ${mat(semCells, "    ")}
        |}""".stripMargin)
     spark.stop()
   }

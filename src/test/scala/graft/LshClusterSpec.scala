@@ -106,13 +106,13 @@ class LshClusterSpec extends SparkSuite {
     val exact = exactPairs(planted, threshold = 0.9)
     assert(exact.size >= 15, s"plant produced only ${exact.size} pairs")
     val sem = Similarity.semDedupPairs(frameOf(planted), 0.9,
-        kCells = 8, iters = 3, nprobe = 2, cellCap = 1000)
+        kCells = 8, iters = 3, nprobe = 2, cellCap = 1000, cells = None)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // a planted dup is a tiny perturbation of its base, so the two top-2
     // probe cell lists overlap — multi-probe recall is 1.0 here
     assert(sem == exact, "cell-bucketed recall must be 1.0 in the near-dup regime")
     val clusters = Dedup.dupClusters(
-        Similarity.semDedupPairs(frameOf(planted), 0.9, 8, 3, 2, 1000)
+        Similarity.semDedupPairs(frameOf(planted), 0.9, 8, 3, 2, 1000, None)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     exact.foreach { case (a, b, _) =>
@@ -183,7 +183,7 @@ class LshClusterSpec extends SparkSuite {
 
   test("hot cell: SemDeDup pair count is capped, precision 1.0, dup group connected") {
     assertCapped(Similarity.semDedupPairs(frameOf(hotBlob._1), 0.9,
-      kCells = 4, iters = 3, nprobe = 1, cellCap = 10))
+      kCells = 4, iters = 3, nprobe = 1, cellCap = 10, cells = None))
   }
 
   test("hot bucket: lshPairs pair count is capped, precision 1.0, dup group connected") {

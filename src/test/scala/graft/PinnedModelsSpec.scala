@@ -53,6 +53,12 @@ class PinnedModelsSpec extends SparkSuite {
         s"centroid $i dim $d drifted")
   }
 
+  test("Pinned.semCells equals a re-fit exactly (pure-function Lloyd)") {
+    val refit = PqModel.lloyd(PqModel.sampleVectors(normed, 4096), 8, 3)
+    assert(refit.indices.forall(i =>
+      refit(i).sameElements(Pinned.semCells(i))))
+  }
+
   test("Pinned.opqRotation aligns with a PCA re-fit; opqBooks exact given the rotation") {
     val rot = Pca.fit(normed, dim = 64, k = 64).components
     for (i <- 0 until 64) {
