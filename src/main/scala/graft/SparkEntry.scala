@@ -1041,6 +1041,11 @@ object SparkEntry {
     // oracle skips the engine's 16-bit-chunk pigeonhole bucketing and
     // brute-forces all pairs: the bucketing guarantees recall for
     // hamming ≤ 3 and the exact hamming filter makes both forms equal.
+    // ASCII/BMP-only equivalence assumption: ord(c) over string_split
+    // yields Unicode CODE POINTS while the engine's fnv64 iterates
+    // UTF-16 code units — identical for every BMP character, divergent
+    // only for surrogate pairs (non-BMP, absent from the synthetic
+    // corpus).
     "d04_simhash" ->
       """WITH
          toks AS (

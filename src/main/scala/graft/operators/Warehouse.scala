@@ -408,7 +408,13 @@ object Warehouse {
     * verdicts literally TRUE — so a drifting estimate now hash-FAILS
     * the driver compare instead of hiding behind rows-only. The exact
     * countDistinct lives here only to band the sketch; at 100 TB you
-    * run the sketch alone (q12 is the exact twin). */
+    * run the sketch alone (q12 is the exact twin).
+    *
+    * Band validity is PER-SF: ε = 3× the sketch's rsd makes a false
+    * red astronomically unlikely but SF-dependent in principle —
+    * validated at sf0.001/0.01/0.1. At an unvalidated scale, treat a
+    * red verdict as "re-validate the band first", not immediately as
+    * an engine bug (same note on q32). */
   def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -435,7 +441,9 @@ object Warehouse {
     * 1/accuracy = 10⁻⁴ rank-error bound at accuracy 10000), and the
     * DuckDB oracle reproduces the exact values and asserts the
     * verdicts literally TRUE — a drifting sketch hash-FAILS instead of
-    * hiding behind rows-only. q16 is the exact twin. */
+    * hiding behind rows-only. q16 is the exact twin. Bands validated
+    * per benchmarked SF (see q20's note): at an unvalidated scale a
+    * red verdict means "re-validate the band", not yet "engine bug". */
   def q32ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
