@@ -1343,6 +1343,13 @@ object SparkEntry {
     // (spec-pinned separately) and the pair source is exactly
     // "collide in any of the top-2 probe cells".
     "s14_semdedup" -> s14OracleSql,
+    // t13 BPE TRAINING, fully self-derived in SQL: 8 unrolled rounds,
+    // each picking the weighted argmax adjacent pair (ties
+    // lexicographic, binary collation both engines) and re-encoding
+    // the vocabulary with t14's recursive replace-first CTE (proven
+    // equivalent to the engine's left-to-right non-overlapping merge).
+    // No fixture — the oracle re-derives the whole trajectory.
+    "t13_bpe_merges" -> t13OracleSql,
     // s12 projects with the PINNED rotation fixture (Pca.pinnedModel,
     // signs canonicalized), so each pc is a pure centered dot the SQL
     // replays as an unrolled LEFT-ASSOCIATIVE sum — the same sequential
@@ -1596,6 +1603,51 @@ object SparkEntry {
            SELECT q.q_id, c.vec_id AS n_id, ${pqApprox(m)} AS approx
            FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
          ${pqRerankTail(rerank = 100, vc = "rv")}"""
+  }
+
+  /** t13: the 8-round BPE training loop unrolled — round r counts
+    * weighted adjacent symbol pairs over the vocabulary AS ENCODED BY
+    * merges 1..r−1 (each applied by a recursive replace-first CTE, the
+    * t14 equivalence), takes the (count DESC, a, b) argmax as merge r,
+    * and feeds the re-encoded vocabulary forward. The merge scalars
+    * flow between rounds as 1-row CTE cross joins, so the oracle
+    * re-derives the training trajectory from the raw corpus — the one
+    * iterative-stateful query in the suite, expressed as SQL by
+    * unrolling its fixed iteration count. */
+  private lazy val t13OracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = s"enc${r - 1}"
+      s"""cnt$r AS (
+           SELECT sy[i] AS a, sy[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+             SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM (
+               SELECT freq, string_split(trim(s), ' ') AS sy FROM $prev))
+           GROUP BY 1, 2),
+         m$r AS (SELECT a, b, n FROM cnt$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         enc${r}r(word, freq, s) AS (
+           SELECT word, freq, s FROM $prev
+           UNION ALL
+           SELECT e.word, e.freq,
+             substr(e.s, 1, strpos(e.s, ' '||m.a||' '||m.b||' ') - 1) ||
+             ' '||m.a||m.b||' ' ||
+             substr(e.s, strpos(e.s, ' '||m.a||' '||m.b||' ') + length(' '||m.a||' '||m.b||' '))
+           FROM enc${r}r e, m$r m
+           WHERE strpos(e.s, ' '||m.a||' '||m.b||' ') > 0),
+         enc$r AS (SELECT e.word, e.freq, e.s FROM enc${r}r e, m$r m
+           WHERE strpos(e.s, ' '||m.a||' '||m.b||' ') = 0)"""
+    }.mkString(",\n         ")
+    val out = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS "left", b AS "right",
+              a || b AS merged, n FROM m$r""")
+      .mkString("\n         UNION ALL ")
+    s"""WITH RECURSIVE
+         words AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                   FROM documents),
+         vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
+         enc0 AS (SELECT word, freq,
+           ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS s
+           FROM vocab),
+         $rounds
+         SELECT * FROM ($out) ORDER BY rank"""
   }
 
   /** s14: pinned-cell SemDeDup — every vector probes its top-2 cells

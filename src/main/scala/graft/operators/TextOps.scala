@@ -459,9 +459,12 @@ object TextOps {
     *   3. apply the merge to every word's symbol array (narrow map).
     *
     * Output: the merge table (rank, left, right, merged, weighted
-    * count) — deterministic, so the driver's rows-only check is stable;
-    * exactness is pinned by the Scala recomputation in CorpusOpsSpec
-    * (no SQL oracle: the loop is iterative-stateful). Words carry an
+    * count) — deterministic, and since r8 EXACTLY driver-verified: the
+    * DuckDB oracle unrolls the fixed 8-round loop, re-deriving each
+    * round's argmax pair and re-encoding the vocabulary with the t14
+    * recursive replace-first CTE, so the whole training trajectory is
+    * replayed from the raw corpus (no fixture). CorpusOpsSpec pins the
+    * independent Scala recomputation besides. Words carry an
     * end-of-word marker `</w>` so learned units respect boundaries. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMerges(t(s, dir, "documents"), "text")
