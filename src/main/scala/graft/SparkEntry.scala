@@ -1399,14 +1399,32 @@ object SparkEntry {
            FROM sums GROUP BY vec_id, tb)"""
   }
 
+  /** Loud-failure guard for the capped pair generators (s03/d09/s14):
+    * their oracles replay the UNCAPPED pair source, valid only while
+    * every bucket/cell stays at or below the engine's cap (1000). If a
+    * larger or skewed dataset ever crosses it, the engine engages
+    * refinement/anchor capping and the oracle would silently
+    * hash-mismatch as a phantom engine bug — so the SQL asserts the
+    * precondition itself and raises a self-describing error instead.
+    * `sizeSql` must select one `cnt` per bucket. */
+  private def capGuardCte(name: String, sizeSql: String): String =
+    s"""guard AS (
+           SELECT CASE WHEN max(cnt) > 1000 THEN error(
+             '$name oracle precondition violated: a bucket/cell exceeds the engine cap (1000); the engine output is anchor-capped there and this uncapped SQL replay no longer applies')
+             ELSE 1 END AS ok
+           FROM ($sizeSql))"""
+
   private lazy val s03OracleSql: String =
-    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)}
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)},
+         ${capGuardCte("s03",
+           "SELECT count(*) AS cnt FROM buckets GROUP BY tb, bucket")}
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
          FROM buckets a JOIN buckets b
            ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          JOIN e ea ON ea.vec_id = a.vec_id
          JOIN e eb ON eb.vec_id = b.vec_id
+         CROSS JOIN guard
          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
          ORDER BY id_a, id_b"""
 
@@ -1432,14 +1450,35 @@ object SparkEntry {
   private lazy val unrolledNorm: String =
     (1 to 64).map(d => s"v[$d]*v[$d]").mkString(" + ")
 
+  /** Unrolled per-centroid dot list over the normalized vector `sv` —
+    * the shared assignment/probe arithmetic of s05/s10/s14 (one term
+    * order for all three, the codegen'd dot's sequential order). */
+  private def centroidDotsList(cents: Array[Array[Double]]): String =
+    cents.map { c =>
+      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
+    }.mkString("[", ",\n             ", "]")
+
+  /** The d05-class connected-components tail shared by d09/s14: edges
+    * from a `pairs(id_a, id_b)` CTE, reach/min recursive closure,
+    * (vec_id, cluster) out. Callers must open WITH RECURSIVE. */
+  private val ccTailSql: String =
+    s"""edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(n, m) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a)
+         SELECT n AS vec_id, min(m) AS cluster FROM reach
+         GROUP BY n ORDER BY vec_id"""
+
   /** s05: pinned-centroid k-means IVF — cell = first-max argmax over
     * 8 unrolled centroid dots (ties to the lower index, same as
     * array_position), probe the query's own cell (nprobe=1), exact
     * re-rank. */
   private lazy val s05OracleSql: String = {
-    val dts = Pinned.ivfCentroids.map { c =>
-      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
-    }.mkString("[", ",\n             ", "]")
+    val dts = centroidDotsList(Pinned.ivfCentroids)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
@@ -1544,9 +1583,7 @@ object SparkEntry {
     val books = mdl.books
     val sub = mdl.sub
     val centsLit = cents.map(c => s"[${c.mkString(", ")}]").mkString("[", ",\n             ", "]")
-    val dts = cents.map { c =>
-      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
-    }.mkString("[", ",\n             ", "]")
+    val dts = centroidDotsList(cents)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
@@ -1654,12 +1691,10 @@ object SparkEntry {
     * by centroid dot (ties to the lower index, matching the engine's
     * struct(-dot, i) sort), vectors sharing a probed cell pair up,
     * exact-cosine filter at 0.4, then the d05-class recursive-CTE CC.
-    * Valid while every cell stays below cellCap (true at the gate
-    * scales; the capped regime is spec-pinned, not oracled). */
+    * Valid while every cell stays below cellCap — asserted in-query by
+    * the cap guard (the capped regime is spec-pinned, not oracled). */
   private lazy val s14OracleSql: String = {
-    val dts = Pinned.semCells.map { c =>
-      s"(${c.indices.map(d => s"sv[${d + 1}]*(${c(d)})").mkString(" + ")})"
-    }.mkString("[", ",\n             ", "]")
+    val dts = centroidDotsList(Pinned.semCells)
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
@@ -1669,47 +1704,36 @@ object SparkEntry {
              generate_subscripts(dts, 1) - 1 AS c,
              unnest(dts) AS d FROM dd) p
            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) <= 2),
+         ${capGuardCte("s14",
+           "SELECT count(*) AS cnt FROM probes GROUP BY c")},
          pairs AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            FROM probes a JOIN probes b
              ON a.c = b.c AND a.vec_id < b.vec_id
            JOIN e ea ON ea.vec_id = a.vec_id
            JOIN e eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard
            WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
-         edges AS (
-           SELECT id_a AS a, id_b AS b FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         nodes AS (SELECT DISTINCT a AS n FROM edges),
-         reach(n, m) AS (
-           SELECT n, n FROM nodes
-           UNION
-           SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a)
-         SELECT n AS vec_id, min(m) AS cluster FROM reach
-         GROUP BY n ORDER BY vec_id"""
+         $ccTailSql"""
   }
 
   /** d09 = multi-table LSH pairs + connected components: the pair CTE
     * is the 12-table OR-construction, the CC tail is the d05 oracle's
-    * reach/min recursive CTE over the pair edges. */
+    * reach/min recursive CTE over the pair edges; per-(table, bucket)
+    * sizes asserted under the engine cap by the guard. */
   private lazy val d09OracleSql: String =
     s"""WITH RECURSIVE ${lshBucketsCte(nTables = 12, nPlanes = 8)},
+         ${capGuardCte("d09",
+           "SELECT count(*) AS cnt FROM buckets GROUP BY tb, bucket")},
          pairs AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            FROM buckets a JOIN buckets b
              ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            JOIN e ea ON ea.vec_id = a.vec_id
            JOIN e eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard
            WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
-         edges AS (
-           SELECT id_a AS a, id_b AS b FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         nodes AS (SELECT DISTINCT a AS n FROM edges),
-         reach(n, m) AS (
-           SELECT n, n FROM nodes
-           UNION
-           SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a)
-         SELECT n AS vec_id, min(m) AS cluster FROM reach
-         GROUP BY n ORDER BY vec_id"""
+         $ccTailSql"""
 
   /** SPARK-dialect SQL text for operators whose DuckDB oracle uses
     * dialect-specific constructs (regexp_split_to_array, list

@@ -74,7 +74,7 @@ object Pca {
 
   /** One distributed pass → driver-side eigen. `vecs` must expose a
     * Seq[Double] column named `v`. */
-  def fit(vecs: DataFrame, dim: Int, k: Int, iters: Int = 100): PcaModel = {
+  def fit(vecs: DataFrame, dim: Int, k: Int, iters: Int = 1000): PcaModel = {
     import vecs.sparkSession.implicits._
     val agg = new MomentsAggregator(dim).toColumn
     val m = vecs.select(col("v").as[Seq[Double]]).select(agg).head()
@@ -91,7 +91,12 @@ object Pca {
 
   /** Power iteration with deflation: deterministic SplitMix64 init,
     * fixed iteration count. Returns (components, eigenvalues), largest
-    * first. */
+    * first — enforced by a final stable sort on the Rayleigh
+    * quotients: on a near-degenerate spectrum (the uniform synthetic
+    * embeddings: λ₂/λ₃ ≈ 0.997) the per-component convergence rate
+    * (λ_{c+1}/λ_c)^iters leaves residual cross-talk that can deliver
+    * adjacent eigenvalues out of order, and consumers (whitening's
+    * √λᵢ scaling, "top-k" semantics) rely on descending order. */
   private[operators] def topEigen(cov0: Array[Array[Double]], k: Int,
                                   iters: Int): (Array[Array[Double]], Array[Double]) = {
     val dim = cov0.length
@@ -151,7 +156,10 @@ object Pca {
         i += 1
       }
     }
-    (comps, eigs)
+    // descending-eigenvalue contract (stable: ties keep extraction
+    // order, so the sort is deterministic)
+    val order = eigs.indices.sortBy(i => (-eigs(i), i))
+    (order.map(comps).toArray, order.map(eigs).toArray)
   }
 
   def load(s: SparkSession, path: String): PcaModel = {
@@ -178,15 +186,16 @@ object Pca {
     * fixture-drift check (re-fit at sf0.01 must align with the pinned
     * axes); the fixture is the sf0.01 model applied at every SF by
     * design, like t14's merge table. Regenerate with
-    * `sbt "runMain graft.tools.PinPcaTool"`. */
+    * `sbt "runMain graft.tools.PinModelsTool"` (the block after the
+    * `paste into Pca.scala` marker). */
   val pinnedModel: PcaModel = PcaModel(
     mean = Array(0.0021647098540561274, -0.004547794351470656, 0.003930154383007902, -0.004793201057444094, 0.009943076466443017, 0.007772532952541951, -0.01823135569485021, 0.009217355088097975, -0.0024274034147092607, -6.178791260463186E-4, 0.006436078068451025, 0.0033540127822197976, -0.0026588912964216433, 0.0020540317017294003, -2.1456623025005683E-4, 0.005910249243548606, 0.0033342206680827074, 0.005826121678226628, -4.6127636556047945E-4, 0.0012317155191558413, -0.0038391390424221752, 0.0023021840666187926, 0.004168265111627988, -0.008054586122045293, -0.0018911654613621067, 0.012808142676018179, -0.0015970649567898362, 0.01062632681982359, -0.0011532765734009445, 3.903653704910539E-4, 0.0056047214816790075, -0.005792685562460974, 0.008335300238788477, -0.0066753798398422074, 0.005155627750558779, 0.001177179405814968, -0.0053353315424174074, -0.0015937965741213702, -9.667016767925815E-4, -0.001140981935830496, -0.0017442115085141267, -0.01183411476330366, 3.1351819908741164E-4, -5.631569666620635E-4, -0.011520562025547406, 0.003832613509031944, -5.98060307384003E-4, 0.005890298187849112, -0.003749661162350094, -0.010264404615503736, 0.009377152467495762, -0.001481992187706055, 0.007770042697302415, -0.003917563282562696, 0.00470978261413984, -0.003577291431953199, 0.004773866848874604, -0.0024703639050130733, -0.004844514904165408, -0.00872118095526821, -2.811656921039685E-4, 0.005004184705336229, -0.0011590625974931754, -0.013266222528531216),
     components = Array(
-      Array(0.1412066939152995, 0.045189777332556545, -0.038348678405545594, -0.06918819251422474, 0.05560024200336831, 0.005968168916904024, -0.007815715635593612, -0.2693052471195475, 0.019826814415415724, -0.2761906707233082, 0.023272438059344102, -0.14146666497451255, -0.041079607133753214, 0.1168094534221138, -0.11300504837636137, 0.1505612921748053, 0.04700391800180061, 0.35787198008021415, -0.009836817791520635, -0.05475495437859514, -0.02129790729304972, 0.11336947011602345, 0.10023759450085007, -0.17075249276290833, -0.18728811807363896, -0.30377624160888655, 0.017564466302633492, -0.11486911752205997, 0.06580942270829428, -0.121663581633004, 0.01975042051265903, -0.19013625057719435, -0.1912920363593702, -0.043248500784825374, 0.04475692353213985, -0.02520704112050374, 0.01575556281405025, -0.02994122837472243, 0.11318984371405334, 0.011074696936550959, 0.0937061794054768, 0.03800097034306352, 0.123947136418517, -0.2033941942028884, 0.14801861917107179, 0.03463512811906972, -0.036599330878884284, 0.15907323865286455, 0.13482184549036147, 0.004330038742339111, -0.20215629519330675, -0.11434951813339586, 0.032788415224434854, -0.0776740368237732, 0.16604998376999017, 0.0643523465640541, -0.1694694558860632, 0.054064287552974155, 0.05916494758433853, -0.02097474684392843, -0.1495263285058529, 0.036504316614586724, 0.1525063599621541, 0.01556161866131587),
-      Array(0.015603174408574444, -0.017674679728386364, 0.05582604241881733, -0.04001846346152661, 0.2756346962257336, 0.05246683045138926, -0.010671719750942029, 0.298837907949581, 0.028685298767321274, 0.17827763733861854, 0.11958230913513816, 0.04545862778699481, 0.08057507747040857, 0.07912459126076933, 0.07630346791641437, 0.11384745444626007, -0.013165254057438371, 0.17733571506304227, -0.12683196207650466, -0.06980555478358873, 0.03469094246750814, -0.1604409989895509, 0.07135071369046303, -0.22258817601448144, -0.19096310438132547, -0.10771901707509479, -0.0942542817228131, 0.16370802668674056, -0.12790836957667098, -0.014534469421869149, 0.05265643085878698, -0.1519501619907637, 0.108924317964721, 0.21146369083069388, 0.025458925476893483, 0.1601315052620024, -0.053168481885351074, 0.20477533652380875, 0.14601421394500425, 0.10889869923210367, -0.19152775092480598, -0.11487551841849357, -0.0439531622033453, 0.10469785995099336, -0.045939361014731436, -0.23380835086859475, -0.051999438929061496, 0.02509837776596715, 0.07267733523631115, -0.0724113108882711, 0.06704501203729991, 0.06818291595122551, -0.17050390234279664, 0.14147445639134884, 0.24641767010911947, -0.01622348847206432, -0.17446219167577962, -0.09539547455165794, -0.038521936844110996, -0.06272669593608263, 0.0630989884599955, -0.14743639763216104, -0.028221708412852806, -0.028575638457507564),
-      Array(-0.21371424345271478, -0.14963144996388877, -0.0295660603019483, -0.03894474489462469, -0.007248543485817626, -0.009390060475310701, 0.16606270002385834, -0.07246833012144174, 0.095935176314372, 0.2541120151254619, 0.054967197376847604, 0.11254419271763905, 0.0011575834400582182, 0.02540075708421456, 0.10554143414472375, -0.23558842057555343, 0.23882723430723687, 0.04333926912692966, 0.03392099130443549, 0.043092752321715826, 0.05810247283975408, 0.07636947246755665, -0.0788905625376455, -0.15209146444629726, -0.05939052620829861, 0.05144440249838726, 0.03018426174400443, -0.009712340620806848, -0.1299650588516426, -0.16330885775413728, -0.12612533720033292, -0.01689345835323515, 0.20663343655228048, -0.03261850389942732, -0.019968586003665346, 0.028301082098813865, 0.1475311491766469, -0.091122895183954, 0.05762678517040902, -0.03403483703045218, 0.06443472244527447, 0.15452304801262282, -0.24589632041187398, -0.18042644417350967, 0.18428994952862648, -0.18214721369361592, 0.009346276273666474, 0.04464359316569771, -0.03310225215628012, -0.15601175871628042, -0.10262946045943701, -0.07440437481193103, 0.15026278907267174, -0.06727567251111355, -0.006240471392083354, -0.025052977137855887, -0.18865887397253084, 0.054457187539970565, 0.2240041518688281, -0.14659058976980147, -0.024201262964176684, 0.2639322936536298, -0.17792694066064, -0.14567855778111136),
-      Array(-0.10511752341481512, -0.03930840999767883, -0.15265025402696966, -0.017767151092323717, 0.2521582048589707, -0.015165064375128077, 0.037870363852760006, -0.17790996785922825, 0.022464942830508608, -0.14957796330533354, -0.03317875573692546, -0.03872987078079915, -0.02195960827926666, 0.4083479927290896, 0.05655518821870215, -0.03383881244883333, -0.09447485412591983, -0.19688164356400545, -0.11401387341463973, 0.034547173406911755, 0.15010911476282301, -0.09375779606079512, 0.09972384136382567, -0.06777723328147908, 0.01701539203676669, 0.12682152457134127, -0.18353347519608287, -0.05069248697637234, -0.10110228147933713, 0.002338396554942589, -0.018637835937183524, -0.20886729356338757, -0.04217655191869785, -0.09756712580545303, 0.027168038019483066, -0.25468366332121806, 0.16251063173487543, 0.21117312456215165, -0.020660289441993735, 0.0787269179687528, -0.02674529412689225, 0.12292643236897796, -0.034663453054554476, -0.026033812031584957, 0.0708472214219336, -0.028613186944188056, 0.06868454604342185, -0.2990596318973791, 0.13013013463873818, 0.08861780998296032, 0.0017181006696737233, -4.0837731339048736E-4, -0.015573834863935569, 0.08364189812119839, -0.09885923561135712, -0.1325196474016685, 0.08290862467058391, -0.11806501479424573, 0.15341398801648387, 0.13277646492925851, 0.2077929101075493, 0.04407377365547597, 0.12863044310333144, 0.005491812287330877)),
-    eigenvalues = Array(0.027345522515895702, 0.026932118866171362, 0.02701968658465045, 0.02541297193858198))
+      Array(-0.20963928869048915, -0.1205721292242672, 0.036547993484945515, 0.011820515741796272, 0.0756681995430641, 0.013214357314828935, 0.09058331150779375, 0.28661954587565786, 0.04954612824629768, 0.41405619592698195, 0.06530384303339645, 0.18207904642632725, 0.06513210177666866, -0.03653349436924205, 0.1711488183253301, -0.18535022300618867, 0.08898827641600036, -0.15703043433766542, -0.0301361028410126, 0.032179516137049564, 0.061212853663318106, -0.1106887041936941, -0.08347583136690685, -0.055434140061060545, 0.019552786698307043, 0.1991280027457203, -0.03751703022539241, 0.14950770131782593, -0.17287870184328905, -0.006121234743159228, -0.05871546754056291, 0.062040060464099024, 0.296538226257745, 0.10616391617682208, -0.032042302342267466, 0.10414299845132402, 0.044538119202124984, 0.061463660081562906, 0.013004737301744337, 0.021770703077898818, -0.11667898788435498, 0.0055240804730290905, -0.24083624440446325, 0.09570952012951175, -0.028309567814389366, -0.22512541137534017, 0.008732341419149005, -0.07903907777126985, -0.0836820600919331, -0.11844969173896125, 0.12046119339355284, 0.07248413426848448, -0.017186621922123498, 0.08160454734575515, -0.015033918751425906, -0.06676502649025154, -0.05564737555620614, -0.051376234221754295, 0.0601945593449139, -0.0911378342563403, 0.1219878965852956, 0.05064892034534898, -0.21821146013836057, -0.10201303983380869),
+      Array(-0.0038393848178854715, -0.054431544211734004, -0.012567540044294919, -0.0881335307009734, 0.17485851220579587, 0.0252145080162973, 0.0749475389707338, -0.06997761528755043, 0.07744870379138882, 0.030700514725570983, 0.10575884769319394, -0.017880912357603067, 0.012976357564418223, 0.13369642399154916, 0.014561041226404142, 0.04138992313348262, 0.14841195929036083, 0.36030816012875466, -0.054188975726663265, -0.050764429288721206, 0.032543828888354186, 0.035389935264392984, 0.06533377476438378, -0.30912340234080965, -0.25768192757923647, -0.23906371930020417, -0.020638036622048394, -2.2170372598610496E-4, -0.08628756523526868, -0.17453298836810127, -0.024068559669762596, -0.21754426786081005, 0.029467128300517467, 0.06153982176934905, 0.03375298334497101, 0.07922079605076232, 0.05946757997204825, 0.03649906405491932, 0.1821071215058609, 0.046674119063112904, 7.37044041140988E-6, 0.04698681544007447, -0.06276963972536503, -0.17918876571475825, 0.17268618566054322, -0.1888376469842352, -0.04694577721950693, 0.14577863107316083, 0.11292307639623549, -0.11328190776553168, -0.15742974661771353, -0.08197423042346735, 0.012979762057526848, -0.016091475299515164, 0.23803498875407678, 0.02338359847184472, -0.3028208747507839, 0.016382287079502737, 0.13543429148698904, -0.12158704755462149, -0.08366918260467489, 0.08483937494958871, -4.455346788381552E-4, -0.07861696851318943),
+      Array(-0.14804403754967052, -0.08512440635814494, -0.06394747370166422, -4.575968686023635E-4, -0.20437466537760782, -0.04374173505831536, 0.1177552991321861, -0.28449785338163114, 0.04440239620295749, 0.02371733794507962, -0.05117952778898726, 0.035702033564793456, -0.06017956433048069, -0.03455060742227556, 0.009449519079780597, -0.23454575621033596, 0.17137352685731594, -0.08492758865750262, 0.1160470677801463, 0.07732840325697778, 0.013131626677729841, 0.17530755084176872, -0.10064801527804976, 0.05337470474551096, 0.09255730973011303, 0.1000839504166103, 0.09063736315336773, -0.13414209861461368, 0.010277697192883909, -0.10540482768936932, -0.12285966839418189, 0.09091210855099757, 0.04825216623623325, -0.18066130235415787, -0.02976989048113356, -0.10216258226292721, 0.13907849914425321, -0.21255244181492766, -0.0634565233920928, -0.10392899611602613, 0.18947963434479473, 0.19011010103432044, -0.12585555796659226, -0.20893277844786615, 0.16586568194091456, 0.05283627664896528, 0.042797574825187666, 0.018020015157070322, -0.06832009341796012, -0.05127551279083576, -0.12949844471532593, -0.10645450042598037, 0.22780031587798372, -0.15329476790877003, -0.17915209455055975, -0.0019200152566469795, -0.005381095087446727, 0.10972460097109338, 0.1827952413505079, -0.052685084387163024, -0.06955779373082208, 0.2884306056837332, -0.09008107781533287, -0.07553050128384999),
+      Array(0.06808859883383724, 0.06269041643677649, 0.00880383359371499, 0.1725239920052633, -0.2579834700944692, 0.107088287645692, -0.023175625548099942, 0.17755728094040188, -0.11521781238335958, 0.13621073286049587, 0.007659839662818392, 0.20190244187034975, -0.060791141362139506, -0.14023493984160224, -0.0931289302519724, 0.04930067195981388, 0.09684061632262395, 0.07143928687335697, -0.009316951748280677, -0.20313592827804894, -0.22547718439747752, 0.15765440799837246, -0.011854970618830637, 0.07324612279973781, 0.027454194025154685, -0.1191051317993364, 0.11644961254227522, -0.003816490923363157, 0.1289279574018519, -0.10449889533730669, 0.15211095360705187, 0.20057324923763079, -0.0814049132114064, -0.017673690470058467, -0.11649765809623196, 0.3161972644882404, -0.11670694198411731, -0.14846563394366444, -0.010258573046732524, -0.04825395707284049, -0.014500031614024888, -1.658104038183299E-4, -0.08565222548923057, -0.01742805120764347, -0.0757493560355294, -0.04152203057718597, -0.013615787964943985, 0.3694072058032315, -0.10852455529407047, -0.15341791932662763, 0.0664900865119012, -0.019766950789642763, 0.009351742849149514, 0.005388156932484227, -0.02188862752566915, 0.10147347405931569, -0.17090950558269546, 0.09292390177157779, -0.17073444625493023, -0.0739170542782706, -0.1920676073179654, -0.09622349635287032, -0.08405597852513709, 0.02628819950871835)),
+    eigenvalues = Array(0.027512899280761022, 0.027166744753041056, 0.026617757910950397, 0.025589213498820353))
 
   /** s12 registered form: project with the [[pinnedModel]] fixture. */
   def projectPinned(s: SparkSession, dir: String): DataFrame =

@@ -94,6 +94,20 @@ object PinModelsTool {
        |    * deterministic sample - exact-reproducible like [[pq]]. */
        |  lazy val semCells: Array[Array[Double]] = ${mat(semCells, "    ")}
        |}""".stripMargin)
+    // the s12 fixture lives in Pca.scala (plain Array literals, k=4 —
+    // small enough for one initializer); printed after the Pinned.scala
+    // body with a marker so a splice script can pick it up
+    val pcaPin = Pca.fit(graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")),
+      dim = 64, k = 4)
+    def arr(a: Array[Double]): String = a.mkString("Array(", ", ", ")")
+    println("// ---- paste into Pca.scala as Pca.pinnedModel ----")
+    println(s"""  val pinnedModel: PcaModel = PcaModel(
+       |    mean = ${arr(pcaPin.mean)},
+       |    components = Array(
+       |      ${pcaPin.components.map(arr).mkString(",\n      ")}),
+       |    eigenvalues = ${arr(pcaPin.eigenvalues)})""".stripMargin)
     spark.stop()
   }
 }

@@ -158,8 +158,10 @@ class LshClusterSpec extends SparkSuite {
   }
 
   /** Shared assertions: capped pair count, precision 1.0, blob still
-    * one connected cluster. */
-  private def assertCapped(pairsOf: => DataFrame): Unit = {
+    * one connected cluster. Strict parameter: the frame is constructed
+    * once (semDedupPairs runs its sample collect + driver Lloyd at
+    * construction time) and only the two ACTIONS re-execute the plan. */
+  private def assertCapped(pairsOf: DataFrame): Unit = {
     val (vecs, blobIds) = hotBlob
     val got = pairsOf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -196,13 +198,20 @@ class LshClusterSpec extends SparkSuite {
       nTables = 12, nPlanes = 8, dim = 64, bucketCap = 10))
   }
 
-  test("small buckets: capped lshPairsMulti output is identical to the uncapped pair set") {
-    // every planted bucket is far below the cap, so the anchor-star
-    // path must be a no-op: same pairs as the exact set in the
-    // near-dup regime (the uncapped form's proven behavior)
-    val exact = exactPairs(planted, threshold = 0.9)
-    val lsh = Similarity.lshPairsMulti(frameOf(planted), 0.9, 12, 8, 64, bucketCap = 1000)
+  test("hot blob: small bucketCap output is a subset of — and connects like — the effectively-uncapped run") {
+    // a REAL capped-vs-uncapped comparison on data where the cap
+    // engages: bucketCap = corpus size disables the cap (every row is
+    // an anchor), bucketCap = 10 engages it on the 181-row blob. The
+    // capped pair set must be a strict subset with identical cos per
+    // surviving pair, and both must produce the same blob cluster.
+    val frame = frameOf(hotBlob._1)
+    val uncapped = Similarity.lshPairs(frame, 0.9, nPlanes = 6, dim = 64,
+        bucketCap = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(lsh == exact, "cap must be a no-op below bucketCap")
+    val capped = Similarity.lshPairs(frame, 0.9, nPlanes = 6, dim = 64,
+        bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(uncapped), "capped pairs must be a subset, same cos")
+    assert(capped.size < uncapped.size, "cap did not engage on the blob")
   }
 }
