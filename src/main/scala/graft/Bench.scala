@@ -17,12 +17,28 @@ import org.apache.spark.sql.SparkSession
   * single-shot driver runs (r1 d06 50s→3.9s on immediate replay; r4
   * s09 9.8 vs 2.5 local; r5 x03 4.1 vs 0.83 local) at the cost of one
   * extra pass. The JSON carries `repeat` so rounds stay comparable.
+  *
+  * Contention self-diagnosis (4 of 8 rounds burned time on phantom
+  * regressions): each query records the 1-min /proc/loadavg at its
+  * start (`load` map), and any query measuring >2× its timing in the
+  * LAST history line at the same SF (bench_history.jsonl) is re-run
+  * once more; the `outliers` map carries a one-line verdict per such
+  * query ("transient contention" if the re-run recovered, "persistent"
+  * if not) so a regression reads its own diagnosis.
+  *
+  * Serve-mode attribution: queries serving PINNED model fixtures
+  * (s05/s09/s10/s11/s13/s12/s14 — fit left the timed path in r8) are
+  * listed under `pinned_serve`, and their FIT-INCLUSIVE variants are
+  * timed separately under `fit_queries` (excluded from `value`) so
+  * cross-round deltas stay attributable to serve vs fit.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val histPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,34 +70,111 @@ object Bench {
     smokeRun(SparkEntry.queries("d02_minhash_lsh")(spark, smoke).count()) // documents + sketch kernels
     smokeRun(SparkEntry.queries("s01_ann_bruteforce")(spark, smoke).count()) // embeddings + dot kernel
     smokeRun(SparkEntry.queries("q01_pricing_summary")(spark, smoke).count()) // lineitem
+
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Previous timings at the SAME SF from the history file — the
+    // comparison base for the >2× outlier re-run. Jackson ships with
+    // Spark; a parse failure just disables the diagnosis.
+    val prevTimes: Map[String, Double] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val lines = java.nio.file.Files.readAllLines(histPath).asScala
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        lines.reverseIterator.map(l => mapper.readTree(l))
+          .find(n => n.path("sf").asText() == sfDir)
+          .map { n =>
+            val q = n.path("queries")
+            q.fieldNames().asScala.map(f => f -> q.get(f).asDouble()).toMap
+          }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val outliers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          false
+        }
+      // A failed query must not masquerade as a fast success: report
+      // -1 instead of the elapsed time of the failed attempt.
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      loads(name) = load1()
+      val times = (1 to repeat).map(_ => timeOnce(name, fn))
+      val best = if (times.contains(-1.0)) -1.0 else times.min
+      prevTimes.get(name) match {
+        case Some(prev) if prev > 0 && best > 2 * prev =>
+          // >2× the last same-SF run: re-measure once more before
+          // reporting — the recurring host-contention pattern
+          // (r1/r5/r7) recovers on immediate replay, a real
+          // regression does not.
+          val extra = timeOnce(name, fn)
+          val fin = if (extra < 0) best else math.min(best, extra)
+          val verdict =
+            if (fin <= 2 * prev) f"transient contention (min-of-$repeat%d $best%.2fs vs prev $prev%.2fs; rerun $extra%.2fs recovered)"
+            else f"persistent: $fin%.2fs vs prev $prev%.2fs after rerun (load ${loads(name)}%.1f) - investigate"
+          outliers(name) = verdict
+          fin
+        case _ => best
+      }
+    }
+
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-            false
-          }
-        // A failed query must not masquerade as a fast success: report
-        // -1 instead of the elapsed time of the failed attempt.
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
+    val results = selected.map { case (name, fn) => name -> timeQuery(name, fn) }
+
+    // Fit-INCLUSIVE variants of the pinned-serve ANN queries: the
+    // registered forms serve sf0.01-pinned fixtures (fit left the
+    // timed path in r8), so these keep the fit cost visible in the
+    // rotation. model/cells/rotation = None re-fits inline at the
+    // bench SF. Excluded from `value` (not driver-gated queries).
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Pca, Similarity}
+    val fitVariants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "s05_fit_ann_kmeans_ivf" ->
+        ((s: SparkSession, d: String) => Similarity.annKmeansIvf(s, d, model = None)),
+      "s09_fit_ann_pq" ->
+        ((s: SparkSession, d: String) => Similarity.annPq(s, d, model = None)),
+      "s10_fit_ann_ivfpq" ->
+        ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, model = None)),
+      "s12_fit_pca_project" ->
+        ((s: SparkSession, d: String) => Pca.project(s, d)),
+      "s13_fit_ann_opq" ->
+        ((s: SparkSession, d: String) =>
+          Similarity.annPqRotated(s, d, rotation = None, model = None)),
+      "s14_fit_semdedup" ->
+        ((s: SparkSession, d: String) =>
+          Similarity.semDedupClusters(s, d, cells = None)))
+    val fitResults = fitVariants
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) => name -> timeQuery(name, fn) }
+
+    val pinnedServe = Seq("s05_ann_kmeans_ivf", "s09_ann_pq", "s10_ann_ivfpq",
+      "s11_ann_pq_fitserve", "s12_pca_project", "s13_ann_opq", "s14_semdedup")
+
     def ms(v: Double): String =
       if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
-      .mkString("{", ",", "}")
+    def numMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    def strMap(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","repeat":$repeat,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","repeat":$repeat,"queries":${numMap(results)},"fit_queries":${numMap(fitResults)},"pinned_serve":${pinnedServe.map("\"" + _ + "\"").mkString("[", ",", "]")},"load":${numMap(loads.toSeq)},"outliers":${strMap(outliers)},"errors":${strMap(errors)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
@@ -94,11 +187,13 @@ object Bench {
     // clobbered by every run — this file keeps every full run line so
     // rounds stay comparable query-by-query.
     try {
-      val hist = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+      // guard the splice: the stamped line is built by cutting the
+      // final '}' — if a format change ever breaks that invariant,
+      // skip the splice rather than corrupt every appended line
+      require(json.endsWith("}"), "bench json must end with '}'")
       val stamped = json.dropRight(1) +
         s""","ts":"${java.time.Instant.now()}"}"""
-      java.nio.file.Files.write(hist, (stamped + "\n").getBytes("UTF-8"),
+      java.nio.file.Files.write(histPath, (stamped + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>

@@ -112,7 +112,23 @@ object SparkEntry {
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
     "s03_lsh_pairs"       -> ((s, dir) => Similarity.lshPairs(s, dir)),
+    // s03c: the anchor-star CAPPED regime, driver-verified — nPlanes=4
+    // makes sf0.01 buckets hold 32-42 vectors, so bucketCap=8 ENGAGES
+    // the cap in every bucket (the registered s03/d09/s14 caps are
+    // no-ops at gate scale). The oracle replays the pinned anchor set
+    // (Pinned.s03cAnchors — Spark's xxhash64 is not DuckDB-replayable);
+    // PinnedModelsSpec proves runtime anchors == fixture.
+    "s03c_lsh_pairs_capped" -> ((s, dir) => Similarity.lshPairs(s, dir,
+      threshold = 0.3, nPlanes = 4, bucketCap = 8)),
     "s04_ann_ivf"         -> ((s, dir) => Similarity.annIvf(s, dir)),
+    // The Pinned.* serve paths below (s05/s09/s10/s11/s13, also
+    // s12/s14) run models FIT ON sf0.01 regardless of the SF they are
+    // served at: correctness vs the oracle is SF-independent (both
+    // sides replay the same fixture), but RECALL at SF≠0.01 reflects a
+    // foreign-fit model — a production deployment re-fits per corpus
+    // (model = None) and persists via the s11 fit-once/serve-many
+    // lifecycle. Bench carries the fit-inclusive twins (fit_queries)
+    // so serve-vs-fit timing deltas stay attributable.
     "s05_ann_kmeans_ivf"  -> ((s, dir) => Similarity.annKmeansIvf(s, dir,
       model = Some(Pinned.ivfCentroids))),
     "s06_label_norms"     -> Similarity.labelNorms,
@@ -1322,6 +1338,7 @@ object SparkEntry {
     // any bucket at the sf0.01 gate (500 vectors) — the capped regime
     // is spec-pinned instead (LshClusterSpec hot-bucket tests).
     "s03_lsh_pairs" -> s03OracleSql,
+    "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
@@ -1407,12 +1424,14 @@ object SparkEntry {
     * hash-mismatch as a phantom engine bug — so the SQL asserts the
     * precondition itself and raises a self-describing error instead.
     * `sizeSql` must select one `cnt` per bucket. */
-  private def capGuardCte(name: String, sizeSql: String): String =
+  private def capGuardCte(name: String, sizeSql: String): String = {
+    val cap = Similarity.DefaultBucketCap // single-sourced with the engine cap
     s"""guard AS (
-           SELECT CASE WHEN max(cnt) > 1000 THEN error(
-             '$name oracle precondition violated: a bucket/cell exceeds the engine cap (1000); the engine output is anchor-capped there and this uncapped SQL replay no longer applies')
+           SELECT CASE WHEN max(cnt) > $cap THEN error(
+             '$name oracle precondition violated: a bucket/cell exceeds the engine cap ($cap); the engine output is anchor-capped there and this uncapped SQL replay no longer applies')
              ELSE 1 END AS ok
            FROM ($sizeSql))"""
+  }
 
   private lazy val s03OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)},
@@ -1427,6 +1446,36 @@ object SparkEntry {
          CROSS JOIN guard
          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
          ORDER BY id_a, id_b"""
+
+  /** s03c: the anchor-star CAPPED pair set as a pure function the
+    * oracle replays — buckets from the integer-grid planes (nPlanes=4),
+    * anchors from the PINNED fixture (Pinned.s03cAnchors: the engine's
+    * xxhash64-sampled anchor ids at sf0.01 plus every bucket min,
+    * proven == runtime selection by PinnedModelsSpec), pairs = anchor ×
+    * bucket, dedup'd on (id_a, id_b). The guard is the INVERSE of
+    * [[capGuardCte]]: it errors if NO bucket exceeds the cap (8), i.e.
+    * if the capped regime this query exists to verify is not engaged. */
+  private lazy val s03cOracleSql: String = {
+    val anchors = Pinned.s03cAnchors.mkString(", ")
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
+         guard AS (
+           SELECT CASE WHEN max(cnt) <= 8 THEN error(
+             's03c precondition violated: every bucket is at or below the cap (8) - the anchor-star capped regime is not engaged and this query no longer verifies it')
+             ELSE 1 END AS ok
+           FROM (SELECT count(*) AS cnt FROM buckets GROUP BY tb, bucket)),
+         pairs AS (
+           SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+             greatest(a.vec_id, b.vec_id) AS id_b,
+             round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard
+           WHERE a.vec_id IN ($anchors))
+         SELECT id_a, id_b, cos FROM pairs
+         WHERE cos >= 0.3 ORDER BY id_a, id_b"""
+  }
 
   private lazy val s04OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},

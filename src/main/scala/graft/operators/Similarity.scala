@@ -24,6 +24,13 @@ import graft.functions.VectorExprs.dot
   */
 object Similarity {
 
+  /** Default hot-bucket/cell cap for the anchor-star pair generators
+    * (lshPairs / lshPairsMulti / semDedupPairs). Single-sourced: the
+    * oracle-side cap guards (SparkEntry.capGuardCte) read the SAME
+    * constant, so the engine can never engage the cap at a different
+    * threshold than the oracle asserts. */
+  val DefaultBucketCap: Int = 1000
+
   /** Cosine similarity over two array<double> columns, computed in
     * double with the same op order as `Σab / (√Σa² · √Σb²)`. */
   def cosine(a: Column, b: Column): Column =
@@ -154,10 +161,24 @@ object Similarity {
     * double has no rounding here), which is what makes the bucket sign
     * reproducible in SQL with no float-summation-order caveat. Recall
     * behavior is the same as [[lshBucket]]: the grid shifts each
-    * hyperplane by < 10⁻⁵ relative, invisible to bucketing recall. */
+    * hyperplane by < 10⁻⁵ relative, invisible to bucketing recall.
+    *
+    * The exactness proof NEEDS |v_d| ≤ 128 (then |q_d| < 2²⁷, each
+    * product < 2⁴⁶, the 64-term sum < 2⁵²: all exactly representable
+    * in double). Embeddings are ~unit vectors so real inputs sit far
+    * inside the bound, but nothing upstream enforces it — so the
+    * quantizer ASSERTS it per component: a corpus with larger
+    * components raises a self-describing error instead of silently
+    * reintroducing float rounding (and diverging from the BIGINT-exact
+    * oracle replay). */
   def lshBucketInt(v: Column, nPlanes: Int, dim: Int = 64,
                    planeOffset: Int = 0): Column = {
-    val qv = transform(v, x => floor(x * lit(1000000.0) + lit(0.5)).cast("double"))
+    val qv = transform(v, x =>
+      when(abs(x) <= 128.0, floor(x * lit(1000000.0) + lit(0.5)).cast("double"))
+        .otherwise(raise_error(concat(
+          lit("lshBucketInt: |component| > 128 voids the exact-integer " +
+            "bucket-sign proof (needs |q_d| < 2^27); got "),
+          x.cast("string")))))
     concat_ws("", (0 until nPlanes).map { i =>
       when(dot(qv, typedlit(intPlane(planeOffset + i, dim).map(_.toDouble))) >= 0, "1")
         .otherwise("0")
@@ -195,15 +216,23 @@ object Similarity {
     * (every candidate is exact-cosine re-ranked); only recall among
     * non-anchor pairs of an oversized bucket is sacrificed — the same
     * contract as d06's document-frequency cap. */
-  private def anchorStarPairs(keyed: DataFrame, keyCols: Seq[String],
-                              threshold: Double, cap: Int): DataFrame = {
+  /** The anchor-flagged frame behind [[anchorStarPairs]] — exposed
+    * (package-private) so the s03c pinned-anchor fixture and its spec
+    * can pin the exact anchor set the capped generator selects. */
+  private[graft] def anchorFlagged(keyed: DataFrame, keyCols: Seq[String],
+                                   cap: Int): DataFrame = {
     val sizes = keyed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("rn"), min(col("vec_id")).as("min_id"))
-    val rows = keyed.join(broadcast(sizes), keyCols)
+    keyed.join(broadcast(sizes), keyCols)
       .withColumn("anchor",
         col("vec_id") === col("min_id") ||
         pmod(xxhash64(col("vec_id")),
           ceil(col("rn").cast("double") / cap).cast("long")) === 0)
+  }
+
+  private def anchorStarPairs(keyed: DataFrame, keyCols: Seq[String],
+                              threshold: Double, cap: Int): DataFrame = {
+    val rows = anchorFlagged(keyed, keyCols, cap)
     rows.filter(col("anchor")).as("a").join(rows.as("b"),
         keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -229,22 +258,36 @@ object Similarity {
     * literals (the cap is a no-op at gate scale; the capped regime is
     * spec-pinned in LshClusterSpec). */
   def lshPairs(s: SparkSession, dir: String, threshold: Double = 0.3,
-               nPlanes: Int = 6, bucketCap: Int = 1000): DataFrame =
+               nPlanes: Int = 6, bucketCap: Int = DefaultBucketCap): DataFrame =
     lshPairs(emb(s, dir), threshold, nPlanes, dim = 64, bucketCap)
       .orderBy("id_a", "id_b")
 
-  def lshPairs(embFrame: DataFrame, threshold: Double, nPlanes: Int,
-               dim: Int, bucketCap: Int): DataFrame = {
+  private def lshKeyed(embFrame: DataFrame, nPlanes: Int, dim: Int): DataFrame =
     // localCheckpoint: the bucket-size count and both pair-join sides
     // all read this frame — the nPlanes plane dots run once per row,
     // not once per consumer (1× corpus materialized, same pattern as
     // semDedupPairs/minhashLsh)
-    val docs = embFrame
+    embFrame
       .select(col("vec_id"), col("v"), col("nrm"),
         lshBucketInt(col("v"), nPlanes, dim).as("bucket"))
       .localCheckpoint()
-    anchorStarPairs(docs, Seq("bucket"), threshold, bucketCap)
-  }
+
+  def lshPairs(embFrame: DataFrame, threshold: Double, nPlanes: Int,
+               dim: Int, bucketCap: Int): DataFrame =
+    anchorStarPairs(lshKeyed(embFrame, nPlanes, dim), Seq("bucket"),
+      threshold, bucketCap)
+
+  /** The anchor vec_id set [[lshPairs]] selects at (nPlanes, bucketCap)
+    * — the min-id of every bucket plus the xxhash64-sampled rows of
+    * oversized ones. Exposed so the s03c capped-regime query can pin
+    * this set as a literal fixture (PinModelsTool) for a DuckDB oracle
+    * that cannot evaluate Spark's xxhash64; PinnedModelsSpec re-derives
+    * it and compares against the fixture. */
+  def lshAnchorIds(s: SparkSession, dir: String, nPlanes: Int,
+                   bucketCap: Int): DataFrame =
+    anchorFlagged(lshKeyed(emb(s, dir), nPlanes, dim = 64), Seq("bucket"),
+        bucketCap)
+      .filter(col("anchor")).select(col("vec_id")).orderBy("vec_id")
 
   /** Multi-table sign-LSH near-neighbor pairs: `nTables` independent
     * hash tables (disjoint `nPlanes`-plane sets from the deterministic
@@ -291,7 +334,7 @@ object Similarity {
 
   def lshPairsMulti(s: SparkSession, dir: String, threshold: Double = 0.4,
                     nTables: Int = 12, nPlanes: Int = 8,
-                    bucketCap: Int = 1000): DataFrame =
+                    bucketCap: Int = DefaultBucketCap): DataFrame =
     lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64, bucketCap)
       .orderBy("id_a", "id_b")
 
@@ -309,7 +352,7 @@ object Similarity {
   def embeddingClustersLsh(s: SparkSession, dir: String,
                            threshold: Double = 0.4, nTables: Int = 12,
                            nPlanes: Int = 8): DataFrame =
-    Dedup.dupClusters(lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64, bucketCap = 1000)
+    Dedup.dupClusters(lshPairsMulti(emb(s, dir), threshold, nTables, nPlanes, dim = 64, bucketCap = DefaultBucketCap)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")
@@ -398,7 +441,7 @@ object Similarity {
 
   def semDedupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
                     kCells: Int = 8, iters: Int = 3, nprobe: Int = 2,
-                    cellCap: Int = 1000): DataFrame =
+                    cellCap: Int = DefaultBucketCap): DataFrame =
     semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap,
         cells = None)
       .orderBy("id_a", "id_b")
@@ -420,7 +463,7 @@ object Similarity {
     * groups are recovered identically. */
   def semDedupClusters(s: SparkSession, dir: String, threshold: Double = 0.4,
                        kCells: Int = 8, iters: Int = 3, nprobe: Int = 2,
-                       cellCap: Int = 1000,
+                       cellCap: Int = DefaultBucketCap,
                        cells: Option[Array[Array[Double]]] = None): DataFrame =
     Dedup.dupClusters(
         semDedupPairs(emb(s, dir), threshold, kCells, iters, nprobe, cellCap,

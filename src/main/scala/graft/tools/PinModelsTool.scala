@@ -36,6 +36,12 @@ object PinModelsTool {
       PqModel.sampleVectors(Similarity.rotatedFrame(normed, rot, 8), 4096),
       m = 8, codebookSize = 32, iters = 3)
     val semCells = PqModel.lloyd(sample, 8, 3)
+    // s03c anchor set: what lshPairs(nPlanes=4, bucketCap=8) selects —
+    // xxhash64-sampled rows of each oversized bucket plus every bucket
+    // min (Spark's xxhash64 is not DuckDB-replayable, so the oracle
+    // replays this pinned list instead)
+    val s03cAnchors = Similarity.lshAnchorIds(spark, dir, nPlanes = 4,
+      bucketCap = 8).collect().map(_.getLong(0))
 
     def row(a: Array[Double]): String = "row(\"" + a.mkString(",") + "\")"
     def mat(a: Array[Array[Double]], ind: String): String =
@@ -93,6 +99,16 @@ object PinModelsTool {
        |  /** s14 SemDeDup cells: kCells=8, iters=3 Lloyd over the same
        |    * deterministic sample - exact-reproducible like [[pq]]. */
        |  lazy val semCells: Array[Array[Double]] = ${mat(semCells, "    ")}
+       |
+       |  /** s03c anchor fixture: the anchor vec_id set
+       |    * Similarity.lshPairs(nPlanes=4, bucketCap=8) selects on the
+       |    * sf0.01 embeddings - every bucket's min vec_id plus the
+       |    * xxhash64-sampled rows of oversized buckets. Pinned because
+       |    * Spark's xxhash64 is not replayable in the DuckDB oracle; the
+       |    * runtime selection must equal this list EXACTLY
+       |    * (PinnedModelsSpec). */
+       |  lazy val s03cAnchors: Array[Long] = Array(
+       |    ${s03cAnchors.grouped(12).map(_.mkString(", ")).mkString(",\n       |    ")})
        |}""".stripMargin)
     // the s12 fixture lives in Pca.scala (plain Array literals, k=4 —
     // small enough for one initializer); printed after the Pinned.scala

@@ -76,4 +76,30 @@ class PinnedModelsSpec extends SparkSuite {
       m = 8, codebookSize = 32, iters = 3)
     assert(sameBooks(refit.books, Pinned.opqBooks.books))
   }
+
+  test("Pinned.s03cAnchors equals the runtime anchor selection exactly") {
+    // the s03c oracle replays this list in place of Spark's xxhash64 —
+    // any drift between fixture and runtime selection would surface as
+    // a phantom hash mismatch at the driver gate, so pin it here
+    val runtime = Similarity.lshAnchorIds(spark, "/root/testdata/sf0.01",
+      nPlanes = 4, bucketCap = 8).collect().map(_.getLong(0))
+    assert(runtime.sameElements(Pinned.s03cAnchors),
+      s"anchor drift: runtime ${runtime.length} ids vs fixture ${Pinned.s03cAnchors.length}")
+  }
+
+  test("s03c: the cap is ENGAGED at sf0.01 — registered pair set strictly smaller, subset of uncapped") {
+    // the whole point of s03c: unlike s03/d09/s14 (cap no-op at gate
+    // scale), the driver-verified query must exercise the capped path
+    val dir = "/root/testdata/sf0.01"
+    def pairs(cap: Int) =
+      Similarity.lshPairs(spark, dir, threshold = 0.3, nPlanes = 4, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(8)
+    val uncapped = pairs(Int.MaxValue)
+    assert(capped.size < uncapped.size,
+      s"cap did not engage: ${capped.size} == ${uncapped.size}")
+    assert(capped.subsetOf(uncapped), "capped pairs must be exact-cos subset")
+    // anchors cover every bucket: some pairs must survive
+    assert(capped.nonEmpty)
+  }
 }
