@@ -233,7 +233,16 @@ object Similarity {
   private def anchorStarPairs(keyed: DataFrame, keyCols: Seq[String],
                               threshold: Double, cap: Int): DataFrame = {
     val rows = anchorFlagged(keyed, keyCols, cap)
-    rows.filter(col("anchor")).as("a").join(rows.as("b"),
+    // The anchor side is EXPLICITLY broadcast: its size is bounded by
+    // the operator's parameters (≈ 2·cap·nBuckets·nTables rows — the
+    // hash selection targets `cap` per bucket), NOT by corpus size, so
+    // the hint is safe at any SF — while AQE's size ESTIMATE crosses
+    // the 10 MB auto-broadcast threshold already at sf1 and silently
+    // flips the pair join to sort-merge, shuffling the whole corpus
+    // (caught by PlanGateSpec at sf1). Callers whose cap·2^nPlanes·
+    // nTables product is not broadcast-sized must shrink one of the
+    // three; the defaults here are ≤ 64k rows for s03.
+    broadcast(rows.filter(col("anchor"))).as("a").join(rows.as("b"),
         keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(

@@ -28,6 +28,16 @@ import graft.plans.TopKPerGroupExec
   * that cannot fail is no gate. */
 class PlanGateSpec extends SparkSuite {
 
+  /** Every assertion here is SHAPE-based (broadcast vs sort-merge,
+    * map-side partial, pushed filters) — data-independent — so the
+    * whole suite re-runs unchanged against a bigger SF to prove the
+    * shapes survive AQE's size estimates at scale:
+    * {{{
+    *   SPARK_GRAFT_PLANGATE_SF_DIR=testdata-sf1 sbt "testOnly graft.PlanGateSpec"
+    * }}} */
+  override val sf: String =
+    sys.env.getOrElse("SPARK_GRAFT_PLANGATE_SF_DIR", "/root/testdata/sf0.001")
+
   /** The AQE-final physical plan, fully flattened (through adaptive
     * wrappers and materialized query stages). The action first: before
     * execution AQE reports only the initial plan. */
