@@ -1,0 +1,688 @@
+package graft
+
+import graft.operators.{Pca, Pinned, Similarity, TextOps}
+
+/** Spark-dialect SQL text for the registry tail that
+  * `SparkEntry.sparkSql`'s hand-written entries don't cover: the
+  * kernel-bound dedup/LSH/ANN family and the iterative BPE pair.
+  * Together with the 23 dialect-portable oracles and the 50 inline
+  * Spark forms, this closes the delegated-SQL surface at 97/97: every
+  * registered query is addressable as `spark.sql(...)` text on a
+  * session with [[GraftExtensions]] applied (the kernels —
+  * `graft_shingles`, `graft_minhash_bands`, `graft_simhash`,
+  * `graft_dot`, `graft_lsh_bucket`, `graft_nibble_hist`,
+  * `graft_bpe_apply` — are FunctionRegistry entries wrapping the SAME
+  * JVM kernels the DataFrame operators call, so SQL/DataFrame parity
+  * is structural).
+  *
+  * Texts that embed model state (IVF centroids, PQ codebooks, OPQ
+  * rotation, PCA mean/components, k-means cells, the s03c anchor set)
+  * are GENERATED from the [[Pinned]] fixtures with plain
+  * left-associative unrolled sums — the same sequential order as the
+  * engine's codegen'd dots, the discipline the DuckDB oracles
+  * established.
+  *
+  * Connected components: Spark 4.1 supports `WITH RECURSIVE` but only
+  * with UNION ALL, which diverges on the cyclic reach closure the
+  * DuckDB oracles use — so the CC tail here is [[ccTail]]: K unrolled
+  * single-reference min-label-propagation rounds with an in-query
+  * `assert_true` convergence guard in the capGuard
+  * error-not-silence discipline. */
+object SparkDialectTail {
+
+  // ---------------------------------------------------------------
+  // shared fragments
+  // ---------------------------------------------------------------
+
+  /** Hashed-shingle docs via the registered kernel (n=3) — the same
+    * frame `Dedup.docShingles` builds. */
+  private val docsCte: String =
+    """docs AS (
+         SELECT doc_id, sh FROM (
+           SELECT doc_id, graft_shingles(text, 3) AS sh FROM documents)
+         WHERE size(sh) >= 1)"""
+
+  private val jaccardExpr: String =
+    """round(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)) AS DOUBLE), 4)"""
+
+  /** Exact all-pairs shingle-Jaccard pair CTE at `threshold` —
+    * the d03 semantics (DedupSpec pins d02 ≡ d03 at the spec SFs). */
+  private def jaccardPairsCte(threshold: Double): String =
+    s"""pairs AS (
+         SELECT a.doc_id AS pa, b.doc_id AS pb
+         FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         WHERE $jaccardExpr >= $threshold)"""
+
+  /** Embeddings with the engine's double cast and norm. */
+  private val embCte: String =
+    """en AS (
+         SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM (
+           SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings))"""
+
+  /** K unrolled min-label-propagation (hook) rounds over a
+    * `pairs(pa, pb)` CTE, ending in `clusters(id, cluster)`. The edge
+    * list carries SELF-LOOPS so each round is ONE join + group-by —
+    * `m_r(n) = min over {m_{r-1} of n and its neighbors}` — and, key
+    * constraint, each round references the previous round's CTE
+    * exactly ONCE: Spark INLINES CTEs, so any round shape that reads
+    * its predecessor twice (e.g. hook+jump pointer doubling) blows the
+    * inlined plan up 4^K-fold and the analyzer never returns. Hook
+    * rounds converge in diameter(D) rounds; a final round must change
+    * NOTHING — `assert_true` raises a self-describing error otherwise
+    * (hook-stability ⇒ labels locally constant ⇒ per-component min,
+    * the same labels the engine's large-star/small-star loop
+    * converges to). This linear-depth unroll is a PARITY artifact for
+    * the SQL-text surface — the engine path stays the O(log n)
+    * star-contraction in Dedup.connectedComponents. */
+  private def ccTail(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""c$r AS (
+           SELECT e.a AS n, min(y.m) AS m
+           FROM edges e JOIN c${r - 1} y ON e.b = y.n
+           GROUP BY e.a)"""
+    }.mkString(",\n         ")
+    s"""edges AS (
+           SELECT t.e.a AS a, t.e.b AS b FROM pairs
+           LATERAL VIEW explode(array(
+             struct(pa AS a, pb AS b), struct(pb AS a, pa AS b),
+             struct(pa AS a, pa AS b), struct(pb AS a, pb AS b))) t AS e),
+         c0 AS (SELECT a AS n, a AS m FROM (SELECT DISTINCT a FROM edges)),
+         $rounds,
+         ccguard AS (
+           SELECT assert_true(count(1) = 0,
+             'graft cc: min-label propagation not converged after $k rounds - raise K') AS ok
+           FROM (SELECT e.a AS n, min(y.m) AS m2
+                 FROM edges e JOIN c$k y ON e.b = y.n
+                 GROUP BY e.a) nx
+           JOIN c$k cur ON nx.n = cur.n
+           WHERE nx.m2 <> cur.m),
+         clusters AS (
+           SELECT n AS id, m AS cluster FROM c$k CROSS JOIN ccguard)"""
+  }
+
+  /** keep-best tail over `clusters(id, cluster)` + documents. */
+  private val keepBestSql: String =
+    """SELECT cluster, doc_id AS kept_doc_id, n_chars AS kept_chars, n_members
+       FROM (
+         SELECT c.cluster, d.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY c.cluster
+             ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+           count(1) OVER (PARTITION BY c.cluster) AS n_members
+         FROM clusters c JOIN documents d ON c.id = d.doc_id)
+       WHERE rk = 1 ORDER BY cluster"""
+
+  /** The minhash-LSH candidate pair CTE (threshold-filtered, with
+    * jaccard) — the d02 engine path through the registered kernels. */
+  private val minhashPairsCte: String =
+    """banded AS (
+         SELECT doc_id, band, key FROM (
+           SELECT doc_id, graft_minhash_bands(sh) AS bands FROM docs)
+         LATERAL VIEW posexplode(bands) t AS band, key),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       j AS (
+         SELECT c.doc_a, c.doc_b, a.sh AS sh_a, b.sh AS sh_b
+         FROM cand c JOIN docs a ON a.doc_id = c.doc_a
+                     JOIN docs b ON b.doc_id = c.doc_b),
+       withjac AS (
+         SELECT doc_a, doc_b,
+           round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) /
+             CAST(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) AS DOUBLE), 4) AS jaccard
+         FROM j)"""
+
+  /** Multi-table integer-grid LSH buckets via the registered kernel:
+    * table tb uses plane offset tb·nPlanes — the engine's disjoint
+    * plane families (plane sets are compiled into the kernel call, so
+    * each table is its own literal-arg invocation). */
+  private def bucketsCte(nTables: Int, nPlanes: Int): String = {
+    val calls = (0 until nTables)
+      .map(tb => s"graft_lsh_bucket(v, $nPlanes, ${tb * nPlanes})")
+      .mkString(",\n             ")
+    s"""buckets AS (
+         SELECT vec_id, tb, bucket FROM en
+         LATERAL VIEW posexplode(array(
+             $calls)) t AS tb, bucket)"""
+  }
+
+  /** In-query cap guard (Spark twin of the oracle capGuardCte): the
+    * uncapped SQL replay is valid only while every bucket/cell is at
+    * or below the engine cap — single-sourced from the same constant. */
+  private def capGuard(name: String, sizeSql: String): String = {
+    val cap = Similarity.DefaultBucketCap
+    s"""guard AS (
+         SELECT assert_true(max(cnt) <= $cap,
+           '$name: a bucket/cell exceeds the engine cap ($cap); the engine output is anchor-capped there and this uncapped SQL replay no longer applies') AS ok
+         FROM ($sizeSql))"""
+  }
+
+  private def elem(arr: String, i: Int): String = s"element_at($arr, $i)"
+
+  /** Σ sv[d]·c[d] unrolled left-associative — the codegen'd dot's
+    * sequential order (the same discipline as the DuckDB oracles). */
+  private def dotLit(vc: String, c: Array[Double]): String =
+    c.indices.map(d => s"${elem(vc, d + 1)}*(${c(d)})").mkString(" + ")
+
+  /** Per-centroid dot array over normalized vector `vc`. */
+  private def centroidDotsArr(vc: String, cents: Array[Array[Double]]): String =
+    cents.map(c => s"(${dotLit(vc, c)})").mkString("array(", ",\n             ", ")")
+
+  /** Normalized-embedding CTE `n(vec_id, sv)` (engine float path:
+    * sv = v / sqrt(dot(v, v)) with the codegen'd dot). */
+  private val normCte: String =
+    """n AS (
+         SELECT vec_id, transform(v, x -> x / nrm) AS sv
+         FROM (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM (
+           SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)))"""
+
+  /** Unrolled q·a dot over two normalized 64-dim vectors. */
+  private def pairDot(qc: String, ac: String): String =
+    (1 to 64).map(d => s"${elem(qc, d)}*${elem(ac, d)}").mkString(" + ")
+
+  /** Shared ANN output tail: rank per query, top-3. */
+  private val rankTail: String =
+    """SELECT q_id, rk, n_id, cos FROM (
+         SELECT q_id, n_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  // ---------------------------------------------------------------
+  // PQ-family generators (Spark twins of the oracle builders)
+  // ---------------------------------------------------------------
+
+  /** Per-subspace encode score arrays s0..s{m-1}:
+    * 2⟨x_j, B_jc⟩ − ‖B_jc‖², ‖·‖² baked sequentially. */
+  private def pqScoreCols(books: Array[Array[Array[Double]]], sub: Int,
+                          e: Int => String): String = {
+    def scores(j: Int): String = books(j).map { c =>
+      val n2 = c.map(x => x * x).sum
+      val d = c.indices.map(i => s"${e(j * sub + i + 1)}*(${c(i)})").mkString(" + ")
+      s"2.0*($d) - ($n2)"
+    }.mkString("array(", ",\n             ", ")")
+    books.indices.map(j => s"${scores(j)} AS s$j").mkString(",\n           ")
+  }
+
+  /** codes[j] = first-max argmax of s_j (array_position is 1-based
+    * first match, same tie rule as the engine). */
+  private def pqCodesArr(m: Int): String =
+    (0 until m).map(j => s"array_position(s$j, array_max(s$j)) - 1")
+      .mkString("array(", ", ", ")")
+
+  /** Query-side ADC LUT: lut[j][c] = ⟨q_sub_j, B_jc⟩,
+    * centroid-first product order. */
+  private def pqLutArr(books: Array[Array[Array[Double]]], sub: Int,
+                       vc: String): String = {
+    def lutJ(j: Int): String = books(j).map { c =>
+      s"(${c.indices.map(i => s"(${c(i)})*${elem(vc, j * sub + i + 1)}").mkString(" + ")})"
+    }.mkString("array(", ",\n             ", ")")
+    books.indices.map(lutJ).mkString("array(", ",\n           ", ")")
+  }
+
+  /** ADC sum folded in subspace order. */
+  private def pqApprox(m: Int): String =
+    (1 to m).map(j =>
+      s"element_at(element_at(q.lut, $j), CAST(element_at(c.codes, $j) AS INT) + 1)")
+      .mkString(" + ")
+
+  /** Top-`rerank` ADC candidates per query, exact re-rank over `vc`
+    * of CTE `n`, top-3. */
+  private def pqRerankTail(rerank: Int, vc: String): String =
+    s"""cand AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS crk
+           FROM adcscored) WHERE crk <= $rerank),
+         scored AS (
+           SELECT cand.q_id, cand.n_id,
+             round(${pairDot(s"qn.$vc", s"an.$vc")}, 6) AS cos
+           FROM cand
+           JOIN n an ON an.vec_id = cand.n_id
+           JOIN n qn ON qn.vec_id = cand.q_id)
+         $rankTail"""
+
+  // ---------------------------------------------------------------
+  // the forms
+  // ---------------------------------------------------------------
+
+  private lazy val d02Sql: String =
+    s"""WITH $docsCte,
+         $minhashPairsCte
+         SELECT doc_a, doc_b, jaccard FROM withjac
+         WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b"""
+
+  private lazy val d03Sql: String =
+    s"""WITH $docsCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           $jaccardExpr AS jaccard
+         FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         WHERE $jaccardExpr >= 0.7
+         ORDER BY doc_a, doc_b"""
+
+  private lazy val d04Sql: String =
+    s"""WITH $docsCte,
+         sigs AS (SELECT doc_id, graft_simhash(sh) AS sig FROM docs),
+         banded AS (
+           SELECT doc_id, chunk, key FROM sigs
+           LATERAL VIEW posexplode(array(
+             shiftrightunsigned(sig, 0) & CAST(65535 AS BIGINT),
+             shiftrightunsigned(sig, 16) & CAST(65535 AS BIGINT),
+             shiftrightunsigned(sig, 32) & CAST(65535 AS BIGINT),
+             shiftrightunsigned(sig, 48) & CAST(65535 AS BIGINT))) t AS chunk, key),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM banded x JOIN banded y
+             ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT c.doc_a, c.doc_b, bit_count(sa.sig ^ sb.sig) AS hamming
+         FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                     JOIN sigs sb ON sb.doc_id = c.doc_b
+         WHERE bit_count(sa.sig ^ sb.sig) <= 3
+         ORDER BY doc_a, doc_b"""
+
+  private lazy val d05Sql: String =
+    s"""WITH $docsCte,
+         ${jaccardPairsCte(0.7)},
+         ${ccTail(8)}
+         SELECT id AS doc_id, cluster FROM clusters ORDER BY doc_id"""
+
+  private lazy val d06Sql: String =
+    s"""WITH $docsCte,
+         ex AS (SELECT doc_id, shingle FROM docs
+                LATERAL VIEW explode(sh) t AS shingle),
+         rare AS (SELECT shingle FROM (
+             SELECT shingle, count(1) AS df FROM ex GROUP BY shingle)
+           WHERE df <= 50),
+         kept AS (SELECT ex.doc_id, ex.shingle FROM ex
+                  JOIN rare ON ex.shingle = rare.shingle),
+         sized AS (SELECT doc_id, count(1) AS n FROM kept GROUP BY doc_id),
+         ek AS (SELECT k.doc_id, k.shingle, s.n FROM kept k
+                JOIN sized s ON k.doc_id = s.doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, count(1) AS inter
+           FROM ek a JOIN ek b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+         SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
+         FROM inter
+         WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) >= 0.7
+         ORDER BY doc_a, doc_b"""
+
+  private lazy val d07Sql: String =
+    s"""WITH $embCte,
+         pairs AS (
+           SELECT a.vec_id AS pa, b.vec_id AS pb
+           FROM en a JOIN en b ON a.vec_id < b.vec_id
+           WHERE round(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4),
+         ${ccTail(8)}
+         SELECT id AS vec_id, cluster FROM clusters ORDER BY vec_id"""
+
+  private lazy val d08Sql: String =
+    s"""WITH $docsCte,
+         ${jaccardPairsCte(0.7)},
+         ${ccTail(8)}
+         $keepBestSql"""
+
+  private lazy val d09Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 12, nPlanes = 8)},
+         ${capGuard("d09", "SELECT count(1) AS cnt FROM buckets GROUP BY tb, bucket")},
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           JOIN en ea ON ea.vec_id = a.vec_id
+           JOIN en eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard
+           WHERE round(graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.4),
+         ${ccTail(8)}
+         SELECT id AS vec_id, cluster FROM clusters ORDER BY vec_id"""
+
+  private lazy val d10Sql: String =
+    s"""WITH $docsCte,
+         $minhashPairsCte,
+         pairs AS (SELECT doc_a AS pa, doc_b AS pb FROM withjac
+                   WHERE jaccard >= 0.7),
+         ${ccTail(8)}
+         $keepBestSql"""
+
+  private lazy val m03Sql: String =
+    """WITH med AS (
+         SELECT element_at(array('image','audio','video'),
+                  CAST(doc_id % 3 AS INT) + 1) AS kind,
+           CAST(text AS BINARY) AS payload
+         FROM documents),
+       f AS (
+         SELECT kind, length(payload) AS n_bytes,
+           CAST(element_at(graft_nibble_hist(payload), 5) /
+                CAST(greatest(length(payload), 1) AS DOUBLE) AS FLOAT) AS f4
+         FROM med)
+       SELECT kind, count(1) AS n, round(avg(f4), 4) AS avg_f4,
+         round(CAST(sum(n_bytes) AS DOUBLE), 4) AS total_bytes
+       FROM f GROUP BY kind ORDER BY kind"""
+
+  private val q20Sql: String =
+    """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         CAST(abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey)) AS DOUBLE)
+           <= 0.15 * count(DISTINCT l_suppkey) AS supp_ok,
+         CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
+           <= 0.15 * count(DISTINCT l_partkey) AS part_ok,
+         count(1) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private val q32Sql: String =
+    """SELECT l_returnflag,
+         round(percentile(l_quantity, 0.5), 4) AS median_qty,
+         round(percentile(l_extendedprice, 0.9), 4) AS p90_price,
+         approx_percentile(l_quantity, 0.5, 10000)
+           BETWEEN percentile(l_quantity, 0.48) AND percentile(l_quantity, 0.52) AS median_ok,
+         approx_percentile(l_extendedprice, 0.9, 10000)
+           BETWEEN percentile(l_extendedprice, 0.88) AND percentile(l_extendedprice, 0.92) AS p90_ok,
+         count(1) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private lazy val s03Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 1, nPlanes = 6)},
+         ${capGuard("s03", "SELECT count(1) AS cnt FROM buckets GROUP BY tb, bucket")}
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos
+         FROM buckets a JOIN buckets b
+           ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN en ea ON ea.vec_id = a.vec_id
+         JOIN en eb ON eb.vec_id = b.vec_id
+         CROSS JOIN guard
+         WHERE round(graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.3
+         ORDER BY id_a, id_b"""
+
+  /** s03c: unlike the DuckDB oracle (which needs the PINNED anchor
+    * fixture because xxhash64 isn't DuckDB-replayable), Spark SQL has
+    * the very same `xxhash64`, so this form replays the engine's
+    * ACTUAL anchor selection (`Similarity.anchorFlagged`: the bucket
+    * min, plus xxhash64(vec_id) mod ⌈rn/cap⌉ = 0) at ANY SF — no
+    * fixture. Guard INVERTED vs capGuard: errors if the capped regime
+    * is NOT engaged (max bucket ≤ 8). */
+  private lazy val s03cSql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 1, nPlanes = 4)},
+         guard AS (
+           SELECT assert_true(max(cnt) > 8,
+             's03c: every bucket is at or below the cap (8) - the anchor-star capped regime is not engaged and this query no longer verifies it') AS ok
+           FROM (SELECT count(1) AS cnt FROM buckets GROUP BY tb, bucket)),
+         sizes AS (
+           SELECT bucket, count(1) AS rn, min(vec_id) AS min_id
+           FROM buckets GROUP BY bucket),
+         anchors AS (
+           SELECT b.vec_id, b.bucket FROM buckets b JOIN sizes s
+             ON b.bucket = s.bucket
+           WHERE b.vec_id = s.min_id
+              OR pmod(xxhash64(b.vec_id),
+                   CAST(ceil(CAST(s.rn AS DOUBLE) / 8) AS BIGINT)) = 0),
+         pairs AS (
+           SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+             greatest(a.vec_id, b.vec_id) AS id_b,
+             round(graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos
+           FROM anchors a JOIN buckets b
+             ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           JOIN en ea ON ea.vec_id = a.vec_id
+           JOIN en eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard)
+         SELECT id_a, id_b, cos FROM pairs
+         WHERE cos >= 0.3 ORDER BY id_a, id_b"""
+
+  private lazy val s04Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 1, nPlanes = 4)},
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(graft_dot(qe.v, ae.v) / (qe.nrm * ae.nrm), 6) AS cos
+           FROM buckets q JOIN buckets a
+             ON a.tb = q.tb AND a.bucket = q.bucket AND a.vec_id <> q.vec_id
+           JOIN en qe ON qe.vec_id = q.vec_id
+           JOIN en ae ON ae.vec_id = a.vec_id
+           WHERE q.vec_id < 5)
+         $rankTail"""
+
+  private lazy val s05Sql: String = {
+    val dts = centroidDotsArr("sv", Pinned.ivfCentroids)
+    s"""WITH $normCte,
+         asg AS (SELECT vec_id, sv,
+             array_position(dts, array_max(dts)) - 1 AS c
+           FROM (SELECT vec_id, sv, $dts AS dts FROM n)),
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(${pairDot("q.sv", "a.sv")}, 6) AS cos
+           FROM asg a JOIN asg q ON a.c = q.c AND a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         $rankTail"""
+  }
+
+  private lazy val s09Sql: String = {
+    val books = Pinned.pq.books
+    val sub = Pinned.pq.sub
+    s"""WITH $normCte,
+         enc AS (SELECT vec_id,
+           ${pqScoreCols(books, sub, i => elem("sv", i))}
+           FROM n),
+         codes AS (SELECT vec_id, ${pqCodesArr(books.length)} AS codes FROM enc),
+         q AS (SELECT vec_id AS q_id,
+           ${pqLutArr(books, sub, "sv")} AS lut
+           FROM n WHERE vec_id < 5),
+         adcscored AS (
+           SELECT q.q_id, c.vec_id AS n_id, ${pqApprox(books.length)} AS approx
+           FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         ${pqRerankTail(rerank = 100, vc = "sv")}"""
+  }
+
+  private lazy val s10Sql: String = {
+    val mdl = Pinned.ivfPq
+    val cents = mdl.coarse.get
+    val books = mdl.books
+    val sub = mdl.sub
+    val centsLit = cents.map(c => s"array(${c.mkString(", ")})")
+      .mkString("array(", ",\n             ", ")")
+    val dts = centroidDotsArr("sv", cents)
+    s"""WITH $normCte,
+         cl AS (SELECT $centsLit AS cl),
+         asg AS (SELECT vec_id, sv,
+             array_position(dts, array_max(dts)) - 1 AS c
+           FROM (SELECT vec_id, sv, $dts AS dts FROM n)),
+         enc AS (SELECT a.vec_id, a.c,
+           ${pqScoreCols(books, sub,
+             i => s"(element_at(a.sv, $i) - element_at(element_at(cl.cl, CAST(a.c AS INT) + 1), $i))")}
+           FROM asg a CROSS JOIN cl),
+         codes AS (SELECT vec_id, c, ${pqCodesArr(books.length)} AS codes FROM enc),
+         qd AS (SELECT vec_id AS q_id, $dts AS qdts,
+           ${pqLutArr(books, sub, "sv")} AS lut
+           FROM n WHERE vec_id < 5),
+         probes AS (SELECT q_id, c, q_dot_cent, lut FROM (
+           SELECT q_id, lut, c, q_dot_cent,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY q_dot_cent DESC, c ASC) AS prk
+           FROM (SELECT q_id, lut, pos AS c, q_dot_cent FROM qd
+                 LATERAL VIEW posexplode(qdts) t AS pos, q_dot_cent))
+           WHERE prk <= 3),
+         adcscored AS (
+           SELECT q.q_id, c.vec_id AS n_id,
+             q.q_dot_cent + (${pqApprox(books.length)}) AS approx
+           FROM codes c JOIN probes q ON c.c = q.c AND c.vec_id <> q.q_id),
+         ${pqRerankTail(rerank = 50, vc = "sv")}"""
+  }
+
+  private lazy val s12Sql: String = {
+    val m = Pca.pinnedModel
+    def pcExpr(w: Array[Double]): String =
+      (0 until 64).map(d => s"(${elem("v", d + 1)} - (${m.mean(d)}))*(${w(d)})")
+        .mkString(" + ")
+    val cols = m.components.zipWithIndex.map { case (w, i) =>
+      s"round(${pcExpr(w)}, 4) AS pc${i + 1}"
+    }.mkString(",\n           ")
+    s"""WITH e AS (SELECT vec_id, label,
+             transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT vec_id, label,
+           $cols
+         FROM e ORDER BY vec_id"""
+  }
+
+  private lazy val s13Sql: String = {
+    val rot = Pinned.opqRotation
+    val books = Pinned.opqBooks.books
+    val sub = Pinned.opqBooks.sub
+    val m = books.length
+    // The rotation as ONE permuted matrix literal + a fold-based
+    // matrix-vector product, NOT 64 unrolled 64-term sums: the unroll
+    // is a ~4096-term expression tree that blows codegen/broadcast
+    // memory once CTE inlining duplicates it. The fold (zip_with +
+    // aggregate from 0.0) adds terms in the same sequential order as
+    // the engine's codegen'd dot, so values stay bit-identical.
+    // Row p (1-based) is rot(d), d = ((p−1) mod m)·sub + (p−1) div m —
+    // the engine's round-robin subspace dealing (rotatedFrame).
+    val rotPerm = (1 to 64).map { p =>
+      val d = ((p - 1) % m) * sub + (p - 1) / m
+      s"array(${rot(d).mkString(", ")})"
+    }.mkString("array(", ",\n             ", ")")
+    s"""WITH ${normCte.replaceFirst("n AS", "n0 AS")},
+         rl AS (SELECT $rotPerm AS rm),
+         n AS (SELECT vec_id,
+             transform(sequence(1, 64), p ->
+               aggregate(zip_with(sv, element_at(rm, p), (x, y) -> x * y),
+                 CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)) AS rv
+           FROM n0 CROSS JOIN rl),
+         enc AS (SELECT vec_id,
+           ${pqScoreCols(books, sub, i => elem("rv", i))}
+           FROM n),
+         codes AS (SELECT vec_id, ${pqCodesArr(m)} AS codes FROM enc),
+         q AS (SELECT vec_id AS q_id,
+           ${pqLutArr(books, sub, "rv")} AS lut
+           FROM n WHERE vec_id < 5),
+         adcscored AS (
+           SELECT q.q_id, c.vec_id AS n_id, ${pqApprox(m)} AS approx
+           FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         ${pqRerankTail(rerank = 100, vc = "rv")}"""
+  }
+
+  private lazy val s14Sql: String = {
+    val dts = centroidDotsArr("sv", Pinned.semCells)
+    // pair cosine via the COMPACT graft_dot over raw vectors (the
+    // engine's own dot/(nrm·nrm) formula), NOT an unrolled 128-term
+    // normalized dot: the CC chain inlines the pairs CTE ~10×, and an
+    // unrolled dot there multiplies into an expression tree that OOMs
+    // the analyzer.
+    s"""WITH $embCte,
+         $normCte,
+         dd AS (SELECT vec_id, $dts AS dts FROM n),
+         probes AS (SELECT vec_id, c FROM (
+           SELECT vec_id, pos AS c, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, pos ASC) AS prk
+           FROM dd LATERAL VIEW posexplode(dts) t AS pos, d)
+           WHERE prk <= 2),
+         ${capGuard("s14", "SELECT count(1) AS cnt FROM probes GROUP BY c")},
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb
+           FROM probes a JOIN probes b
+             ON a.c = b.c AND a.vec_id < b.vec_id
+           JOIN en ea ON ea.vec_id = a.vec_id
+           JOIN en eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard
+           WHERE round(graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.4),
+         ${ccTail(8)}
+         SELECT id AS vec_id, cluster FROM clusters ORDER BY vec_id"""
+  }
+
+  /** BPE merge arrays from the pinned fixture, as SQL array literals. */
+  private def mergeArrays(merges: Seq[(String, String)]): (String, String) = (
+    merges.map(m => s"'${m._1}'").mkString("array(", ", ", ")"),
+    merges.map(m => s"'${m._2}'").mkString("array(", ", ", ")"))
+
+  private lazy val t14Sql: String = {
+    val (lefts, rights) = mergeArrays(TextOps.pinnedMerges)
+    s"""WITH words AS (
+           SELECT doc_id, word FROM documents
+           LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS word),
+         vocab AS (SELECT DISTINCT word FROM words),
+         encoded AS (
+           SELECT word,
+             CAST(size(graft_bpe_apply(word, $lefts, $rights)) AS BIGINT) AS n_sub
+           FROM vocab)
+         SELECT w.doc_id,
+           count(1) AS n_words,
+           sum(e.n_sub) AS n_bpe_tokens
+         FROM words w JOIN encoded e ON w.word = e.word
+         GROUP BY w.doc_id ORDER BY doc_id"""
+  }
+
+  /** t13: the 8-round training loop unrolled. Round r counts weighted
+    * adjacent pairs over the vocabulary as encoded by merges 1..r−1 —
+    * the re-encode goes through the registered engine kernel
+    * (`graft_bpe_apply` from the RAW word with the merge list so far,
+    * built by cross-joining the previous rounds' 1-row argmax CTEs) —
+    * takes the (n DESC, a, b) argmax as merge r, and feeds forward. */
+  private lazy val t13Sql: String = {
+    def pairCnt(r: Int): String =
+      s"""cnt$r AS (
+           SELECT a, b, sum(freq) AS n FROM (
+             SELECT freq, element_at(sy, i + 1) AS a, element_at(sy, i + 2) AS b
+             FROM (SELECT freq, sy FROM enc${r - 1} WHERE size(sy) >= 2)
+             LATERAL VIEW explode(sequence(0, size(sy) - 2)) t AS i)
+           GROUP BY a, b),
+         m$r AS (SELECT a, b, n FROM cnt$r ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
+    def reEnc(r: Int): String = {
+      val joins = (1 to r).map(i => s"CROSS JOIN m$i").mkString(" ")
+      val lefts = (1 to r).map(i => s"m$i.a").mkString("array(", ", ", ")")
+      val rights = (1 to r).map(i => s"m$i.b").mkString("array(", ", ", ")")
+      s"""enc$r AS (
+           SELECT v.word, v.freq, graft_bpe_apply(v.word, $lefts, $rights) AS sy
+           FROM vocab v $joins)"""
+    }
+    val rounds = (1 to 8).map { r =>
+      if (r < 8) s"${pairCnt(r)},\n         ${reEnc(r)}" else pairCnt(r)
+    }.mkString(",\n         ")
+    val out = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS `left`, b AS `right`,
+              concat(a, b) AS merged, n FROM m$r""")
+      .mkString("\n         UNION ALL ")
+    s"""WITH words AS (
+           SELECT word FROM documents
+           LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS word),
+         vocab AS (SELECT word, count(1) AS freq FROM words GROUP BY word),
+         enc0 AS (SELECT word, freq,
+           concat(filter(split(word, ''), x -> x <> ''), array('</w>')) AS sy
+           FROM vocab),
+         $rounds
+         SELECT * FROM ($out) ORDER BY rank"""
+  }
+
+  /** The 24 kernel-bound forms; appended to SparkEntry.sparkSql. */
+  lazy val forms: Map[String, String] = Map(
+    "d02_minhash_lsh" -> d02Sql,
+    "d03_ngram_jaccard" -> d03Sql,
+    "d04_simhash" -> d04Sql,
+    "d05_dup_clusters" -> d05Sql,
+    "d06_capped_jaccard" -> d06Sql,
+    "d07_embedding_clusters" -> d07Sql,
+    "d08_keep_best" -> d08Sql,
+    "d09_embedding_clusters_lsh" -> d09Sql,
+    "d10_keep_best_lsh" -> d10Sql,
+    "m03_media_features" -> m03Sql,
+    "q20_approx_distinct" -> q20Sql,
+    "q32_approx_percentiles" -> q32Sql,
+    "s03_lsh_pairs" -> s03Sql,
+    "s03c_lsh_pairs_capped" -> s03cSql,
+    "s04_ann_ivf" -> s04Sql,
+    "s05_ann_kmeans_ivf" -> s05Sql,
+    "s09_ann_pq" -> s09Sql,
+    "s10_ann_ivfpq" -> s10Sql,
+    "s11_ann_pq_fitserve" -> s09Sql, // serves the same pinned model as s09
+    "s12_pca_project" -> s12Sql,
+    "s13_ann_opq" -> s13Sql,
+    "s14_semdedup" -> s14Sql,
+    "t13_bpe_merges" -> t13Sql,
+    "t14_bpe_encode" -> t14Sql)
+}

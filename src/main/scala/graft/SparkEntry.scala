@@ -2437,5 +2437,5 @@ object SparkEntry {
            UNION ALL SELECT '3_dedup_keepers', count(*) FROM keepers
            UNION ALL SELECT concat('4_', split), count(*) FROM sp GROUP BY split)
          ORDER BY stage""",
-  )
+  ) ++ SparkDialectTail.forms
 }

@@ -127,13 +127,18 @@ object Hashing {
     out
   }
 
-  private val minhashBandKeysUdf = udf((h: Seq[Long]) => minhashBandKeys(h))
-  private val simhash64Udf = udf((h: Seq[Long]) => simhash64(h))
-  private val shingleHashesUdf = udf((t: String, n: Int) => shingleHashes(t, n))
+  private[graft] val minhashBandKeysUdf = udf((h: Seq[Long]) => minhashBandKeys(h))
+  private[graft] val simhash64Udf = udf((h: Seq[Long]) => simhash64(h))
+  private[graft] val shingleHashesUdf = udf((t: String, n: Int) => shingleHashes(t, n))
 
   /** Column form of [[shingleHashes]]. */
   def hashedShingles(text: Column, n: Int = 3): Column =
     shingleHashesUdf(text, org.apache.spark.sql.functions.lit(n))
+
+  /** Column-typed-n variant for the SQL FunctionRegistry builder
+    * (`graft_shingles(text, n)` — n arrives as an expression there). */
+  private[graft] def hashedShinglesCol(text: Column, n: Column): Column =
+    shingleHashesUdf(text, n)
 
   /** Column form of [[minhashBandKeys]]; input array<bigint>. */
   def minhashBands(shingleHashes: Column): Column = minhashBandKeysUdf(shingleHashes)

@@ -443,6 +443,18 @@ object TextOps {
     out.toSeq
   }
 
+  // the full encode kernel (applyMergesLocal) with the merge list as
+  // two parallel array columns — the SQL-registry face of BPE encode
+  // (`graft_bpe_apply`), so the t13/t14 SQL-text forms run the SAME
+  // sequential kernel as the DataFrame path
+  private[graft] val applyMergesUdf = udf { (word: String, lefts: Seq[String], rights: Seq[String]) =>
+    applyMergesLocal(word, lefts.zip(rights))
+  }
+
+  private[graft] def applyMergesCol(word: Column, lefts: Column,
+                                    rights: Column): Column =
+    applyMergesUdf(word, lefts, rights)
+
   /** t13: byte-pair-encoding merge training (Sennrich et al., "Neural
     * Machine Translation of Rare Words with Subword Units", ACL 2016) —
     * tokenizer induction as a distributed job. The corpus collapses to

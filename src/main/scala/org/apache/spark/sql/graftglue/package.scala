@@ -14,6 +14,25 @@ package object graftglue {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGERLY convert a Column built via the public functions API into
+    * a real Catalyst expression tree. `expressionOf` defers conversion
+    * in a lazy `ColumnNodeExpression` wrapper, which the analyzer
+    * never unwraps when the expression is spliced into a parsed plan
+    * by a FunctionRegistry builder — codegen then fails with
+    * "Cannot generate code for columnnodeexpression". */
+  def eagerExpressionOf(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Lower a `udf(...)`-built UserDefinedFunction onto expression
+    * children as a real `ScalaUDF` — what the FunctionRegistry
+    * builders need. (`expressionOf` on a udf-applied Column yields a
+    * lazy `ColumnNodeExpression` that never resolves a dataType when
+    * the registry invokes the builder on unresolved children.) */
+  def scalaUdfOf(u: expressions.UserDefinedFunction,
+                 children: Seq[Expression]): Expression =
+    classic.UserDefinedFunctionUtils.toScalaUDF(
+      u.asInstanceOf[expressions.SparkUserDefinedFunction], children)
+
   /** Register a function builder on an ALREADY-RUNNING session (the
     * `SparkSessionExtensions` path only applies at session build time —
     * `getOrCreate` on an active session ignores it). */

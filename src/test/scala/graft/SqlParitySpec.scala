@@ -72,6 +72,12 @@ class SqlParitySpec extends SparkSuite {
     assert(unknown.isEmpty, s"sparkSql entries without a query: $unknown")
   }
 
+  test("SQL-text surface is COMPLETE: every registered query has a form") {
+    val covered = SparkEntry.sparkSql.keySet ++ portable
+    val missing = SparkEntry.queries.keySet -- covered
+    assert(missing.isEmpty, s"queries without a SQL-text form: $missing")
+  }
+
   test("graft_dot resolves in SQL text and matches the native expression") {
     val viaSql = spark.sql(
       """SELECT label, round(sum(graft_dot(embedding, embedding)), 4) AS sq_norm
