@@ -129,7 +129,16 @@ object Dedup {
     minhashLsh(t(s, dir, "documents"), "doc_id", "text", threshold)
 
   def minhashLsh(docsIn: DataFrame, idCol: String, textCol: String,
-                 threshold: Double): DataFrame = {
+                 threshold: Double): DataFrame =
+    minhashLshUnordered(docsIn, idCol, textCol, threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[minhashLsh]] without the presentation sort (see
+    * [[ngramJaccardUnordered]] — the CC consumers' checkpoint would
+    * materialize it). */
+  private[graft] def minhashLshUnordered(docsIn: DataFrame, idCol: String,
+                                         textCol: String,
+                                         threshold: Double): DataFrame = {
     // localCheckpoint (eager, MEMORY_AND_DISK): the frame is read three
     // times inside this one query plan. Unlike cache(), the blocks are
     // released by ContextCleaner as soon as the returned plan is GC'd —
@@ -153,7 +162,6 @@ object Dedup {
     jaccardOf(withSets)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via a shingle inverted index:
@@ -167,7 +175,18 @@ object Dedup {
     ngramJaccard(t(s, dir, "documents"), "doc_id", "text", threshold)
 
   def ngramJaccard(docsIn: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double): DataFrame =
+    ngramJaccardUnordered(docsIn, idCol, textCol, threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[ngramJaccard]] without the presentation sort — the CC/keep-best
+    * consumers feed this form: their eager pair-frame checkpoint would
+    * otherwise MATERIALIZE a global sort of the full pair set that
+    * nothing downstream needs (CC shuffles on the node key; the final
+    * order comes from the consumer's own ORDER BY). */
+  private[graft] def ngramJaccardUnordered(docsIn: DataFrame, idCol: String,
+                                           textCol: String,
+                                           threshold: Double): DataFrame = {
     val docs = docShingles(docsIn, idCol, textCol)
     // localCheckpoint: both sides of the self-join read this frame — one
     // materialization instead of running the shingle kernel twice
@@ -187,7 +206,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** n-gram Jaccard with a document-frequency cap on shingles — the
@@ -250,7 +268,8 @@ object Dedup {
     * driver skip the loop for one union-find pass (see
     * [[connectedComponents]]). */
   def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
-    dupClusters(ngramJaccard(s, dir, threshold))
+    dupClusters(ngramJaccardUnordered(t(s, dir, "documents"), "doc_id", "text",
+      threshold))
 
   /** Generic core over any (doc_a, doc_b) near-dup pair frame. */
   def dupClusters(pairFrame: DataFrame): DataFrame =
@@ -281,7 +300,8 @@ object Dedup {
     * sf0.01, the correctness SF). */
   def keepBestLsh(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
     keepBestFrom(
-      dupClusters(minhashLsh(s, dir, threshold).select("doc_a", "doc_b")),
+      dupClusters(minhashLshUnordered(t(s, dir, "documents"), "doc_id", "text",
+        threshold).select("doc_a", "doc_b")),
       t(s, dir, "documents").select("doc_id", "n_chars"))
 
   /** Generic canonical selection over any (doc_id, cluster) frame:

@@ -93,7 +93,15 @@ object Similarity {
   /** All-pairs near-duplicate embeddings above a cosine threshold —
     * brute force (corpus x corpus). Correct at any scale but O(n^2):
     * the oracle-checked exact baseline for [[lshPairs]]. */
-  def cosinePairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def cosinePairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
+    cosinePairsUnordered(s, dir, threshold).orderBy("id_a", "id_b")
+
+  /** [[cosinePairs]] without the presentation sort — the CC consumer
+    * (d07) feeds this form: its eager pair-frame checkpoint would
+    * otherwise MATERIALIZE a global sort of the full quadratic pair
+    * set that nothing downstream needs. */
+  private[graft] def cosinePairsUnordered(s: SparkSession, dir: String,
+                                          threshold: Double): DataFrame = {
     val a = emb(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("nrm_a"))
     val b = emb(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"),
@@ -102,7 +110,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy("id_a", "id_b")
   }
 
   /** d07: near-duplicate CLUSTERS in embedding space — the cosine
@@ -115,7 +122,7 @@ object Similarity {
     * pair-source-agnostic. */
   def embeddingClusters(s: SparkSession, dir: String,
                         threshold: Double = 0.4): DataFrame =
-    Dedup.dupClusters(cosinePairs(s, dir, threshold)
+    Dedup.dupClusters(cosinePairsUnordered(s, dir, threshold)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")
