@@ -14,15 +14,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Parquet TIMESTAMP(NANOS) (the events.ts column) is unreadable in
-    // Spark 4 unless surfaced as a long; convert back to a microsecond
-    // timestamp here so every downstream operator sees TimestampType.
+    // The events.ts column has shipped as parquet TIMESTAMP(NANOS) —
+    // unreadable in Spark 4 unless surfaced as a long — and as
+    // TIMESTAMP(MICROS) without timezone — surfaced as TIMESTAMP_NTZ,
+    // which watermarks and unix_micros reject. Normalize BOTH physical
+    // encodings to session-tz TimestampType here (the session runs
+    // UTC, so the wall-clock values are identical either way) so every
+    // downstream operator sees one type regardless of data vintage.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else if (f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        acc.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       else acc
     }
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.streaming.{Stateful, UserEvent, Windows}
 import graft.operators.Warehouse
@@ -22,8 +22,9 @@ import graft.operators.Warehouse
   * aggregation, which is exactly the equivalence worth pinning. */
 class StreamingParitySpec extends SparkSuite {
 
-  /** The events table as an unbounded readStream source (parquet
-    * TIMESTAMP(NANOS) surfaced as long, converted like Tables.t).
+  /** The events table as an unbounded readStream source (ts normalized
+    * to session-tz TimestampType from either physical encoding —
+    * NANOS-as-long or MICROS-NTZ — like Tables.t).
     * The testdata table is a single FILE — file stream sources demand
     * a directory, so stream the parent dir with a glob filter. */
   private def streamingEvents(): DataFrame = {
@@ -34,6 +35,8 @@ class StreamingParitySpec extends SparkSuite {
       .parquet(s"$sf/")
     if (schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (schema("ts").dataType == TimestampNTZType)
+      raw.withColumn("ts", col("ts").cast(TimestampType))
     else raw
   }
 
