@@ -685,4 +685,57 @@ object TextOps {
         r4(col("n_kept").cast("double") / col("n_chunks")))
       .orderBy(idCol)
   }
+
+  /** t17: phrase search via POSITIONAL intersection — the query-serving
+    * complement of the inverted index (t16): t16's `doc:tf` postings
+    * answer bag-of-words queries only; a phrase query ("customer join"
+    * as a unit, not customer AND join) needs token POSITIONS. This is
+    * the classic positional-index algorithm: per query phrase (w₁ w₂),
+    * intersect the postings of w₁ and w₂ on (doc, pos+1) — a doc
+    * matches iff w₂ occurs exactly one position after w₁.
+    *
+    * Query phrases are data-derived (no hand fixture): the corpus's
+    * `nPhrases` most frequent bigrams, ties to the lexicographically
+    * smaller phrase — deterministic, so the oracle re-derives them.
+    * Output per (phrase, doc): occurrence count and first position.
+    *
+    * Scale shape: the positional postings frame is ONE narrow
+    * posexplode (no shuffle); phrase selection is one (bigram) count
+    * shuffle + a metadata-sized global top-k; the intersection itself
+    * touches ONLY the postings of queried terms — each side is a
+    * broadcast-pruned semi-join of the token frame (the phrase table
+    * is k rows), so the join shuffles |postings(w₁)| + |postings(w₂)|
+    * rows on (phrase, doc), never the corpus. At 100 TB the postings
+    * frame would be a bucketed table on `term`; the per-query cost is
+    * unchanged (posting-list sized, like a serving index). */
+  def phraseSearch(s: SparkSession, dir: String, nPhrases: Int = 3): DataFrame =
+    phraseSearch(t(s, dir, "documents"), "doc_id", "text", nPhrases)
+
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   nPhrases: Int): DataFrame = {
+    // positional postings: (doc_id, pos [1-based], term)
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokensOf(col(textCol))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+    val phrases = docs
+      .select(explode(bigramsUdf(col(textCol))).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("phrase")).limit(nPhrases)
+      .select(col("phrase"),
+        split(col("phrase"), " ")(0).as("w1"),
+        split(col("phrase"), " ")(1).as("w2"))
+    val p1 = tok.join(broadcast(phrases.select("phrase", "w1")),
+        col("term") === col("w1"))
+      .select(col("phrase"), col("doc_id"), col("pos"))
+    val p2 = tok.join(broadcast(phrases.select(col("phrase").as("phrase2"),
+        col("w2"))), col("term") === col("w2"))
+      .select(col("phrase2"), col("doc_id").as("doc2"), col("pos").as("pos2"))
+    p1.join(p2, col("phrase") === col("phrase2") &&
+        col("doc_id") === col("doc2") && col("pos2") === col("pos") + 1)
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
 }

@@ -447,6 +447,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(expected.exists(_._2 > cap), "no term exceeds the posting cap")
   }
 
+  test("t17 phrase search matches a full-corpus Scala recomputation") {
+    val nPhrases = 3
+    val toks = docs.map { case (id, text) => (id, text.trim.split("\\s+").toSeq) }
+    val top = toks
+      .flatMap { case (_, tk) => tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+      .groupBy(identity).toSeq.map { case (p, occ) => (p, occ.size) }
+      .sortBy { case (p, n) => (-n, p) }.take(nPhrases).map(_._1)
+    val expected = top.flatMap { p =>
+      val ws = p.split(" ")
+      toks.flatMap { case (id, tk) =>
+        val hits = (0 until math.max(0, tk.size - 1))
+          .filter(i => tk(i) == ws(0) && tk(i + 1) == ws(1))
+        if (hits.isEmpty) None
+        else Some((p, id, hits.size.toLong, (hits.head + 1).toLong))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.phraseSearch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // every top phrase must actually match somewhere, else the test is vacuous
+    assert(top.forall(p => got.exists(_._1 == p)),
+      s"a top phrase had no positional hits: $top")
+  }
+
   test("t15 chunk dedup matches a full-corpus Scala recomputation") {
     val width = 32
     // every chunk occurrence, in (doc_id, chunk_id) order of appearance
