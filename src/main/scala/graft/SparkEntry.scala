@@ -85,6 +85,7 @@ object SparkEntry {
     "t14_bpe_encode"      -> ((s, dir) => TextOps.bpeEncodePinned(s, dir)),
     "t15_chunk_dedup"     -> ((s, dir) => TextOps.chunkDedup(s, dir)),
     "t16_inverted_index"  -> ((s, dir) => TextOps.invertedIndex(s, dir)),
+    "t17_phrase_search"   -> ((s, dir) => TextOps.phraseSearch(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -147,6 +148,7 @@ object SparkEntry {
     "s14_semdedup"        -> ((s, dir) => Similarity.semDedupClusters(s, dir,
       cells = Some(Pinned.semCells))),
     "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
+    "s16_ann_graph"       -> ((s, dir) => Similarity.annGraph(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -968,6 +970,31 @@ object SparkEntry {
              (list(doc_id || ':' || tf ORDER BY doc_id))[1:10], ',')
              AS postings
          FROM tf GROUP BY term ORDER BY term""",
+    "t17_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS term
+           FROM toks, LATERAL (SELECT unnest(range(1, len(tk)+1)) AS i)
+         ), bg AS (
+           SELECT t1.term || ' ' || t2.term AS phrase, count(*) AS n
+           FROM tok t1 JOIN tok t2
+             ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+           GROUP BY 1
+         ), ph AS (
+           SELECT phrase, string_split(phrase, ' ')[1] AS w1,
+             string_split(phrase, ' ')[2] AS w2
+           FROM (SELECT phrase FROM bg ORDER BY n DESC, phrase ASC LIMIT 3)
+         ), p1 AS (
+           SELECT ph.phrase, t.doc_id, t.pos FROM tok t JOIN ph ON t.term = ph.w1
+         ), p2 AS (
+           SELECT ph.phrase, t.doc_id, t.pos FROM tok t JOIN ph ON t.term = ph.w2)
+         SELECT p1.phrase, p1.doc_id, count(*) AS n_hits,
+           min(p1.pos) AS first_pos
+         FROM p1 JOIN p2 ON p1.phrase = p2.phrase
+           AND p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1338,6 +1365,7 @@ object SparkEntry {
     // any bucket at the sf0.01 gate (500 vectors) — the capped regime
     // is spec-pinned instead (LshClusterSpec hot-bucket tests).
     "s03_lsh_pairs" -> s03OracleSql,
+    "s16_ann_graph" -> s16OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
@@ -1432,6 +1460,69 @@ object SparkEntry {
              ELSE 1 END AS ok
            FROM ($sizeSql))"""
   }
+
+  /** Shared generator for the s16 graph-ANN replay — the t13 unrolling
+    * discipline: the engine's fixed-hop beam search is re-derived as
+    * chained CTEs (one frontier/expand/score/union block per hop), so
+    * the oracle runs the IDENTICAL computation, not a re-derivation.
+    * One body, two dialects: `duck = true` emits DuckDB
+    * (`list_cosine_similarity`), `duck = false` emits Spark SQL
+    * (`graft_dot` + explicit norms) — single-sourced so the dialects
+    * can never drift from each other. Parameters must mirror
+    * [[graft.operators.Similarity.annGraph]]'s defaults. */
+  private def s16Sql(duck: Boolean): String = {
+    val (m, beam, hops, k, nq, ne) = (12, 8, 4, 3, 5, 4)
+    val entries = (nq until nq + ne).mkString(", ")
+    val base =
+      if (duck) "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+      else
+        """e0 AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         e AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e0)"""
+    def cos(a: String, b: String): String =
+      if (duck) s"round(list_cosine_similarity($a.v, $b.v), 6)"
+      else s"round(graft_dot($a.v, $b.v) / ($a.nrm * $b.nrm), 6)"
+    val qCols = if (duck) "vec_id AS q_id, v" else "vec_id AS q_id, v, nrm"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $base,
+         sc AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst, ${cos("a", "b")} AS cos
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         g AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+             FROM sc) WHERE rk <= $m),
+         q AS (SELECT $qCols FROM e WHERE vec_id < $nq),
+         v0 AS (
+           SELECT q.q_id, n.vec_id AS n_id, ${cos("q", "n")} AS cos
+           FROM q JOIN e n ON n.vec_id IN ($entries) AND n.vec_id <> q.q_id)"""
+    for (h <- 1 to hops) {
+      val prev = s"v${h - 1}"
+      sb ++= s""",
+         f$h AS (
+           SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+             FROM $prev) WHERE rk <= $beam),
+         x$h AS (
+           SELECT DISTINCT f.q_id, g.dst AS n_id
+           FROM f$h f JOIN g ON g.src = f.n_id WHERE g.dst <> f.q_id),
+         n$h AS (
+           SELECT x.q_id, x.n_id, ${cos("q", "n")} AS cos
+           FROM x$h x JOIN q ON q.q_id = x.q_id JOIN e n ON n.vec_id = x.n_id
+           WHERE NOT EXISTS (
+             SELECT 1 FROM $prev p WHERE p.q_id = x.q_id AND p.n_id = x.n_id)),
+         v$h AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$h)"""
+    }
+    sb ++= s"""
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM v$hops) WHERE rk <= $k ORDER BY q_id, rk"""
+    sb.toString
+  }
+  private lazy val s16OracleSql: String = s16Sql(duck = true)
+  private lazy val s16SparkSql: String = s16Sql(duck = false)
 
   private lazy val s03OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)},
@@ -2046,6 +2137,29 @@ object SparkEntry {
                e -> concat_ws(':', e.doc_id, e.tf)),
              ',') AS postings
          FROM tf GROUP BY term ORDER BY term""",
+    "t17_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents
+         ), tok AS (
+           SELECT doc_id, CAST(pos0 + 1 AS BIGINT) AS pos, term
+           FROM toks LATERAL VIEW posexplode(tk) x AS pos0, term
+         ), bg AS (
+           SELECT explode(transform(sequence(1, size(tk) - 1),
+             i -> array_join(slice(tk, i, 2), ' '))) AS phrase
+           FROM toks WHERE size(tk) >= 2
+         ), cnt AS (SELECT phrase, count(*) AS n FROM bg GROUP BY phrase),
+         ph AS (
+           SELECT phrase, split(phrase, ' ')[0] AS w1, split(phrase, ' ')[1] AS w2
+           FROM (SELECT phrase FROM cnt ORDER BY n DESC, phrase ASC LIMIT 3)
+         ), p1 AS (
+           SELECT ph.phrase, t.doc_id, t.pos FROM tok t JOIN ph ON t.term = ph.w1
+         ), p2 AS (
+           SELECT ph.phrase, t.doc_id, t.pos FROM tok t JOIN ph ON t.term = ph.w2)
+         SELECT p1.phrase, p1.doc_id, count(*) AS n_hits,
+           min(p1.pos) AS first_pos
+         FROM p1 JOIN p2 ON p1.phrase = p2.phrase
+           AND p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies
@@ -2085,6 +2199,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s16_ann_graph" -> s16SparkSql,
     "s15_hard_negatives" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, label
