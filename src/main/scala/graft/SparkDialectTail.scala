@@ -660,7 +660,32 @@ object SparkDialectTail {
   }
 
   /** The 24 kernel-bound forms; appended to SparkEntry.sparkSql. */
+  /** s17: the LSH-built graph ANN — candidate edges from the SAME
+    * `graft_lsh_bucket` multi-table buckets as s03's form (6 tables ×
+    * 6 planes), then the shared beam tail
+    * ([[SparkEntry.graphBeamTail]], the single unroller both dialects
+    * and both graph sources go through). */
+  private lazy val s17Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuard("s17", "SELECT count(1) AS cnt FROM buckets GROUP BY tb, bucket")},
+         cp AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           CROSS JOIN guard),
+         cs AS (
+           SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
+           FROM cp JOIN en ea ON ea.vec_id = cp.id_a
+           JOIN en eb ON eb.vec_id = cp.id_b),
+         sc AS (
+           SELECT id_a AS src, id_b AS dst, cos FROM cs
+           UNION ALL SELECT id_b, id_a, cos FROM cs),
+         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+           "vec_id AS q_id, v, nrm")}"""
+
   lazy val forms: Map[String, String] = Map(
+    "s17_ann_graph_lsh" -> s17Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_simhash" -> d04Sql,

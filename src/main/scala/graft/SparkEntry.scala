@@ -149,6 +149,7 @@ object SparkEntry {
       cells = Some(Pinned.semCells))),
     "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "s16_ann_graph"       -> ((s, dir) => Similarity.annGraph(s, dir)),
+    "s17_ann_graph_lsh"   -> ((s, dir) => Similarity.annGraphLsh(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1366,6 +1367,7 @@ object SparkEntry {
     // is spec-pinned instead (LshClusterSpec hot-bucket tests).
     "s03_lsh_pairs" -> s03OracleSql,
     "s16_ann_graph" -> s16OracleSql,
+    "s17_ann_graph_lsh" -> s17OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
@@ -1470,32 +1472,26 @@ object SparkEntry {
     * (`graft_dot` + explicit norms) — single-sourced so the dialects
     * can never drift from each other. Parameters must mirror
     * [[graft.operators.Similarity.annGraph]]'s defaults. */
-  private def s16Sql(duck: Boolean): String = {
-    val (m, beam, hops, k, nq, ne) = (12, 8, 4, 3, 5, 4)
+  /** The graph-beam-search tail shared by the s16 and s17 replays (and
+    * both dialects of each): expects a prior CTE `sc(src, dst, cos)` —
+    * the candidate edge stream — plus a corpus CTE `eTab(vec_id, v
+    * [, nrm])`; emits the top-m graph, the pinned-entry seed, `hops`
+    * frontier/expand/score/union blocks, and the final top-k select.
+    * `cos(a, b)` renders the dialect's rounded-cosine expression. */
+  private[graft] def graphBeamTail(cos: (String, String) => String,
+      eTab: String, qCols: String, m: Int = 12, beam: Int = 8,
+      hops: Int = 4, k: Int = 3, nq: Int = 5, ne: Int = 4): String = {
     val entries = (nq until nq + ne).mkString(", ")
-    val base =
-      if (duck) "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-      else
-        """e0 AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-         e AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e0)"""
-    def cos(a: String, b: String): String =
-      if (duck) s"round(list_cosine_similarity($a.v, $b.v), 6)"
-      else s"round(graft_dot($a.v, $b.v) / ($a.nrm * $b.nrm), 6)"
-    val qCols = if (duck) "vec_id AS q_id, v" else "vec_id AS q_id, v, nrm"
     val sb = new StringBuilder
-    sb ++= s"""WITH $base,
-         sc AS (
-           SELECT a.vec_id AS src, b.vec_id AS dst, ${cos("a", "b")} AS cos
-           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         g AS (
+    sb ++= s"""g AS (
            SELECT src, dst FROM (
              SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
              FROM sc) WHERE rk <= $m),
-         q AS (SELECT $qCols FROM e WHERE vec_id < $nq),
+         q AS (SELECT $qCols FROM $eTab WHERE vec_id < $nq),
          v0 AS (
            SELECT q.q_id, n.vec_id AS n_id, ${cos("q", "n")} AS cos
-           FROM q JOIN e n ON n.vec_id IN ($entries) AND n.vec_id <> q.q_id)"""
+           FROM q JOIN $eTab n ON n.vec_id IN ($entries) AND n.vec_id <> q.q_id)"""
     for (h <- 1 to hops) {
       val prev = s"v${h - 1}"
       sb ++= s""",
@@ -1509,7 +1505,7 @@ object SparkEntry {
            FROM f$h f JOIN g ON g.src = f.n_id WHERE g.dst <> f.q_id),
          n$h AS (
            SELECT x.q_id, x.n_id, ${cos("q", "n")} AS cos
-           FROM x$h x JOIN q ON q.q_id = x.q_id JOIN e n ON n.vec_id = x.n_id
+           FROM x$h x JOIN q ON q.q_id = x.q_id JOIN $eTab n ON n.vec_id = x.n_id
            WHERE NOT EXISTS (
              SELECT 1 FROM $prev p WHERE p.q_id = x.q_id AND p.n_id = x.n_id)),
          v$h AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$h)"""
@@ -1521,8 +1517,51 @@ object SparkEntry {
            FROM v$hops) WHERE rk <= $k ORDER BY q_id, rk"""
     sb.toString
   }
+
+  private[graft] def duckCos(a: String, b: String): String =
+    s"round(list_cosine_similarity($a.v, $b.v), 6)"
+  private[graft] def sparkCos(a: String, b: String): String =
+    s"round(graft_dot($a.v, $b.v) / ($a.nrm * $b.nrm), 6)"
+
+  private def s16Sql(duck: Boolean): String = {
+    val base =
+      if (duck) "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+      else
+        """e0 AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         e AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e0)"""
+    val cos: (String, String) => String = if (duck) duckCos else sparkCos
+    val qCols = if (duck) "vec_id AS q_id, v" else "vec_id AS q_id, v, nrm"
+    s"""WITH $base,
+         sc AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst, ${cos("a", "b")} AS cos
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         ${graphBeamTail(cos, "e", qCols)}"""
+  }
   private lazy val s16OracleSql: String = s16Sql(duck = true)
   private lazy val s16SparkSql: String = s16Sql(duck = false)
+
+  /** s17: the LSH-built graph — candidate edges from the SAME
+    * integer-grid multi-table buckets the s03 family replays
+    * ([[lshBucketsCte]], nTables=6 × nPlanes=6), then the identical
+    * beam tail as s16. The guard asserts the uncapped-replay
+    * precondition exactly like s03's. */
+  private lazy val s17OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuardCte("s17",
+           "SELECT count(*) AS cnt FROM buckets GROUP BY tb, bucket")},
+         cp AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           CROSS JOIN guard),
+         cs AS (
+           SELECT id_a, id_b, ${duckCos("ea", "eb")} AS cos
+           FROM cp JOIN e ea ON ea.vec_id = cp.id_a
+           JOIN e eb ON eb.vec_id = cp.id_b),
+         sc AS (
+           SELECT id_a AS src, id_b AS dst, cos FROM cs
+           UNION ALL SELECT id_b, id_a, cos FROM cs),
+         ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v")}"""
 
   private lazy val s03OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)},

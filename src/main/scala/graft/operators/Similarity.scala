@@ -128,20 +128,61 @@ object Similarity {
                hops: Int = 4, k: Int = 3, nQueries: Int = 5,
                nEntries: Int = 4): DataFrame = {
     val all = emb(s, dir)
-    val corpus = all.select(col("vec_id"), col("v"), col("nrm"))
-    val aSide = corpus.select(col("vec_id").as("src"), col("v").as("va"),
+    val aSide = all.select(col("vec_id").as("src"), col("v").as("va"),
       col("nrm").as("na"))
-    val bSide = corpus.select(col("vec_id").as("dst"), col("v").as("vb"),
+    val bSide = all.select(col("vec_id").as("dst"), col("v").as("vb"),
       col("nrm").as("nb"))
-    val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
-    val graph = aSide.join(bSide, col("src") =!= col("dst"))
+    val scored = aSide.join(bSide, col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
-      .withColumn("rk", row_number().over(wG))
+    beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
+  }
+
+  /** s17: [[annGraph]]'s 100 TB twin — the SAME fixed-hop beam search
+    * over a k-NN graph built from the multi-table sign-LSH candidate
+    * pairs ([[lshPairsMulti]], threshold disabled: a kNN graph wants
+    * each node's nearest whatever their absolute cosine) instead of
+    * the exact O(n²) pair join. Candidate volume is the bucketed pair
+    * count (~2% of all-pairs at the gate SF with the defaults), and
+    * the graph quality matches: recall@3 equals the exact-built
+    * graph's on the gate corpus. ORACLE-EXACT end-to-end: integer-grid
+    * buckets (s03's discipline) + the unrolled beam replay (s16's) —
+    * the full scale path of graph ANN is driver-verified, the same
+    * baseline/twin contract as s02→s03 and d07→d09. */
+  def annGraphLsh(s: SparkSession, dir: String, nTables: Int = 6,
+                  nPlanes: Int = 6, m: Int = 12, beam: Int = 8,
+                  hops: Int = 4, k: Int = 3, nQueries: Int = 5,
+                  nEntries: Int = 4,
+                  bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val all = emb(s, dir)
+    val undirected = lshPairsMulti(all, threshold = -2.0, nTables, nPlanes,
+      dim = 64, bucketCap)
+    val scored = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(undirected
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
+  }
+
+  /** Directed k-NN graph: each src's top-`m` candidates by
+    * (rounded cos DESC, dst ASC). `localCheckpoint`: every beam-search
+    * hop re-reads the graph, and nothing may re-run the (expensive)
+    * pair source per hop. */
+  private def topMGraph(scored: DataFrame, m: Int): DataFrame = {
+    val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    scored.withColumn("rk", row_number().over(wG))
       .filter(col("rk") <= m)
       .select("src", "dst")
       .localCheckpoint()
-    val queries = all.filter(col("vec_id") < nQueries)
+  }
+
+  /** The fixed-hop greedy beam search shared by [[annGraph]] and
+    * [[annGraphLsh]] — pair-source-agnostic, like the CC core the
+    * dedup clusterings share. `corpus` = (vec_id, v, nrm). */
+  private def beamSearch(corpus: DataFrame, graph: DataFrame, beam: Int,
+                         hops: Int, k: Int, nQueries: Int,
+                         nEntries: Int): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     def score(cand: DataFrame): DataFrame =
       cand.join(corpus.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
@@ -163,6 +204,11 @@ object Similarity {
         .distinct()
       val fresh = expanded
         .join(visited.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+      // each hop reads `visited` three times (frontier, anti-join,
+      // union) — unchecked, the lineage grows 3^hops; checkpoint per
+      // hop. The visited frame is query-set-sized (≤ nq·(ne +
+      // hops·beam·m) rows) at ANY corpus SF, so the materialization
+      // is metadata-cheap at scale too.
       visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
     visited.withColumn("rk", row_number().over(wB))

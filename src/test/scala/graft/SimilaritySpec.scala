@@ -272,6 +272,71 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"graph-ANN recall@$k degraded to $recall")
   }
 
+  test("s17 LSH-graph ANN matches an independent Scala recomputation") {
+    val (nT, nP, m, beam, hops, k, nq, ne) = (6, 6, 12, 8, 4, 3, 5, 4)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = emb.toMap
+    val ids = emb.map(_._1).sorted
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def rcos(a: Long, b: Long): Double =
+      r6(dot(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))
+    // integer-grid sign-LSH bucket (the lshBucketInt contract)
+    def bucket(v: Array[Double], tb: Int): String = {
+      val q = v.map(x => math.floor(x * 1e6 + 0.5))
+      (0 until nP).map { i =>
+        val p = Similarity.intPlane(tb * nP + i, 64)
+        val s = (0 until 64).foldLeft(0.0)((acc, d) => acc + q(d) * p(d))
+        if (s >= 0) "1" else "0"
+      }.mkString
+    }
+    // candidate pairs = any-table bucket cohabitation (OR-construction)
+    val cand: Set[(Long, Long)] = (0 until nT).flatMap { tb =>
+      ids.groupBy(id => bucket(vecs(id), tb)).values.flatMap { grp0 =>
+        val grp = grp0.toSeq
+        for (a <- grp; b <- grp if a < b) yield (a, b)
+      }
+    }.toSet
+    // directed top-m graph over the candidate edges
+    val graph: Map[Long, Seq[Long]] = cand.toSeq
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1)
+      .map { case (s0, es) =>
+        s0 -> es.map(_._2).distinct.map(d => (rcos(s0, d), d))
+          .sortBy { case (c, d) => (-c, d) }.take(m).map(_._2)
+      }
+    val expected = (0L until nq).flatMap { qid =>
+      var visited = (nq until nq + ne).map(_.toLong).filter(_ != qid)
+        .map(n => n -> rcos(qid, n)).toMap
+      for (_ <- 1 to hops) {
+        val frontier = visited.toSeq
+          .sortBy { case (n, c) => (-c, n) }.take(beam).map(_._1)
+        val fresh = frontier.flatMap(n => graph.getOrElse(n, Nil)).distinct
+          .filter(n => n != qid && !visited.contains(n))
+        visited = visited ++ fresh.map(n => n -> rcos(qid, n))
+      }
+      visited.toSeq.sortBy { case (n, c) => (-c, n) }.take(k).zipWithIndex
+        .map { case ((n, c), i) => (qid, i + 1, n, c) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.annGraphLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the LSH graph must be a real sparsification, not all-pairs
+    val nCand = cand.size
+    val nAll = ids.length.toLong * (ids.length - 1) / 2
+    assert(nCand < nAll / 4,
+      s"LSH candidate pairs $nCand not sparse vs all-pairs $nAll")
+  }
+
   test("s14 semdedup pairs are an exact-cosine subset; clusters refine exact") {
     val exact = Similarity.cosinePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
