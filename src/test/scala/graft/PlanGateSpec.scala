@@ -104,6 +104,19 @@ class PlanGateSpec extends SparkSuite {
     assertPartialTopK(Warehouse.q34LatestSnapshot(spark, sf), "q34")
   }
 
+  // ---- t17 positional phrase search ---------------------------------
+
+  test("t17 phrase search: postings pruned by BROADCAST phrase joins") {
+    // the intersection must touch only the queried terms' postings —
+    // both term-filter joins carry the 3-row phrase table broadcast;
+    // losing the hint would shuffle the FULL positional postings frame
+    val plan = finalPlan(graft.operators.TextOps.phraseSearch(spark, sf))
+    assert(broadcastJoins(plan) >= 2,
+      s"expected both w1/w2 posting joins broadcast, saw ${broadcastJoins(plan)}")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "t17 degraded to a cartesian join")
+  }
+
   // ---- scan pushdown / pruning --------------------------------------
 
   test("q02: range filter pushed to the parquet scan; columns pruned") {
