@@ -132,9 +132,14 @@ object Similarity {
       col("nrm").as("na"))
     val bSide = all.select(col("vec_id").as("dst"), col("v").as("vb"),
       col("nrm").as("nb"))
-    val scored = aSide.join(bSide, col("src") =!= col("dst"))
+    // score each unordered pair ONCE (src < dst), mirror for the
+    // directed graph — halves the O(n²) dot products, the build's
+    // dominant cost; cos(a,b) = cos(b,a) exactly (same rounded value)
+    val half = aSide.join(bSide, col("src") < col("dst"))
       .select(col("src"), col("dst"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+    val scored = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
     beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
   }
 
