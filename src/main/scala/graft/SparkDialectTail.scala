@@ -684,8 +684,33 @@ object SparkDialectTail {
          ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
            "vec_id AS q_id, v, nrm")}"""
 
+  /** s18: the incremental-insert form — s17's bucket CTEs restricted
+    * to the ingested corpus, the batch as queries, k = m. */
+  private lazy val s18Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuard("s18",
+           "SELECT count(1) AS cnt FROM buckets WHERE vec_id >= 100 GROUP BY tb, bucket")},
+         cp AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           CROSS JOIN guard
+           WHERE a.vec_id >= 100 AND b.vec_id >= 100),
+         cs AS (
+           SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
+           FROM cp JOIN en ea ON ea.vec_id = cp.id_a
+           JOIN en eb ON eb.vec_id = cp.id_b),
+         sc AS (
+           SELECT id_a AS src, id_b AS dst, cos FROM cs
+           UNION ALL SELECT id_b, id_a, cos FROM cs),
+         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+           "vec_id AS q_id, v, nrm", k = 12,
+           qPred = "vec_id < 100", entriesIn = "100, 101, 102, 103")}"""
+
   lazy val forms: Map[String, String] = Map(
     "s17_ann_graph_lsh" -> s17Sql,
+    "s18_ann_graph_insert" -> s18Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_simhash" -> d04Sql,

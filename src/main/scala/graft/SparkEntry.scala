@@ -150,6 +150,7 @@ object SparkEntry {
     "s15_hard_negatives"  -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "s16_ann_graph"       -> ((s, dir) => Similarity.annGraph(s, dir)),
     "s17_ann_graph_lsh"   -> ((s, dir) => Similarity.annGraphLsh(s, dir)),
+    "s18_ann_graph_insert" -> ((s, dir) => Similarity.annGraphInsert(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1368,6 +1369,7 @@ object SparkEntry {
     "s03_lsh_pairs" -> s03OracleSql,
     "s16_ann_graph" -> s16OracleSql,
     "s17_ann_graph_lsh" -> s17OracleSql,
+    "s18_ann_graph_insert" -> s18OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
@@ -1480,15 +1482,18 @@ object SparkEntry {
     * `cos(a, b)` renders the dialect's rounded-cosine expression. */
   private[graft] def graphBeamTail(cos: (String, String) => String,
       eTab: String, qCols: String, m: Int = 12, beam: Int = 8,
-      hops: Int = 4, k: Int = 3, nq: Int = 5, ne: Int = 4): String = {
-    val entries = (nq until nq + ne).mkString(", ")
+      hops: Int = 4, k: Int = 3, nq: Int = 5, ne: Int = 4,
+      qPred: String = "", entriesIn: String = ""): String = {
+    val qWhere = if (qPred.nonEmpty) qPred else s"vec_id < $nq"
+    val entries =
+      if (entriesIn.nonEmpty) entriesIn else (nq until nq + ne).mkString(", ")
     val sb = new StringBuilder
     sb ++= s"""g AS (
            SELECT src, dst FROM (
              SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
              FROM sc) WHERE rk <= $m),
-         q AS (SELECT $qCols FROM $eTab WHERE vec_id < $nq),
+         q AS (SELECT $qCols FROM $eTab WHERE $qWhere),
          v0 AS (
            SELECT q.q_id, n.vec_id AS n_id, ${cos("q", "n")} AS cos
            FROM q JOIN $eTab n ON n.vec_id IN ($entries) AND n.vec_id <> q.q_id)"""
@@ -1562,6 +1567,30 @@ object SparkEntry {
            SELECT id_a AS src, id_b AS dst, cos FROM cs
            UNION ALL SELECT id_b, id_a, cos FROM cs),
          ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v")}"""
+
+  /** s18: the incremental-insert replay — the s17 bucket CTEs
+    * restricted to the ingested corpus (vec_id ≥ 100), the batch
+    * (vec_id < 100) as the query set, entries = the 4 smallest
+    * ingested ids, k = m (the edge selection). */
+  private lazy val s18OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuardCte("s18",
+           "SELECT count(*) AS cnt FROM buckets WHERE vec_id >= 100 GROUP BY tb, bucket")},
+         cp AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           CROSS JOIN guard
+           WHERE a.vec_id >= 100 AND b.vec_id >= 100),
+         cs AS (
+           SELECT id_a, id_b, ${duckCos("ea", "eb")} AS cos
+           FROM cp JOIN e ea ON ea.vec_id = cp.id_a
+           JOIN e eb ON eb.vec_id = cp.id_b),
+         sc AS (
+           SELECT id_a AS src, id_b AS dst, cos FROM cs
+           UNION ALL SELECT id_b, id_a, cos FROM cs),
+         ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v", k = 12,
+           qPred = "vec_id < 100", entriesIn = "100, 101, 102, 103")}"""
 
   private lazy val s03OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)},

@@ -169,6 +169,43 @@ object Similarity {
     beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
   }
 
+  /** s18: incremental INSERT into the graph index — the lifecycle step
+    * [[annGraphLsh]]'s build-once story needs (d11's incremental-dedup
+    * contract, ported to ANN): the index over the already-ingested
+    * corpus (vec_id ≥ `splitId`) is NOT rebuilt when a batch arrives;
+    * each new vector beam-searches the EXISTING graph and the result
+    * IS its edge selection — HNSW's insertion primitive (search layer-0
+    * with ef=beam, connect to the top-m found). Output: the `m` edges
+    * each batch vector would attach with, (q_id, rk, n_id, cos), every
+    * n_id an ingested-corpus node.
+    *
+    * Scale shape: the old-corpus graph is the [[annGraphLsh]] build
+    * (bucketed candidates, anchor-capped — never O(n²)); the insert
+    * itself costs O(hops · beam · m) score evaluations PER BATCH
+    * VECTOR regardless of ingested-corpus size, with the batch
+    * broadcast — the property that makes continuous ingestion viable
+    * at 100 TB. */
+  def annGraphInsert(s: SparkSession, dir: String, splitId: Long = 100,
+                     nTables: Int = 6, nPlanes: Int = 6, m: Int = 12,
+                     beam: Int = 8, hops: Int = 4, nEntries: Int = 4,
+                     bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val all = emb(s, dir)
+    val old = all.filter(col("vec_id") >= splitId)
+    val undirected = lshPairsMulti(old, threshold = -2.0, nTables, nPlanes,
+      dim = 64, bucketCap)
+    val scored = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(undirected
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    beamSearchFrames(all, topMGraph(scored, m),
+      all.filter(col("vec_id") < splitId)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+      old.filter(col("vec_id") < splitId + nEntries)
+        .select(col("vec_id").as("n_id")),
+      beam, hops, k = m)
+  }
+
   /** Directed k-NN graph: each src's top-`m` candidates by
     * (rounded cos DESC, dst ASC). `localCheckpoint`: every beam-search
     * hop re-reads the graph, and nothing may re-run the (expensive)
@@ -181,22 +218,32 @@ object Similarity {
       .localCheckpoint()
   }
 
-  /** The fixed-hop greedy beam search shared by [[annGraph]] and
-    * [[annGraphLsh]] — pair-source-agnostic, like the CC core the
-    * dedup clusterings share. `corpus` = (vec_id, v, nrm). */
+  /** The fixed-hop greedy beam search shared by [[annGraph]],
+    * [[annGraphLsh]] and [[annGraphInsert]] — pair-source-agnostic,
+    * like the CC core the dedup clusterings share. `corpus` =
+    * (vec_id, v, nrm) must cover every id the search can score (graph
+    * nodes AND queries). */
   private def beamSearch(corpus: DataFrame, graph: DataFrame, beam: Int,
                          hops: Int, k: Int, nQueries: Int,
-                         nEntries: Int): DataFrame = {
-    val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+                         nEntries: Int): DataFrame =
+    beamSearchFrames(corpus, graph,
+      corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+      corpus
+        .filter(col("vec_id") >= nQueries &&
+          col("vec_id") < nQueries + nEntries)
+        .select(col("vec_id").as("n_id")),
+      beam, hops, k)
+
+  private def beamSearchFrames(corpus: DataFrame, graph: DataFrame,
+                               queries: DataFrame, entries: DataFrame,
+                               beam: Int, hops: Int, k: Int): DataFrame = {
     def score(cand: DataFrame): DataFrame =
       cand.join(corpus.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("n_id"),
           round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
-    val entries = corpus
-      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nEntries)
-      .select(col("vec_id").as("n_id"))
     val wB = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     var visited = score(queries.select("q_id").crossJoin(entries)
       .filter(col("n_id") =!= col("q_id"))).localCheckpoint()
