@@ -86,6 +86,7 @@ object SparkEntry {
     "t15_chunk_dedup"     -> ((s, dir) => TextOps.chunkDedup(s, dir)),
     "t16_inverted_index"  -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "t17_phrase_search"   -> ((s, dir) => TextOps.phraseSearch(s, dir)),
+    "t18_collocations"    -> ((s, dir) => TextOps.collocations(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -997,6 +998,34 @@ object SparkEntry {
          FROM p1 JOIN p2 ON p1.phrase = p2.phrase
            AND p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t18_collocations" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                 FROM toks WHERE len(tk) >= 2)
+         ), bgc AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY 1
+         ), uni AS (
+           SELECT w, count(*) AS n_w
+           FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1
+         ), tot AS (
+           SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM bgc) AS b_total,
+             (SELECT CAST(sum(n_w) AS DOUBLE) FROM uni) AS t_total
+         ), scored AS (
+           SELECT b.bigram, b.n_pair,
+             floor(ln((CAST(b.n_pair AS DOUBLE) / t.b_total)
+               / ((CAST(u1.n_w AS DOUBLE) / t.t_total)
+                  * (CAST(u2.n_w AS DOUBLE) / t.t_total)))*1e4 + 0.5)/1e4
+               AS pmi
+           FROM bgc b
+           JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
+           JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2]
+           CROSS JOIN tot t
+           WHERE b.n_pair >= 5)
+         SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS INT)
+             AS rk, bigram, n_pair, pmi
+         FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -2228,6 +2257,36 @@ object SparkEntry {
          FROM p1 JOIN p2 ON p1.phrase = p2.phrase
            AND p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t18_collocations" ->
+      """WITH toks AS (
+           SELECT split(trim(text), '\\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT explode(transform(sequence(1, size(tk) - 1),
+             i -> array_join(slice(tk, i, 2), ' '))) AS bigram
+           FROM toks WHERE size(tk) >= 2
+         ), bgc AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY 1
+         ), uni AS (
+           SELECT w, count(*) AS n_w
+           FROM (SELECT explode(tk) AS w FROM toks) GROUP BY 1
+         ), tot AS (
+           SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM bgc) AS b_total,
+             (SELECT CAST(sum(n_w) AS DOUBLE) FROM uni) AS t_total
+         ), scored AS (
+           SELECT b.bigram, b.n_pair,
+             floor(ln((CAST(b.n_pair AS DOUBLE) / t.b_total)
+               / ((CAST(u1.n_w AS DOUBLE) / t.t_total)
+                  * (CAST(u2.n_w AS DOUBLE) / t.t_total)))*1e4 + 0.5)/1e4
+               AS pmi
+           FROM bgc b
+           JOIN uni u1 ON u1.w = split(b.bigram, ' ')[0]
+           JOIN uni u2 ON u2.w = split(b.bigram, ' ')[1]
+           CROSS JOIN tot t
+           WHERE b.n_pair >= 5)
+         SELECT rk, bigram, n_pair, pmi FROM (
+           SELECT bigram, n_pair, pmi,
+             row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rk
+           FROM scored)
+         WHERE rk <= 20 ORDER BY rk""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies

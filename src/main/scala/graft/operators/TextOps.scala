@@ -686,6 +686,52 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** t18: collocation extraction by pointwise mutual information — the
+    * phrase-mining pass a tokenizer/vocab pipeline runs before merging
+    * multi-word units: PMI(a b) = ln( p(ab) / (p(a)·p(b)) ) with
+    * p(ab) = c(ab)/B over corpus bigram count B and p(w) = c(w)/T over
+    * corpus token count T, floored at `minCount` co-occurrences so
+    * one-off pairings don't dominate. Output: the top-`k` bigrams
+    * ranked by (4-dp-floored PMI DESC, bigram ASC) — ranking on the
+    * ROUNDED value is what makes the order engine-portable (the s01
+    * discipline, t12's ln/floor discipline for the float itself).
+    *
+    * Scale shape: two narrow explodes and two count shuffles (bigram,
+    * unigram), the two scalar totals broadcast back (the BM25/q24
+    * 1-row-aggregate pattern), one broadcast-able top-k. Nothing
+    * corpus-sized crosses the wire beyond the count frames. */
+  def collocations(s: SparkSession, dir: String, minCount: Int = 5,
+                   k: Int = 20): DataFrame =
+    collocations(t(s, dir, "documents"), "text", minCount, k)
+
+  def collocations(docs: DataFrame, textCol: String, minCount: Int,
+                   k: Int): DataFrame = {
+    val bg = docs.select(explode(bigramsUdf(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+    val uni = docs
+      .select(explode(tokensOf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = bg.agg(sum("n_pair").as("b_total")).crossJoin(
+      uni.agg(sum("n_w").as("t_total")))
+    val w1 = uni.select(col("w").as("w1"), col("n_w").as("n_w1"))
+    val w2 = uni.select(col("w").as("w2"), col("n_w").as("n_w2"))
+    val scored = bg.filter(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+      .join(w1, "w1").join(w2, "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_pair"),
+        r4(log(
+          (col("n_pair").cast("double") / col("b_total")) /
+            ((col("n_w1").cast("double") / col("t_total")) *
+              (col("n_w2").cast("double") / col("t_total"))))).as("pmi"))
+    scored.orderBy(desc("pmi"), asc("bigram")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("pmi"), asc("bigram"))))
+      .select("rk", "bigram", "n_pair", "pmi")
+      .orderBy("rk")
+  }
+
   /** t17: phrase search via POSITIONAL intersection — the query-serving
     * complement of the inverted index (t16): t16's `doc:tf` postings
     * answer bag-of-words queries only; a phrase query ("customer join"

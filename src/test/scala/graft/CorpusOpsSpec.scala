@@ -472,6 +472,32 @@ class CorpusOpsSpec extends SparkSuite {
       s"a top phrase had no positional hits: $top")
   }
 
+  test("t18 PMI collocations match a full-corpus Scala recomputation") {
+    val (minCount, k) = (5, 20)
+    val toks = docs.map { case (_, text) => text.trim.split("\\s+").toSeq }
+    val bgc = toks.flatMap(tk => tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val bTotal = bgc.values.sum.toDouble
+    val tTotal = uni.values.sum.toDouble
+    val scored = bgc.toSeq.filter(_._2 >= minCount).map { case (b, n) =>
+      val ws = b.split(" ")
+      val pmi = r4(math.log((n / bTotal) /
+        ((uni(ws(0)) / tTotal) * (uni(ws(1)) / tTotal))))
+      (b, n, pmi)
+    }
+    val expected = scored.sortBy(t => (-t._3, t._1)).take(k).zipWithIndex
+      .map { case ((b, n, p), i) => (i + 1, b, n, p) }
+    val got = TextOps.collocations(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // PMI must actually reorder vs raw frequency, else the score is vacuous
+    assert(expected.map(_._2) !=
+      scored.sortBy(t => (-t._2, t._1)).take(k).map(_._1),
+      "top-PMI order identical to top-frequency order")
+  }
+
   test("t15 chunk dedup matches a full-corpus Scala recomputation") {
     val width = 32
     // every chunk occurrence, in (doc_id, chunk_id) order of appearance
