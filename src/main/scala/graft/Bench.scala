@@ -26,6 +26,18 @@ import org.apache.spark.sql.SparkSession
   * query ("transient contention" if the re-run recovered, "persistent"
   * if not) so a regression reads its own diagnosis.
   *
+  * Quiet-window adjudication (r10, after the r9 d10 episode shipped an
+  * unresolved "investigate" that a quiet min-of-3 later measured at
+  * 1.1s): a would-be "persistent" verdict first waits for the 1-min
+  * loadavg to decay below `SPARK_GRAFT_QUIET_LOAD` (default 2.0) and
+  * re-measures in that window, so the artifact carries a RESOLVED
+  * verdict — "contention (quiet ...)" when the quiet number recovers,
+  * "persistent ... confirmed quiet" when it doesn't (a real
+  * regression), or "unadjudicated (host never quiet)" if the shared
+  * wait budget (`SPARK_GRAFT_QUIET_BUDGET_MS`, default 300s across the
+  * whole run) runs out first. The reported timing is the min over all
+  * attempts including the quiet one.
+  *
   * Serve-mode attribution: queries serving PINNED model fixtures
   * (s05/s09/s10/s11/s13/s12/s14 — fit left the timed path in r8) are
   * listed under `pinned_serve`, and their FIT-INCLUSIVE variants are
@@ -112,6 +124,32 @@ object Bench {
       // -1 instead of the elapsed time of the failed attempt.
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Shared wait budget for quiet-window adjudication — bounds the
+    // total bench-run delay no matter how many outliers fire on a
+    // permanently-busy host.
+    var quietBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_MS", "300000").toLong
+    val quietLoad =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+
+    /** Wait (within the shared budget) for the 1-min loadavg to decay
+      * below `quietLoad`, then return one measurement taken in that
+      * window plus the load it ran at. None if the host never got
+      * quiet — the verdict then says so instead of guessing. */
+    def quietRemeasure(name: String,
+                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[(Double, Double)] = {
+      val stepMs = 5000L
+      var l = load1()
+      while (l > quietLoad && quietBudgetMs > 0) {
+        Thread.sleep(stepMs)
+        quietBudgetMs -= stepMs
+        l = load1()
+      }
+      if (l > quietLoad || l < 0) None
+      else Some((timeOnce(name, fn), l))
+    }
+
     def timeQuery(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       loads(name) = load1()
@@ -125,11 +163,26 @@ object Bench {
           // regression does not.
           val extra = timeOnce(name, fn)
           val fin = if (extra < 0) best else math.min(best, extra)
-          val verdict =
-            if (fin <= 2 * prev) f"transient contention (min-of-$repeat%d $best%.2fs vs prev $prev%.2fs; rerun $extra%.2fs recovered)"
-            else f"persistent: $fin%.2fs vs prev $prev%.2fs after rerun (load ${loads(name)}%.1f) - investigate"
-          outliers(name) = verdict
-          fin
+          if (fin <= 2 * prev) {
+            outliers(name) =
+              f"transient contention (min-of-$repeat%d $best%.2fs vs prev $prev%.2fs; rerun $extra%.2fs recovered)"
+            fin
+          } else quietRemeasure(name, fn) match {
+            // Still >2× after the immediate rerun: adjudicate in a
+            // quiet window before shipping a "persistent" verdict.
+            case Some((q, ql)) if q >= 0 && q <= 2 * prev =>
+              outliers(name) =
+                f"contention (driver-window min $fin%.2fs at load ${loads(name)}%.1f; quiet re-measure $q%.2fs at load $ql%.1f recovered)"
+              math.min(fin, q)
+            case Some((q, ql)) if q >= 0 =>
+              outliers(name) =
+                f"persistent: $q%.2fs vs prev $prev%.2fs confirmed quiet (load $ql%.1f) - real regression"
+              math.min(fin, q)
+            case _ =>
+              outliers(name) =
+                f"unadjudicated: $fin%.2fs vs prev $prev%.2fs (load ${loads(name)}%.1f; host never quiet within budget)"
+              fin
+          }
         case _ => best
       }
     }
