@@ -659,7 +659,6 @@ object SparkDialectTail {
          SELECT * FROM ($out) ORDER BY rank"""
   }
 
-  /** The 24 kernel-bound forms; appended to SparkEntry.sparkSql. */
   /** s17: the LSH-built graph ANN — candidate edges from the SAME
     * `graft_lsh_bucket` multi-table buckets as s03's form (6 tables ×
     * 6 planes), then the shared beam tail
@@ -684,19 +683,51 @@ object SparkDialectTail {
          ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
            "vec_id AS q_id, v, nrm")}"""
 
+  /** s19: the refined-graph form — s17's bucket candidates as `cs0`,
+    * the unrolled NN-descent rounds (SparkEntry.nnDescentCtes, the
+    * same generator as the DuckDB replay), then the shared beam
+    * tail. */
+  private lazy val s19Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuard("s19", "SELECT count(1) AS cnt FROM buckets GROUP BY tb, bucket")},
+         cp AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           CROSS JOIN guard),
+         cs0 AS (
+           SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
+           FROM cp JOIN en ea ON ea.vec_id = cp.id_a
+           JOIN en eb ON eb.vec_id = cp.id_b),
+         ${SparkEntry.nnDescentCtes(SparkEntry.sparkCos, "en",
+           operators.Similarity.S19Rounds)},
+         sc AS (
+           SELECT id_a AS src, id_b AS dst, cos
+           FROM cs${operators.Similarity.S19Rounds}
+           UNION ALL SELECT id_b, id_a, cos
+           FROM cs${operators.Similarity.S19Rounds}),
+         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+           "vec_id AS q_id, v, nrm")}"""
+
   /** s18: the incremental-insert form — s17's bucket CTEs restricted
-    * to the ingested corpus, the batch as queries, k = m. */
-  private lazy val s18Sql: String =
+    * to the ingested corpus, the batch as queries, k = m. Split/entry/k
+    * literals derive from the Similarity.S18* / GraphM constants, same
+    * single-sourcing as the DuckDB replay. */
+  private lazy val s18Sql: String = {
+    val split = operators.Similarity.S18SplitId
+    val entries = (split until split + operators.Similarity.S18NEntries)
+      .mkString(", ")
     s"""WITH $embCte,
          ${bucketsCte(nTables = 6, nPlanes = 6)},
          ${capGuard("s18",
-           "SELECT count(1) AS cnt FROM buckets WHERE vec_id >= 100 GROUP BY tb, bucket")},
+           s"SELECT count(1) AS cnt FROM buckets WHERE vec_id >= $split GROUP BY tb, bucket")},
          cp AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            FROM buckets a JOIN buckets b
              ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            CROSS JOIN guard
-           WHERE a.vec_id >= 100 AND b.vec_id >= 100),
+           WHERE a.vec_id >= $split AND b.vec_id >= $split),
          cs AS (
            SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
            FROM cp JOIN en ea ON ea.vec_id = cp.id_a
@@ -705,12 +736,15 @@ object SparkDialectTail {
            SELECT id_a AS src, id_b AS dst, cos FROM cs
            UNION ALL SELECT id_b, id_a, cos FROM cs),
          ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
-           "vec_id AS q_id, v, nrm", k = 12,
-           qPred = "vec_id < 100", entriesIn = "100, 101, 102, 103")}"""
+           "vec_id AS q_id, v, nrm", k = operators.Similarity.GraphM,
+           qPred = s"vec_id < $split", entriesIn = entries)}"""
+  }
 
+  /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
     "s17_ann_graph_lsh" -> s17Sql,
     "s18_ann_graph_insert" -> s18Sql,
+    "s19_ann_graph_refined" -> s19Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_simhash" -> d04Sql,

@@ -152,6 +152,7 @@ object SparkEntry {
     "s16_ann_graph"       -> ((s, dir) => Similarity.annGraph(s, dir)),
     "s17_ann_graph_lsh"   -> ((s, dir) => Similarity.annGraphLsh(s, dir)),
     "s18_ann_graph_insert" -> ((s, dir) => Similarity.annGraphInsert(s, dir)),
+    "s19_ann_graph_refined" -> ((s, dir) => Similarity.annGraphLshRefined(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1399,6 +1400,7 @@ object SparkEntry {
     "s16_ann_graph" -> s16OracleSql,
     "s17_ann_graph_lsh" -> s17OracleSql,
     "s18_ann_graph_insert" -> s18OracleSql,
+    "s19_ann_graph_refined" -> s19OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
@@ -1494,21 +1496,16 @@ object SparkEntry {
            FROM ($sizeSql))"""
   }
 
-  /** Shared generator for the s16 graph-ANN replay — the t13 unrolling
-    * discipline: the engine's fixed-hop beam search is re-derived as
-    * chained CTEs (one frontier/expand/score/union block per hop), so
-    * the oracle runs the IDENTICAL computation, not a re-derivation.
-    * One body, two dialects: `duck = true` emits DuckDB
-    * (`list_cosine_similarity`), `duck = false` emits Spark SQL
-    * (`graft_dot` + explicit norms) — single-sourced so the dialects
-    * can never drift from each other. Parameters must mirror
-    * [[graft.operators.Similarity.annGraph]]'s defaults. */
-  /** The graph-beam-search tail shared by the s16 and s17 replays (and
+  /** The graph-beam-search tail shared by the s16/s17/s18 replays (and
     * both dialects of each): expects a prior CTE `sc(src, dst, cos)` —
     * the candidate edge stream — plus a corpus CTE `eTab(vec_id, v
     * [, nrm])`; emits the top-m graph, the pinned-entry seed, `hops`
     * frontier/expand/score/union blocks, and the final top-k select.
-    * `cos(a, b)` renders the dialect's rounded-cosine expression. */
+    * `cos(a, b)` renders the dialect's rounded-cosine expression.
+    * The t13 unrolling discipline: the engine's FIXED-hop beam search
+    * is re-derived as chained CTEs (one block per hop), so the oracle
+    * runs the identical computation, not a re-derivation; parameters
+    * must mirror [[graft.operators.Similarity.annGraph]]'s defaults. */
   private[graft] def graphBeamTail(cos: (String, String) => String,
       eTab: String, qCols: String, m: Int = 12, beam: Int = 8,
       hops: Int = 4, k: Int = 3, nq: Int = 5, ne: Int = 4,
@@ -1557,6 +1554,53 @@ object SparkEntry {
   private[graft] def sparkCos(a: String, b: String): String =
     s"round(graft_dot($a.v, $b.v) / ($a.nrm * $b.nrm), 6)"
 
+  /** NN-descent refinement CTEs shared by the s19 replays (both
+    * dialects): expects `cs0(id_a, id_b, cos)` — the canonical
+    * undirected scored candidate set (id_a < id_b) — plus the corpus
+    * CTE `eTab`; emits per round r the directed top-m graph `gr{r}`,
+    * the neighbor-of-neighbor proposals `nn{r}` (dst pairs sharing a
+    * graph src), the never-seen filter `fr{r}`, the scored fresh
+    * pairs `fs{r}`, and the union `cs{r}`. Mirrors
+    * [[graft.operators.Similarity.annGraphLshRefined]] block for
+    * block — the t13 unrolling discipline, fixed `rounds`. The caller
+    * continues from `cs{rounds}`.
+    *
+    * `materialized` (DuckDB dialect only — Spark SQL has no such
+    * keyword and Catalyst handles the reuse itself): gr/cs are each
+    * referenced 2–3 times downstream, and DuckDB 1.0 INLINES
+    * multi-referenced CTEs — without AS MATERIALIZED the expansion
+    * tree re-runs the bucket self-join per reference and the sf0.01
+    * replay goes from 1.2 s to >300 s (measured r10). The caller
+    * should mark its `cs0` the same way. */
+  private[graft] def nnDescentCtes(cos: (String, String) => String,
+      eTab: String, rounds: Int, m: Int = operators.Similarity.GraphM,
+      materialized: Boolean = false): String =
+    (1 to rounds).map { r =>
+      val prev = s"cs${r - 1}"
+      val mat = if (materialized) "MATERIALIZED " else ""
+      s"""gr$r AS $mat(
+           SELECT src, dst FROM (
+             SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+             FROM (SELECT id_a AS src, id_b AS dst, cos FROM $prev
+                   UNION ALL SELECT id_b, id_a, cos FROM $prev))
+           WHERE rk <= $m),
+         nn$r AS (
+           SELECT DISTINCT g1.dst AS id_a, g2.dst AS id_b
+           FROM gr$r g1 JOIN gr$r g2
+             ON g1.src = g2.src AND g1.dst < g2.dst),
+         fr$r AS (
+           SELECT n.id_a, n.id_b FROM nn$r n
+           WHERE NOT EXISTS (
+             SELECT 1 FROM $prev c
+             WHERE c.id_a = n.id_a AND c.id_b = n.id_b)),
+         fs$r AS (
+           SELECT f.id_a, f.id_b, ${cos("ea", "eb")} AS cos
+           FROM fr$r f JOIN $eTab ea ON ea.vec_id = f.id_a
+           JOIN $eTab eb ON eb.vec_id = f.id_b),
+         cs$r AS $mat(SELECT * FROM $prev UNION ALL SELECT * FROM fs$r)"""
+    }.mkString(",\n         ")
+
   private def s16Sql(duck: Boolean): String = {
     val base =
       if (duck) "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -1597,20 +1641,52 @@ object SparkEntry {
            UNION ALL SELECT id_b, id_a, cos FROM cs),
          ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v")}"""
 
+  /** s19: the refined-graph replay — s17's bucket candidates as
+    * `cs0`, then the unrolled NN-descent rounds ([[nnDescentCtes]],
+    * S19Rounds fixed), then the identical beam tail over the refined
+    * graph. */
+  private lazy val s19OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuardCte("s19",
+           "SELECT count(*) AS cnt FROM buckets GROUP BY tb, bucket")},
+         cp AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           CROSS JOIN guard),
+         cs0 AS MATERIALIZED (
+           SELECT id_a, id_b, ${duckCos("ea", "eb")} AS cos
+           FROM cp JOIN e ea ON ea.vec_id = cp.id_a
+           JOIN e eb ON eb.vec_id = cp.id_b),
+         ${nnDescentCtes(duckCos, "e", operators.Similarity.S19Rounds,
+           materialized = true)},
+         sc AS (
+           SELECT id_a AS src, id_b AS dst, cos
+           FROM cs${operators.Similarity.S19Rounds}
+           UNION ALL SELECT id_b, id_a, cos
+           FROM cs${operators.Similarity.S19Rounds}),
+         ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v")}"""
+
   /** s18: the incremental-insert replay — the s17 bucket CTEs
-    * restricted to the ingested corpus (vec_id ≥ 100), the batch
-    * (vec_id < 100) as the query set, entries = the 4 smallest
-    * ingested ids, k = m (the edge selection). */
-  private lazy val s18OracleSql: String =
+    * restricted to the ingested corpus (vec_id ≥ splitId), the batch
+    * (vec_id < splitId) as the query set, entries = the smallest
+    * ingested ids, k = m (the edge selection). Every split/entry/k
+    * literal derives from the Similarity.S18* / GraphM constants —
+    * the engine's own defaults — so a default change cannot desync
+    * the replay (the DefaultBucketCap discipline). */
+  private lazy val s18OracleSql: String = {
+    val split = operators.Similarity.S18SplitId
+    val entries = (split until split + operators.Similarity.S18NEntries)
+      .mkString(", ")
     s"""WITH ${lshBucketsCte(nTables = 6, nPlanes = 6)},
          ${capGuardCte("s18",
-           "SELECT count(*) AS cnt FROM buckets WHERE vec_id >= 100 GROUP BY tb, bucket")},
+           s"SELECT count(*) AS cnt FROM buckets WHERE vec_id >= $split GROUP BY tb, bucket")},
          cp AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            FROM buckets a JOIN buckets b
              ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            CROSS JOIN guard
-           WHERE a.vec_id >= 100 AND b.vec_id >= 100),
+           WHERE a.vec_id >= $split AND b.vec_id >= $split),
          cs AS (
            SELECT id_a, id_b, ${duckCos("ea", "eb")} AS cos
            FROM cp JOIN e ea ON ea.vec_id = cp.id_a
@@ -1618,8 +1694,10 @@ object SparkEntry {
          sc AS (
            SELECT id_a AS src, id_b AS dst, cos FROM cs
            UNION ALL SELECT id_b, id_a, cos FROM cs),
-         ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v", k = 12,
-           qPred = "vec_id < 100", entriesIn = "100, 101, 102, 103")}"""
+         ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v",
+           k = operators.Similarity.GraphM,
+           qPred = s"vec_id < $split", entriesIn = entries)}"""
+  }
 
   private lazy val s03OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 6)},

@@ -18,10 +18,14 @@ object Tables {
     // unreadable in Spark 4 unless surfaced as a long — and as
     // TIMESTAMP(MICROS) without timezone — surfaced as TIMESTAMP_NTZ,
     // which watermarks and unix_micros reject. Normalize BOTH physical
-    // encodings to session-tz TimestampType here (the session runs
-    // UTC, so the wall-clock values are identical either way) so every
-    // downstream operator sees one type regardless of data vintage.
+    // encodings to session-tz TimestampType here, and FORCE the
+    // session timezone to UTC the same way the legacy flag is forced:
+    // the NTZ→TimestampType cast reinterprets wall-clock time in the
+    // session zone, so the two encodings only read identical instants
+    // under UTC — a caller in another zone would silently read
+    // shifted timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)

@@ -31,6 +31,21 @@ object Similarity {
     * threshold than the oracle asserts. */
   val DefaultBucketCap: Int = 1000
 
+  /** s18 replay constants — single-sourced for the same reason as
+    * [[DefaultBucketCap]]: the ingested/batch split id, the entry-set
+    * size, and the per-node edge count (k = m in the insert) appear in
+    * [[annGraphInsert]]'s defaults AND in both dialects' generated SQL
+    * (SparkEntry.s18OracleSql, SparkDialectTail.s18Sql); deriving all
+    * three sites from here means changing a default can never desync
+    * the engine from its oracle replay. */
+  val S18SplitId: Long = 100
+  val S18NEntries: Int = 4
+  val GraphM: Int = 12
+
+  /** s19's fixed NN-descent round count — single-sourced into the
+    * generated replays like the s18 constants above. */
+  val S19Rounds: Int = 1
+
   /** Cosine similarity over two array<double> columns, computed in
     * double with the same op order as `Σab / (√Σa² · √Σb²)`. */
   def cosine(a: Column, b: Column): Column =
@@ -143,6 +158,33 @@ object Similarity {
     beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
   }
 
+  /** Occupancy-targeted nPlanes dial for the LSH-built graph queries:
+    * in-bucket candidate volume grows ~N²/2^nPlanes per table, so
+    * holding expected bucket occupancy near a constant (2¹⁰ vectors)
+    * means nPlanes = log₂N − 10, floored at the gate-corpus setting.
+    * The response curve is MEASURED, not assumed (BASELINE.md r9 /
+    * [[graft.tools.GraphKnobProbe]], sf1 = 500k vectors: nPlanes 6 →
+    * 17.9 s, 8 → 8.0 s, 9 → 6.4 s, recall@3 = 1.00 throughout); this
+    * formula reproduces the probe's best point (N=500k → 9) while
+    * leaving every driver-gate SF at the oracle's 6 (N=500 / 5k / 50k
+    * → 6 — the s17/s18 oracle SQL bakes nPlanes=6 plane literals, so
+    * the dial MUST resolve to 6 wherever hashes are compared). */
+  def autoNPlanes(n: Long, floor: Int = 6): Int = {
+    val log2n = math.log(n.max(1L).toDouble) / math.log(2.0)
+    math.max(floor, math.round(log2n).toInt - 10)
+  }
+
+  /** Session-scoped memo of corpus CARDINALITIES feeding the
+    * [[autoNPlanes]] dial — sizes only, never data, so the driver-side
+    * state is a handful of longs keyed by (dir, predicate tag). The
+    * testdata dir is immutable within a session; memoizing saves the
+    * per-invocation count job (~0.5 s of pure job overhead per repeat
+    * under the bench's min-of-N protocol, measured in r10's A/B). */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def memoCount(key: String)(compute: => Long): Long =
+    corpusCounts.computeIfAbsent(key, _ => compute)
+
   /** s17: [[annGraph]]'s 100 TB twin — the SAME fixed-hop beam search
     * over a k-NN graph built from the multi-table sign-LSH candidate
     * pairs ([[lshPairsMulti]], threshold disabled: a kNN graph wants
@@ -153,20 +195,88 @@ object Similarity {
     * graph's on the gate corpus. ORACLE-EXACT end-to-end: integer-grid
     * buckets (s03's discipline) + the unrolled beam replay (s16's) —
     * the full scale path of graph ANN is driver-verified, the same
-    * baseline/twin contract as s02→s03 and d07→d09. */
+    * baseline/twin contract as s02→s03 and d07→d09.
+    *
+    * `nPlanes = None` (the registered default) engages the
+    * [[autoNPlanes]] occupancy dial: one metadata-cheap parquet count
+    * sizes the corpus and the build self-tunes with it — the r9
+    * scale finding (fixed 6 planes cost 6.3× wall at 10× data) is
+    * engine behavior now, not a deployment footnote. */
   def annGraphLsh(s: SparkSession, dir: String, nTables: Int = 6,
-                  nPlanes: Int = 6, m: Int = 12, beam: Int = 8,
+                  nPlanes: Option[Int] = None, m: Int = GraphM, beam: Int = 8,
                   hops: Int = 4, k: Int = 3, nQueries: Int = 5,
                   nEntries: Int = 4,
                   bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
-    val undirected = lshPairsMulti(all, threshold = -2.0, nTables, nPlanes,
+    val nP = nPlanes.getOrElse(autoNPlanes(
+      memoCount(dir)(t(s, dir, "embeddings").count())))
+    val undirected = lshPairsMulti(all, threshold = -2.0, nTables, nP,
       dim = 64, bucketCap)
     val scored = undirected
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(undirected
         .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
     beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
+  }
+
+  /** s19: [[annGraphLsh]] + NN-descent refinement (Dong et al.,
+    * WWW '11) — the graph-quality step the raw-LSH build lacks in
+    * sparse-bucket regimes (many planes, few cohabitants: nodes whose
+    * buckets are singletons get few or NO candidate edges, and the
+    * beam search can't reach what the graph doesn't link). Each
+    * refinement round proposes every NEIGHBOR-OF-NEIGHBOR pair of the
+    * current top-m graph (two nodes sharing a graph source — the
+    * "your neighbor's neighbor is probably your neighbor" closure),
+    * scores only the never-seen proposals, and rebuilds the top-m
+    * graph over the union. `rounds` is FIXED (t13 discipline), so the
+    * whole refinement unrolls into oracle CTEs and both engines run
+    * the identical computation; `rounds = 0` is exactly [[annGraphLsh]].
+    *
+    * Scale shape: a round's proposal volume is ≤ n·m(m−1)/2 pairs
+    * (corpus-LINEAR, m is a constant — vs the build's bucket-quadratic
+    * candidates), shuffled on the shared source id; the anti-join
+    * against already-scored pairs keeps re-scoring off the hot path;
+    * per-round `localCheckpoint` truncates the union lineage exactly
+    * like the CC rounds'. */
+  def annGraphLshRefined(s: SparkSession, dir: String,
+                         rounds: Int = S19Rounds,
+                         nTables: Int = 6, nPlanes: Option[Int] = None,
+                         m: Int = GraphM, beam: Int = 8,
+                         hops: Int = 4, k: Int = 3, nQueries: Int = 5,
+                         nEntries: Int = 4,
+                         bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val all = emb(s, dir)
+    val nP = nPlanes.getOrElse(autoNPlanes(
+      memoCount(dir)(t(s, dir, "embeddings").count())))
+    def directed(cs: DataFrame): DataFrame = cs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(cs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val aSide = all.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val bSide = all.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    var cs = lshPairsMulti(all, threshold = -2.0, nTables, nP,
+        dim = 64, bucketCap)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val g = topMGraph(directed(cs), m)
+      val nn = g.as("g1").join(g.as("g2"),
+          col("g1.src") === col("g2.src") && col("g1.dst") < col("g2.dst"))
+        .select(col("g1.dst").as("id_a"), col("g2.dst").as("id_b"))
+        .distinct()
+      val fresh = nn
+        .join(cs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .join(aSide, Seq("id_a"))
+        .join(bSide, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cos"))
+      cs = cs.unionByName(fresh).localCheckpoint()
+    }
+    beamSearch(all, topMGraph(directed(cs), m), beam, hops, k, nQueries,
+      nEntries)
   }
 
   /** s18: incremental INSERT into the graph index — the lifecycle step
@@ -184,14 +294,21 @@ object Similarity {
     * itself costs O(hops · beam · m) score evaluations PER BATCH
     * VECTOR regardless of ingested-corpus size, with the batch
     * broadcast — the property that makes continuous ingestion viable
-    * at 100 TB. */
-  def annGraphInsert(s: SparkSession, dir: String, splitId: Long = 100,
-                     nTables: Int = 6, nPlanes: Int = 6, m: Int = 12,
-                     beam: Int = 8, hops: Int = 4, nEntries: Int = 4,
+    * at 100 TB. `nPlanes = None` engages the [[autoNPlanes]] dial,
+    * sized on the INGESTED corpus (the side the graph is built
+    * over), same contract as [[annGraphLsh]]. */
+  def annGraphInsert(s: SparkSession, dir: String,
+                     splitId: Long = S18SplitId,
+                     nTables: Int = 6, nPlanes: Option[Int] = None,
+                     m: Int = GraphM,
+                     beam: Int = 8, hops: Int = 4,
+                     nEntries: Int = S18NEntries,
                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
     val old = all.filter(col("vec_id") >= splitId)
-    val undirected = lshPairsMulti(old, threshold = -2.0, nTables, nPlanes,
+    val nP = nPlanes.getOrElse(autoNPlanes(memoCount(s"$dir#ge$splitId")(
+      t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())))
+    val undirected = lshPairsMulti(old, threshold = -2.0, nTables, nP,
       dim = 64, bucketCap)
     val scored = undirected
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))

@@ -25,7 +25,10 @@ object GraphKnobProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val exact = Similarity.annBruteForce(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    planes.foreach { nP =>
+    // None = the registered default: the autoNPlanes occupancy dial.
+    // Probing it alongside the explicit points shows what a user who
+    // passes nothing actually gets at this SF.
+    (planes.map(Option(_)) :+ None).foreach { nP =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime
         val out = Similarity.annGraphLsh(spark, dir, nPlanes = nP).collect()
@@ -33,7 +36,8 @@ object GraphKnobProbe {
       }
       val got = runs.head._2.map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = got.intersect(exact).size.toDouble / exact.size
-      println(f"[knob] $dir nPlanes=$nP: ${runs.map(_._1).min}%.2f s min-of-2, recall@3 vs exact $recall%.2f")
+      val label = nP.map(_.toString).getOrElse("auto")
+      println(f"[knob] $dir nPlanes=$label: ${runs.map(_._1).min}%.2f s min-of-2, recall@3 vs exact $recall%.2f")
     }
     spark.stop()
   }

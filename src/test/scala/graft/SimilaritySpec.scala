@@ -272,6 +272,53 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"graph-ANN recall@$k degraded to $recall")
   }
 
+  test("autoNPlanes occupancy dial reproduces the measured BASELINE points") {
+    // the oracle SQL bakes nPlanes=6 plane literals, so every SF the
+    // driver hash-compares at MUST resolve to 6; the sf1 point must
+    // reproduce GraphKnobProbe's best measured setting (9 → 6.4 s,
+    // recall@3 1.0). Corpus sizes: embeddings rows at each SF.
+    assert(Similarity.autoNPlanes(500L) == 6)     // sf0.001
+    assert(Similarity.autoNPlanes(5000L) == 6)    // sf0.01 (driver gate)
+    assert(Similarity.autoNPlanes(50000L) == 6)   // sf0.1 (bench)
+    assert(Similarity.autoNPlanes(500000L) == 9)  // sf1 (probe best)
+    assert(Similarity.autoNPlanes(5000000L) == 12) // +log₂ growth beyond
+    assert(Similarity.autoNPlanes(0L) == 6)       // degenerate floor
+    // monotone non-decreasing in N — more data never means fewer planes
+    val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.autoNPlanes(_))
+    assert(pts == pts.sorted)
+  }
+
+  test("s19 law: refinement ≡ identity at rounds=0; recall never drops and recovers in sparse-bucket regimes") {
+    val exact = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // rounds = 0 is exactly the raw s17 path — same rows, same order
+    val s17 = Similarity.annGraphLsh(spark, sf).collect().toSeq
+    val id0 = Similarity.annGraphLshRefined(spark, sf, rounds = 0)
+      .collect().toSeq
+    assert(id0 == s17)
+    // sparse-bucket regime: 8 planes over 500 vectors starves most
+    // buckets, and 4 tables give few OR-chances — the raw LSH graph
+    // misses edges the beam search needs. NN-descent closes
+    // neighbor-of-neighbor edges without any new bucketing; the r10
+    // probe matrix measured raw 0.33 → refined 0.67 here (and lifts
+    // at every nT∈{2,3,4,6} × nP∈{8,9} point with raw > 0).
+    val raw = recall(Similarity.annGraphLshRefined(spark, sf, rounds = 0,
+      nTables = 4, nPlanes = Some(8)))
+    val refined = recall(Similarity.annGraphLshRefined(spark, sf, rounds = 2,
+      nTables = 4, nPlanes = Some(8)))
+    assert(raw < 1.0,
+      s"regime not sparse enough to be a meaningful test (raw recall $raw)")
+    assert(refined >= raw,
+      s"refinement dropped recall: raw $raw -> refined $refined")
+    assert(refined > raw,
+      s"refinement added no recall on the sparse corpus (raw $raw)")
+  }
+
   test("s17 LSH-graph ANN matches an independent Scala recomputation") {
     val (nT, nP, m, beam, hops, k, nq, ne) = (6, 6, 12, 8, 4, 3, 5, 4)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
