@@ -714,13 +714,14 @@ object SparkDialectTail {
     * to the ingested corpus, the batch as queries, k = m. Split/entry/k
     * literals derive from the Similarity.S18* / GraphM constants, same
     * single-sourcing as the DuckDB replay. */
-  private lazy val s18Sql: String = {
+  /** The s18 candidate chain, Spark dialect — shared by s18/s20 the
+    * same way SparkEntry.s18DuckChain serves the DuckDB replays (no
+    * MATERIALIZED keyword here; Catalyst handles CTE reuse). */
+  private def s18SparkChain(guardName: String): String = {
     val split = operators.Similarity.S18SplitId
-    val entries = (split until split + operators.Similarity.S18NEntries)
-      .mkString(", ")
-    s"""WITH $embCte,
+    s"""$embCte,
          ${bucketsCte(nTables = 6, nPlanes = 6)},
-         ${capGuard("s18",
+         ${capGuard(guardName,
            s"SELECT count(1) AS cnt FROM buckets WHERE vec_id >= $split GROUP BY tb, bucket")},
          cp AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -734,10 +735,47 @@ object SparkDialectTail {
            JOIN en eb ON eb.vec_id = cp.id_b),
          sc AS (
            SELECT id_a AS src, id_b AS dst, cos FROM cs
-           UNION ALL SELECT id_b, id_a, cos FROM cs),
+           UNION ALL SELECT id_b, id_a, cos FROM cs)"""
+  }
+
+  private lazy val s18Sql: String = {
+    val split = operators.Similarity.S18SplitId
+    val entries = (split until split + operators.Similarity.S18NEntries)
+      .mkString(", ")
+    s"""WITH ${s18SparkChain("s18")},
          ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
            "vec_id AS q_id, v, nrm", k = operators.Similarity.GraphM,
            qPred = s"vec_id < $split", entriesIn = entries)}"""
+  }
+
+  /** s20: the reciprocal-update form — the s18 chain, insert edges as
+    * the `res` CTE, then each affected node's re-ranked top-m over
+    * (degree-capped old edges ∪ incoming new edges). */
+  private lazy val s20Sql: String = {
+    val split = operators.Similarity.S18SplitId
+    val entries = (split until split + operators.Similarity.S18NEntries)
+      .mkString(", ")
+    val m = operators.Similarity.GraphM
+    s"""WITH ${s18SparkChain("s20")},
+         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+           "vec_id AS q_id, v, nrm", k = m,
+           qPred = s"vec_id < $split", entriesIn = entries,
+           finalCteHeader = "res AS")},
+         inc AS (
+           SELECT n_id AS src, q_id AS dst, cos FROM res),
+         oldg AS (
+           SELECT src, dst, cos FROM (
+             SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+             FROM sc) WHERE rk <= $m),
+         uni AS (
+           SELECT * FROM oldg UNION ALL SELECT * FROM inc),
+         aff AS (SELECT DISTINCT src FROM inc)
+         SELECT n_id, rk, dst, cos FROM (
+           SELECT u.src AS n_id, u.dst AS dst, u.cos AS cos,
+             row_number() OVER (PARTITION BY u.src ORDER BY u.cos DESC, u.dst ASC) AS rk
+           FROM uni u JOIN aff a ON a.src = u.src) WHERE rk <= $m
+         ORDER BY n_id, rk"""
   }
 
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
@@ -745,6 +783,7 @@ object SparkDialectTail {
     "s17_ann_graph_lsh" -> s17Sql,
     "s18_ann_graph_insert" -> s18Sql,
     "s19_ann_graph_refined" -> s19Sql,
+    "s20_ann_graph_insert_recip" -> s20Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_simhash" -> d04Sql,

@@ -153,6 +153,7 @@ object SparkEntry {
     "s17_ann_graph_lsh"   -> ((s, dir) => Similarity.annGraphLsh(s, dir)),
     "s18_ann_graph_insert" -> ((s, dir) => Similarity.annGraphInsert(s, dir)),
     "s19_ann_graph_refined" -> ((s, dir) => Similarity.annGraphLshRefined(s, dir)),
+    "s20_ann_graph_insert_recip" -> ((s, dir) => Similarity.annGraphInsertRecip(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1401,6 +1402,7 @@ object SparkEntry {
     "s17_ann_graph_lsh" -> s17OracleSql,
     "s18_ann_graph_insert" -> s18OracleSql,
     "s19_ann_graph_refined" -> s19OracleSql,
+    "s20_ann_graph_insert_recip" -> s20OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
@@ -1506,10 +1508,17 @@ object SparkEntry {
     * is re-derived as chained CTEs (one block per hop), so the oracle
     * runs the identical computation, not a re-derivation; parameters
     * must mirror [[graft.operators.Similarity.annGraph]]'s defaults. */
+  /** `finalCteHeader`: empty (default) ends the statement with the
+    * ranked SELECT + ORDER BY; a header like `"res AS"` (or
+    * `"res AS MATERIALIZED"` for the DuckDB dialect) instead wraps the
+    * ranked select as one more CTE so a caller can keep composing —
+    * the s20 insert-update replay consumes the insert edges this
+    * way. */
   private[graft] def graphBeamTail(cos: (String, String) => String,
       eTab: String, qCols: String, m: Int = 12, beam: Int = 8,
       hops: Int = 4, k: Int = 3, nq: Int = 5, ne: Int = 4,
-      qPred: String = "", entriesIn: String = ""): String = {
+      qPred: String = "", entriesIn: String = "",
+      finalCteHeader: String = ""): String = {
     val qWhere = if (qPred.nonEmpty) qPred else s"vec_id < $nq"
     val entries =
       if (entriesIn.nonEmpty) entriesIn else (nq until nq + ne).mkString(", ")
@@ -1541,11 +1550,14 @@ object SparkEntry {
              SELECT 1 FROM $prev p WHERE p.q_id = x.q_id AND p.n_id = x.n_id)),
          v$h AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$h)"""
     }
-    sb ++= s"""
-         SELECT q_id, rk, n_id, cos FROM (
+    val ranked = s"""SELECT q_id, rk, n_id, cos FROM (
            SELECT q_id, n_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
-           FROM v$hops) WHERE rk <= $k ORDER BY q_id, rk"""
+           FROM v$hops) WHERE rk <= $k"""
+    sb ++= (if (finalCteHeader.isEmpty) s"""
+         $ranked ORDER BY q_id, rk"""
+    else s""",
+         $finalCteHeader ($ranked)""")
     sb.toString
   }
 
@@ -1674,12 +1686,15 @@ object SparkEntry {
     * literal derives from the Similarity.S18* / GraphM constants —
     * the engine's own defaults — so a default change cannot desync
     * the replay (the DefaultBucketCap discipline). */
-  private lazy val s18OracleSql: String = {
+  /** The s18 candidate chain (buckets → guard → pairs → scores →
+    * directed edges over the INGESTED corpus), shared by the s18 and
+    * s20 replays — `guardName` is the only per-query difference. The
+    * multi-referenced cs/sc are MATERIALIZED (the DuckDB inlining
+    * lesson from the s19 replay: s20 reads `sc` twice). */
+  private def s18DuckChain(guardName: String): String = {
     val split = operators.Similarity.S18SplitId
-    val entries = (split until split + operators.Similarity.S18NEntries)
-      .mkString(", ")
-    s"""WITH ${lshBucketsCte(nTables = 6, nPlanes = 6)},
-         ${capGuardCte("s18",
+    s"""${lshBucketsCte(nTables = 6, nPlanes = 6)},
+         ${capGuardCte(guardName,
            s"SELECT count(*) AS cnt FROM buckets WHERE vec_id >= $split GROUP BY tb, bucket")},
          cp AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1687,16 +1702,54 @@ object SparkEntry {
              ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            CROSS JOIN guard
            WHERE a.vec_id >= $split AND b.vec_id >= $split),
-         cs AS (
+         cs AS MATERIALIZED (
            SELECT id_a, id_b, ${duckCos("ea", "eb")} AS cos
            FROM cp JOIN e ea ON ea.vec_id = cp.id_a
            JOIN e eb ON eb.vec_id = cp.id_b),
-         sc AS (
+         sc AS MATERIALIZED (
            SELECT id_a AS src, id_b AS dst, cos FROM cs
-           UNION ALL SELECT id_b, id_a, cos FROM cs),
+           UNION ALL SELECT id_b, id_a, cos FROM cs)"""
+  }
+
+  private lazy val s18OracleSql: String = {
+    val split = operators.Similarity.S18SplitId
+    val entries = (split until split + operators.Similarity.S18NEntries)
+      .mkString(", ")
+    s"""WITH ${s18DuckChain("s18")},
          ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v",
            k = operators.Similarity.GraphM,
            qPred = s"vec_id < $split", entriesIn = entries)}"""
+  }
+
+  /** s20: the reciprocal-update replay — the s18 chain, the insert
+    * edges wrapped as a CTE (`res`), then each affected old node's
+    * re-ranked top-m over (its degree-capped old edges ∪ incoming
+    * new edges). Mirrors
+    * [[graft.operators.Similarity.annGraphInsertRecip]]. */
+  private lazy val s20OracleSql: String = {
+    val split = operators.Similarity.S18SplitId
+    val entries = (split until split + operators.Similarity.S18NEntries)
+      .mkString(", ")
+    val m = operators.Similarity.GraphM
+    s"""WITH ${s18DuckChain("s20")},
+         ${graphBeamTail(duckCos, "e", "vec_id AS q_id, v",
+           k = m, qPred = s"vec_id < $split", entriesIn = entries,
+           finalCteHeader = "res AS MATERIALIZED")},
+         inc AS MATERIALIZED (
+           SELECT n_id AS src, q_id AS dst, cos FROM res),
+         oldg AS (
+           SELECT src, dst, cos FROM (
+             SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+             FROM sc) WHERE rk <= $m),
+         uni AS (
+           SELECT * FROM oldg UNION ALL SELECT * FROM inc),
+         aff AS (SELECT DISTINCT src FROM inc)
+         SELECT n_id, rk, dst, cos FROM (
+           SELECT u.src AS n_id, u.dst AS dst, u.cos AS cos,
+             row_number() OVER (PARTITION BY u.src ORDER BY u.cos DESC, u.dst ASC) AS rk
+           FROM uni u JOIN aff a ON a.src = u.src) WHERE rk <= $m
+         ORDER BY n_id, rk"""
   }
 
   private lazy val s03OracleSql: String =

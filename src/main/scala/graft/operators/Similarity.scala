@@ -323,6 +323,65 @@ object Similarity {
       beam, hops, k = m)
   }
 
+  /** s20: the RECIPROCAL half of HNSW insertion — the index-mutation
+    * step [[annGraphInsert]] (which only emits the new nodes' OUTGOING
+    * edge selections) leaves unmodeled. Every old node that receives
+    * an incoming edge from a batch vector re-selects its top-m
+    * neighbor list over (existing edges ∪ incoming new edges) — the
+    * prune that keeps per-node degree at m and the graph navigable
+    * under continuous ingestion. Output: the updated neighbor lists of
+    * the AFFECTED nodes only, (n_id, rk, dst, cos).
+    *
+    * The re-selection is EXACT, not an approximation of a batch
+    * rebuild: top-m(top-m(A) ∪ B) = top-m(A ∪ B) for any candidate
+    * set A and incoming set B (an A-edge outside top-m(A) is dominated
+    * by m retained edges, so it can never re-enter), so insert-then-
+    * update equals the batch-built graph over the union pair source —
+    * the law GraphInsertSpec pins.
+    *
+    * Scale shape: the affected set is ≤ nBatch·m node ids
+    * (parameter-bounded, broadcast-hinted — the s03 anchor lesson);
+    * the old graph is already degree-capped at m rows per node; the
+    * incoming frame is the insert output itself. The whole update
+    * touches O(nBatch · m²) rows regardless of ingested-corpus
+    * size. */
+  def annGraphInsertRecip(s: SparkSession, dir: String,
+                          splitId: Long = S18SplitId,
+                          nTables: Int = 6, nPlanes: Option[Int] = None,
+                          m: Int = GraphM,
+                          beam: Int = 8, hops: Int = 4,
+                          nEntries: Int = S18NEntries,
+                          bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val all = emb(s, dir)
+    val old = all.filter(col("vec_id") >= splitId)
+    val nP = nPlanes.getOrElse(autoNPlanes(memoCount(s"$dir#ge$splitId")(
+      t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())))
+    val undirected = lshPairsMulti(old, threshold = -2.0, nTables, nP,
+      dim = 64, bucketCap)
+    val scored = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(undirected
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val oldGraph = topMGraphScored(scored, m)
+    val newEdges = beamSearchFrames(all, oldGraph.select("src", "dst"),
+      all.filter(col("vec_id") < splitId)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+      old.filter(col("vec_id") < splitId + nEntries)
+        .select(col("vec_id").as("n_id")),
+      beam, hops, k = m)
+    val incoming = newEdges
+      .select(col("n_id").as("src"), col("q_id").as("dst"), col("cos"))
+    val affected = incoming.select("src").distinct()
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    oldGraph.unionByName(incoming)
+      .join(broadcast(affected), Seq("src"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select(col("src").as("n_id"), col("rk"), col("dst"), col("cos"))
+      .orderBy("n_id", "rk")
+  }
+
   /** Directed k-NN graph: each src's top-`m` candidates by
     * (rounded cos DESC, dst ASC). `localCheckpoint`: every beam-search
     * hop re-reads the graph, and nothing may re-run the (expensive)
@@ -332,6 +391,17 @@ object Similarity {
     scored.withColumn("rk", row_number().over(wG))
       .filter(col("rk") <= m)
       .select("src", "dst")
+      .localCheckpoint()
+  }
+
+  /** [[topMGraph]] keeping the edge score — the insert-update path
+    * (s20) re-ranks neighbor lists, so it needs the cos the search
+    * graph drops. Checkpointed for the same reason. */
+  private def topMGraphScored(scored: DataFrame, m: Int): DataFrame = {
+    val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    scored.withColumn("rk", row_number().over(wG))
+      .filter(col("rk") <= m)
+      .select("src", "dst", "cos")
       .localCheckpoint()
   }
 

@@ -447,6 +447,92 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == newIds.size)
   }
 
+  test("s20 reciprocal-update law: insert-then-update ≡ batch-built top-m over the union pair source") {
+    val (split, nT, nP, m, beam, hops, ne) = (100L, 6, 6, 12, 8, 4, 4)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = emb.toMap
+    val oldIds = emb.map(_._1).filter(_ >= split).sorted
+    val newIds = emb.map(_._1).filter(_ < split).sorted
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def rcos(a: Long, b: Long): Double =
+      r6(dot(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))
+    def bucket(v: Array[Double], tb: Int): String = {
+      val q = v.map(x => math.floor(x * 1e6 + 0.5))
+      (0 until nP).map { i =>
+        val p = Similarity.intPlane(tb * nP + i, 64)
+        val s = (0 until 64).foldLeft(0.0)((acc, d) => acc + q(d) * p(d))
+        if (s >= 0) "1" else "0"
+      }.mkString
+    }
+    val cand: Set[(Long, Long)] = (0 until nT).flatMap { tb =>
+      oldIds.groupBy(id => bucket(vecs(id), tb)).values.flatMap { grp0 =>
+        val grp = grp0.toSeq
+        for (a <- grp; b <- grp if a < b) yield (a, b)
+      }
+    }.toSet
+    val graph: Map[Long, Seq[Long]] = cand.toSeq
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1)
+      .map { case (s0, es) =>
+        s0 -> es.map(_._2).distinct.map(d => (rcos(s0, d), d))
+          .sortBy { case (c, d) => (-c, d) }.take(m).map(_._2)
+      }
+    // the insert edges (s18's computation, k = m)
+    val inserts = newIds.toSeq.flatMap { qid =>
+      var visited = (split until split + ne)
+        .map(n => n -> rcos(qid, n)).toMap
+      for (_ <- 1 to hops) {
+        val frontier = visited.toSeq
+          .sortBy { case (n, c) => (-c, n) }.take(beam).map(_._1)
+        val fresh = frontier.flatMap(n => graph.getOrElse(n, Nil)).distinct
+          .filter(n => n != qid && !visited.contains(n))
+        visited = visited ++ fresh.map(n => n -> rcos(qid, n))
+      }
+      visited.toSeq.sortBy { case (n, c) => (-c, n) }.take(m)
+        .map { case (n, c) => (qid, n, c) }
+    }
+    val incoming: Map[Long, Seq[(Long, Double)]] = inserts
+      .groupBy(_._2)
+      .map { case (n, es) => n -> es.map(e => (e._1, e._3)) }
+    // THE LAW, strong form: the engine computes
+    // top-m(top-m(oldCandidates) ∪ incoming) per affected node, but
+    // the reference below ranks over the UNION PAIR SOURCE
+    // top-m(oldCandidates ∪ incoming) — equality holds because an
+    // old edge outside top-m(old) is dominated by m retained edges
+    // and can never re-enter, i.e. insert-then-update produces
+    // exactly the batch-built graph. The assert proves the engine
+    // implements that identity, not an approximation of it.
+    val expected = incoming.keySet.toSeq.sorted.flatMap { src =>
+      val oldEdges = cand.toSeq.collect {
+        case (a, b) if a == src => b
+        case (a, b) if b == src => a
+      }.distinct.map(d => (d, rcos(src, d)))
+      val all = oldEdges ++ incoming(src)
+      all.sortBy { case (d, c) => (-c, d) }.take(m).zipWithIndex
+        .map { case ((d, c), i) => (src, i + 1, d, c) }
+    }
+    val got = Similarity.annGraphInsertRecip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // update contract: only affected (incoming-receiving) old nodes
+    // appear, degree stays capped at m, and at least one batch vector
+    // actually entered a neighbor list (the prune is non-vacuous)
+    assert(got.map(_._1).distinct.toSet == incoming.keySet)
+    assert(got.groupBy(_._1).forall(_._2.size <= m))
+    assert(got.exists(_._3 < split),
+      "no batch vector entered any neighbor list - prune untested")
+  }
+
   test("s14 semdedup pairs are an exact-cosine subset; clusters refine exact") {
     val exact = Similarity.cosinePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
