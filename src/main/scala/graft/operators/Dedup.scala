@@ -530,7 +530,21 @@ object Dedup {
     // a larger radius needs more chunks or multi-chunk probing
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
-    val docs = docShingles(docsIn, idCol, textCol)
+    // BMP-only oracle-equivalence precondition, ENFORCED (the
+    // lshBucketInt discipline): the engine's fnv64 iterates UTF-16
+    // code units while the SQL replay's ord() yields Unicode code
+    // points — identical for every BMP character, divergent exactly on
+    // surrogate pairs. A non-BMP code point anywhere in the corpus
+    // would silently desync the two hashes, so it fails loudly instead.
+    val guarded = docsIn.withColumn(textCol,
+      when(col(textCol).rlike("[\\x{10000}-\\x{10FFFF}]"),
+        raise_error(concat(
+          lit("simhash oracle precondition violated: non-BMP code point " +
+            "in doc "),
+          col(idCol).cast("string"),
+          lit(" - UTF-16-unit vs code-point hashing diverge there"))))
+        .otherwise(col(textCol)))
+    val docs = docShingles(guarded, idCol, textCol)
       .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))
       .localCheckpoint() // read 3× in-plan; blocks auto-released (see minhashLsh)
     // 4 chunks of 16 bits each; bit i of the signature = bit i of `sig`,

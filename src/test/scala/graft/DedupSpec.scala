@@ -98,6 +98,29 @@ class DedupSpec extends SparkSuite {
       s"simhash found non-near-dup pairs: ${sim.diff(exact).take(5)}")
   }
 
+  test("d04 guard: a planted astral (non-BMP) code point fails loudly instead of desyncing the oracle") {
+    import spark.implicits._
+    // U+1F600 (emoji) is a surrogate pair in UTF-16: the engine's
+    // fnv64 would hash two code units where the oracle's ord() sees
+    // one code point — the documented BMP-only precondition. The
+    // guard must turn that silent divergence into an error.
+    val astral = Seq(
+      (1L, "plain ascii words here repeated words here"),
+      (2L, "astral 😀 smuggled into the corpus"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.simhash(astral, "doc_id", "text", maxHamming = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("non-BMP")),
+      s"expected the simhash BMP guard to fire, got: ${ex.getMessage}")
+    // and a pure-BMP corpus still flows through the guard untouched
+    val bmp = Seq((1L, "plain words only plain words only plain words"))
+      .toDF("doc_id", "text")
+    Dedup.simhash(bmp, "doc_id", "text", maxHamming = 3).collect()
+  }
+
   test("d08 keepBest: one row per cluster, the longest member wins, counts match") {
     val members = Dedup.dupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))                 // (doc_id, cluster)
