@@ -305,6 +305,31 @@ object Similarity {
                      nEntries: Int = S18NEntries,
                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
+    annGraphInsertFrames(s, dir,
+      all.filter(col("vec_id") < splitId)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+      splitId, nTables, nPlanes, m, beam, hops, nEntries, bucketCap)
+  }
+
+  /** The insert primitive over an EXPLICIT batch frame — the
+    * foreachBatch-consumer form of [[annGraphInsert]] (see
+    * [[graft.streaming.IncrementalJobs]]): the micro-batch arrives as
+    * a streaming source, not a vec_id predicate. `queries` must carry
+    * (q_id, qv, qn); [[annGraphInsertQueries]] adapts a raw
+    * (vec_id, embedding) frame. Each batch vector's search is
+    * independent, so the union of per-batch outputs equals the
+    * all-at-once [[annGraphInsert]] on the same query set — the
+    * composition law StreamingIncrementalSpec pins across
+    * kill/restart. */
+  def annGraphInsertFrames(s: SparkSession, dir: String, queries: DataFrame,
+                           splitId: Long = S18SplitId,
+                           nTables: Int = 6, nPlanes: Option[Int] = None,
+                           m: Int = GraphM,
+                           beam: Int = 8, hops: Int = 4,
+                           nEntries: Int = S18NEntries,
+                           bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val all = emb(s, dir)
     val old = all.filter(col("vec_id") >= splitId)
     val nP = nPlanes.getOrElse(autoNPlanes(memoCount(s"$dir#ge$splitId")(
       t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())))
@@ -314,14 +339,21 @@ object Similarity {
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(undirected
         .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
-    beamSearchFrames(all, topMGraph(scored, m),
-      all.filter(col("vec_id") < splitId)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn")),
+    beamSearchFrames(all, topMGraph(scored, m), queries,
       old.filter(col("vec_id") < splitId + nEntries)
         .select(col("vec_id").as("n_id")),
       beam, hops, k = m)
   }
+
+  /** Adapt a raw (vec_id, embedding) frame — e.g. a streaming
+    * micro-batch of the embeddings table — to the (q_id, qv, qn)
+    * query shape [[annGraphInsertFrames]] expects, with the same
+    * double-cast and norm as the corpus side. */
+  def annGraphInsertQueries(batch: DataFrame): DataFrame =
+    batch
+      .select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
 
   /** s20: the RECIPROCAL half of HNSW insertion — the index-mutation
     * step [[annGraphInsert]] (which only emits the new nodes' OUTGOING

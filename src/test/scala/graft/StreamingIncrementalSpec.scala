@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.IncrementalJobs
+
+/** The incremental operators (d11 fingerprint-store dedup, s18 graph
+  * insert) run END-TO-END as streaming foreachBatch consumers with a
+  * kill/restart in the middle — the r9 verdict's task 7: batch-verified
+  * operators must also hold their contracts under streaming delivery.
+  * The laws: after the restart drains, the persistent store equals the
+  * BATCH COMPOSITION over the same inputs, and a same-checkpoint
+  * restart with no new input changes nothing (the observed-state
+  * exactly-once the batchId-keyed overwrites exist for). */
+class StreamingIncrementalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming incremental dedup: kill/restart; store and survivors equal the batch composition") {
+    val src = Files.createTempDirectory("graft_inc_src").toString
+    val store = Files.createTempDirectory("graft_inc_store").toString
+    val out = Files.createTempDirectory("graft_inc_out").toString
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
+
+    // wave A: an in-batch duplicate (11 of 10) and a unique doc
+    val docsA = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "alpha  beta gamma "), // same normalized content as 10
+      (12L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalDedup(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B arrives while the job is down: a cross-batch duplicate
+    // (20 matches wave A's content via the store, NOT in-batch) and a
+    // new doc
+    val docsB = Seq(
+      (20L, "alpha beta gamma"),
+      (21L, "zeta eta"))
+      .toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start() // restart on the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    // LAW: store fingerprints == batch-composition reference (exact
+    // dedup over the union of both waves)
+    val storeFps = spark.read.parquet(store)
+      .select("fp").as[String].collect().toSet
+    val refFps = Dedup.exactDedup(docsA.unionByName(docsB), "doc_id", "text")
+      .select("fp").as[String].collect().toSet
+    assert(storeFps == refFps)
+
+    // survivors: 10 (first of its content), 12, 21; 11 deduped
+    // in-batch, 20 deduped against the STORE across the restart
+    val survivors = spark.read.parquet(out)
+      .select("keeper").as[Long].collect().toSet
+    assert(survivors == Set(10L, 12L, 21L))
+
+    // a third restart with no new input is a no-op on observed state
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(store)
+      .select("fp").as[String].collect().toSet == refFps)
+    assert(spark.read.parquet(out)
+      .select("keeper").as[Long].collect().toSet == Set(10L, 12L, 21L))
+  }
+
+  test("streaming graph insert: kill/restart; union of per-batch edges == all-at-once s18") {
+    val src = Files.createTempDirectory("graft_gi_src").toString
+    val edges = Files.createTempDirectory("graft_gi_edges").toString
+    val ckpt = Files.createTempDirectory("graft_gi_ckpt").toString
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val schema = emb.schema
+    // the s18 batch (vec_id < split) delivered as two waves with a
+    // kill/restart between them
+    emb.filter(col("vec_id") < 50).write.mode("append").parquet(src)
+
+    def start() = IncrementalJobs.startGraphInsert(
+      spark, src, schema, sf, edges, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // LAW: each vector's search is independent of the rest of its
+    // batch, so the streamed union must equal the all-at-once insert
+    val got = spark.read.parquet(edges)
+      .select("q_id", "rk", "n_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = Similarity.annGraphInsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expected)
+  }
+}
