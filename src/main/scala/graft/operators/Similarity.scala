@@ -160,18 +160,19 @@ object Similarity {
 
   /** Occupancy-targeted nPlanes dial for the LSH-built graph queries:
     * in-bucket candidate volume grows ~N²/2^nPlanes per table, so
-    * holding expected bucket occupancy near a constant (2¹⁰ vectors)
-    * means nPlanes = log₂N − 10, floored at the gate-corpus setting.
-    * The response curve is MEASURED, not assumed (BASELINE.md r9 /
-    * [[graft.tools.GraphKnobProbe]], sf1 = 500k vectors: nPlanes 6 →
-    * 17.9 s, 8 → 8.0 s, 9 → 6.4 s, recall@3 = 1.00 throughout); this
-    * formula reproduces the probe's best point (N=500k → 9) while
-    * leaving every driver-gate SF at the oracle's 6 (N=500 / 5k / 50k
-    * → 6 — the s17/s18 oracle SQL bakes nPlanes=6 plane literals, so
+    * holding expected bucket occupancy near a constant (2⁵ = 32
+    * vectors) means nPlanes = log₂N − 5, floored at the gate-corpus
+    * setting. The response curve is MEASURED, not assumed (BASELINE.md
+    * r9/r10, [[graft.tools.GraphKnobProbe]] at sf1 = 20,000 vectors:
+    * nPlanes 6 → 24.6 s, 8 → 8.0 s, 9 → 6.6 s, recall@3 = 1.00
+    * throughout); this formula reproduces the probe's best point
+    * (N=20000 → 9) while leaving every oracle-compared SF at the
+    * baked-in 6 (N=500 at sf0.001/sf0.01, N=2000 at sf0.1 → 6 — the
+    * s17/s18/s19/s20 replay SQL carries nPlanes=6 plane literals, so
     * the dial MUST resolve to 6 wherever hashes are compared). */
   def autoNPlanes(n: Long, floor: Int = 6): Int = {
     val log2n = math.log(n.max(1L).toDouble) / math.log(2.0)
-    math.max(floor, math.round(log2n).toInt - 10)
+    math.max(floor, math.round(log2n).toInt - 5)
   }
 
   /** Session-scoped memo of corpus CARDINALITIES feeding the

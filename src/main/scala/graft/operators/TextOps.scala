@@ -398,11 +398,17 @@ object TextOps {
     perplexity(t(s, dir, "documents"), "doc_id", "text")
 
   def perplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // localCheckpoint: the bigram stream feeds THREE consumers (the
+    // bigram counts, the context counts, and the scoring join) — the
+    // d03/d06 materialize-once discipline; without it the bigram
+    // kernel re-runs per consumer and t12 scaled 5.4× at 10× data
+    // (r10 sf1 sweep; 3.0× after)
     val bg = docs
       .select(col(idCol), posexplode(bigramsUdf(col(textCol))).as(Seq("pos", "bg")))
       .select(col(idCol), col("pos"),
         substring_index(col("bg"), " ", 1).as("v"),
         substring_index(col("bg"), " ", -1).as("w"))
+      .localCheckpoint()
     val cvw = bg.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
     val cv = bg.groupBy("v").agg(count(lit(1)).as("cv"))
     val vocab = docs.select(explode(tokensOf(col(textCol))).as("tk"))

@@ -273,16 +273,17 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("autoNPlanes occupancy dial reproduces the measured BASELINE points") {
-    // the oracle SQL bakes nPlanes=6 plane literals, so every SF the
+    // the replay SQL bakes nPlanes=6 plane literals, so every SF the
     // driver hash-compares at MUST resolve to 6; the sf1 point must
-    // reproduce GraphKnobProbe's best measured setting (9 → 6.4 s,
-    // recall@3 1.0). Corpus sizes: embeddings rows at each SF.
-    assert(Similarity.autoNPlanes(500L) == 6)     // sf0.001
-    assert(Similarity.autoNPlanes(5000L) == 6)    // sf0.01 (driver gate)
-    assert(Similarity.autoNPlanes(50000L) == 6)   // sf0.1 (bench)
-    assert(Similarity.autoNPlanes(500000L) == 9)  // sf1 (probe best)
-    assert(Similarity.autoNPlanes(5000000L) == 12) // +log₂ growth beyond
-    assert(Similarity.autoNPlanes(0L) == 6)       // degenerate floor
+    // reproduce GraphKnobProbe's best measured setting (9 → 6.6 s,
+    // recall@3 1.0). Corpus sizes are the MEASURED embeddings row
+    // counts per SF (500 / 500 / 2000 / 20000 — r10 re-counted them
+    // after the first dial calibration trusted a wrong 500k note).
+    assert(Similarity.autoNPlanes(500L) == 6)    // sf0.001 & sf0.01 (gate)
+    assert(Similarity.autoNPlanes(2000L) == 6)   // sf0.1 (bench)
+    assert(Similarity.autoNPlanes(20000L) == 9)  // sf1 (probe best)
+    assert(Similarity.autoNPlanes(200000L) == 13) // +log₂ growth beyond
+    assert(Similarity.autoNPlanes(0L) == 6)      // degenerate floor
     // monotone non-decreasing in N — more data never means fewer planes
     val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
       .map(Similarity.autoNPlanes(_))
