@@ -807,5 +807,24 @@ object SparkDialectTail {
     "s13_ann_opq" -> s13Sql,
     "s14_semdedup" -> s14Sql,
     "t13_bpe_merges" -> t13Sql,
-    "t14_bpe_encode" -> t14Sql)
+    "t14_bpe_encode" -> t14Sql,
+    "s21_ann_recall" -> s21Sql)
+
+  /** s21: the recall replay composes the two member replays verbatim —
+    * [[SparkEntry.s01SparkSql]] (exact ground truth) and [[s04Sql]]
+    * (IVF serve) as derived tables — joined on (query, neighbor) and
+    * reduced to hits per query. Mirrors SparkEntry.s21OracleSql. */
+  private lazy val s21Sql: String =
+    s"""WITH hits AS (
+           SELECT bf.q_id, count(*) AS n_hits
+           FROM (${SparkEntry.s01SparkSql}) bf
+           JOIN ($s04Sql) iv
+             ON iv.q_id = bf.q_id AND iv.n_id = bf.n_id
+           GROUP BY bf.q_id
+         ), qs AS (SELECT DISTINCT q_id FROM (${SparkEntry.s01SparkSql}))
+         SELECT q_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / 3.0)*1e4 + 0.5)/1e4
+             AS recall
+         FROM qs LEFT JOIN hits USING (q_id) ORDER BY q_id"""
 }

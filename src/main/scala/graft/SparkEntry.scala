@@ -87,6 +87,8 @@ object SparkEntry {
     "t16_inverted_index"  -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "t17_phrase_search"   -> ((s, dir) => TextOps.phraseSearch(s, dir)),
     "t18_collocations"    -> ((s, dir) => TextOps.collocations(s, dir)),
+    "t19_tfidf"           -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
+    "t20_rrf_fusion"      -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -97,6 +99,9 @@ object SparkEntry {
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
     "x09_domain_caps"     -> ((s, dir) => Sampling.domainCaps(s, dir)),
+    "x10_pack_sequences"  -> ((s, dir) => Sampling.packSequences(s, dir)),
+    "x11_dsir_weights"    -> ((s, dir) => Curation.dsirWeights(s, dir)),
+    "x12_curriculum_bins" -> ((s, dir) => Curation.curriculumBins(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
@@ -154,6 +159,7 @@ object SparkEntry {
     "s18_ann_graph_insert" -> ((s, dir) => Similarity.annGraphInsert(s, dir)),
     "s19_ann_graph_refined" -> ((s, dir) => Similarity.annGraphLshRefined(s, dir)),
     "s20_ann_graph_insert_recip" -> ((s, dir) => Similarity.annGraphInsertRecip(s, dir)),
+    "s21_ann_recall"      -> ((s, dir) => Similarity.annRecallEval(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -702,52 +708,8 @@ object SparkEntry {
            array_to_string(tk[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ')
              AS chunk_text
          FROM ex ORDER BY doc_id, chunk_id""",
-    "t10_bm25" ->
-      """WITH tf AS (
-           SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-               x -> x = 'customer')) AS BIGINT) AS tf0,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-               x -> x = 'window')) AS BIGINT) AS tf1,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-               x -> x = 'query')) AS BIGINT) AS tf2
-           FROM documents
-         ), stats AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS sum_dl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-           FROM tf
-         ), scored AS (
-           SELECT doc_id,
-             floor((
-               ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
-                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
-                 * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
-                    + 0.75 * (CAST(dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
-                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
-                 * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
-                    + 0.75 * (CAST(dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
-                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
-                 * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
-                    + 0.75 * (CAST(dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             )*1e4 + 0.5)/1e4 AS score
-           FROM tf, stats)
-         SELECT rk, doc_id, score FROM (
-           SELECT doc_id, score,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-           FROM scored WHERE score > 0)
-         WHERE rk <= 10 ORDER BY rk""",
+    "t10_bm25" -> t10OracleSql,
+    "t20_rrf_fusion" -> t20OracleSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -936,6 +898,84 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
            FROM documents)
          WHERE rk <= 20 ORDER BY source, doc_id""",
+    // x10: the oracle's single-window ordered prefix sum IS the spec;
+    // the engine computes the same numbering with the two-phase
+    // bucket-splice (no single-task window) — integer-exact, so the
+    // hashes agree on any partitioning.
+    "x10_pack_sequences" ->
+      """WITH n AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS start_tok
+           FROM n)
+         SELECT doc_id, n_tokens, start_tok,
+           start_tok // 256 AS seq_first,
+           ((start_tok + n_tokens - 1) // 256) - (start_tok // 256) + 1
+             AS n_seqs,
+           start_tok % 256 AS pos_in_seq
+         FROM c ORDER BY doc_id""",
+    "x11_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS wd
+           FROM documents
+         ), fb AS (
+           SELECT doc_id, (lang = 'en') AS is_target,
+             substring(md5(wd), 1, 2) AS f
+           FROM w
+         ), buckets AS (
+           SELECT f, count(*) AS n_raw,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
+           FROM fb GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(n_raw) AS DOUBLE) AS r_total,
+             CAST(sum(n_tgt) AS DOUBLE) AS t_total
+           FROM buckets
+         ), lam AS (
+           SELECT f,
+             CAST(floor(ln(((CAST(n_tgt AS DOUBLE) + 0.5) / (t_total + 128.0))
+               / ((CAST(n_raw AS DOUBLE) + 0.5) / (r_total + 128.0)))*1e6 + 0.5)
+               AS BIGINT) AS lam_micro
+           FROM buckets, tot
+         ), dc AS (
+           SELECT doc_id, f, count(*) AS c FROM fb GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * lam_micro) AS BIGINT) AS weight_micro
+         FROM dc JOIN lam USING (f)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "x12_curriculum_bins" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+               AS n_tok,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+               AS n_stop,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               AS n_nonspace
+           FROM documents
+         ), q AS (
+           SELECT doc_id,
+             floor((least(1.0, n_tok/20.0)*0.4
+                   + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                   + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4
+               AS quality
+           FROM f
+         ), r AS (
+           SELECT doc_id, quality,
+             CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM q)
+         SELECT doc_id, quality, rk, ((rk - 1) * 4) // n AS bin
+         FROM r ORDER BY doc_id""",
     "t15_chunk_dedup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
@@ -1028,6 +1068,29 @@ object SparkEntry {
          SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS INT)
              AS rk, bigram, n_pair, pmi
          FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20""",
+    "t19_tfidf" ->
+      """WITH tfc AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY 1, 2
+         ), dfc AS (
+           SELECT term, count(*) AS df FROM tfc GROUP BY 1
+         ), nd AS (SELECT count(*) AS n_docs FROM documents
+         ), scored AS (
+           SELECT doc_id, tfc.term AS term,
+             floor((CAST(tf AS DOUBLE)
+               * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+                      / (CAST(df AS DOUBLE) + 1.0)) + 1.0))*1e4 + 0.5)/1e4
+               AS tfidf
+           FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN nd)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM (
+           SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
     "x05_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1368,18 +1431,8 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
-    "s01_ann_bruteforce" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
-             round(list_cosine_similarity(q.v, a.v), 6) AS cos
-           FROM e q JOIN e a ON a.vec_id <> q.vec_id
-           WHERE q.vec_id < 5)
-         SELECT q_id, rk, n_id, cos FROM (
-           SELECT q_id, n_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
-           FROM scored)
-         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s01_ann_bruteforce" -> s01OracleSql,
+    "s21_ann_recall" -> s21OracleSql,
     "s02_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1812,6 +1865,229 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** t10 DuckDB replay — extracted to a val so [[t20OracleSql]] can
+    * compose it as the keyword side of the RRF fusion. */
+  private lazy val t10OracleSql: String =
+    """WITH tf AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x = 'customer')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x = 'window')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x = 'query')) AS BIGINT) AS tf2
+           FROM documents
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           FROM tf
+         ), scored AS (
+           SELECT doc_id,
+             floor((
+               ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             )*1e4 + 0.5)/1e4 AS score
+           FROM tf, stats)
+         SELECT rk, doc_id, score FROM (
+           SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM scored WHERE score > 0)
+         WHERE rk <= 10 ORDER BY rk"""
+
+  /** t10 Spark-dialect replay — extracted for the same composition on
+    * the spark.sql side (t20 entry in [[sparkSql]]). */
+  private lazy val t10SparkSql: String =
+    """WITH tf AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS dl,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x = 'customer')) AS BIGINT) AS tf0,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x = 'window')) AS BIGINT) AS tf1,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x = 'query')) AS BIGINT) AS tf2
+           FROM documents
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           FROM tf
+         ), scored AS (
+           SELECT doc_id,
+             floor((
+               log((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + log((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + log((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+                    + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             )*1e4 + 0.5)/1e4 AS score
+           FROM tf CROSS JOIN stats)
+         SELECT rk, doc_id, score FROM (
+           SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM scored WHERE score > 0)
+         WHERE rk <= 10 ORDER BY rk"""
+
+  /** t20 DuckDB replay: the keyword side is [[t10OracleSql]] verbatim
+    * as a derived table; the vector side re-derives the s01-style
+    * cosine ranking against the pinned query vector (vec_id 0); RRF
+    * (c = 60) fuses the two top-10 lists through a full outer join.
+    * Mirrors [[graft.operators.Similarity.rrfFusion]] constant-for-
+    * constant. */
+  private lazy val t20OracleSql: String =
+    s"""WITH kw AS (
+           SELECT doc_id, CAST(rk AS BIGINT) AS rk_kw FROM ($t10OracleSql)
+         ), vq AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0
+         ), vscored AS (
+           SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cos
+           FROM embeddings e, vq q WHERE e.vec_id <> 0
+         ), vrank AS (
+           SELECT doc_id, rk_vec FROM (
+             SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+                 AS rk_vec
+             FROM vscored)
+           WHERE rk_vec <= 10
+         ), fused AS (
+           SELECT coalesce(kw.doc_id, vrank.doc_id) AS doc_id,
+             floor((coalesce(1.0/(60.0 + CAST(rk_kw AS DOUBLE)), 0.0)
+                  + coalesce(1.0/(60.0 + CAST(rk_vec AS DOUBLE)), 0.0))*1e6
+                  + 0.5)/1e6 AS rrf
+           FROM kw FULL OUTER JOIN vrank ON kw.doc_id = vrank.doc_id)
+         SELECT rk, doc_id, rrf FROM (
+           SELECT doc_id, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+               AS rk
+           FROM fused)
+         WHERE rk <= 10 ORDER BY rk"""
+
+  /** t20 Spark-dialect replay — same composition over [[t10SparkSql]]
+    * and the graft_dot cosine (identical op order to the engine's
+    * `dot(qv, v) / (q_nrm · nrm)`). */
+  private lazy val t20SparkSql: String =
+    s"""WITH kw AS (
+           SELECT doc_id, CAST(rk AS BIGINT) AS rk_kw FROM ($t10SparkSql)
+         ), ve AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), vn AS (
+           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM ve
+         ), vq AS (
+           SELECT v AS qv, nrm AS q_nrm FROM vn WHERE vec_id = 0
+         ), vscored AS (
+           SELECT a.vec_id AS doc_id,
+             round(graft_dot(q.qv, a.v) / (q.q_nrm * a.nrm), 6) AS cos
+           FROM vn a CROSS JOIN vq q WHERE a.vec_id <> 0
+         ), vrank AS (
+           SELECT doc_id, rk_vec FROM (
+             SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+                 AS rk_vec
+             FROM vscored)
+           WHERE rk_vec <= 10
+         ), fused AS (
+           SELECT coalesce(kw.doc_id, vrank.doc_id) AS doc_id,
+             floor((coalesce(1.0/(60.0 + CAST(rk_kw AS DOUBLE)), 0.0)
+                  + coalesce(1.0/(60.0 + CAST(rk_vec AS DOUBLE)), 0.0))*1e6
+                  + 0.5)/1e6 AS rrf
+           FROM kw FULL OUTER JOIN vrank ON kw.doc_id = vrank.doc_id)
+         SELECT rk, doc_id, rrf FROM (
+           SELECT doc_id, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+               AS rk
+           FROM fused)
+         WHERE rk <= 10 ORDER BY rk"""
+
+  /** s01 Spark-dialect replay — `private[graft]` so
+    * [[SparkDialectTail]] can compose it as the ground-truth side of
+    * the s21 recall evaluation (its s04 twin lives over there). */
+  private[graft] lazy val s01SparkSql: String =
+    """WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), n AS (
+           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e
+         ), scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6) AS cos
+           FROM n q JOIN n a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s01 DuckDB replay — extracted to a val so [[s21OracleSql]] can
+    * compose it as the ground-truth side of the recall evaluation. */
+  private lazy val s01OracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(q.v, a.v), 6) AS cos
+           FROM e q JOIN e a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s21: the recall replay IS the two member replays — the exact
+    * [[s01OracleSql]] and approximate [[s04OracleSql]] statements as
+    * derived tables (each carries its own WITH; k = 3 mirrors both) —
+    * joined on (query, neighbor) and reduced to hits per query. */
+  private lazy val s21OracleSql: String =
+    s"""WITH hits AS (
+           SELECT bf.q_id, count(*) AS n_hits
+           FROM ($s01OracleSql) bf
+           JOIN ($s04OracleSql) iv
+             ON iv.q_id = bf.q_id AND iv.n_id = bf.n_id
+           GROUP BY bf.q_id
+         ), qs AS (SELECT DISTINCT q_id FROM ($s01OracleSql))
+         SELECT q_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / 3.0)*1e4 + 0.5)/1e4
+             AS recall
+         FROM qs LEFT JOIN hits USING (q_id) ORDER BY q_id"""
 
   /** `Σ v[d]²` unrolled — the L2 norm both ANN oracles divide by,
     * in the codegen'd dot's sequential order. */
@@ -2328,6 +2604,78 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) AS rk
            FROM documents)
          WHERE rk <= 20 ORDER BY source, doc_id""",
+    "x10_pack_sequences" ->
+      """WITH n AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_tok
+           FROM n)
+         SELECT doc_id, n_tokens, start_tok,
+           start_tok div 256 AS seq_first,
+           ((start_tok + n_tokens - 1) div 256) - (start_tok div 256)
+             + CAST(1 AS BIGINT) AS n_seqs,
+           start_tok % 256 AS pos_in_seq
+         FROM c ORDER BY doc_id""",
+    "x11_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, lang, explode(split(trim(text), '\\s+')) AS wd
+           FROM documents
+         ), fb AS (
+           SELECT doc_id, (lang = 'en') AS is_target,
+             substring(md5(wd), 1, 2) AS f
+           FROM w
+         ), buckets AS (
+           SELECT f, count(*) AS n_raw,
+             sum(CASE WHEN is_target THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END) AS n_tgt
+           FROM fb GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(n_raw) AS DOUBLE) AS r_total,
+             CAST(sum(n_tgt) AS DOUBLE) AS t_total
+           FROM buckets
+         ), lam AS (
+           SELECT f,
+             CAST(floor(ln(((CAST(n_tgt AS DOUBLE) + 0.5) / (t_total + 128.0))
+               / ((CAST(n_raw AS DOUBLE) + 0.5) / (r_total + 128.0)))*1e6 + 0.5)
+               AS BIGINT) AS lam_micro
+           FROM buckets CROSS JOIN tot
+         ), dc AS (
+           SELECT doc_id, f, count(*) AS c FROM fb GROUP BY 1, 2)
+         SELECT doc_id, sum(c) AS n_tokens,
+           sum(c * lam_micro) AS weight_micro
+         FROM dc JOIN lam USING (f)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "x12_curriculum_bins" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(size(filter(split(trim(text), '\\s+'),
+               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+               AS n_stop,
+             CAST(length(regexp_replace(text, '\\s+', '')) AS DOUBLE)
+               AS n_nonspace
+           FROM documents
+         ), q AS (
+           SELECT doc_id,
+             floor((least(1.0, n_tok/20.0)*0.4
+                   + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                   + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4
+               AS quality
+           FROM f
+         ), r AS (
+           SELECT doc_id, quality,
+             CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM q)
+         SELECT doc_id, quality, rk, ((rk - 1) * 4) div n AS bin
+         FROM r ORDER BY doc_id""",
     "t15_chunk_dedup" ->
       """WITH toks AS (
            SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents
@@ -2418,6 +2766,28 @@ object SparkEntry {
              row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rk
            FROM scored)
          WHERE rk <= 20 ORDER BY rk""",
+    "t19_tfidf" ->
+      """WITH tfc AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS term
+                 FROM documents)
+           GROUP BY 1, 2
+         ), dfc AS (
+           SELECT term, count(*) AS df FROM tfc GROUP BY 1
+         ), nd AS (SELECT count(*) AS n_docs FROM documents
+         ), scored AS (
+           SELECT doc_id, tfc.term AS term,
+             floor((CAST(tf AS DOUBLE)
+               * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+                      / (CAST(df AS DOUBLE) + 1.0)) + 1.0))*1e4 + 0.5)/1e4
+               AS tfidf
+           FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN nd)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM (
+           SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies
@@ -2442,21 +2812,7 @@ object SparkEntry {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE round(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
          ORDER BY id_a, id_b""",
-    "s01_ann_bruteforce" ->
-      """WITH e AS (
-           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
-         ), n AS (
-           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e
-         ), scored AS (
-           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
-             round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6) AS cos
-           FROM n q JOIN n a ON a.vec_id <> q.vec_id
-           WHERE q.vec_id < 5)
-         SELECT q_id, rk, n_id, cos FROM (
-           SELECT q_id, n_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
-           FROM scored)
-         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "s01_ann_bruteforce" -> s01SparkSql,
     "s16_ann_graph" -> s16SparkSql,
     "s15_hard_negatives" ->
       """WITH e AS (
@@ -2697,52 +3053,8 @@ object SparkEntry {
              AS total_value,
            date_format(max(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS last_ts
          FROM events GROUP BY 1 ORDER BY 1""",
-    "t10_bm25" ->
-      """WITH tf AS (
-           SELECT doc_id,
-             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS dl,
-             CAST(size(filter(split(trim(text), '\\s+'),
-               x -> x = 'customer')) AS BIGINT) AS tf0,
-             CAST(size(filter(split(trim(text), '\\s+'),
-               x -> x = 'window')) AS BIGINT) AS tf1,
-             CAST(size(filter(split(trim(text), '\\s+'),
-               x -> x = 'query')) AS BIGINT) AS tf2
-           FROM documents
-         ), stats AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS sum_dl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-           FROM tf
-         ), scored AS (
-           SELECT doc_id,
-             floor((
-               log((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
-                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
-                 * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
-                    + 0.75 * (CAST(dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             + log((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
-                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
-                 * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
-                    + 0.75 * (CAST(dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             + log((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
-                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
-                 * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
-                    + 0.75 * (CAST(dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             )*1e4 + 0.5)/1e4 AS score
-           FROM tf CROSS JOIN stats)
-         SELECT rk, doc_id, score FROM (
-           SELECT doc_id, score,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-           FROM scored WHERE score > 0)
-         WHERE rk <= 10 ORDER BY rk""",
+    "t10_bm25" -> t10SparkSql,
+    "t20_rrf_fusion" -> t20SparkSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT explode(split(trim(text), '\\s+')) AS w FROM documents

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -38,5 +38,92 @@ object Curation {
         split.groupBy("split").agg(count(lit(1)).as("n"))
           .select(concat(lit("4_"), col("split")).as("stage"), col("n")))
       .orderBy("stage")
+  }
+
+  /** x11: hashed-feature importance weights — the DSIR recipe
+    * (Data Selection via Importance Resampling, arXiv:2302.03169):
+    * score every document by how much more its token distribution
+    * looks like a TARGET domain than the raw corpus, so a later
+    * sampler can resample the crawl toward the target. Features are
+    * hashed unigrams (md5 hex prefix → 256 buckets, the same
+    * engine-portable bucketing as x03); per-bucket log-likelihood
+    * ratios use add-0.5 smoothing; a document's weight is
+    * Σ_f c_f · λ_f over its feature counts.
+    *
+    * Determinism at any scale: λ_f is rounded to MICROS (an int64)
+    * before the per-doc sum, so the aggregation is pure integer
+    * arithmetic — reassociable, partitioning-independent, and
+    * oracle-exact — instead of a float sum whose value depends on
+    * combine order. At 100 TB: one explode → bucket-count aggregate
+    * (256 groups, conditional target count in the same pass), the
+    * 256-row λ table broadcast, one (doc, bucket) aggregate, one
+    * per-doc sum — no join ever carries the corpus on both sides. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+      col("lang") === "en")
+
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column): DataFrame = {
+    val nBuckets = 256 // 2 hex digits; fixed so smoothing constants are literals
+    val fb = docs
+      .select(col(idCol), targetPred.as("is_target"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(col(idCol), col("is_target"),
+        substring(md5(col("w")), 1, 2).as("f"))
+    val buckets = fb.groupBy("f").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = buckets.agg(
+      sum("n_raw").cast("double").as("r_total"),
+      sum("n_tgt").cast("double").as("t_total"))
+    val lam = buckets.crossJoin(broadcast(tot))
+      .select(col("f"),
+        floor(log(
+          ((col("n_tgt").cast("double") + lit(0.5)) /
+            (col("t_total") + lit(0.5 * nBuckets))) /
+          ((col("n_raw").cast("double") + lit(0.5)) /
+            (col("r_total") + lit(0.5 * nBuckets)))) * lit(1e6) + lit(0.5))
+          .cast("bigint").as("lam_micro"))
+    val perDoc = fb.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("c"))
+    perDoc.join(broadcast(lam), "f")
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("lam_micro")).as("weight_micro"))
+      .orderBy(idCol)
+  }
+
+  /** x12: curriculum quality bins — order the corpus by the t02
+    * quality score and cut it into `nBins` equal-population tiers (the
+    * easy→hard schedule curriculum training consumes; also the
+    * quantile view ablation studies slice on). The global rank is NOT
+    * a single-task `Window.orderBy`: scores bucket by `floor(q·16)`
+    * (a prefix of the sort order, since quality ∈ [0,1]), each bucket
+    * ranks locally, and a broadcast 17-row offset table splices the
+    * buckets into one exact global numbering — the x03/x10 two-phase
+    * discipline applied to ranking, so the hot path is one window per
+    * score-bucket at any corpus size. Ties rank by doc_id, so the
+    * result is total-ordered and oracle-exact. */
+  def curriculumBins(s: SparkSession, dir: String, nBins: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.qualityScore(s, dir).select(col("doc_id"),
+      col("quality").as("score"))
+    val narrow = q.withColumn("bucket",
+      floor(col("score") * lit(16)).cast("int"))
+    val offsets = narrow.groupBy("bucket").agg(count(lit(1)).as("part_n"))
+      .withColumn("offset", coalesce(
+        sum("part_n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val nTotal = narrow.agg(count(lit(1)).as("n_total"))
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("score").asc, col("doc_id").asc)
+    narrow
+      .withColumn("local_rk", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rk", col("offset") + col("local_rk"))
+      .select(col("doc_id"), col("score").as("quality"), col("rk"),
+        expr(s"((rk - 1) * $nBins) div n_total").as("bin"))
+      .orderBy("doc_id")
   }
 }

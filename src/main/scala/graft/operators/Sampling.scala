@@ -244,4 +244,59 @@ object Sampling {
         Seq(stratumCol), Seq("pick" -> true, idCol -> true), k)
       .select(col(stratumCol), col(idCol))
       .orderBy(stratumCol, idCol)
+
+  /** x10: sequence packing — the concat-and-chunk step that turns a
+    * document stream into fixed-length training sequences (the layout
+    * GPT-style pretraining actually feeds the model: documents
+    * concatenated in corpus order, sliced every `budget` tokens, with
+    * cross-document attention handled by masking). The output is the
+    * packing MANIFEST — for each document: its global token offset,
+    * the first sequence it lands in, how many sequences it spans, and
+    * its position inside the first one — exactly what a writer job
+    * needs to emit shards without ever materializing the concatenated
+    * stream.
+    *
+    * The global token offset is an ordered prefix sum in `doc_id`
+    * order, computed with the x03 two-phase discipline so NO single
+    * task ever sees the whole corpus: docs bucket by `doc_id div
+    * bucketWidth` (contiguous ranges, so bucket order IS id order),
+    * each bucket cumsums locally, and a broadcast per-bucket offset
+    * table (one row per bucket) splices the buckets into one global
+    * numbering. Integer arithmetic end-to-end (`div`/`%`, no doubles),
+    * so the result is exact and partitioning-independent at any scale;
+    * token totals stay inside int64 (100 TB ≈ 2·10¹³ tokens ≪ 2⁶³).
+    * The caller sizes `bucketWidth` so the offset table stays
+    * broadcastable (N/bucketWidth rows); for corpora where even that
+    * table is large, the same splice cascades (buckets of buckets) —
+    * the per-level shape is unchanged. */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    packManifest(t(s, dir, "documents"), "doc_id", nTokens, budget)
+  }
+
+  def packManifest(df: DataFrame, idCol: String, nTokensCol: Column,
+                   budget: Long, bucketWidth: Long = 64L): DataFrame = {
+    require(budget >= 1 && bucketWidth >= 1,
+      s"budget ($budget) and bucketWidth ($bucketWidth) must be >= 1")
+    val narrow = df.select(col(idCol), nTokensCol.as("n_tokens"))
+      .withColumn("bucket", expr(s"$idCol div $bucketWidth"))
+    val offsets = narrow
+      .groupBy("bucket").agg(sum("n_tokens").as("part_sum"))
+      .withColumn("offset", coalesce(
+        sum("part_sum").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val wLocal = Window.partitionBy("bucket").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    narrow
+      .withColumn("local_cum", sum("n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok", col("offset") + col("local_cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_tok div $budget"))
+      .select(col(idCol), col("n_tokens"), col("start_tok"), col("seq_first"),
+        (expr(s"(start_tok + n_tokens - 1) div $budget")
+          - col("seq_first") + lit(1L)).as("n_seqs"),
+        (col("start_tok") % budget).as("pos_in_seq"))
+      .orderBy(idCol)
+  }
 }

@@ -1327,4 +1327,81 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
       .orderBy("q_id", "rk")
   }
+
+  /** t20: reciprocal-rank-fusion hybrid retrieval — the standard way
+    * (Cormack/Clarke/Buettcher, SIGIR'09) to merge a keyword ranking
+    * and a vector ranking without score calibration: each system
+    * contributes 1/(c + rank) for the documents on its top-k list,
+    * and the fused list ranks by the sum. Keyword side:
+    * [[TextOps.bm25TopK]] over `documents`; vector side: cosine to the
+    * pinned query vector (vec_id 0) over `embeddings` — the synthetic
+    * corpus aligns `doc_id` ≡ `vec_id` row-for-row, which is exactly
+    * the id discipline a production hybrid store needs anyway.
+    *
+    * At 100 TB both member queries are the already-scaled designs
+    * (single-row stats broadcast + TopKPerGroup capped top-k; one
+    * broadcast query vector against a corpus stream); the fusion
+    * itself outer-joins two k-row lists — driver-trivial. The fused
+    * score is floor-rounded to 6 decimals as a fixed two-term sum, so
+    * ranking is engine-exact. */
+  def rrfFusion(s: SparkSession, dir: String, k: Int = 10,
+                c: Double = 60.0): DataFrame = {
+    val kw = TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("rk").as("rk_kw"))
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("q_nrm"))
+    val vscored = all.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val vtop = graft.plans.TopKPerGroup.topKPerGroup(vscored, Seq.empty,
+      Seq("cos" -> false, "doc_id" -> true), k)
+    val vrank = vtop
+      .withColumn("rk_vec",
+        row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))).cast("long"))
+      .select("doc_id", "rk_vec")
+    val fused = kw.join(vrank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (floor((coalesce(lit(1.0) / (lit(c) + col("rk_kw").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("rk_vec").cast("double")), lit(0.0)))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("rrf"))
+    val ftop = graft.plans.TopKPerGroup.topKPerGroup(fused, Seq.empty,
+      Seq("rrf" -> false, "doc_id" -> true), k)
+    ftop.withColumn("rk",
+        row_number().over(Window.orderBy(desc("rrf"), asc("doc_id"))).cast("long"))
+      .select("rk", "doc_id", "rrf")
+      .orderBy("rk")
+  }
+
+  /** s21: recall@k evaluation — the measurement every ANN deployment
+    * runs before trusting an index: per query, what fraction of the
+    * exact top-k ([[annBruteForce]], the ground truth) does the
+    * approximate index ([[annIvf]], random-hyperplane buckets) return?
+    * This is the quality dial the IVF/LSH knobs (nPlanes, nProbe,
+    * bucketCap) are tuned against; publishing it as a first-class
+    * operator makes the accuracy/cost trade auditable instead of
+    * anecdotal.
+    *
+    * At 100 TB the cost is the two member queries (each already
+    * designed for scale); the comparison itself joins two k·nQueries
+    * row frames — negligible. The ratio is floor-rounded to 4 decimals
+    * ([[graft.operators.TextOps.r4]] discipline) so the hash is
+    * engine-exact. */
+  def annRecallEval(s: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val bf = annBruteForce(s, dir, nQueries, k).select(col("q_id"), col("n_id"))
+    val iv = annIvf(s, dir, nQueries, k)
+      .select(col("q_id").as("q_id2"), col("n_id").as("n_id2"))
+    val hits = bf.join(iv,
+        col("q_id") === col("q_id2") && col("n_id") === col("n_id2"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    bf.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor((coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("recall"))
+      .orderBy("q_id")
+  }
 }

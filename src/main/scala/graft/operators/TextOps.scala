@@ -790,4 +790,42 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
       .orderBy("phrase", "doc_id")
   }
+
+  /** t19: TF-IDF top terms per document — the classic sparse document
+    * representation (Salton's vector space model; the smoothed IDF is
+    * scikit-learn's `ln((N+1)/(df+1)) + 1`, which never goes negative
+    * so ranks are stable). One row per (doc, rank): the k highest
+    * TF-IDF terms, ties to the lexicographically smaller term.
+    *
+    * At 100 TB: explode → one (doc, term) shuffle for TF, one
+    * term-keyed aggregate for DF joined back on the term key (vocab ≪
+    * corpus; AQE broadcasts it when it fits), the corpus size a 1-row
+    * broadcast, and the per-doc top-k routed through
+    * [[graft.plans.TopKPerGroup]] so each map partition ships at most
+    * k rows per doc instead of the full term list. The score is
+    * [[r4]]-rounded BEFORE ranking, so the ordering — and the oracle
+    * hash — is engine-exact. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
+
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokensOf(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        r4(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + lit(1.0)) /
+               (col("df").cast("double") + lit(1.0))) + lit(1.0))).as("tfidf"))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(scored, Seq(idCol),
+      Seq("tfidf" -> false, "term" -> true), k)
+    val w = Window.partitionBy(idCol).orderBy(desc("tfidf"), asc("term"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(idCol, "rk", "term", "tfidf")
+      .orderBy(idCol, "rk")
+  }
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Sampling, TextOps}
+import graft.operators.{Curation, Dedup, Sampling, TextOps}
 
 /** Semantic checks for the round-2 corpus operators (t06/t07/x05/x06):
   * each query's output is recomputed independently in plain Scala over
@@ -378,6 +378,109 @@ class CorpusOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(x => (x._1, x._2)).toSeq
     assert(fine == expected)
+  }
+
+  test("x10 pack manifest: invariant to partitioning/bucket width, " +
+    "contiguous offsets, and spans obey the ceil law") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val budget = 256L
+    def run(width: Long, inputParts: Int): Seq[(Long, Long, Long, Long, Long, Long)] =
+      Sampling.packManifest(docsDf.repartition(inputParts), "doc_id",
+          nTokens, budget, bucketWidth = width)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSeq
+    val coarse = run(width = 512, inputParts = 1) // one bucket holds all
+    val fine = run(width = 7, inputParts = 8)     // ids widely split
+    assert(coarse == fine,
+      "manifest must not depend on partitioning or bucket width")
+    // contiguity: the packing is the concatenation in doc_id order
+    fine.sliding(2).foreach {
+      case Seq((_, n0, s0, _, _, _), (id1, _, s1, _, _, _)) =>
+        assert(s1 == s0 + n0, s"offset gap before doc $id1")
+      case _ => ()
+    }
+    assert(fine.head._3 == 0L, "first doc starts at token 0")
+    // per-row laws: span count and position derive from the offset
+    fine.foreach { case (id, n, start, seqFirst, nSeqs, pos) =>
+      assert(seqFirst == start / budget, s"doc $id seq_first")
+      assert(pos == start % budget, s"doc $id pos_in_seq")
+      assert(nSeqs == (start + n - 1) / budget - start / budget + 1,
+        s"doc $id n_seqs")
+      assert(nSeqs >= 1 && pos < budget)
+    }
+  }
+
+  test("t19 tfidf top terms match a per-doc Scala recomputation") {
+    val n = docs.size
+    val tf: Seq[(Long, String, Long)] = docs.flatMap { case (id, text) =>
+      text.trim.split("\\s+").toSeq.groupBy(identity)
+        .map { case (w, g) => (id, w, g.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+      val scored = terms.map { case (_, w, c) =>
+        (w, r4(c.toDouble * (math.log((n + 1.0) / (df(w) + 1.0)) + 1.0)))
+      }
+      scored.sortBy { case (w, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, s), i) => (id, (i + 1).toLong, w, s) }
+    }.sortBy(x => (x._1, x._2))
+    val got = TextOps.tfidfTopTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("x11 dsir weights match an integer-exact Scala recomputation") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val feats = rows.flatMap { case (id, text, lang) =>
+      text.trim.split("\\s+").toSeq
+        .map(w => (id, lang == "en", md5hex(w).substring(0, 2)))
+    }
+    val nRaw = feats.groupBy(_._3).map { case (f, g) => f -> g.size.toLong }
+    val nTgt = feats.groupBy(_._3).map { case (f, g) => f -> g.count(_._2).toLong }
+    val rTot = nRaw.values.sum.toDouble
+    val tTot = nTgt.values.sum.toDouble
+    def lam(f: String): Long =
+      math.floor(math.log(((nTgt(f) + 0.5) / (tTot + 128.0))
+        / ((nRaw(f) + 0.5) / (rTot + 128.0))) * 1e6 + 0.5).toLong
+    val expected = feats.groupBy(_._1).toSeq.map { case (id, g) =>
+      (id, g.size.toLong,
+        g.groupBy(_._3).map { case (f, fg) => fg.size.toLong * lam(f) }.sum)
+    }.sortBy(_._1)
+    val got = Curation.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // weights separate: target-language docs should score higher per
+    // token on average (that's the entire point of the estimator)
+    val byLang = rows.map(r => r._1 -> (r._3 == "en")).toMap
+    val (en, rest) = got.partition(g => byLang(g._1))
+    def avgPerToken(xs: Seq[(Long, Long, Long)]): Double =
+      xs.map(x => x._3.toDouble / x._2).sum / xs.size
+    if (en.nonEmpty && rest.nonEmpty) {
+      assert(avgPerToken(en) > avgPerToken(rest),
+        "per-token importance should favor the target language")
+    }
+  }
+
+  test("x12 curriculum bins equal the single-window global ranking") {
+    val q = TextOps.qualityScore(spark, sf).select("doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val n = q.size.toLong
+    val expected = q.sortBy { case (id, ql) => (ql, id) }.zipWithIndex
+      .map { case ((id, ql), i) => (id, ql, (i + 1).toLong, (i.toLong * 4) / n) }
+      .sortBy(_._1)
+    val got = Curation.curriculumBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // equal-population law: bin sizes differ by at most 1 when n % 4 != 0
+    val sizes = got.groupBy(_._4).values.map(_.size).toSeq
+    assert(sizes.max - sizes.min <= 1, s"bins unbalanced: $sizes")
   }
 
   test("ordered export: repartitionByRange + sortWithinPartitions yields " +

@@ -554,4 +554,53 @@ class SimilaritySpec extends SparkSuite {
         s"sem cluster ${members.keys.toSeq.sorted} spans exact clusters $exLabels")
     }
   }
+
+  test("s21 recall eval equals the set intersection of its two members") {
+    val bf = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val iv = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = bf.map(_._1).toSeq.sorted.map { q =>
+      val hits = bf.filter(_._1 == q).map(_._2)
+        .intersect(iv.filter(_._1 == q).map(_._2)).size.toLong
+      (q, hits, math.floor(hits / 3.0 * 1e4 + 0.5) / 1e4)
+    }
+    val got = Similarity.annRecallEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    got.foreach { case (q, hits, recall) =>
+      assert(hits >= 0 && hits <= 3 && recall >= 0.0 && recall <= 1.0, s"q$q")
+    }
+  }
+
+  test("t20 RRF fusion equals a Scala recomputation from its two rankings") {
+    import graft.operators.TextOps
+    val kw = TextOps.bm25TopK(spark.read.parquet(s"$sf/documents.parquet"),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc -> rank
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val qv = e.find(_._1 == 0L).get._2
+    def dotp(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val qn = math.sqrt(dotp(qv, qv))
+    val vrank = e.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val c = dotp(qv, v) / (qn * math.sqrt(dotp(v, v)))
+        // Spark round(x, 6) semantics: HALF_UP on the decimal value
+        (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val fusedDocs = (kw.keySet ++ vrank.keySet).toSeq
+    def term(r: Option[Long]): Double = r.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+    val expected = fusedDocs
+      .map(id => (id,
+        math.floor((term(kw.get(id)) + term(vrank.get(id))) * 1e6 + 0.5) / 1e6))
+      .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+      .map { case ((id, s), i) => ((i + 1).toLong, id, s) }
+    val got = Similarity.rrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
 }
