@@ -1393,11 +1393,14 @@ object Similarity {
     val bf = annBruteForce(s, dir, nQueries, k).select(col("q_id"), col("n_id"))
     val iv = annIvf(s, dir, nQueries, k)
       .select(col("q_id").as("q_id2"), col("n_id").as("n_id2"))
-    val hits = bf.join(iv,
+    // both lists are k·nQueries rows by construction — always
+    // broadcastable, and the window-derived size estimates would
+    // otherwise demote these to sort-merge (caught by PlanGateSpec)
+    val hits = bf.join(broadcast(iv),
         col("q_id") === col("q_id2") && col("n_id") === col("n_id2"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     bf.select("q_id").distinct()
-      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(hits), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (floor((coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))

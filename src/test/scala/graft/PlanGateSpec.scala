@@ -117,6 +117,58 @@ class PlanGateSpec extends SparkSuite {
       "t17 degraded to a cartesian join")
   }
 
+  // ---- two-phase splice operators (x10/x12) -------------------------
+
+  test("x10 pack manifest: offset table BROADCAST, no sort-merge splice") {
+    // the manifest's global numbering must splice via the broadcast
+    // per-bucket offset table; a sort-merge there means the whole
+    // corpus re-shuffles on the bucket key a second time
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val plan = finalPlan(Sampling.packManifest(
+      graft.Tables.t(spark, sf, "documents"), "doc_id", nTokens, 256L))
+    assert(broadcastJoins(plan) >= 1,
+      s"offset splice not broadcast, saw ${broadcastJoins(plan)} BHJs")
+    assert(noQuadraticJoins(plan), "x10 degraded to sort-merge/cartesian")
+  }
+
+  test("x12 curriculum bins: offset + total broadcast, no sort-merge") {
+    val plan = finalPlan(graft.operators.Curation.curriculumBins(spark, sf))
+    assert(broadcastJoins(plan) >= 1,
+      s"rank splice not broadcast, saw ${broadcastJoins(plan)} BHJs")
+    assert(noQuadraticJoins(plan), "x12 degraded to sort-merge/cartesian")
+  }
+
+  test("x11 dsir weights: the lambda table joins broadcast") {
+    // the 256-row λ table must broadcast onto the (doc, bucket) frame;
+    // a shuffle join there drags the whole per-doc frame through an
+    // exchange keyed on a 256-value column (maximal skew)
+    val plan = finalPlan(graft.operators.Curation.dsirWeights(spark, sf))
+    assert(broadcastJoins(plan) >= 1,
+      s"λ join not broadcast, saw ${broadcastJoins(plan)} BHJs")
+    assert(noQuadraticJoins(plan), "x11 degraded to sort-merge/cartesian")
+  }
+
+  // ---- retrieval compositions (t19/t20/s21) -------------------------
+
+  test("t19 tfidf keeps the map-side partial heap for the per-doc top-k") {
+    assertPartialTopK(graft.operators.TextOps.tfidfTopTerms(spark, sf), "t19")
+  }
+
+  test("t20 rrf fusion: both top-k lists capped map-side, no cartesian") {
+    val df = Similarity.rrfFusion(spark, sf)
+    val plan = finalPlan(df)
+    val topks = plan.collect { case t: TopKPerGroupExec => t }
+    assert(topks.count(_.partial) >= 2,
+      "t20 lost a map-side TopKPerGroup partial (vector list or fused list)")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "t20 degraded to a cartesian join")
+  }
+
+  test("s21 recall eval: no quadratic join anywhere in the composition") {
+    val plan = finalPlan(Similarity.annRecallEval(spark, sf))
+    assert(noQuadraticJoins(plan), "s21 degraded to sort-merge/cartesian")
+  }
+
   // ---- scan pushdown / pruning --------------------------------------
 
   test("q02: range filter pushed to the parquet scan; columns pruned") {
