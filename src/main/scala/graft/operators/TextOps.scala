@@ -810,9 +810,14 @@ object TextOps {
 
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
+    // lazy checkpoint: the (doc, term) aggregate feeds BOTH the score
+    // join and the DF aggregate — without it the explode + first
+    // shuffle run twice (measured at sf1: 3.1 s -> the re-run is the
+    // whole gap vs the 10x-data linear expectation)
     val tf = docs
       .select(col(idCol), explode(tokensOf(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
