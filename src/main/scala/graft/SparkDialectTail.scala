@@ -262,6 +262,26 @@ object SparkDialectTail {
          WHERE $jaccardExpr >= 0.7
          ORDER BY doc_a, doc_b"""
 
+  /** d12: the cross-split exact-Jaccard replay over the shared hashed
+    * shingle CTE; split constant single-sourced from
+    * [[graft.operators.Dedup.D12SplitAt]]. */
+  private lazy val d12Sql: String =
+    s"""WITH $docsCte,
+         m AS (
+           SELECT b.doc_id AS doc_id, a.doc_id AS store_id,
+             $jaccardExpr AS jaccard
+           FROM docs a JOIN docs b
+             ON a.doc_id < ${graft.operators.Dedup.D12SplitAt}
+             AND b.doc_id >= ${graft.operators.Dedup.D12SplitAt}
+           WHERE $jaccardExpr >= 0.7)
+         SELECT doc_id, store_id AS best_match, jaccard, n_matches FROM (
+           SELECT doc_id, store_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, store_id ASC) AS rk,
+             count(*) OVER (PARTITION BY doc_id) AS n_matches
+           FROM m)
+         WHERE rk = 1 ORDER BY doc_id"""
+
   private lazy val d04Sql: String =
     s"""WITH $docsCte,
          sigs AS (SELECT doc_id, graft_simhash(sh) AS sig FROM docs),
@@ -786,6 +806,7 @@ object SparkDialectTail {
     "s20_ann_graph_insert_recip" -> s20Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
+    "d12_incremental_neardup" -> d12Sql,
     "d04_simhash" -> d04Sql,
     "d05_dup_clusters" -> d05Sql,
     "d06_capped_jaccard" -> d06Sql,

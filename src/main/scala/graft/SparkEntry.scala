@@ -89,6 +89,7 @@ object SparkEntry {
     "t18_collocations"    -> ((s, dir) => TextOps.collocations(s, dir)),
     "t19_tfidf"           -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "t20_rrf_fusion"      -> ((s, dir) => Similarity.rrfFusion(s, dir)),
+    "t21_lm_continuations" -> ((s, dir) => TextOps.lmContinuations(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -115,6 +116,7 @@ object SparkEntry {
     "d09_embedding_clusters_lsh" -> ((s, dir) => Similarity.embeddingClustersLsh(s, dir)),
     "d10_keep_best_lsh"   -> ((s, dir) => Dedup.keepBestLsh(s, dir)),
     "d11_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
+    "d12_incremental_neardup" -> ((s, dir) => Dedup.incrementalNearDup(s, dir)),
     // similarity search
     "s01_ann_bruteforce"  -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "s02_cosine_pairs"    -> ((s, dir) => Similarity.cosinePairs(s, dir)),
@@ -710,6 +712,32 @@ object SparkEntry {
          FROM ex ORDER BY doc_id, chunk_id""",
     "t10_bm25" -> t10OracleSql,
     "t20_rrf_fusion" -> t20OracleSql,
+    "t21_lm_continuations" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT tk[i] AS context, tk[i + 1] AS next_tok
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                 FROM toks WHERE len(tk) >= 2)
+         ), pc AS (
+           SELECT context, next_tok, count(*) AS n_pair FROM bg GROUP BY 1, 2
+         ), ctx AS (
+           SELECT context, CAST(sum(n_pair) AS BIGINT) AS ctx_total
+           FROM pc GROUP BY 1
+         ), top_ctx AS (
+           SELECT context, ctx_total FROM (
+             SELECT context, ctx_total,
+               row_number() OVER (ORDER BY ctx_total DESC, context ASC) AS cr
+             FROM ctx) WHERE cr <= 20)
+         SELECT context, CAST(rk AS BIGINT) AS rk, next_tok, n_pair,
+           floor((CAST(n_pair AS DOUBLE) / CAST(ctx_total AS DOUBLE))*1e4
+             + 0.5)/1e4 AS prob
+         FROM (
+           SELECT p.context, p.next_tok, p.n_pair, t.ctx_total,
+             row_number() OVER (PARTITION BY p.context
+               ORDER BY p.n_pair DESC, p.next_tok ASC) AS rk
+           FROM pc p JOIN top_ctx t USING (context))
+         WHERE rk <= 3 ORDER BY context, rk""",
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -1172,6 +1200,34 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
          FROM pairs WHERE round(inter * 1.0 / uni, 4) >= 0.7
          ORDER BY doc_a, doc_b""",
+    // d12: the EXACT batch×store Jaccard replay (the engine's banded
+    // probe carries it at band-recall 1.0 — the pinned d02 ≡ d03
+    // regime restricted to cross-split pairs).
+    "d12_incremental_neardup" ->
+      s"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), m AS (
+           SELECT b.doc_id AS doc_id, a.doc_id AS store_id,
+             round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+           FROM sh a JOIN sh b
+             ON a.doc_id < ${graft.operators.Dedup.D12SplitAt}
+             AND b.doc_id >= ${graft.operators.Dedup.D12SplitAt}
+           WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.7)
+         SELECT doc_id, store_id AS best_match, jaccard, n_matches FROM (
+           SELECT doc_id, store_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, store_id ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches
+           FROM m)
+         WHERE rk = 1 ORDER BY doc_id""",
     // d04: the 64-bit simhash replayed exactly in integer SQL — FNV-1a
     // token hashes, SplitMix64-mixed 3-gram shingles, per-bit majority.
     // All math is HUGEINT mod 2^64; the two ~2^63.5 SplitMix64 constants
@@ -3055,6 +3111,31 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "t10_bm25" -> t10SparkSql,
     "t20_rrf_fusion" -> t20SparkSql,
+    "t21_lm_continuations" ->
+      """WITH toks AS (
+           SELECT split(trim(text), '\\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT tk[i - 1] AS context, tk[i] AS next_tok
+           FROM (SELECT tk, explode(sequence(1, size(tk) - 1)) AS i
+                 FROM toks WHERE size(tk) >= 2)
+         ), pc AS (
+           SELECT context, next_tok, count(*) AS n_pair FROM bg GROUP BY 1, 2
+         ), ctx AS (
+           SELECT context, sum(n_pair) AS ctx_total FROM pc GROUP BY 1
+         ), top_ctx AS (
+           SELECT context, ctx_total FROM (
+             SELECT context, ctx_total,
+               row_number() OVER (ORDER BY ctx_total DESC, context ASC) AS cr
+             FROM ctx) WHERE cr <= 20)
+         SELECT context, CAST(rk AS BIGINT) AS rk, next_tok, n_pair,
+           floor((CAST(n_pair AS DOUBLE) / CAST(ctx_total AS DOUBLE))*1e4
+             + 0.5)/1e4 AS prob
+         FROM (
+           SELECT p.context, p.next_tok, p.n_pair, t.ctx_total,
+             row_number() OVER (PARTITION BY p.context
+               ORDER BY p.n_pair DESC, p.next_tok ASC) AS rk
+           FROM pc p JOIN top_ctx t USING (context))
+         WHERE rk <= 3 ORDER BY context, rk""",
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT explode(split(trim(text), '\\s+')) AS w FROM documents

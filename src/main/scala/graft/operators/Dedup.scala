@@ -93,6 +93,67 @@ object Dedup {
       "doc_id", "text")
   }
 
+  /** d12's registered store/batch split — single-sourced into the
+    * generated SQL replays (the s18-constants lesson: a literal
+    * repeated by convention desyncs silently). */
+  val D12SplitAt: Long = 250L
+
+  /** d12: incremental NEAR-dup — [[incrementalDedup]]'s contract for
+    * the minhash family. The ingested corpus persists as its banded
+    * minhash signatures plus hashed shingle sets (~64+|sh| longs per
+    * doc — the same artifact d02's build already computes; the corpus
+    * TEXT is never rescanned); an incoming batch probes band buckets,
+    * exact-Jaccard re-ranks the candidates, and each batch doc gets a
+    * verdict row: its best stored match and how many stored docs it
+    * collides with at the threshold.
+    *
+    * At 100 TB: batch-side cost only — the probe join shuffles
+    * batch·bands keys against the store's band index (bucket-bounded,
+    * no batch×store product), the re-rank touches only candidate
+    * pairs. Carries the EXACT batch×store Jaccard oracle because band
+    * recall is 1.0 at the 0.7 threshold on this corpus (the d02 ≡ d03
+    * equality DedupSpec pins at both spec SFs). */
+  def incrementalNearDup(s: SparkSession, dir: String,
+                         splitAt: Long = D12SplitAt,
+                         threshold: Double = 0.7): DataFrame = {
+    val docs = t(s, dir, "documents")
+    incrementalNearDup(docs.filter(col("doc_id") >= splitAt),
+      docs.filter(col("doc_id") < splitAt), "doc_id", "text", threshold)
+  }
+
+  def incrementalNearDup(batch: DataFrame, store: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    def sketch(df: DataFrame): DataFrame =
+      docShingles(df, idCol, textCol)
+        .withColumn("bands", Hashing.minhashBands(col("sh")))
+        .localCheckpoint()
+    val sSh = sketch(store)
+    val bSh = sketch(batch)
+    def banded(sh: DataFrame, as: String): DataFrame =
+      sh.select(col("doc_id").as(as),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = banded(bSh, "batch_id")
+      .join(banded(sSh, "store_id"), Seq("band", "key"))
+      .select("batch_id", "store_id").distinct()
+    val withSets = cand
+      .join(bSh.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(sSh.select(col("doc_id").as("store_id"), col("sh").as("sh_b")),
+        "store_id")
+    val matches = jaccardOf(withSets).filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("batch_id")
+      .orderBy(desc("jaccard"), asc("store_id"))
+    matches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("batch_id")))
+      .filter(col("rk") === 1)
+      .select(col("batch_id").as("doc_id"),
+        col("store_id").as("best_match"), col("jaccard"), col("n_matches"))
+      .orderBy("doc_id")
+  }
+
   /** Documents with their distinct HASHED 3-shingle sets (docs with none
     * drop out). One single-pass JVM kernel per document — see
     * [[graft.functions.Hashing.shingleHashes]]; every sketch below

@@ -791,6 +791,48 @@ object TextOps {
       .orderBy("phrase", "doc_id")
   }
 
+  /** t21: bigram-LM continuation table — the SERVING artifact of the
+    * t12 bigram model: for the `nCtx` highest-frequency context words,
+    * the `k` most likely next tokens with their conditional
+    * probabilities P(next|context) = n(context,next)/n(context,·).
+    * This is the table an autocomplete/speculative-decoding layer, or
+    * a data-quality "most predictable continuations" audit, actually
+    * reads.
+    *
+    * At 100 TB: one (context, next) count shuffle — checkpointed once,
+    * it feeds BOTH the context-total aggregate and the continuation
+    * join (the t19 lesson) — the nCtx context table re-enters
+    * broadcast, and both top-k selections run through
+    * [[graft.plans.TopKPerGroup]] (AllTuples for the context ranking,
+    * per-context partials for the continuations), so a mega-context
+    * like "the" never funnels its full continuation list through one
+    * task. Probabilities are [[r4]]-floored; counts are exact longs —
+    * oracle-portable at any scale. */
+  def lmContinuations(s: SparkSession, dir: String): DataFrame =
+    lmContinuations(t(s, dir, "documents"), "text")
+
+  def lmContinuations(docs: DataFrame, textCol: String,
+                      nCtx: Int = 20, k: Int = 3): DataFrame = {
+    val pairs = docs
+      .select(explode(bigramsUdf(col(textCol))).as("bigram"))
+      .select(split(col("bigram"), " ")(0).as("context"),
+        split(col("bigram"), " ")(1).as("next_tok"))
+      .groupBy("context", "next_tok").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(eager = false)
+    val ctxTop = graft.plans.TopKPerGroup.topKPerGroup(
+      pairs.groupBy("context").agg(sum("n_pair").as("ctx_total")),
+      Seq.empty, Seq("ctx_total" -> false, "context" -> true), nCtx)
+    val cont = pairs.join(broadcast(ctxTop), "context")
+    val top = graft.plans.TopKPerGroup.topKPerGroup(cont, Seq("context"),
+      Seq("n_pair" -> false, "next_tok" -> true), k)
+    val w = Window.partitionBy("context").orderBy(desc("n_pair"), asc("next_tok"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("context"), col("rk"), col("next_tok"), col("n_pair"),
+        r4(col("n_pair").cast("double") / col("ctx_total").cast("double"))
+          .as("prob"))
+      .orderBy("context", "rk")
+  }
+
   /** t19: TF-IDF top terms per document — the classic sparse document
     * representation (Salton's vector space model; the smoothed IDF is
     * scikit-learn's `ln((N+1)/(df+1)) + 1`, which never goes negative

@@ -467,6 +467,33 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t21 LM continuations match a full-corpus Scala recomputation") {
+    val bigrams = docs.flatMap { case (_, text) =>
+      val tk = text.trim.split("\\s+")
+      if (tk.length < 2) Seq.empty[(String, String)]
+      else tk.sliding(2).map(w => (w(0), w(1))).toSeq
+    }
+    val pairCounts = bigrams.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val ctxTotals = pairCounts.groupBy(_._1._1)
+      .map { case (c, g) => c -> g.values.sum }
+    val topCtx = ctxTotals.toSeq.sortBy { case (c, n) => (-n, c) }.take(20)
+    val expected = topCtx.flatMap { case (ctx, total) =>
+      pairCounts.collect { case ((c, n), cnt) if c == ctx => (n, cnt) }
+        .toSeq.sortBy { case (n, cnt) => (-cnt, n) }.take(3).zipWithIndex
+        .map { case ((n, cnt), i) =>
+          (ctx, (i + 1).toLong, n, cnt, r4(cnt.toDouble / total)) }
+    }.sortBy(x => (x._1, x._2))
+    val got = TextOps.lmContinuations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // probabilities are valid conditionals: each row's prob <= 1 and
+    // the k continuations of a context never exceed its mass
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._5).sum <= 1.0 + 1e-9)
+    }
+  }
+
   test("x12 curriculum bins equal the single-window global ranking") {
     val q = TextOps.qualityScore(spark, sf).select("doc_id", "quality")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

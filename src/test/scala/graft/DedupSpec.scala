@@ -169,4 +169,38 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty)
     assert(inc.size < full.size, "store filtered nothing — split is vacuous")
   }
+
+  test("d12 incremental near-dup = exact batch×store Jaccard verdicts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def shingles(text: String): Set[String] = {
+      val tk = text.trim.split("\\s+")
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def r4half(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val store = docs.filter(_._1 < Dedup.D12SplitAt)
+      .map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val batch = docs.filter(_._1 >= Dedup.D12SplitAt)
+      .map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val expected = batch.flatMap { case (bid, bsh) =>
+      val ms = store.flatMap { case (sid, ssh) =>
+        val inter = (bsh & ssh).size
+        val j = r4half(inter.toDouble / (bsh.size + ssh.size - inter))
+        if (j >= 0.7) Some((sid, j)) else None
+      }
+      if (ms.isEmpty) None
+      else {
+        val (bestId, bestJ) = ms.minBy { case (sid, j) => (-j, sid) }
+        Some((bid, bestId, bestJ, ms.size.toLong))
+      }
+    }.sortBy(_._1)
+    val got = Dedup.incrementalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no cross-split near-dups — the check is vacuous")
+  }
 }

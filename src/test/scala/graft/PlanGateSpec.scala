@@ -169,6 +169,18 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "s21 degraded to sort-merge/cartesian")
   }
 
+  test("d12 incremental near-dup: band probe is an equi-join, never cartesian") {
+    // the batch→store candidate probe must join on (band, key) buckets;
+    // a cartesian there is the batch×store product the LSH exists to avoid
+    val plan = finalPlan(graft.operators.Dedup.incrementalNearDup(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "d12 degraded to a batch×store cartesian")
+  }
+
+  test("t21 LM continuations keep the map-side partial heap per context") {
+    assertPartialTopK(graft.operators.TextOps.lmContinuations(spark, sf), "t21")
+  }
+
   // ---- scan pushdown / pruning --------------------------------------
 
   test("q02: range filter pushed to the parquet scan; columns pruned") {
