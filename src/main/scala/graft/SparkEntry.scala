@@ -103,6 +103,7 @@ object SparkEntry {
     "x10_pack_sequences"  -> ((s, dir) => Sampling.packSequences(s, dir)),
     "x11_dsir_weights"    -> ((s, dir) => Curation.dsirWeights(s, dir)),
     "x12_curriculum_bins" -> ((s, dir) => Curation.curriculumBins(s, dir)),
+    "x13_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
@@ -1004,6 +1005,25 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, quality, rk, ((rk - 1) * 4) // n AS bin
          FROM r ORDER BY doc_id""",
+    // x13: 52 md5 bits → u ∈ (0,1], key = ln(u)/w floored to 1e-9
+    // before ranking — the Efraimidis–Spirakis draw, engine-exact.
+    "x13_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) + 1) / 4503599627370496.0 AS u
+           FROM documents
+         ), k AS (
+           SELECT doc_id, w,
+             floor((ln(u) / w)*1e9 + 0.5)/1e9 AS sk
+           FROM d WHERE w > 0)
+         SELECT rk, doc_id, w, sk FROM (
+           SELECT doc_id, w, sk,
+             CAST(row_number() OVER (ORDER BY sk DESC, doc_id ASC) AS BIGINT)
+               AS rk
+           FROM k)
+         WHERE rk <= 50 ORDER BY rk""",
     "t15_chunk_dedup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
@@ -2732,6 +2752,23 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, quality, rk, ((rk - 1) * 4) div n AS bin
          FROM r ORDER BY doc_id""",
+    "x13_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS w,
+             (CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)
+                AS BIGINT) + 1) / 4503599627370496.0 AS u
+           FROM documents
+         ), k AS (
+           SELECT doc_id, w,
+             floor((ln(u) / w)*1e9 + 0.5)/1e9 AS sk
+           FROM d WHERE w > 0)
+         SELECT rk, doc_id, w, sk FROM (
+           SELECT doc_id, w, sk,
+             CAST(row_number() OVER (ORDER BY sk DESC, doc_id ASC) AS BIGINT)
+               AS rk
+           FROM k)
+         WHERE rk <= 50 ORDER BY rk""",
     "t15_chunk_dedup" ->
       """WITH toks AS (
            SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents

@@ -245,6 +245,44 @@ object Sampling {
       .select(col(stratumCol), col(idCol))
       .orderBy(stratumCol, idCol)
 
+  /** x13: deterministic WEIGHTED sampling — Efraimidis–Spirakis
+    * (IPL 2006) weighted reservoir sampling with the randomness
+    * derived from the row id instead of an RNG: each row gets
+    * key = ln(u)/w for u ∈ (0,1] from 52 bits of its md5, and the
+    * global top-n keys ARE a weighted-without-replacement sample
+    * (P(selected) ∝ w, exactly the classic result). Same reasons as
+    * [[deterministicSplit]]: retried tasks, different partitionings,
+    * and different engines all draw the SAME sample, so the sample is
+    * auditable and oracle-exact. Used here with w = token count — the
+    * "sample documents proportional to their token mass" draw a
+    * token-budgeted eval set wants.
+    *
+    * At 100 TB: one narrow projection + a [[graft.plans.TopKPerGroup]]
+    * AllTuples top-n (k rows per partition cross the one exchange).
+    * Keys are floored to 1e-9 BEFORE ranking (ties then break on id),
+    * so selection and hash are engine-exact. */
+  def weightedSample(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    weightedSample(t(s, dir, "documents"), "doc_id",
+      size(split(trim(col("text")), "\\s+")).cast("bigint"), n)
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     n: Int): DataFrame = {
+    // 13 hex digits = 52 bits: exactly representable in a double, so
+    // u = (v+1)/2^52 ∈ (0,1] is the same value in every IEEE engine
+    val u = ((conv(substring(hashKey(col(idCol)), 1, 13), 16, 10)
+      .cast("bigint") + lit(1L)).cast("double") / lit(4503599627370496.0))
+    val keyed = df.select(col(idCol), weightCol.as("w"))
+      .filter(col("w") > 0)
+      .withColumn("sk",
+        floor((log(u) / col("w").cast("double")) * lit(1e9) + lit(0.5)) / lit(1e9))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(keyed, Seq.empty,
+      Seq("sk" -> false, idCol -> true), n)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(desc("sk"), col(idCol).asc)).cast("long"))
+      .select("rk", idCol, "w", "sk")
+      .orderBy("rk")
+  }
+
   /** x10: sequence packing — the concat-and-chunk step that turns a
     * document stream into fixed-length training sequences (the layout
     * GPT-style pretraining actually feeds the model: documents

@@ -494,6 +494,28 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("x13 weighted sample matches the Efraimidis-Spirakis draw in Scala") {
+    val expected = docs.map { case (id, text) =>
+      val w = text.trim.split("\\s+").length.toLong
+      val v = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 13), 16)
+      val u = (v + 1).toDouble / 4503599627370496.0
+      val sk = math.floor((math.log(u) / w) * 1e9 + 0.5) / 1e9
+      (id, w, sk)
+    }.filter(_._2 > 0)
+      .sortBy { case (id, _, sk) => (-sk, id) }.take(50).zipWithIndex
+      .map { case ((id, w, sk), i) => ((i + 1).toLong, id, w, sk) }
+    val got = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the weighting works: the token-weighted draw overrepresents long
+    // docs, so the sample's mean weight exceeds the corpus mean
+    val corpusMean = docs.map(_._2.trim.split("\\s+").length).sum.toDouble / docs.size
+    val sampleMean = got.map(_._3).sum.toDouble / got.size
+    assert(sampleMean > corpusMean,
+      s"weighted draw did not favor heavy docs: $sampleMean <= $corpusMean")
+  }
+
   test("x12 curriculum bins equal the single-window global ranking") {
     val q = TextOps.qualityScore(spark, sf).select("doc_id", "quality")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -169,6 +169,12 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "s21 degraded to sort-merge/cartesian")
   }
 
+  test("x13 weighted sample keeps the map-side partial heap") {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    assertPartialTopK(Sampling.weightedSample(
+      graft.Tables.t(spark, sf, "documents"), "doc_id", nTok, 50), "x13")
+  }
+
   test("d12 incremental near-dup: band probe is an equi-join, never cartesian") {
     // the batch→store candidate probe must join on (band, key) buckets;
     // a cartesian there is the batch×store product the LSH exists to avoid
