@@ -123,13 +123,26 @@ object Dedup {
 
   def incrementalNearDup(batch: DataFrame, store: DataFrame,
                          idCol: String, textCol: String,
-                         threshold: Double): DataFrame = {
-    def sketch(df: DataFrame): DataFrame =
-      docShingles(df, idCol, textCol)
-        .withColumn("bands", Hashing.minhashBands(col("sh")))
-        .localCheckpoint()
-    val sSh = sketch(store)
-    val bSh = sketch(batch)
+                         threshold: Double): DataFrame =
+    incrementalNearDupSketched(
+      sketchDocs(batch, idCol, textCol).localCheckpoint(),
+      sketchDocs(store, idCol, textCol).localCheckpoint(), threshold)
+
+  /** The persisted-store artifact of [[incrementalNearDup]]: hashed
+    * shingle sets + banded minhash signatures per doc — what a
+    * continuous-ingestion dedup keeps on disk instead of corpus text
+    * (the streaming consumer in [[graft.streaming.IncrementalJobs]]
+    * reads/extends exactly this frame). */
+  def sketchDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    docShingles(df, idCol, textCol)
+      .withColumn("bands", Hashing.minhashBands(col("sh")))
+
+  /** The probe half of d12 over pre-sketched frames: band-bucket
+    * candidates, exact-Jaccard re-rank, one verdict row per matched
+    * batch doc. Both inputs carry (doc_id, sh, bands); each is read
+    * twice (bands probe + shingle re-rank), so callers materialize. */
+  def incrementalNearDupSketched(bSh: DataFrame, sSh: DataFrame,
+                                 threshold: Double): DataFrame = {
     def banded(sh: DataFrame, as: String): DataFrame =
       sh.select(col("doc_id").as(as),
         posexplode(col("bands")).as(Seq("band", "key")))

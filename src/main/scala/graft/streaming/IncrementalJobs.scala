@@ -80,6 +80,44 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val sketchSchema =
+    StructType.fromDDL("doc_id BIGINT, sh ARRAY<BIGINT>, bands ARRAY<BIGINT>")
+
+  /** Streaming incremental NEAR-dup (d12's lifecycle): document files
+    * land in `srcDir`; each micro-batch is sketched once (hashed
+    * shingles + minhash bands), probed against the accumulated SKETCH
+    * store (band buckets + exact-Jaccard re-rank — corpus text never
+    * re-read), verdict rows land batchId-keyed in `outDir`, and the
+    * sketches of the batch's CLEAN docs (no stored match at the
+    * threshold) extend the store — the admission policy of a
+    * continuous-ingestion dedup. Same replay idempotency as the other
+    * consumers: both writes are `batch=<id>`/Overwrite. */
+  def startIncrementalNearDup(spark: SparkSession, srcDir: String,
+                              docSchema: StructType, storeDir: String,
+                              outDir: String, checkpointDir: String,
+                              threshold: Double = 0.7): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, sketchSchema)
+        val bSketch = Dedup.sketchDocs(batch, "doc_id", "text")
+          .localCheckpoint()
+        val verdicts = Dedup
+          .incrementalNearDupSketched(bSketch, store.localCheckpoint(),
+            threshold)
+          .localCheckpoint() // read twice: the write + the admission anti-join
+        verdicts.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        bSketch.join(verdicts.select("doc_id"), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
   /** Streaming graph insert: batch-vector files land in `srcDir`;
     * each micro-batch beam-searches the ingested-corpus graph (s18's
     * primitive over the explicit batch) and its edge selections land

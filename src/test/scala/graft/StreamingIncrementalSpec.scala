@@ -77,6 +77,67 @@ class StreamingIncrementalSpec extends SparkSuite {
       .select("keeper").as[Long].collect().toSet == Set(10L, 12L, 21L))
   }
 
+  test("streaming incremental near-dup: kill/restart; verdicts and store admission equal the batch composition") {
+    val src = Files.createTempDirectory("graft_nd_src").toString
+    val store = Files.createTempDirectory("graft_nd_store").toString
+    val out = Files.createTempDirectory("graft_nd_out").toString
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt").toString
+
+    val docsA = Seq(
+      (10L, "a b c d e f"),
+      (11L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalNearDup(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while the job is down: 20 is a near-dup of stored 10
+    // (shingles 4∩5 → Jaccard 0.8 ≥ 0.7), 21 is clean
+    val docsB = Seq(
+      (20L, "a b c d e f g"),
+      (21L, "m n o m n o"))
+      .toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start() // restart on the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    // verdicts: exactly the planted cross-restart near-dup, with the
+    // exact Jaccard
+    val verdicts = spark.read.parquet(out)
+      .select("doc_id", "best_match", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verdicts == Set((20L, 10L, 0.8)))
+
+    // admission: clean docs' sketches extend the store; the near-dup
+    // is rejected
+    def admitted(): Set[Long] = spark.read.parquet(store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted() == Set(10L, 11L, 21L))
+
+    // and the store IS the d12 sketch artifact: probing wave B against
+    // the wave-A store ONLY (batch composition) gives the same verdict
+    val ref = Dedup.incrementalNearDup(docsB, docsA, "doc_id", "text", 0.7)
+      .select("doc_id", "best_match", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ref == verdicts)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(admitted() == Set(10L, 11L, 21L))
+    assert(spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet == Set(20L))
+  }
+
   test("streaming graph insert: kill/restart; union of per-batch edges == all-at-once s18") {
     val src = Files.createTempDirectory("graft_gi_src").toString
     val edges = Files.createTempDirectory("graft_gi_edges").toString
