@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{Dedup, Sampling, Skew, TemporalJoins, TextOps}
+import graft.operators.{Curation, Dedup, Sampling, Skew, TemporalJoins, TextOps}
 
 /** User-facing fluent API: `import graft.api._` and every corpus
   * operator hangs off any DataFrame with the right columns — the
@@ -100,6 +100,46 @@ package object api {
     def dedupSpans(idCol: String, textCol: String,
                    width: Int = 32): DataFrame =
       TextOps.chunkDedup(df, idCol, textCol, width)
+
+    /** Pack documents into fixed-`budget`-token training sequences in
+      * `idCol` order (concat-and-chunk manifest: global offset, first
+      * sequence, span count, position). */
+    def packSequences(idCol: String, nTokens: Column,
+                      budget: Long): DataFrame =
+      Sampling.packManifest(df, idCol, nTokens, budget)
+
+    /** Deterministic weighted sample of n rows, P(pick) ∝ weight
+      * (Efraimidis–Spirakis keys from the id's md5 — reproducible
+      * across retries, partitionings, and engines). */
+    def sampleWeighted(idCol: String, weight: Column, n: Int): DataFrame =
+      Sampling.weightedSample(df, idCol, weight, n)
+
+    /** DSIR-style importance weights: per doc, Σ c_f·ln(p_target/p_raw)
+      * over hashed unigram features, micro-scaled int64. `targetPred`
+      * marks the target-domain rows (e.g. `col("lang") === "en"`). */
+    def importanceWeights(idCol: String, textCol: String,
+                          targetPred: Column): DataFrame =
+      Curation.importanceWeights(df, idCol, textCol, targetPred)
+
+    /** Top-k TF-IDF terms per document (smoothed IDF, map-side-capped
+      * per-doc ranking). */
+    def tfidfTopTerms(idCol: String, textCol: String,
+                      k: Int = 3): DataFrame =
+      TextOps.tfidfTopTerms(df, idCol, textCol, k)
+
+    /** P(next|context) top-k continuation table over the `nCtx` most
+      * frequent context tokens — the bigram LM's serving artifact. */
+    def lmContinuations(textCol: String, nCtx: Int = 20,
+                        k: Int = 3): DataFrame =
+      TextOps.lmContinuations(df, textCol, nCtx, k)
+
+    /** Probe this batch against an already-ingested corpus for
+      * near-duplicates (banded minhash candidates, exact-Jaccard
+      * verdicts; the store's text is sketched, never rescanned). */
+    def dedupNearIncremental(store: DataFrame, idCol: String,
+                             textCol: String,
+                             threshold: Double = 0.7): DataFrame =
+      Dedup.incrementalNearDup(df, store, idCol, textCol, threshold)
 
     // ---- joins ----
     def asofJoin(right: DataFrame, key: String, ts: String,

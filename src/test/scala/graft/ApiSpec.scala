@@ -82,6 +82,38 @@ class ApiSpec extends SparkSuite {
     assert(spans == Map(1L -> 1L, 2L -> 0L), "doc 2's span is a repeat")
   }
 
+  test("r10 facade methods work on user-named columns") {
+    import org.apache.spark.sql.functions._
+    val nTok = size(split(trim(col("body")), "\\s+")).cast("bigint")
+    // packing: contiguous offsets over id order
+    val pack = corpus.packSequences("id", nTok, 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(pack(10L) == 0L && pack.size == 5)
+    // weighted sample: all 5 rows when n >= corpus, ranked by key
+    val ws = corpus.sampleWeighted("id", nTok, 5)
+    assert(ws.count() == 5 && ws.columns.toSeq == Seq("rk", "id", "w", "sk"))
+    // importance weights: one verdict per doc, ints only
+    val iw = corpus.importanceWeights("id", "body", col("id") < 13L)
+    assert(iw.count() == 5)
+    // tfidf: the unique doc's distinctive term ranks first
+    val tf = corpus.tfidfTopTerms("id", "body", 1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(tf.contains(13L))
+    // LM continuations: "the" continues to "quick"/"lazy"
+    val lm = corpus.lmContinuations("body", nCtx = 1, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(lm.toSeq.map(_._1).distinct == Seq("the"))
+    assert(lm.map(_._2).toSet == Set("quick", "lazy"))
+    // incremental near-dup: batch 11 (J=1.0 with stored 10 — above the
+    // band recall knee, guaranteed candidate) vs store {10, 13}
+    val nd = corpus.filter(col("id") === 11L)
+      .dedupNearIncremental(
+        corpus.filter(col("id") === 10L || col("id") === 13L),
+        "id", "body", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nd == Set((11L, 10L, 1.0)))
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")
