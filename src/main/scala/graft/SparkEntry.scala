@@ -66,6 +66,7 @@ object SparkEntry {
     "m04_byte_histogram"  -> Multimodal.byteHistogram,
     "m05_resize_meta"     -> Multimodal.resizedDims,
     "m06_media_dedup"     -> Multimodal.mediaDedup,
+    "m07_media_similar"   -> ((s, dir) => Multimodal.mediaSimilar(s, dir)),
     "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
     "j04_nearest_event"   -> TemporalJoins.clickNearestPurchase,
     // text analysis (training-data pipeline ops)
@@ -520,6 +521,31 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS keeper,
            count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    // m07: the m04 hex-nibble trick vectorized — odd hex chars of the
+    // payload are the high nibbles; 16 replace-and-count bins form the
+    // feature vector, then the s01 cosine/top-k replay.
+    "m07_media_similar" ->
+      """WITH hx AS (
+           SELECT doc_id AS media_id,
+             regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS hn
+           FROM documents
+         ), h AS (
+           SELECT media_id,
+             [CAST(length(hn) - length(replace(hn, c, '')) AS DOUBLE)
+              for c in ['0','1','2','3','4','5','6','7',
+                        '8','9','A','B','C','D','E','F']] AS v
+           FROM hx
+         ), scored AS (
+           SELECT q.media_id AS q_id, a.media_id AS n_id,
+             round(list_cosine_similarity(q.v, a.v), 6) AS cos
+           FROM h q JOIN h a ON a.media_id <> q.media_id
+           WHERE q.media_id < 3)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
     "m02_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(f / 500 AS BIGINT) AS frame_idx,
@@ -3107,6 +3133,25 @@ object SparkEntry {
       """SELECT md5(CAST(text AS BINARY)) AS fp, min(doc_id) AS keeper,
            count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "m07_media_similar" ->
+      """WITH h AS (
+           SELECT doc_id AS media_id,
+             transform(graft_nibble_hist(CAST(text AS BINARY)),
+               x -> CAST(x AS DOUBLE)) AS v
+           FROM documents
+         ), n AS (
+           SELECT media_id, v, sqrt(graft_dot(v, v)) AS nrm FROM h
+         ), scored AS (
+           SELECT q.media_id AS q_id, a.media_id AS n_id,
+             round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6) AS cos
+           FROM n q JOIN n a ON a.media_id <> q.media_id
+           WHERE q.media_id < 3)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
     "j03_asof_forward" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

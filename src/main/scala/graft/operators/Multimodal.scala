@@ -188,6 +188,42 @@ object Multimodal {
         round(sum(col("n_bytes")).cast("double"), 4).as("total_bytes"))
       .orderBy("kind")
 
+  /** m07: perceptual similar-media search — the s01 broadcast-queries
+    * shape applied to the MEDIA column: each query payload's 16-bin
+    * nibble histogram (the [[FakeDecoder]] feature, computed by the
+    * codegen'd `NibbleHistogram` — no UDF) is cosine-scored against
+    * every corpus payload's histogram, top-k per query. This is the
+    * "find visually/acoustically similar assets" primitive an
+    * image-dedup or caption-transfer pipeline runs; with a real
+    * decoder the histogram column becomes an embedding column and
+    * NOTHING else in the plan moves.
+    *
+    * At 100 TB: one payload scan (histograms are 16 longs — payloads
+    * never shuffle), queries broadcast, codegen'd 16-dim dots, top-k
+    * per query. Cosine is rounded to 6 decimals before ranking, ties
+    * to the smaller id — oracle-exact. */
+  def mediaSimilar(s: SparkSession, dir: String,
+                   nQueries: Int = 3, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.{dot, nibbleHistogram}
+    val v = media(s, dir).toDF()
+      .select(col("media_id"),
+        transform(nibbleHistogram(col("payload")), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = v.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"))
+    val scored = v.join(broadcast(queries), col("media_id") =!= col("q_id"))
+      .select(col("q_id"), col("media_id").as("n_id"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** m06: content-hash dedup over BINARY payloads — the d01 shape
     * applied to the media column: md5 of the raw bytes (no text
     * normalization — for images/audio the bytes ARE the identity),

@@ -77,4 +77,33 @@ class MultimodalSpec extends SparkSuite {
     assert(got == expected)
     assert(got.map(_._3).sum == docs.length, "every payload accounted for")
   }
+
+  test("m07 media similarity matches a driver nibble-histogram cosine top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def hist(b: Array[Byte]): Array[Double] = {
+      val bins = new Array[Double](16)
+      b.foreach(x => bins((x & 0xF0) >>> 4) += 1.0)
+      bins
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vs = docs.map { case (id, t) => (id, hist(t.getBytes("UTF-8"))) }
+    val expected = vs.filter(_._1 < 3).sortBy(_._1).flatMap { case (q, qv) =>
+      val qn = math.sqrt(dot(qv, qv))
+      vs.filter(_._1 != q).map { case (n, v) =>
+        val c = dot(qv, v) / (qn * math.sqrt(dot(v, v)))
+        (n, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((n, c), i) => (q, i + 1, n, c) }
+    }
+    val got = Multimodal.mediaSimilar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+  }
 }
