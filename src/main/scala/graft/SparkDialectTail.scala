@@ -829,7 +829,65 @@ object SparkDialectTail {
     "s14_semdedup" -> s14Sql,
     "t13_bpe_merges" -> t13Sql,
     "t14_bpe_encode" -> t14Sql,
-    "s21_ann_recall" -> s21Sql)
+    "s21_ann_recall" -> s21Sql,
+    "s22_bitext_mine" -> s22Sql,
+    "s23_bitext_mine_lsh" -> s23Sql,
+    "x14_cluster_sample" -> x14Sql)
+
+  /** s22/s23: the bitext-mining replays — cross-side micro-cosine
+    * pairs (exact product for s22, the d09-regime bucket candidates
+    * for s23) into the dialect-portable margin tail shared with the
+    * DuckDB oracles ([[SparkEntry.bitextTailSql]]). */
+  private lazy val s22Sql: String =
+    s"""WITH $embCte,
+         lab AS (SELECT vec_id, label % 2 AS par FROM embeddings),
+         pairs AS (
+           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             CAST(floor(round(graft_dot(es.v, et.v) / (es.nrm * et.nrm), 6)
+               *1e6 + 0.5) AS BIGINT) AS c
+           FROM lab s JOIN lab t ON s.par = 0 AND t.par = 1
+           JOIN en es ON es.vec_id = s.vec_id
+           JOIN en et ON et.vec_id = t.vec_id),
+         ${SparkEntry.bitextTailSql(k = 4)}"""
+
+  private lazy val s23Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 12, nPlanes = 8)},
+         ${capGuard("s23", "SELECT count(1) AS cnt FROM buckets GROUP BY tb, bucket")},
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(round(graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+               *1e6 + 0.5) AS BIGINT) AS c
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           JOIN en ea ON ea.vec_id = a.vec_id
+           JOIN en eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard),
+         lab AS (SELECT vec_id, label % 2 AS par FROM embeddings),
+         pairs AS (
+           SELECT CASE WHEN la.par = 0 THEN id_a ELSE id_b END AS src_id,
+                  CASE WHEN la.par = 0 THEN id_b ELSE id_a END AS tgt_id, c
+           FROM cand JOIN lab la ON la.vec_id = cand.id_a
+             JOIN lab lb ON lb.vec_id = cand.id_b
+           WHERE la.par <> lb.par),
+         ${SparkEntry.bitextTailSql(k = 4)}"""
+
+  /** x14: the s05 argmax cell assignment + per-cell md5-pick ranking.
+    * Mirrors SparkEntry.x14OracleSql. */
+  private lazy val x14Sql: String = {
+    val dts = centroidDotsArr("sv", Pinned.ivfCentroids)
+    s"""WITH $normCte,
+         asg AS (SELECT vec_id,
+             CAST(array_position(dts, array_max(dts)) - 1 AS INT) AS cell,
+             md5(CAST(vec_id AS STRING)) AS pick
+           FROM (SELECT vec_id, sv, $dts AS dts FROM n))
+         SELECT cell, rk, vec_id FROM (
+           SELECT cell, vec_id,
+             CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY pick ASC, vec_id ASC) AS BIGINT) AS rk
+           FROM asg)
+         WHERE rk <= 5 ORDER BY cell, rk"""
+  }
 
   /** s21: the recall replay composes the two member replays verbatim —
     * [[SparkEntry.s01SparkSql]] (exact ground truth) and [[s04Sql]]

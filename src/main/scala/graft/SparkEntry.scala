@@ -91,6 +91,8 @@ object SparkEntry {
     "t19_tfidf"           -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "t20_rrf_fusion"      -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "t21_lm_continuations" -> ((s, dir) => TextOps.lmContinuations(s, dir)),
+    "t22_blocklist_filter" -> ((s, dir) => TextOps.blocklistFilter(s, dir)),
+    "t23_boilerplate_scrub" -> ((s, dir) => TextOps.boilerplateScrub(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -105,6 +107,7 @@ object SparkEntry {
     "x11_dsir_weights"    -> ((s, dir) => Curation.dsirWeights(s, dir)),
     "x12_curriculum_bins" -> ((s, dir) => Curation.curriculumBins(s, dir)),
     "x13_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
+    "x14_cluster_sample"  -> ((s, dir) => Sampling.clusterSample(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
@@ -164,6 +167,8 @@ object SparkEntry {
     "s19_ann_graph_refined" -> ((s, dir) => Similarity.annGraphLshRefined(s, dir)),
     "s20_ann_graph_insert_recip" -> ((s, dir) => Similarity.annGraphInsertRecip(s, dir)),
     "s21_ann_recall"      -> ((s, dir) => Similarity.annRecallEval(s, dir)),
+    "s22_bitext_mine"     -> ((s, dir) => Similarity.bitextMine(s, dir)),
+    "s23_bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1050,6 +1055,56 @@ object SparkEntry {
                AS rk
            FROM k)
          WHERE rk <= 50 ORDER BY rk""",
+    // x14: the s05 pinned-centroid argmax assignment + the x13-style
+    // deterministic md5 pick, ranked per cell.
+    "x14_cluster_sample" -> x14OracleSql,
+    // t22: flagged fraction over the pinned blocklist; keep compares
+    // the r4-floored fraction so the boundary is engine-exact.
+    "t22_blocklist_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('slow', 'dup', 'leak'))) AS BIGINT) AS n_flagged
+           FROM documents)
+         SELECT doc_id, n_tokens, n_flagged,
+           floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4
+             AS flagged_frac,
+           (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 < 0.05)
+             AS keep
+         FROM f ORDER BY doc_id""",
+    // t23: corpus-frequency boilerplate scrub — chunks occurring >= 2
+    // times anywhere lose ALL copies; clean_text re-joins survivors in
+    // chunk order (empty docs coalesce to '').
+    "t23_boilerplate_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(len(tk) - 32, 0) + 31) / 32.0) AS BIGINT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM meta
+         ), ck AS (
+           SELECT doc_id, i AS chunk_id,
+             array_to_string(tk[CAST(i*32+1 AS INT) : CAST(i*32+32 AS INT)], ' ')
+               AS chunk_text
+           FROM ex
+         ), boiler AS (
+           SELECT chunk_text FROM ck GROUP BY chunk_text HAVING count(*) >= 2
+         ), v AS (
+           SELECT c.doc_id, c.chunk_id, c.chunk_text,
+             (b.chunk_text IS NULL) AS keep
+           FROM ck c LEFT JOIN boiler b ON c.chunk_text = b.chunk_text)
+         SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN keep THEN 1 END) AS n_kept,
+           coalesce(array_to_string(
+             list(chunk_text ORDER BY chunk_id ASC) FILTER (WHERE keep), ' '),
+             '') AS clean_text
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
     "t15_chunk_dedup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
@@ -1535,6 +1590,8 @@ object SparkEntry {
          WHERE rk <= 3 ORDER BY q_id, rk""",
     "s01_ann_bruteforce" -> s01OracleSql,
     "s21_ann_recall" -> s21OracleSql,
+    "s22_bitext_mine" -> s22OracleSql,
+    "s23_bitext_mine_lsh" -> s23OracleSql,
     "s02_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1951,6 +2008,76 @@ object SparkEntry {
          WHERE cos >= 0.3 ORDER BY id_a, id_b"""
   }
 
+  /** Dialect-portable margin tail shared by the s22/s23 oracles AND
+    * their Spark-dialect forms (row_number / CAST / floor only): from
+    * a `pairs(src_id, tgt_id, c)` CTE with `c` the micro-scaled 6-dp
+    * cosine, per-node top-k integer sums → the Artetxe–Schwenk ratio
+    * margin r4-floored before ranking → best target per source. */
+  private[graft] def bitextTailSql(k: Int): String =
+    s"""nnx AS (
+           SELECT src_id, CAST(sum(c) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS nx
+           FROM (SELECT src_id, c, row_number() OVER (PARTITION BY src_id
+               ORDER BY c DESC, tgt_id ASC) AS r FROM pairs) rx
+           WHERE r <= $k GROUP BY src_id),
+         nny AS (
+           SELECT tgt_id, CAST(sum(c) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS ny
+           FROM (SELECT tgt_id, c, row_number() OVER (PARTITION BY tgt_id
+               ORDER BY c DESC, src_id ASC) AS r FROM pairs) ry
+           WHERE r <= $k GROUP BY tgt_id),
+         m AS (
+           SELECT p.src_id, p.tgt_id, p.c,
+             floor((CAST(2 * p.c AS DOUBLE) / (CAST(sx AS DOUBLE) / nx
+               + CAST(sy AS DOUBLE) / ny))*1e4 + 0.5)/1e4 AS margin
+           FROM pairs p JOIN nnx ON nnx.src_id = p.src_id
+             JOIN nny ON nny.tgt_id = p.tgt_id)
+         SELECT src_id, tgt_id, CAST(c AS DOUBLE) / 1e6 AS cos, margin FROM (
+           SELECT src_id, tgt_id, c, margin,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id ASC) AS rk
+           FROM m) f
+         WHERE rk = 1 ORDER BY src_id"""
+
+  /** s22: exact all-pairs bitext margins — cross-side cosines lifted
+    * to integer micros, the shared [[bitextTailSql]] margin tail. */
+  private lazy val s22OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         lab AS (SELECT vec_id, label % 2 AS par FROM embeddings),
+         pairs AS (
+           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             CAST(floor(round(list_cosine_similarity(es.v, et.v), 6)*1e6 + 0.5)
+               AS BIGINT) AS c
+           FROM lab s, lab t, e es, e et
+           WHERE s.par = 0 AND t.par = 1
+             AND es.vec_id = s.vec_id AND et.vec_id = t.vec_id),
+         ${bitextTailSql(k = 4)}"""
+
+  /** s23: the LSH twin — candidates from the d09-regime bucket replay
+    * (12 tables × 8 integer-grid planes, no threshold), cross-side
+    * re-orientation by label parity, same margin tail. */
+  private lazy val s23OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 12, nPlanes = 8)},
+         ${capGuardCte("s23",
+           "SELECT count(*) AS cnt FROM buckets GROUP BY tb, bucket")},
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(round(list_cosine_similarity(ea.v, eb.v), 6)*1e6 + 0.5)
+               AS BIGINT) AS c
+           FROM buckets a JOIN buckets b
+             ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           CROSS JOIN guard),
+         lab AS (SELECT vec_id, label % 2 AS par FROM embeddings),
+         pairs AS (
+           SELECT CASE WHEN la.par = 0 THEN id_a ELSE id_b END AS src_id,
+                  CASE WHEN la.par = 0 THEN id_b ELSE id_a END AS tgt_id, c
+           FROM cand JOIN lab la ON la.vec_id = cand.id_a
+             JOIN lab lb ON lb.vec_id = cand.id_b
+           WHERE la.par <> lb.par),
+         ${bitextTailSql(k = 4)}"""
+
   private lazy val s04OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
          scored AS (
@@ -2240,6 +2367,26 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** x14: nearest pinned cell (the s05 argmax arithmetic, ties to the
+    * lower index) + the x13-style deterministic md5 pick, ranked per
+    * cell — cluster-balanced sampling. */
+  private lazy val x14OracleSql: String = {
+    val dts = centroidDotsList(Pinned.ivfCentroids)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         asg AS (SELECT vec_id,
+                 CAST(list_position(dts, list_max(dts)) - 1 AS INT) AS cell,
+                 md5(CAST(vec_id AS VARCHAR)) AS pick
+               FROM (SELECT vec_id, sv, $dts AS dts FROM n))
+         SELECT cell, rk, vec_id FROM (
+           SELECT cell, vec_id,
+             CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY pick ASC, vec_id ASC) AS BIGINT) AS rk
+           FROM asg)
+         WHERE rk <= 5 ORDER BY cell, rk"""
   }
 
   // --- shared builders for the PQ-family oracles (s09/s10/s11/s13) ---
@@ -2795,6 +2942,48 @@ object SparkEntry {
                AS rk
            FROM k)
          WHERE rk <= 50 ORDER BY rk""",
+    "t22_blocklist_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(size(filter(split(trim(text), '\\s+'),
+                 x -> x IN ('slow', 'dup', 'leak'))) AS BIGINT) AS n_flagged
+           FROM documents)
+         SELECT doc_id, n_tokens, n_flagged,
+           floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4
+             AS flagged_frac,
+           (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 < 0.05)
+             AS keep
+         FROM f ORDER BY doc_id""",
+    "t23_boilerplate_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(size(tk) - 32, 0) + 31) / 32.0) AS INT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, explode(sequence(0, nc - 1)) AS i FROM meta
+         ), ck AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             array_join(slice(tk, i*32 + 1, 32), ' ') AS chunk_text
+           FROM ex
+         ), boiler AS (
+           SELECT chunk_text FROM ck GROUP BY chunk_text HAVING count(*) >= 2
+         ), v AS (
+           SELECT c.doc_id, c.chunk_id, c.chunk_text,
+             (b.chunk_text IS NULL) AS keep
+           FROM ck c LEFT JOIN boiler b ON c.chunk_text = b.chunk_text)
+         SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN keep THEN 1 END) AS n_kept,
+           array_join(
+             transform(
+               array_sort(collect_list(
+                 CASE WHEN keep THEN struct(chunk_id, chunk_text) END)),
+               c -> c.chunk_text),
+             ' ') AS clean_text
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
     "t15_chunk_dedup" ->
       """WITH toks AS (
            SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents

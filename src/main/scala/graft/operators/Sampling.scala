@@ -283,6 +283,50 @@ object Sampling {
       .orderBy("rk")
   }
 
+  /** x14: cluster-balanced sampling — the embedding-space DIVERSITY
+    * draw (the "cluster then sample evenly" recipe of DeepCore /
+    * coreset selection and the k-means stratification SemDeDup-style
+    * curation runs after dedup): assign every vector to its nearest
+    * pinned k-means cell (argmax centroid dot, ties to the lower
+    * index — the s05/s14 assignment arithmetic), then take
+    * `nPerCell` vectors per cell by the deterministic md5 rank of
+    * [[deterministicSplit]]. Equal-population-per-cell output ⇒ the
+    * sample covers embedding space instead of mirroring its density —
+    * the opposite bias of x13's weight-proportional draw, and the
+    * other half a curation stack needs.
+    *
+    * At 100 TB: centroids ride in the plan as literals (no join), the
+    * assignment is a codegen'd map stage, and the per-cell pick runs
+    * through [[graft.plans.TopKPerGroup]] — each map partition ships
+    * ≤ nPerCell rows per cell, so the exchange carries O(cells ·
+    * partitions · nPerCell) ids, never the corpus. Same determinism
+    * contract as x13: retries, partitionings, and engines draw the
+    * SAME sample. */
+  def clusterSample(s: SparkSession, dir: String, nPerCell: Int = 5): DataFrame =
+    clusterSample(
+      Similarity.emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("sv")),
+      "vec_id", graft.operators.Pinned.ivfCentroids, nPerCell)
+
+  /** Generic core: `vecs` carries (idCol, sv) with `sv` already
+    * L2-normalized. */
+  def clusterSample(vecs: DataFrame, idCol: String,
+                    cents: Array[Array[Double]], nPerCell: Int): DataFrame = {
+    val assigned = vecs
+      .select(col(idCol),
+        Similarity.topCells(col("sv"), cents, p = 1)(0).as("cell"),
+        hashKey(col(idCol)).as("pick"))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(assigned, Seq("cell"),
+      Seq("pick" -> true, idCol -> true), nPerCell)
+    top
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(asc("pick"), col(idCol).asc))
+        .cast("long"))
+      .select(col("cell").cast("int").as("cell"), col("rk"), col(idCol))
+      .orderBy("cell", "rk")
+  }
+
   /** x10: sequence packing — the concat-and-chunk step that turns a
     * document stream into fixed-length training sequences (the layout
     * GPT-style pretraining actually feeds the model: documents

@@ -56,7 +56,7 @@ object Similarity {
   /** Embeddings with the L2 norm precomputed (`nrm` = √Σv²). Pair-level
     * cosine is then `dot / (nrm_a * nrm_b)` — bit-identical to
     * [[cosine]] since `√x·√y` is evaluated in the same order. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -772,6 +772,104 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")
 
+  /** s22: margin-based bitext mining — the parallel-corpus mining
+    * criterion of Artetxe & Schwenk (ACL '19), the scoring CCMatrix /
+    * CCAligned run over billions of sentences: a cross-lingual pair
+    * (x, y) is a translation candidate when cos(x, y) is high RELATIVE
+    * to each side's own neighborhood, margin(x, y) =
+    * cos(x, y) / ((avgₖ cos(x, NNₖ(x)) + avgₖ cos(y, NNₖ(y))) / 2) —
+    * the ratio form, which cancels the "hubness" that makes raw cosine
+    * thresholds useless across languages. Sides here are the label's
+    * parity (even = source, odd = target — the synthetic corpus has no
+    * language column on embeddings); output is each source vector's
+    * best target by margin.
+    *
+    * This is the EXACT all-pairs baseline (the s02/s16 contract:
+    * deliberately quadratic, the correctness oracle for the bucketed
+    * twin [[bitextMineLsh]]). Float discipline: cosines are 6-dp
+    * rounded then lifted to integer MICROS, so the k-NN mean is an
+    * exact integer sum (the x11 lesson — no float-sum-order hazard in
+    * the aggregate); the only float op is the final margin division,
+    * evaluated in one fixed expression order and r4-floored before
+    * ranking. */
+  def bitextMine(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val e = emb(s, dir)
+    val src = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("vs"),
+        col("nrm").as("ns"))
+    val tgt = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vt"),
+        col("nrm").as("nt"))
+    val pairs = src.join(tgt, lit(true))
+      .select(col("src_id"), col("tgt_id"),
+        floor(round(dot(col("vs"), col("vt")) / (col("ns") * col("nt")), 6)
+          * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .localCheckpoint(eager = false) // feeds both k-NN aggs + the margin join
+    bitextMargin(pairs, k)
+  }
+
+  /** s23: the 100 TB twin of [[bitextMine]] — candidates from the
+    * d09-regime multi-table sign-LSH (12 tables × 8 integer-grid
+    * planes, threshold disabled: every cross-side collision is a
+    * candidate), margins computed over the CANDIDATE neighborhoods —
+    * exactly what CCMatrix does with its ANN index (the k-NN
+    * denominator is the index's top-k, not the exact one). Same
+    * micro-integer float discipline as s22; the pair source is the
+    * oracle-replayable [[lshPairsMulti]], so the whole mining run is
+    * driver-verified end-to-end.
+    *
+    * Scale shape: candidate generation is the bucketed anchor-star
+    * join (never all-pairs); the side/parity lookup joins on the
+    * candidate set (candidate-sized, not corpus-sized); both k-NN
+    * aggregates and the margin join run on candidates; the per-source
+    * best-target pick is a [[graft.plans.TopKPerGroup]] k=1. */
+  def bitextMineLsh(s: SparkSession, dir: String, k: Int = 4,
+                    nTables: Int = 12, nPlanes: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    val cand = lshPairsMulti(e, threshold = -2.0, nTables, nPlanes,
+      dim = 64, bucketCap = DefaultBucketCap)
+    val lab = e.select(col("vec_id"), (col("label") % 2).as("par"))
+    val pairs = cand
+      .join(lab.select(col("vec_id").as("id_a"), col("par").as("pa")), "id_a")
+      .join(lab.select(col("vec_id").as("id_b"), col("par").as("pb")), "id_b")
+      .filter(col("pa") =!= col("pb"))
+      .select(
+        when(col("pa") === 0, col("id_a")).otherwise(col("id_b")).as("src_id"),
+        when(col("pa") === 0, col("id_b")).otherwise(col("id_a")).as("tgt_id"),
+        floor(col("cos") * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .localCheckpoint(eager = false)
+    bitextMargin(pairs, k)
+  }
+
+  /** Shared margin tail over a cross-side pair set
+    * `pairs(src_id, tgt_id, c)` with `c` the micro-scaled 6-dp cosine:
+    * per-node top-k sums (exact integer arithmetic), margin =
+    * 2c / (sx/nx + sy/ny) r4-floored BEFORE ranking, best target per
+    * source. The per-node aggregates are node-count-sized and
+    * broadcast; both top-k selections and the final pick run through
+    * [[graft.plans.TopKPerGroup]] (map-side caps — a hub vector never
+    * funnels its full candidate list through one task). */
+  private def bitextMargin(pairs: DataFrame, k: Int): DataFrame = {
+    val nnSrc = graft.plans.TopKPerGroup.topKPerGroup(pairs, Seq("src_id"),
+        Seq("c" -> false, "tgt_id" -> true), k)
+      .groupBy("src_id").agg(sum("c").as("sx"), count(lit(1)).as("nx"))
+    val nnTgt = graft.plans.TopKPerGroup.topKPerGroup(pairs, Seq("tgt_id"),
+        Seq("c" -> false, "src_id" -> true), k)
+      .groupBy("tgt_id").agg(sum("c").as("sy"), count(lit(1)).as("ny"))
+    val margined = pairs
+      .join(broadcast(nnSrc), Seq("src_id"))
+      .join(broadcast(nnTgt), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("c"),
+        TextOps.r4(lit(2.0) * col("c").cast("double") /
+          (col("sx").cast("double") / col("nx").cast("double") +
+           col("sy").cast("double") / col("ny").cast("double"))).as("margin"))
+    graft.plans.TopKPerGroup.topKPerGroup(margined, Seq("src_id"),
+        Seq("margin" -> false, "tgt_id" -> true), 1)
+      .select(col("src_id"), col("tgt_id"),
+        (col("c").cast("double") / lit(1e6)).as("cos"), col("margin"))
+      .orderBy("src_id")
+  }
+
   /** Cluster-bucketed near-neighbor pairs — the candidate generator of
     * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     * corpus into cells, compare only within a cell. Multi-probe
@@ -1005,7 +1103,7 @@ object Similarity {
     * best first (ties to the lower index): sort (dot, index) structs on
     * negated dot, slice, project the index back out — pure Column
     * expression, no UDF. */
-  private def topCells(v: Column, cents: Array[Array[Double]], p: Int): Column = {
+  private[operators] def topCells(v: Column, cents: Array[Array[Double]], p: Int): Column = {
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-dot(v, typedlit(c.toSeq))).as("nd"), lit(i).as("i"))
     }: _*)

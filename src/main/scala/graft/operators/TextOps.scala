@@ -875,4 +875,93 @@ object TextOps {
       .select(idCol, "rk", "term", "tfidf")
       .orderBy(idCol, "rk")
   }
+
+  /** Blocklist terms for [[blocklistFilter]]. Deterministic and tiny
+    * by design, like [[stopwords]]: the published web-corpus filters
+    * (C4's "bad words" list, Gopher's keyword rules) are fixed word
+    * lists a pipeline ships, not learned state. `leak` never occurs in
+    * the synthetic corpus — the zero-hit path stays exercised. */
+  val blocklist: Seq[String] = Seq("slow", "dup", "leak")
+
+  /** t22: blocklist filtering — the C4-style "contains a listed word"
+    * document filter (Raffel et al., JMLR '20 §2.2 drop documents with
+    * blocklisted words; Gopher keeps a threshold instead of a hard
+    * drop — this takes the threshold form so the verdict is a tunable
+    * column, not data loss). Per document: token count, flagged-token
+    * count, flagged fraction, and the keep verdict
+    * `flagged_frac < maxFrac` evaluated on the [[r4]]-floored fraction
+    * so the boundary is engine-exact.
+    *
+    * At 100 TB: a pure Column map stage — the term list lives in the
+    * codegen'd `isin` literal (no join, no broadcast, no shuffle);
+    * cost is parquet scan throughput, the same shape as t01–t08. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame =
+    blocklistFilter(t(s, dir, "documents"), "doc_id", "text", blocklist)
+
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], maxFrac: Double = 0.05): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    val tk = tokensOf(col(textCol))
+    val flagged = size(filter(tk, w => w.isin(terms.map(lit(_): Any): _*)))
+    docs
+      .select(col(idCol),
+        size(tk).cast("bigint").as("n_tokens"),
+        flagged.cast("bigint").as("n_flagged"))
+      .withColumn("flagged_frac",
+        r4(col("n_flagged").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("keep", col("flagged_frac") < lit(maxFrac))
+      .orderBy(idCol)
+  }
+
+  /** t23: boilerplate scrub with text reconstruction — the CCNet /
+    * RefinedWeb corpus-level pass: a span whose text occurs `minDf`+
+    * times ANYWHERE in the corpus is boilerplate (headers, footers,
+    * license blurbs), and ALL its copies are removed — unlike t15,
+    * which keeps the first occurrence and only reports. The span unit
+    * is the non-overlapping 32-token chunk (the t15 rationale: the
+    * synthetic docs have no line boundaries; on real data the unit is
+    * the line/paragraph and NOTHING else changes). Output is the
+    * cleaned CORPUS — per doc: chunk counts and the reconstructed
+    * `clean_text` (surviving chunks re-joined in position order), the
+    * artifact the next pipeline stage actually trains on.
+    *
+    * At 100 TB: the frequency pass shuffles ONLY (16-byte md5, count)
+    * partials — map-side combine means chunk text never crosses for
+    * counting. The boilerplate set (distinct fingerprints with n_occ ≥
+    * minDf — rare-distinct, high-frequency by definition) broadcasts
+    * back over the re-read chunk stream, so the single text-bearing
+    * shuffle is the unavoidable per-doc reconstruction agg. If the
+    * boilerplate set ever outgrew broadcast, the join key is still the
+    * md5 — the fallback shuffle join carries fingerprints, not text. */
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame =
+    boilerplateScrub(t(s, dir, "documents"), "doc_id", "text")
+
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int = 32, minDf: Long = 2L): DataFrame = {
+    require(minDf >= 2, s"minDf ($minDf) < 2 would scrub every chunk")
+    // materialize once: the occurrence stream feeds the frequency
+    // aggregate AND the reconstruction join (the t19/t12 discipline)
+    val occ = chunkOccurrences(docs, idCol, textCol, width = width,
+        stride = width)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("fp"))
+      .localCheckpoint(eager = false)
+    val boiler = occ
+      .groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minDf)
+    occ
+      .join(broadcast(boiler), Seq("fp"), "left")
+      .withColumn("keep", col("n_occ").isNull)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("chunk_id"), col("chunk_text"))))),
+            c => c.getField("chunk_text")),
+          " ").as("clean_text"))
+      .orderBy(idCol)
+  }
 }

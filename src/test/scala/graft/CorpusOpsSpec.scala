@@ -741,4 +741,100 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.values.map(_._6).sum > 0 && got.values.map(_._6).sum <
       got.values.map(_._1).sum)
   }
+
+  test("t22 blocklist filter matches a per-doc Scala recomputation") {
+    val terms = TextOps.blocklist.toSet
+    val expected = docs.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val flagged = toks.count(terms)
+      val frac = r4(flagged.toDouble / toks.size)
+      (id, toks.size.toLong, flagged.toLong, frac, frac < 0.05)
+    }.sortBy(_._1)
+    val got = TextOps.blocklistFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // the threshold must discriminate at this corpus, or keep is vacuous
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("t23 boilerplate scrub drops ALL copies of repeated chunks and " +
+    "reconstructs the survivors in order") {
+    val width = 32
+    val occ = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val nc = 1 + (math.max(0, toks.size - width) + width - 1) / width
+      (0 until nc).map { i =>
+        (id, i.toLong, toks.slice(i * width, i * width + width).mkString(" "))
+      }
+    }
+    val nOcc = occ.groupBy(_._3).map { case (txt, os) => txt -> os.size }
+    val expected = occ.groupBy(_._1).toSeq.map { case (id, os) =>
+      val kept = os.filter(o => nOcc(o._3) < 2).sortBy(_._2)
+      (id, os.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+    }.sortBy(_._1)
+    val got = TextOps.boilerplateScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == expected)
+    // a doc whose chunks all survive reconstructs its token stream
+    val byId = docs.toMap
+    val intact = got.filter(g => g._2 == g._3)
+    assert(intact.nonEmpty)
+    intact.foreach { g =>
+      assert(g._4 == byId(g._1).trim.split("\\s+").mkString(" ")) }
+    // and the scrub actually removed something somewhere
+    assert(got.exists(g => g._3 < g._2))
+  }
+
+  test("t23 planted boilerplate loses EVERY copy (unlike t15's keep-first)") {
+    import spark.implicits._
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val other = (33 to 64).map(i => s"w$i").mkString(" ")
+    val frame = Seq(
+      (1L, span + " " + span), // two copies inside one doc
+      (2L, span),              // a third copy in a later doc
+      (3L, other)              // unique content
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateScrub(frame, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, ""), // both copies scrubbed — no first-occurrence grace
+      (2L, 1L, 0L, ""),
+      (3L, 1L, 1L, other)))
+  }
+
+  test("x14 cluster sample: per-cell md5 pick over nearest pinned cells") {
+    val cents = graft.operators.Pinned.ivfCentroids
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val assigned = embs.map { case (id, v) =>
+      val nrm = math.sqrt(dotd(v, v))
+      val sv = v.map(_ / nrm)
+      val dots = cents.map(c => dotd(sv, c))
+      // argmax, ties to the lower index — the engine's struct(-dot, i) sort
+      val cell = dots.indices.minBy(i => (-dots(i), i))
+      (id, cell)
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cell, vs) =>
+      vs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(5).zipWithIndex
+        .map { case (id, i) => (cell, (i + 1).toLong, id) }
+    }.sortBy(x => (x._1, x._2))
+    val got = Sampling.clusterSample(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // balance: never more than nPerCell from one cell, and full cells
+    // contribute exactly nPerCell — the diversity contract
+    val perCell = got.groupBy(_._1).map { case (c, rows) => c -> rows.size }
+    assert(perCell.values.forall(_ <= 5))
+    val popOf = assigned.groupBy(_._2).map { case (c, vs) => c -> vs.size }
+    perCell.foreach { case (c, n) => assert(n == math.min(5, popOf(c))) }
+  }
 }

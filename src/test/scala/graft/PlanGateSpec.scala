@@ -187,6 +187,40 @@ class PlanGateSpec extends SparkSuite {
     assertPartialTopK(graft.operators.TextOps.lmContinuations(spark, sf), "t21")
   }
 
+  test("s23 LSH bitext mining: bucketed candidates (no cartesian), " +
+    "per-node margin aggregates broadcast") {
+    // the exact twin s22 is the documented quadratic baseline (s02/s16
+    // contract); the REGISTERED scale path must never produce the
+    // src×tgt product — candidates come from the multi-table buckets —
+    // and both k-NN denominator tables must ride broadcast
+    val plan = finalPlan(Similarity.bitextMineLsh(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "s23 degraded to a src×tgt cartesian")
+    assert(broadcastJoins(plan) >= 2,
+      s"margin aggregates not broadcast, saw ${broadcastJoins(plan)} BHJs")
+  }
+
+  test("t23 boilerplate scrub: the boilerplate set joins BROADCAST") {
+    // the frequent-fingerprint set must broadcast back over the chunk
+    // stream; losing the hint shuffles the full chunk TEXT on the md5
+    // key — a second corpus-sized text exchange the design exists to
+    // avoid (the only text-bearing shuffle is the per-doc re-agg)
+    val plan = finalPlan(graft.operators.TextOps.boilerplateScrub(spark, sf))
+    assert(broadcastJoins(plan) >= 1,
+      s"boilerplate join not broadcast, saw ${broadcastJoins(plan)} BHJs")
+    assert(noQuadraticJoins(plan), "t23 degraded to sort-merge/cartesian")
+  }
+
+  test("x14 cluster sample keeps the map-side partial heap per cell") {
+    // centroids ride as plan literals — the assignment is a map stage;
+    // the per-cell pick must cap rows BEFORE the exchange or a dense
+    // cell funnels its whole population through one task
+    val df = Sampling.clusterSample(spark, sf)
+    assertPartialTopK(df, "x14")
+    assert(noQuadraticJoins(finalPlan(df)), "x14 grew a join — assignment " +
+      "should be literal-driven, not join-driven")
+  }
+
   // ---- scan pushdown / pruning --------------------------------------
 
   test("q02: range filter pushed to the parquet scan; columns pruned") {

@@ -603,4 +603,101 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expected)
   }
+
+  // --- s22/s23 bitext mining -----------------------------------------
+
+  private def bitextFixture(): (Array[(Long, Array[Double], Int)],
+      Map[Long, Double]) = {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val nrm = rows.map { case (id, v, _) => id -> math.sqrt(dotd(v, v)) }.toMap
+    (rows, nrm)
+  }
+
+  private def microCos(a: Array[Double], b: Array[Double],
+                       na: Double, nb: Double): Long = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    val c6 = new java.math.BigDecimal(acc / (na * nb))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    math.floor(c6 * 1e6 + 0.5).toLong
+  }
+
+  private def r4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** Margin tail in Scala over cross-side micro-cos pairs. */
+  private def marginMine(pairs: Seq[(Long, Long, Long)],
+                         k: Int): Seq[(Long, Long, Double, Double)] = {
+    val bySrc = pairs.groupBy(_._1)
+    val byTgt = pairs.groupBy(_._2)
+    val sx = bySrc.map { case (s, ps) =>
+      val top = ps.map(p => (p._3, p._2)).sortBy { case (c, t) => (-c, t) }
+        .take(k)
+      s -> (top.map(_._1).sum, top.size)
+    }
+    val sy = byTgt.map { case (t, ps) =>
+      val top = ps.map(p => (p._3, p._1)).sortBy { case (c, s) => (-c, s) }
+        .take(k)
+      t -> (top.map(_._1).sum, top.size)
+    }
+    bySrc.toSeq.map { case (s, ps) =>
+      val scored = ps.map { case (_, t, c) =>
+        val mg = r4d(2.0 * c /
+          (sx(s)._1.toDouble / sx(s)._2 + sy(t)._1.toDouble / sy(t)._2))
+        (t, c, mg)
+      }
+      val (t, c, mg) = scored.minBy { case (t, _, mg) => (-mg, t) }
+      (s, t, c.toDouble / 1e6, mg)
+    }.sortBy(_._1)
+  }
+
+  test("s22 exact bitext margins match a Scala recomputation") {
+    val (rows, nrm) = bitextFixture()
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val src = rows.filter(_._3 % 2 == 0).map(_._1).sorted
+    val tgt = rows.filter(_._3 % 2 == 1).map(_._1).sorted
+    val pairs = for (s <- src.toSeq; t <- tgt.toSeq)
+      yield (s, t, microCos(vecs(s), vecs(t), nrm(s), nrm(t)))
+    val expected = marginMine(pairs, k = 4)
+    val got = Similarity.bitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // one row per source vector, and margins discriminate (not all 1.0)
+    assert(got.map(_._1) == src.toSeq)
+    assert(got.map(_._4).distinct.size > 1)
+  }
+
+  test("s23 LSH bitext mining ≡ the margin tail over the lshPairsMulti " +
+    "candidates; mined cosines are exact") {
+    val (rows, nrm) = bitextFixture()
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val par = rows.map(r => r._1 -> r._3 % 2).toMap
+    val cand = Similarity.lshPairsMulti(spark, sf, threshold = -2.0,
+        nTables = 12, nPlanes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = cand.toSeq.collect {
+      case (a, b, c) if par(a) != par(b) =>
+        val (s, t) = if (par(a) == 0) (a, b) else (b, a)
+        (s, t, math.floor(c * 1e6 + 0.5).toLong)
+    }
+    val expected = marginMine(pairs, k = 4)
+    val got = Similarity.bitextMineLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // precision-1.0 contract: every mined cosine equals the exact one
+    got.foreach { case (s, t, cosv, _) =>
+      val exact = microCos(vecs(s), vecs(t), nrm(s), nrm(t)).toDouble / 1e6
+      assert(cosv == exact, s"mined cos for ($s,$t) drifted from exact")
+    }
+  }
 }
