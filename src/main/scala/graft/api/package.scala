@@ -141,6 +141,37 @@ package object api {
                              threshold: Double = 0.7): DataFrame =
       Dedup.incrementalNearDup(df, store, idCol, textCol, threshold)
 
+    /** C4-style blocklist filter: per doc, flagged-token count/fraction
+      * over `terms` and the `flagged_frac < maxFrac` keep verdict (the
+      * term list rides as a codegen'd literal — no join). */
+    def filterBlocklist(idCol: String, textCol: String,
+                        terms: Seq[String],
+                        maxFrac: Double = 0.05): DataFrame =
+      TextOps.blocklistFilter(df, idCol, textCol, terms, maxFrac)
+
+    /** CCNet/RefinedWeb boilerplate scrub: spans occurring `minDf`+
+      * times anywhere in the corpus lose ALL copies; returns per doc
+      * the chunk counts and the reconstructed `clean_text`. */
+    def scrubBoilerplate(idCol: String, textCol: String,
+                         width: Int = 32, minDf: Long = 2L): DataFrame =
+      TextOps.boilerplateScrub(df, idCol, textCol, width, minDf)
+
+    /** Cluster-balanced diversity sample over an embedding frame
+      * (`idCol`, `sv` = L2-normalized vector): nearest cell per vector
+      * against `cents`, at most `nPerCell` rows per cell by
+      * deterministic md5 rank. */
+    def sampleClusterBalanced(idCol: String,
+                              cents: Array[Array[Double]],
+                              nPerCell: Int = 5): DataFrame =
+      Sampling.clusterSample(df, idCol, cents, nPerCell)
+
+    /** Margin-based bitext mining (Artetxe–Schwenk ratio margin) of
+      * this embedding frame against `tgt` — both carry (vec_id, v,
+      * nrm). Exact all-pairs; at scale feed LSH candidates instead
+      * (see `Similarity.bitextMineLsh`). */
+    def mineBitext(tgt: DataFrame, k: Int = 4): DataFrame =
+      graft.operators.Similarity.bitextMine(df, tgt, k)
+
     // ---- joins ----
     def asofJoin(right: DataFrame, key: String, ts: String,
                  rightVals: Seq[String]): DataFrame =

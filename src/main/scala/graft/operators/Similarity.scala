@@ -794,12 +794,19 @@ object Similarity {
     * ranking. */
   def bitextMine(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val e = emb(s, dir)
-    val src = e.filter(col("label") % 2 === 0)
-      .select(col("vec_id").as("src_id"), col("v").as("vs"),
-        col("nrm").as("ns"))
-    val tgt = e.filter(col("label") % 2 === 1)
-      .select(col("vec_id").as("tgt_id"), col("v").as("vt"),
-        col("nrm").as("nt"))
+    bitextMine(e.filter(col("label") % 2 === 0),
+      e.filter(col("label") % 2 === 1), k)
+  }
+
+  /** Generic exact core: `src`/`tgt` carry (vec_id, v, nrm) — any two
+    * embedding corpora (the real use: two languages' sentence
+    * embeddings). */
+  def bitextMine(srcFrame: DataFrame, tgtFrame: DataFrame,
+                 k: Int): DataFrame = {
+    val src = srcFrame.select(col("vec_id").as("src_id"),
+      col("v").as("vs"), col("nrm").as("ns"))
+    val tgt = tgtFrame.select(col("vec_id").as("tgt_id"),
+      col("v").as("vt"), col("nrm").as("nt"))
     val pairs = src.join(tgt, lit(true))
       .select(col("src_id"), col("tgt_id"),
         floor(round(dot(col("vs"), col("vt")) / (col("ns") * col("nt")), 6)

@@ -114,6 +114,42 @@ class ApiSpec extends SparkSuite {
     assert(nd == Set((11L, 10L, 1.0)))
   }
 
+  test("r10b facade methods: blocklist, boilerplate scrub, cluster " +
+    "sample, bitext mining") {
+    import org.apache.spark.sql.functions._
+    // blocklist: 'customer' flags exactly doc 14
+    val blm = corpus.filterBlocklist("id", "body", Seq("customer")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(blm(14L)._1 == 1L && !blm(14L)._2)
+    assert(blm(13L)._1 == 0L && blm(13L)._2)
+    // boilerplate scrub at width=4: the dup/near-dup share their first
+    // 4-token chunk "the quick brown fox" — all copies scrubbed
+    val bs = corpus.scrubBoilerplate("id", "body", width = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(!bs(10L).contains("the quick brown fox"))
+    assert(!bs(11L).contains("the quick brown fox"))
+    assert(bs(13L) ==
+      "completely different text with nothing shared here at all")
+    // cluster sample + bitext mining over a toy embedding frame
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.1, 0.9))).toDF("vec_id", "sv")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val cs = vecs.sampleClusterBalanced("vec_id", cents, nPerCell = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(cs.length == 2 && cs.map(_._1).toSet == Set(0, 1))
+    import graft.functions.VectorExprs.dot
+    val embA = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("sv").as("v"),
+        sqrt(dot(col("sv"), col("sv"))).as("nrm"))
+    val embB = vecs.filter(col("vec_id") >= 2)
+      .select(col("vec_id"), col("sv").as("v"),
+        sqrt(dot(col("sv"), col("sv"))).as("nrm"))
+    val mined = embA.mineBitext(embB, k = 2).collect()
+    assert(mined.length == 2 &&
+      mined.map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")
