@@ -170,9 +170,14 @@ object Similarity {
     * baked-in 6 (N=500 at sf0.001/sf0.01, N=2000 at sf0.1 → 6 — the
     * s17/s18/s19/s20 replay SQL carries nPlanes=6 plane literals, so
     * the dial MUST resolve to 6 wherever hashes are compared). */
-  def autoNPlanes(n: Long, floor: Int = 6): Int = {
+  /** `occLog2` is the occupancy target's log₂ (default 2⁵ = 32, the
+    * graph-build sweet spot); candidate-volume-bound consumers like
+    * [[bitextMineLsh]] pass a smaller target — mining cost is
+    * N·occupancy, so holding occupancy lower keeps the candidate set
+    * ∝ N where the graph build can afford denser buckets. */
+  def autoNPlanes(n: Long, floor: Int = 6, occLog2: Int = 5): Int = {
     val log2n = math.log(n.max(1L).toDouble) / math.log(2.0)
-    math.max(floor, math.round(log2n).toInt - 5)
+    math.max(floor, math.round(log2n).toInt - occLog2)
   }
 
   /** Session-scoped memo of corpus CARDINALITIES feeding the
@@ -831,9 +836,18 @@ object Similarity {
     * aggregates and the margin join run on candidates; the per-source
     * best-target pick is a [[graft.plans.TopKPerGroup]] k=1. */
   def bitextMineLsh(s: SparkSession, dir: String, k: Int = 4,
-                    nTables: Int = 12, nPlanes: Int = 8): DataFrame = {
+                    nTables: Int = 12,
+                    nPlanes: Option[Int] = None): DataFrame = {
     val e = emb(s, dir)
-    val cand = lshPairsMulti(e, threshold = -2.0, nTables, nPlanes,
+    // occupancy dial, mining-tuned: candidate volume is N·occupancy,
+    // so the target is 2⁴ (vs the graph build's 2⁵) — resolves to the
+    // baked-in 8 at every oracle-compared SF (N=500 → 8, N=2000 → 8)
+    // and to 10 at sf1's N=20000, where fixed-8 measured 4.8× wall at
+    // 10× data (BASELINE.md r10)
+    val nP = nPlanes.getOrElse(autoNPlanes(
+      memoCount(dir)(t(s, dir, "embeddings").count()),
+      floor = 8, occLog2 = 4))
+    val cand = lshPairsMulti(e, threshold = -2.0, nTables, nP,
       dim = 64, bucketCap = DefaultBucketCap)
     val lab = e.select(col("vec_id"), (col("label") % 2).as("par"))
     val pairs = cand

@@ -288,6 +288,12 @@ class SimilaritySpec extends SparkSuite {
     val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
       .map(Similarity.autoNPlanes(_))
     assert(pts == pts.sorted)
+    // the s23 MINING-tuned dial (occupancy 2⁴, floor 8): the replay
+    // SQL bakes nPlanes=8, so both oracle-compared SFs must resolve
+    // to 8; sf1 must resolve to 10 (the measured 8.88 s → 3.96 s fix)
+    assert(Similarity.autoNPlanes(500L, floor = 8, occLog2 = 4) == 8)
+    assert(Similarity.autoNPlanes(2000L, floor = 8, occLog2 = 4) == 8)
+    assert(Similarity.autoNPlanes(20000L, floor = 8, occLog2 = 4) == 10)
   }
 
   test("s19 law: refinement ≡ identity at rounds=0; recall never drops and recovers in sparse-bucket regimes") {
