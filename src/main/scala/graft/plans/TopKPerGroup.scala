@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftglue.dataFrameOf
 
@@ -103,6 +103,15 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     * within each group in ranked order under the requested sort. */
   override def outputOrdering: Seq[SortOrder] =
     if (partial) Nil else groupOrder ++ sortOrder
+
+  /** Row placement is untouched (both passes reduce in place), so the
+    * child's partitioning survives — without this override Spark's
+    * default (`UnknownPartitioning`) made EnsureRequirements insert a
+    * SECOND hash exchange on the SAME group keys for every downstream
+    * consumer clustered on them (the `row_number()` rank window every
+    * TopKPerGroup query ends with): one redundant exchange + sort per
+    * query, measured in the r10 x14 plan audit. */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
