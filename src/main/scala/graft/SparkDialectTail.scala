@@ -832,7 +832,32 @@ object SparkDialectTail {
     "s21_ann_recall" -> s21Sql,
     "s22_bitext_mine" -> s22Sql,
     "s23_bitext_mine_lsh" -> s23Sql,
+    "s24_mmr_rerank" -> s24Sql,
     "x14_cluster_sample" -> x14Sql)
+
+  /** s24: the MMR replay — s01-shape candidates + pair sims via
+    * `graft_dot`, then the shared unrolled selection tail
+    * ([[SparkEntry.mmrTailSql]]). */
+  private lazy val s24Sql: String =
+    s"""WITH $embCte,
+         sc AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6) AS c
+           FROM en q JOIN en a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         cand AS (
+           SELECT q_id, n_id, c FROM (
+             SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id
+               ORDER BY c DESC, n_id ASC) AS crk FROM sc) z
+           WHERE crk <= 10),
+         pc AS (
+           SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+             round(graft_dot(ex.v, ey.v) / (ex.nrm * ey.nrm), 6) AS pcos
+           FROM cand x JOIN cand y
+             ON y.q_id = x.q_id AND y.n_id <> x.n_id
+           JOIN en ex ON ex.vec_id = x.n_id
+           JOIN en ey ON ey.vec_id = y.n_id),
+         ${SparkEntry.mmrTailSql(k = 5, lambda = 0.7)}"""
 
   /** s22/s23: the bitext-mining replays — cross-side micro-cosine
     * pairs (exact product for s22, the d09-regime bucket candidates

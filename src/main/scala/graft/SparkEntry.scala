@@ -169,6 +169,7 @@ object SparkEntry {
     "s21_ann_recall"      -> ((s, dir) => Similarity.annRecallEval(s, dir)),
     "s22_bitext_mine"     -> ((s, dir) => Similarity.bitextMine(s, dir)),
     "s23_bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
+    "s24_mmr_rerank"      -> ((s, dir) => Similarity.mmrRerank(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1592,6 +1593,7 @@ object SparkEntry {
     "s21_ann_recall" -> s21OracleSql,
     "s22_bitext_mine" -> s22OracleSql,
     "s23_bitext_mine_lsh" -> s23OracleSql,
+    "s24_mmr_rerank" -> s24OracleSql,
     "s02_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2038,6 +2040,72 @@ object SparkEntry {
                ORDER BY margin DESC, tgt_id ASC) AS rk
            FROM m) f
          WHERE rk = 1 ORDER BY src_id"""
+
+  /** Dialect-portable MMR selection tail shared by the s24 oracle and
+    * its Spark-dialect form: from `cand(q_id, n_id, c)` and pair sims
+    * `pc(q_id, a, b, pcos)`, k−1 unrolled greedy rounds (the t13/s16
+    * fixed-iteration discipline). The λ and 1−λ literals are the
+    * ENGINE'S doubles interpolated verbatim (1−0.7 prints as
+    * 0.30000000000000004 — both engines then multiply the identical
+    * binary value). */
+  private[graft] def mmrTailSql(k: Int, lambda: Double): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val om = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    val steps = (2 to k).map { t =>
+      s"""rem$t AS (
+           SELECT cd.q_id, cd.n_id, cd.c FROM cand cd
+           LEFT JOIN selu${t - 1} s
+             ON s.q_id = cd.q_id AND s.n_id = cd.n_id
+           WHERE s.n_id IS NULL),
+         div$t AS (
+           SELECT r.q_id, r.n_id, r.c, max(p.pcos) AS d
+           FROM rem$t r JOIN selu${t - 1} s ON s.q_id = r.q_id
+           JOIN pc p ON p.q_id = r.q_id AND p.a = r.n_id AND p.b = s.n_id
+           GROUP BY r.q_id, r.n_id, r.c),
+         pick$t AS (
+           SELECT q_id, n_id, mmr, $t AS step FROM (
+             SELECT q_id, n_id,
+               floor(($lam*c - $om*d)*1e4 + 0.5)/1e4 AS mmr,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY floor(($lam*c - $om*d)*1e4 + 0.5)/1e4 DESC,
+                   n_id ASC) AS rk
+             FROM div$t) z WHERE rk = 1),
+         selu$t AS (SELECT * FROM selu${t - 1}
+           UNION ALL SELECT * FROM pick$t)"""
+    }.mkString(",\n         ")
+    s"""r0 AS (
+           SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id
+             ORDER BY c DESC, n_id ASC) AS rk FROM cand),
+         selu1 AS (
+           SELECT q_id, n_id, floor(($lam*c)*1e4 + 0.5)/1e4 AS mmr,
+             1 AS step
+           FROM r0 WHERE rk = 1),
+         $steps
+         SELECT q_id, CAST(step AS BIGINT) AS rk, n_id, mmr
+         FROM selu$k ORDER BY q_id, rk"""
+  }
+
+  /** s24: MMR re-ranking over the s01-shape top-10 candidates. */
+  private lazy val s24OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(q.v, a.v), 6) AS c
+           FROM e q JOIN e a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         cand AS (
+           SELECT q_id, n_id, c FROM (
+             SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id
+               ORDER BY c DESC, n_id ASC) AS crk FROM sc) z
+           WHERE crk <= 10),
+         pc AS (
+           SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+             round(list_cosine_similarity(ex.v, ey.v), 6) AS pcos
+           FROM cand x JOIN cand y
+             ON y.q_id = x.q_id AND y.n_id <> x.n_id
+           JOIN e ex ON ex.vec_id = x.n_id
+           JOIN e ey ON ey.vec_id = y.n_id),
+         ${mmrTailSql(k = 5, lambda = 0.7)}"""
 
   /** s22: exact all-pairs bitext margins — cross-side cosines lifted
     * to integer micros, the shared [[bitextTailSql]] margin tail. */

@@ -862,6 +862,86 @@ object Similarity {
     bitextMargin(pairs, k)
   }
 
+  /** s24: MMR diversity re-ranking (Carbonell & Goldstein, SIGIR '98 —
+    * Maximal Marginal Relevance) — the serving-side pass every
+    * retrieval stack runs between the ANN index and the consumer:
+    * from each query's top-`nCand` candidate list, greedily select `k`
+    * results maximizing λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)
+    * — relevance traded against redundancy with what is already
+    * picked, so near-duplicate hits stop crowding out coverage. The
+    * first pick is the plain top hit (no selected set yet; its score
+    * is λ·cos by the same formula with an empty max).
+    *
+    * Determinism: all cosines 6-dp rounded; the per-step score is
+    * r4-floored BEFORE the argmax (ties to the smaller id); the 1−λ
+    * coefficient is the DOUBLE `1.0 − λ` and the oracle SQL
+    * interpolates that exact double (0.7 → 0.30000000000000004), not
+    * a retyped decimal — the two engines multiply identical literals.
+    *
+    * At 100 TB: the candidate list is whatever retrieval produced it
+    * (here the s01 shape — swap in s04/s09/s17's list and nothing
+    * downstream moves); every MMR frame is QUERY-SET-sized
+    * (nQueries·nCand rows, nQueries·nCand² pair sims), so the k−1
+    * unrolled selection rounds cost the same at any corpus scale —
+    * the beam-search argument (s16) applied to re-ranking. */
+  def mmrRerank(s: SparkSession, dir: String, nQueries: Int = 5,
+                nCand: Int = 10, k: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    require(nCand >= k, s"nCand ($nCand) must be >= k ($k)")
+    val all = emb(s, dir)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("v"), col("nrm"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+          .as("c"))
+    val wC = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
+    // the candidate frame: nQueries×nCand rows at ANY SF — checkpointed
+    // once, re-read by the pair-sim build and every selection round
+    val cand = scored.withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "n_id", "v", "nrm", "c")
+      .localCheckpoint()
+    val pc = cand.select(col("q_id"), col("n_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(cand.select(col("q_id").as("q2"), col("n_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb")),
+        col("q_id") === col("q2") && col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("pcos"))
+      .localCheckpoint()
+    val candSlim = cand.select("q_id", "n_id", "c")
+    val lam = lit(lambda)
+    val oneMinus = lit(1.0 - lambda) // the exact double the oracle replays
+    val wPick = Window.partitionBy("q_id").orderBy(desc("mmr"), asc("n_id"))
+    var selected = candSlim
+      .withColumn("mmr", TextOps.r4(lam * col("c")))
+      .withColumn("rk0", row_number().over(wPick))
+      .filter(col("rk0") === 1)
+      .select(col("q_id"), col("n_id"), col("mmr"), lit(1L).as("rk"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val rem = candSlim.join(selected.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val selPairs = pc.join(
+        selected.select(col("q_id"), col("n_id").as("b")), Seq("q_id", "b"))
+      val div = rem.join(
+          selPairs.select(col("q_id"), col("a").as("n_id"), col("pcos")),
+          Seq("q_id", "n_id"))
+        .groupBy("q_id", "n_id", "c").agg(max("pcos").as("d"))
+      val pick = div
+        .select(col("q_id"), col("n_id"),
+          TextOps.r4(lam * col("c") - oneMinus * col("d")).as("mmr"))
+        .withColumn("rk0", row_number().over(wPick))
+        .filter(col("rk0") === 1)
+        .select(col("q_id"), col("n_id"), col("mmr"), lit(t.toLong).as("rk"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select("q_id", "rk", "n_id", "mmr").orderBy("q_id", "rk")
+  }
+
   /** Shared margin tail over a cross-side pair set
     * `pairs(src_id, tgt_id, c)` with `c` the micro-scaled 6-dp cosine:
     * per-node top-k sums (exact integer arithmetic), margin =

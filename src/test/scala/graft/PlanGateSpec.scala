@@ -200,6 +200,15 @@ class PlanGateSpec extends SparkSuite {
       s"margin aggregates not broadcast, saw ${broadcastJoins(plan)} BHJs")
   }
 
+  test("s24 MMR re-rank: no cartesian; selection frames stay query-set-sized") {
+    // candidate gen is the documented s01 broadcast-queries shape; every
+    // MMR round joins frames of ≤ nQueries·nCand(²) rows — a cartesian
+    // anywhere means a selection round touched the corpus
+    val plan = finalPlan(Similarity.mmrRerank(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "s24 grew a cartesian join")
+  }
+
   test("t23 boilerplate scrub: the boilerplate set joins BROADCAST") {
     // the frequent-fingerprint set must broadcast back over the chunk
     // stream; losing the hint shuffles the full chunk TEXT on the md5

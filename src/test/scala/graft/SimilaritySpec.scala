@@ -610,6 +610,57 @@ class SimilaritySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("s24 MMR re-ranking matches an independent Scala greedy recomputation") {
+    val (nq, nCand, k, lam) = (5, 10, 5, 0.7)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = emb.toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotd(v, v)) }
+    def rcos(a: Long, b: Long): Double =
+      r6(dotd(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))
+    val oneMinus = 1.0 - lam
+    val expected = (0L until nq).flatMap { q =>
+      val cand = emb.map(_._1).filter(_ != q)
+        .map(n => (n, rcos(q, n)))
+        .sortBy { case (n, c) => (-c, n) }.take(nCand)
+      var selected = Vector.empty[(Long, Double)]
+      for (t <- 1 to k) {
+        val rem = cand.filterNot(c => selected.exists(_._1 == c._1))
+        val scoredRem = rem.map { case (n, c) =>
+          val mmr = if (selected.isEmpty) r4d(lam * c)
+            else r4d(lam * c -
+              oneMinus * selected.map(s => rcos(n, s._1)).max)
+          (n, mmr)
+        }
+        val (n, mmr) = scoredRem.minBy { case (n, m) => (-m, n) }
+        selected :+= ((n, mmr))
+      }
+      selected.zipWithIndex.map { case ((n, m), i) =>
+        (q, (i + 1).toLong, n, m) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // diversity actually engages on this corpus: at least one pick is
+    // NOT the next-best-by-relevance candidate (else MMR ≡ top-k and
+    // the operator is vacuous here)
+    val plainTopK = (0L until nq).flatMap { q =>
+      emb.map(_._1).filter(_ != q).map(n => (n, rcos(q, n)))
+        .sortBy { case (n, c) => (-c, n) }.take(k)
+        .zipWithIndex.map { case ((n, _), i) => (q, (i + 1).toLong, n) }
+    }.toSet
+    assert(got.exists(g => !plainTopK.contains((g._1, g._2, g._3))),
+      "MMR never diverged from plain top-k — diversity term is vacuous")
+  }
+
   // --- s22/s23 bitext mining -----------------------------------------
 
   private def bitextFixture(): (Array[(Long, Array[Double], Int)],
