@@ -93,6 +93,7 @@ object SparkEntry {
     "t21_lm_continuations" -> ((s, dir) => TextOps.lmContinuations(s, dir)),
     "t22_blocklist_filter" -> ((s, dir) => TextOps.blocklistFilter(s, dir)),
     "t23_boilerplate_scrub" -> ((s, dir) => TextOps.boilerplateScrub(s, dir)),
+    "t24_incremental_boilerplate" -> ((s, dir) => TextOps.incrementalBoilerplate(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -1100,6 +1101,38 @@ object SparkEntry {
            SELECT c.doc_id, c.chunk_id, c.chunk_text,
              (b.chunk_text IS NULL) AS keep
            FROM ck c LEFT JOIN boiler b ON c.chunk_text = b.chunk_text)
+         SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN keep THEN 1 END) AS n_kept,
+           coalesce(array_to_string(
+             list(chunk_text ORDER BY chunk_id ASC) FILTER (WHERE keep), ' '),
+             '') AS clean_text
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
+    // t24: combined store+batch counts == whole-corpus counts, so the
+    // oracle is t23's replay with verdicts restricted to the batch
+    // (doc_id >= T24SplitAt) — the union-equivalence law in SQL form.
+    "t24_incremental_boilerplate" ->
+      s"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(len(tk) - 32, 0) + 31) / 32.0) AS BIGINT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM meta
+         ), ck AS (
+           SELECT doc_id, i AS chunk_id,
+             array_to_string(tk[CAST(i*32+1 AS INT) : CAST(i*32+32 AS INT)], ' ')
+               AS chunk_text
+           FROM ex
+         ), boiler AS (
+           SELECT chunk_text FROM ck GROUP BY chunk_text HAVING count(*) >= 2
+         ), v AS (
+           SELECT c.doc_id, c.chunk_id, c.chunk_text,
+             (b.chunk_text IS NULL) AS keep
+           FROM ck c LEFT JOIN boiler b ON c.chunk_text = b.chunk_text
+           WHERE c.doc_id >= ${graft.operators.TextOps.T24SplitAt})
          SELECT doc_id, count(*) AS n_chunks,
            count(CASE WHEN keep THEN 1 END) AS n_kept,
            coalesce(array_to_string(
@@ -3023,6 +3056,36 @@ object SparkEntry {
            (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 < 0.05)
              AS keep
          FROM f ORDER BY doc_id""",
+    "t24_incremental_boilerplate" ->
+      s"""WITH toks AS (
+           SELECT doc_id, split(trim(text), '\\\\s+') AS tk FROM documents
+         ), meta AS (
+           SELECT doc_id, tk,
+             1 + CAST(floor((greatest(size(tk) - 32, 0) + 31) / 32.0) AS INT)
+               AS nc
+           FROM toks
+         ), ex AS (
+           SELECT doc_id, tk, explode(sequence(0, nc - 1)) AS i FROM meta
+         ), ck AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             array_join(slice(tk, i*32 + 1, 32), ' ') AS chunk_text
+           FROM ex
+         ), boiler AS (
+           SELECT chunk_text FROM ck GROUP BY chunk_text HAVING count(*) >= 2
+         ), v AS (
+           SELECT c.doc_id, c.chunk_id, c.chunk_text,
+             (b.chunk_text IS NULL) AS keep
+           FROM ck c LEFT JOIN boiler b ON c.chunk_text = b.chunk_text
+           WHERE c.doc_id >= ${graft.operators.TextOps.T24SplitAt})
+         SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN keep THEN 1 END) AS n_kept,
+           array_join(
+             transform(
+               array_sort(collect_list(
+                 CASE WHEN keep THEN struct(chunk_id, chunk_text) END)),
+               c -> c.chunk_text),
+             ' ') AS clean_text
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
     "t23_boilerplate_scrub" ->
       """WITH toks AS (
            SELECT doc_id, split(trim(text), '\\s+') AS tk FROM documents

@@ -165,6 +165,15 @@ package object api {
                               nPerCell: Int = 5): DataFrame =
       Sampling.clusterSample(df, idCol, cents, nPerCell)
 
+    /** Scrub this batch against an already-ingested corpus's span
+      * ledger (`TextOps.boilerplateStore` output — fp counts, never
+      * text): spans whose combined store+batch count reaches `minDf`
+      * lose all batch copies. */
+    def scrubBoilerplateIncremental(store: DataFrame, idCol: String,
+                                    textCol: String, width: Int = 32,
+                                    minDf: Long = 2L): DataFrame =
+      TextOps.incrementalBoilerplate(df, store, idCol, textCol, width, minDf)
+
     /** Margin-based bitext mining (Artetxe–Schwenk ratio margin) of
       * this embedding frame against `tgt` — both carry (vec_id, v,
       * nrm). Exact all-pairs; at scale feed LSH candidates instead

@@ -941,17 +941,31 @@ object TextOps {
     require(minDf >= 2, s"minDf ($minDf) < 2 would scrub every chunk")
     // materialize once: the occurrence stream feeds the frequency
     // aggregate AND the reconstruction join (the t19/t12 discipline)
-    val occ = chunkOccurrences(docs, idCol, textCol, width = width,
-        stride = width)
-      .select(col(idCol), col("chunk_id"), col("chunk_text"),
-        md5(col("chunk_text")).as("fp"))
+    val occ = fingerprintedChunks(docs, idCol, textCol, width)
       .localCheckpoint(eager = false)
     val boiler = occ
       .groupBy("fp").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minDf)
+      .select("fp")
+    scrubTail(occ, boiler, idCol)
+  }
+
+  /** The chunk stream with its 16-byte fingerprint — the unit both
+    * boilerplate passes count and join on. */
+  private def fingerprintedChunks(docs: DataFrame, idCol: String,
+                                  textCol: String, width: Int): DataFrame =
+    chunkOccurrences(docs, idCol, textCol, width = width, stride = width)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("fp"))
+
+  /** Shared scrub/reconstruction tail: drop chunks whose fp is in
+    * `boiler(fp)` (broadcast — rare-distinct/high-frequency by
+    * definition), re-join survivors in chunk order per doc. */
+  private def scrubTail(occ: DataFrame, boiler: DataFrame,
+                        idCol: String): DataFrame =
     occ
-      .join(broadcast(boiler), Seq("fp"), "left")
-      .withColumn("keep", col("n_occ").isNull)
+      .join(broadcast(boiler.withColumn("hit", lit(true))), Seq("fp"), "left")
+      .withColumn("keep", col("hit").isNull)
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -963,5 +977,58 @@ object TextOps {
             c => c.getField("chunk_text")),
           " ").as("clean_text"))
       .orderBy(idCol)
+
+  /** t24: INCREMENTAL boilerplate admission — t23's contract under
+    * continuous ingestion (the d11/d12 store discipline applied to the
+    * span-frequency family): the ingested corpus persists ONLY its
+    * chunk-fingerprint counts ([[boilerplateStore]] — 16-byte md5 +
+    * int64 per distinct span; corpus text is never rescanned), and
+    * each arriving batch is scrubbed against the COMBINED counts
+    * (store + batch), so a span whose copies straddle the ingestion
+    * boundary is caught exactly as if the whole corpus had been
+    * processed at once. Law (spec-pinned): t24's batch verdicts ≡
+    * [[boilerplateScrub]] over store ∪ batch, restricted to the batch
+    * docs.
+    *
+    * At 100 TB: the store is distinct-span-count-sized (fingerprints,
+    * not text); the batch pass is t23's shape with one extra
+    * fingerprint-keyed LEFT join of batch-count partials against the
+    * store — batch text still crosses only the per-doc
+    * reconstruction shuffle. */
+  val T24SplitAt: Long = 250L
+
+  def incrementalBoilerplate(s: SparkSession, dir: String,
+                             splitAt: Long = T24SplitAt,
+                             width: Int = 32, minDf: Long = 2L): DataFrame = {
+    val docs = t(s, dir, "documents")
+    incrementalBoilerplate(
+      docs.filter(col("doc_id") >= splitAt),
+      boilerplateStore(docs.filter(col("doc_id") < splitAt),
+        "doc_id", "text", width),
+      "doc_id", "text", width, minDf)
+  }
+
+  /** The persisted-store artifact: (fp, n_occ) per distinct span of
+    * the ingested corpus — what the streaming consumer extends. */
+  def boilerplateStore(df: DataFrame, idCol: String, textCol: String,
+                       width: Int = 32): DataFrame =
+    fingerprintedChunks(df, idCol, textCol, width)
+      .groupBy("fp").agg(count(lit(1)).as("n_occ"))
+
+  /** The probe half over an explicit store: combined-count verdicts +
+    * reconstruction for the batch docs only. */
+  def incrementalBoilerplate(batch: DataFrame, store: DataFrame,
+                             idCol: String, textCol: String,
+                             width: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf ($minDf) < 2 would scrub every chunk")
+    val occB = fingerprintedChunks(batch, idCol, textCol, width)
+      .localCheckpoint(eager = false)
+    val boiler = occB
+      .groupBy("fp").agg(count(lit(1)).as("n_batch"))
+      .join(store.select(col("fp"), col("n_occ").as("n_store")),
+        Seq("fp"), "left")
+      .filter(col("n_batch") + coalesce(col("n_store"), lit(0L)) >= minDf)
+      .select("fp")
+    scrubTail(occB, boiler, idCol)
   }
 }

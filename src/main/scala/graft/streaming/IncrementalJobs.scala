@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** The incremental operators run END-TO-END as streaming consumers —
   * the lifecycle [[NormalizationJob]] models for normalization,
@@ -74,6 +74,42 @@ object IncrementalJobs {
           .parquet(s"$outDir/batch=$batchId")
         survivors.select("fp").write.mode("overwrite")
           .parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  private val boilerStoreSchema = StructType.fromDDL("fp STRING, n_occ BIGINT")
+
+  /** Streaming incremental boilerplate scrub (t24's lifecycle):
+    * document files land in `srcDir`; each micro-batch is scrubbed
+    * against the COMBINED span-frequency ledger (accumulated store +
+    * the batch's own counts — a span whose copies straddle the
+    * ingestion boundary is caught exactly as in the all-at-once t23),
+    * cleaned docs land batchId-keyed in `outDir`, and the batch's
+    * fingerprint counts extend the store. The per-batch store
+    * partitions are COUNT PARTIALS — the effective ledger is their
+    * fp-keyed sum, re-aggregated at read (mergeable by construction,
+    * so replayed batches overwrite their own partial and the sum
+    * stays exact). Text never enters the store. */
+  def startIncrementalBoilerplate(spark: SparkSession, srcDir: String,
+                                  docSchema: StructType, storeDir: String,
+                                  outDir: String, checkpointDir: String,
+                                  width: Int = 32,
+                                  minDf: Long = 2L): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.functions.sum
+        val ledger = readStore(s, storeDir, boilerStoreSchema)
+          .groupBy("fp").agg(sum("n_occ").as("n_occ"))
+        TextOps.incrementalBoilerplate(batch, ledger,
+            "doc_id", "text", width, minDf)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        TextOps.boilerplateStore(batch, "doc_id", "text", width)
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -805,6 +805,46 @@ class CorpusOpsSpec extends SparkSuite {
       (3L, 1L, 1L, other)))
   }
 
+  test("t24 incremental boilerplate ≡ the batch rows of the all-at-once " +
+    "scrub (union-equivalence law); the store carries no text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val splitAt = TextOps.T24SplitAt
+    // law: probing the store gives EXACTLY what processing the whole
+    // corpus at once would have given for the batch docs
+    val allAtOnce = TextOps.boilerplateScrub(docs, "doc_id", "text")
+      .filter(col("doc_id") >= splitAt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val incremental = TextOps.incrementalBoilerplate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(incremental == allAtOnce)
+    assert(incremental.nonEmpty)
+    // the persisted artifact is (fp, n_occ) — fingerprints, never text
+    val store = TextOps.boilerplateStore(
+      docs.filter(col("doc_id") < splitAt), "doc_id", "text")
+    assert(store.columns.toSeq == Seq("fp", "n_occ"))
+    assert(store.schema("fp").dataType.typeName == "string")
+    assert(store.select(max(length(col("fp")))).head.getInt(0) == 32)
+  }
+
+  test("t24 planted cross-boundary span: one copy in the store + one in " +
+    "the batch is caught") {
+    import spark.implicits._
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val other = (33 to 64).map(i => s"w$i").mkString(" ")
+    val store = TextOps.boilerplateStore(
+      Seq((1L, span)).toDF("doc_id", "text"), "doc_id", "text")
+    val got = TextOps.incrementalBoilerplate(
+        Seq((10L, span + " " + other)).toDF("doc_id", "text"),
+        store, "doc_id", "text", width = 32, minDf = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // the straddling span is scrubbed; the batch-only chunk survives
+    assert(got == Seq((10L, 2L, 1L, other)))
+  }
+
   test("x14 cluster sample: per-cell md5 pick over nearest pinned cells") {
     val cents = graft.operators.Pinned.ivfCentroids
     def dotd(a: Array[Double], b: Array[Double]): Double = {

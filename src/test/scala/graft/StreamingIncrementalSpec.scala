@@ -138,6 +138,78 @@ class StreamingIncrementalSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(20L))
   }
 
+  test("streaming incremental boilerplate: kill/restart; batch scrub ≡ " +
+    "store probe; ledger equals the union counts") {
+    import graft.operators.TextOps
+    val src = Files.createTempDirectory("graft_bp_src").toString
+    val store = Files.createTempDirectory("graft_bp_store").toString
+    val out = Files.createTempDirectory("graft_bp_out").toString
+    val ckpt = Files.createTempDirectory("graft_bp_ckpt").toString
+
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val other1 = (33 to 64).map(i => s"v$i").mkString(" ")
+    val other3 = (65 to 96).map(i => s"u$i").mkString(" ")
+
+    // wave A: the span appears ONCE — nothing scrubbed yet
+    val docsA = Seq(
+      (10L, span + " " + other1),
+      (11L, (101 to 132).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalBoilerplate(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while the job is down: the span's SECOND copy arrives —
+    // the straddling span must be scrubbed from the batch doc
+    val docsB = Seq((20L, span + " " + other3)).toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start() // restart on the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    val byId = spark.read.parquet(out)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // wave A docs were scrubbed when the span was still unique — intact
+    assert(byId(10L) == ((2L, span + " " + other1)))
+    assert(byId(11L)._1 == 1L)
+    // wave B's straddling span is caught across the restart
+    assert(byId(20L) == ((1L, other3)))
+
+    // law: wave B's output ≡ the batch probe against wave A's store
+    val ref = TextOps.incrementalBoilerplate(docsB,
+        TextOps.boilerplateStore(docsA, "doc_id", "text"),
+        "doc_id", "text", width = 32, minDf = 2L)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(ref == byId.filter(_._1 >= 20L))
+
+    // the ledger (fp-summed store) equals the union's counts
+    val ledger = spark.read.parquet(store)
+      .groupBy("fp").sum("n_occ")
+      .as[(String, Long)].collect().toMap
+    val refLedger = TextOps.boilerplateStore(
+        docsA.unionByName(docsB), "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(ledger == refLedger)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(store).groupBy("fp").sum("n_occ")
+      .as[(String, Long)].collect().toMap == refLedger)
+  }
+
   test("streaming graph insert: kill/restart; union of per-batch edges == all-at-once s18") {
     val src = Files.createTempDirectory("graft_gi_src").toString
     val edges = Files.createTempDirectory("graft_gi_edges").toString
