@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pca, Pinned, Similarity, TextOps}
+import graft.operators.{Pca, Pinned, Sampling, Similarity, TextOps}
 
 /** Spark-dialect SQL text for the registry tail that
   * `SparkEntry.sparkSql`'s hand-written entries don't cover: the
@@ -849,7 +849,7 @@ object SparkDialectTail {
            SELECT q_id, n_id, c FROM (
              SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id
                ORDER BY c DESC, n_id ASC) AS crk FROM sc) z
-           WHERE crk <= 10),
+           WHERE crk <= ${Similarity.MmrCand}),
          pc AS (
            SELECT x.q_id, x.n_id AS a, y.n_id AS b,
              round(graft_dot(ex.v, ey.v) / (ex.nrm * ey.nrm), 6) AS pcos
@@ -857,7 +857,7 @@ object SparkDialectTail {
              ON y.q_id = x.q_id AND y.n_id <> x.n_id
            JOIN en ex ON ex.vec_id = x.n_id
            JOIN en ey ON ey.vec_id = y.n_id),
-         ${SparkEntry.mmrTailSql(k = 5, lambda = 0.7)}"""
+         ${SparkEntry.mmrTailSql(k = Similarity.MmrK, lambda = Similarity.MmrLambda)}"""
 
   /** s22/s23: the bitext-mining replays — cross-side micro-cosine
     * pairs (exact product for s22, the d09-regime bucket candidates
@@ -873,7 +873,7 @@ object SparkDialectTail {
            FROM lab s JOIN lab t ON s.par = 0 AND t.par = 1
            JOIN en es ON es.vec_id = s.vec_id
            JOIN en et ON et.vec_id = t.vec_id),
-         ${SparkEntry.bitextTailSql(k = 4)}"""
+         ${SparkEntry.bitextTailSql(k = Similarity.BitextK)}"""
 
   private lazy val s23Sql: String =
     s"""WITH $embCte,
@@ -895,7 +895,7 @@ object SparkDialectTail {
            FROM cand JOIN lab la ON la.vec_id = cand.id_a
              JOIN lab lb ON lb.vec_id = cand.id_b
            WHERE la.par <> lb.par),
-         ${SparkEntry.bitextTailSql(k = 4)}"""
+         ${SparkEntry.bitextTailSql(k = Similarity.BitextK)}"""
 
   /** x14: the s05 argmax cell assignment + per-cell md5-pick ranking.
     * Mirrors SparkEntry.x14OracleSql. */
@@ -911,7 +911,7 @@ object SparkDialectTail {
              CAST(row_number() OVER (PARTITION BY cell
                ORDER BY pick ASC, vec_id ASC) AS BIGINT) AS rk
            FROM asg)
-         WHERE rk <= 5 ORDER BY cell, rk"""
+         WHERE rk <= ${Sampling.X14PerCell} ORDER BY cell, rk"""
   }
 
   /** s21: the recall replay composes the two member replays verbatim —

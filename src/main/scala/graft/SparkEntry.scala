@@ -1061,19 +1061,22 @@ object SparkEntry {
     // deterministic md5 pick, ranked per cell.
     "x14_cluster_sample" -> x14OracleSql,
     // t22: flagged fraction over the pinned blocklist; keep compares
-    // the r4-floored fraction so the boundary is engine-exact.
+    // the r4-floored fraction so the boundary is engine-exact. Terms
+    // and threshold are single-sourced from TextOps (the s18/capGuard
+    // discipline).
     "t22_blocklist_filter" ->
-      """WITH f AS (
+      s"""WITH f AS (
            SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                AS n_tokens,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                 x -> x IN ('slow', 'dup', 'leak'))) AS BIGINT) AS n_flagged
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> x IN ($t22TermsSql))) AS BIGINT) AS n_flagged
            FROM documents)
          SELECT doc_id, n_tokens, n_flagged,
            floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4
              AS flagged_frac,
-           (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 < 0.05)
+           (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4
+             < ${TextOps.BlocklistMaxFrac})
              AS keep
          FROM f ORDER BY doc_id""",
     // t23: corpus-frequency boilerplate scrub — chunks occurring >= 2
@@ -2074,6 +2077,10 @@ object SparkEntry {
            FROM m) f
          WHERE rk = 1 ORDER BY src_id"""
 
+  /** t22's IN-list, generated from the engine's own term list. */
+  private lazy val t22TermsSql: String =
+    TextOps.blocklist.map(t => s"'$t'").mkString(", ")
+
   /** Dialect-portable MMR selection tail shared by the s24 oracle and
     * its Spark-dialect form: from `cand(q_id, n_id, c)` and pair sims
     * `pc(q_id, a, b, pcos)`, k−1 unrolled greedy rounds (the t13/s16
@@ -2130,7 +2137,7 @@ object SparkEntry {
            SELECT q_id, n_id, c FROM (
              SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id
                ORDER BY c DESC, n_id ASC) AS crk FROM sc) z
-           WHERE crk <= 10),
+           WHERE crk <= ${Similarity.MmrCand}),
          pc AS (
            SELECT x.q_id, x.n_id AS a, y.n_id AS b,
              round(list_cosine_similarity(ex.v, ey.v), 6) AS pcos
@@ -2138,7 +2145,7 @@ object SparkEntry {
              ON y.q_id = x.q_id AND y.n_id <> x.n_id
            JOIN e ex ON ex.vec_id = x.n_id
            JOIN e ey ON ey.vec_id = y.n_id),
-         ${mmrTailSql(k = 5, lambda = 0.7)}"""
+         ${mmrTailSql(k = Similarity.MmrK, lambda = Similarity.MmrLambda)}"""
 
   /** s22: exact all-pairs bitext margins — cross-side cosines lifted
     * to integer micros, the shared [[bitextTailSql]] margin tail. */
@@ -2152,7 +2159,7 @@ object SparkEntry {
            FROM lab s, lab t, e es, e et
            WHERE s.par = 0 AND t.par = 1
              AND es.vec_id = s.vec_id AND et.vec_id = t.vec_id),
-         ${bitextTailSql(k = 4)}"""
+         ${bitextTailSql(k = Similarity.BitextK)}"""
 
   /** s23: the LSH twin — candidates from the d09-regime bucket replay
     * (12 tables × 8 integer-grid planes, no threshold), cross-side
@@ -2177,7 +2184,7 @@ object SparkEntry {
            FROM cand JOIN lab la ON la.vec_id = cand.id_a
              JOIN lab lb ON lb.vec_id = cand.id_b
            WHERE la.par <> lb.par),
-         ${bitextTailSql(k = 4)}"""
+         ${bitextTailSql(k = Similarity.BitextK)}"""
 
   private lazy val s04OracleSql: String =
     s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
@@ -2487,7 +2494,7 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY cell
                ORDER BY pick ASC, vec_id ASC) AS BIGINT) AS rk
            FROM asg)
-         WHERE rk <= 5 ORDER BY cell, rk"""
+         WHERE rk <= ${Sampling.X14PerCell} ORDER BY cell, rk"""
   }
 
   // --- shared builders for the PQ-family oracles (s09/s10/s11/s13) ---
@@ -3044,16 +3051,17 @@ object SparkEntry {
            FROM k)
          WHERE rk <= 50 ORDER BY rk""",
     "t22_blocklist_filter" ->
-      """WITH f AS (
+      s"""WITH f AS (
            SELECT doc_id,
-             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-             CAST(size(filter(split(trim(text), '\\s+'),
-                 x -> x IN ('slow', 'dup', 'leak'))) AS BIGINT) AS n_flagged
+             CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+             CAST(size(filter(split(trim(text), '\\\\s+'),
+                 x -> x IN ($t22TermsSql))) AS BIGINT) AS n_flagged
            FROM documents)
          SELECT doc_id, n_tokens, n_flagged,
            floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4
              AS flagged_frac,
-           (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 < 0.05)
+           (floor((n_flagged / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4
+             < ${TextOps.BlocklistMaxFrac})
              AS keep
          FROM f ORDER BY doc_id""",
     "t24_incremental_boilerplate" ->

@@ -302,7 +302,11 @@ object Sampling {
     * partitions · nPerCell) ids, never the corpus. Same determinism
     * contract as x13: retries, partitionings, and engines draw the
     * SAME sample. */
-  def clusterSample(s: SparkSession, dir: String, nPerCell: Int = 5): DataFrame =
+  /** Single-sourced into the x14 oracle SQL. */
+  val X14PerCell: Int = 5
+
+  def clusterSample(s: SparkSession, dir: String,
+                    nPerCell: Int = X14PerCell): DataFrame =
     clusterSample(
       Similarity.emb(s, dir)
         .select(col("vec_id"),

@@ -797,7 +797,11 @@ object Similarity {
     * the aggregate); the only float op is the final margin division,
     * evaluated in one fixed expression order and r4-floored before
     * ranking. */
-  def bitextMine(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+  /** k-NN denominator width for s22/s23 — single-sourced into both
+    * replay SQL forms via [[graft.SparkEntry.bitextTailSql]]. */
+  val BitextK: Int = 4
+
+  def bitextMine(s: SparkSession, dir: String, k: Int = BitextK): DataFrame = {
     val e = emb(s, dir)
     bitextMine(e.filter(col("label") % 2 === 0),
       e.filter(col("label") % 2 === 1), k)
@@ -835,7 +839,7 @@ object Similarity {
     * candidate set (candidate-sized, not corpus-sized); both k-NN
     * aggregates and the margin join run on candidates; the per-source
     * best-target pick is a [[graft.plans.TopKPerGroup]] k=1. */
-  def bitextMineLsh(s: SparkSession, dir: String, k: Int = 4,
+  def bitextMineLsh(s: SparkSession, dir: String, k: Int = BitextK,
                     nTables: Int = 12,
                     nPlanes: Option[Int] = None): DataFrame = {
     val e = emb(s, dir)
@@ -884,9 +888,14 @@ object Similarity {
     * (nQueries·nCand rows, nQueries·nCand² pair sims), so the k−1
     * unrolled selection rounds cost the same at any corpus scale —
     * the beam-search argument (s16) applied to re-ranking. */
+  /** s24 knobs — single-sourced into both replay SQL forms. */
+  val MmrCand: Int = 10
+  val MmrK: Int = 5
+  val MmrLambda: Double = 0.7
+
   def mmrRerank(s: SparkSession, dir: String, nQueries: Int = 5,
-                nCand: Int = 10, k: Int = 5,
-                lambda: Double = 0.7): DataFrame = {
+                nCand: Int = MmrCand, k: Int = MmrK,
+                lambda: Double = MmrLambda): DataFrame = {
     require(nCand >= k, s"nCand ($nCand) must be >= k ($k)")
     val all = emb(s, dir)
     val queries = all.filter(col("vec_id") < nQueries)

@@ -883,6 +883,11 @@ object TextOps {
     * the synthetic corpus — the zero-hit path stays exercised. */
   val blocklist: Seq[String] = Seq("slow", "dup", "leak")
 
+  /** Default keep threshold for [[blocklistFilter]] — single-sourced
+    * into the t22 oracle SQL (the s18/capGuard discipline: changing a
+    * default must not silently desync the replay). */
+  val BlocklistMaxFrac: Double = 0.05
+
   /** t22: blocklist filtering — the C4-style "contains a listed word"
     * document filter (Raffel et al., JMLR '20 §2.2 drop documents with
     * blocklisted words; Gopher keeps a threshold instead of a hard
@@ -899,7 +904,8 @@ object TextOps {
     blocklistFilter(t(s, dir, "documents"), "doc_id", "text", blocklist)
 
   def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
-                      terms: Seq[String], maxFrac: Double = 0.05): DataFrame = {
+                      terms: Seq[String],
+                      maxFrac: Double = BlocklistMaxFrac): DataFrame = {
     require(terms.nonEmpty, "blocklist must be non-empty")
     val tk = tokensOf(col(textCol))
     val flagged = size(filter(tk, w => w.isin(terms.map(lit(_): Any): _*)))
