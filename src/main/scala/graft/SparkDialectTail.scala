@@ -833,7 +833,33 @@ object SparkDialectTail {
     "s22_bitext_mine" -> s22Sql,
     "s23_bitext_mine_lsh" -> s23Sql,
     "s24_mmr_rerank" -> s24Sql,
-    "x14_cluster_sample" -> x14Sql)
+    "x14_cluster_sample" -> x14Sql,
+    "x15_quality_classifier" -> x15Sql)
+
+  /** x15: the Spark-dialect replay — the same pinned weight literal
+    * via `element_at`. Mirrors SparkEntry.x15OracleSql. */
+  private lazy val x15Sql: String = {
+    val ws = graft.operators.Curation.qualityModelMicro
+      .mkString("array(", ", ", ")")
+    s"""WITH fb AS (
+           SELECT doc_id,
+             CAST(conv(substring(md5(w), 1, 2), 16, 10) AS INT) AS f
+           FROM (SELECT doc_id,
+                   explode(split(trim(text), '\\\\s+')) AS w
+                 FROM documents)
+         ), pd AS (
+           SELECT doc_id, f, count(*) AS c
+           FROM fb GROUP BY doc_id, f
+         ), sc AS (
+           SELECT doc_id, sum(c) AS n_tokens,
+             sum(c * element_at($ws, f + 1)) AS score_micro
+           FROM pd GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score_micro,
+           floor((CAST(score_micro AS DOUBLE) / 1e6 /
+             CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 AS score,
+           (score_micro > 0) AS keep
+         FROM sc ORDER BY doc_id"""
+  }
 
   /** s24: the MMR replay — s01-shape candidates + pair sims via
     * `graft_dot`, then the shared unrolled selection tail

@@ -109,6 +109,7 @@ object SparkEntry {
     "x12_curriculum_bins" -> ((s, dir) => Curation.curriculumBins(s, dir)),
     "x13_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "x14_cluster_sample"  -> ((s, dir) => Sampling.clusterSample(s, dir)),
+    "x15_quality_classifier" -> ((s, dir) => Curation.qualityClassifier(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
@@ -1060,6 +1061,10 @@ object SparkEntry {
     // x14: the s05 pinned-centroid argmax assignment + the x13-style
     // deterministic md5 pick, ranked per cell.
     "x14_cluster_sample" -> x14OracleSql,
+    // x15: pinned linear quality model — weights interpolated from the
+    // SAME fixture the engine serves; pure int64 micro arithmetic up
+    // to the one r4-floored reporting division.
+    "x15_quality_classifier" -> x15OracleSql,
     // t22: flagged fraction over the pinned blocklist; keep compares
     // the r4-floored fraction so the boundary is engine-exact. Terms
     // and threshold are single-sourced from TextOps (the s18/capGuard
@@ -2080,6 +2085,30 @@ object SparkEntry {
   /** t22's IN-list, generated from the engine's own term list. */
   private lazy val t22TermsSql: String =
     TextOps.blocklist.map(t => s"'$t'").mkString(", ")
+
+  /** x15: the pinned weight vector as a DuckDB list literal, indexed
+    * by the md5-hex-prefix bucket. */
+  private lazy val x15OracleSql: String = {
+    val ws = graft.operators.Curation.qualityModelMicro.mkString("[", ", ", "]")
+    s"""WITH fb AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(w), 1, 2)) AS BIGINT) AS f
+           FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                 FROM documents)
+         ), pd AS (
+           SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c
+           FROM fb GROUP BY doc_id, f
+         ), sc AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * ($ws[CAST(f + 1 AS INT)])) AS BIGINT)
+               AS score_micro
+           FROM pd GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score_micro,
+           floor((score_micro / 1e6 / n_tokens)*1e4 + 0.5)/1e4 AS score,
+           (score_micro > 0) AS keep
+         FROM sc ORDER BY doc_id"""
+  }
 
   /** Dialect-portable MMR selection tail shared by the s24 oracle and
     * its Spark-dialect form: from `cand(q_id, n_id, c)` and pair sims

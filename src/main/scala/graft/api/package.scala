@@ -165,6 +165,14 @@ package object api {
                               nPerCell: Int = 5): DataFrame =
       Sampling.clusterSample(df, idCol, cents, nPerCell)
 
+    /** Score every document with a pinned linear quality model over
+      * hashed bag-of-words features (fastText-style serving; weights
+      * in micros ride as a plan literal — no join). */
+    def classifyQuality(idCol: String, textCol: String,
+                        weightsMicro: Array[Long] =
+                          Curation.qualityModelMicro): DataFrame =
+      Curation.qualityClassifier(df, idCol, textCol, weightsMicro)
+
     /** Scrub this batch against an already-ingested corpus's span
       * ledger (`TextOps.boilerplateStore` output — fp counts, never
       * text): spans whose combined store+batch count reaches `minDf`

@@ -92,6 +92,60 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Pinned micro-scaled linear weights over the 256 hashed-feature
+    * buckets — a pure function of the bucket index (SplitMix64), the
+    * fixture standing in for a TRAINED fastText/logistic-regression
+    * quality model (the CCNet/GPT-3 quality-filter pass serves exactly
+    * this artifact; swap in real trained weights and nothing else in
+    * the plan moves — the Pinned-model discipline). Values in
+    * [-1000, 1000] micros. */
+  lazy val qualityModelMicro: Array[Long] =
+    Array.tabulate(256) { b =>
+      val h = Dedup.splitmix64(b.toLong * 2654435761L + 17L)
+      ((h % 2001L) + 2001L) % 2001L - 1000L
+    }
+
+  /** x15: quality-classifier SERVING — score every document with a
+    * linear model over hashed bag-of-words features (the fastText
+    * recipe: f = md5-hex-prefix bucket, the x11/x03 engine-portable
+    * bucketing; score = Σ_f c_f·w_f). This is the other half of the
+    * x11 story: x11 ESTIMATES per-bucket log-ratios from data, x15
+    * SERVES a fixed model at corpus scale — the pass that decides
+    * keep/drop for every crawl document in the published pipelines.
+    *
+    * Determinism and scale: the weights ride in the plan as a 256-long
+    * LITERAL array (`element_at` — no join, not even a broadcast), the
+    * per-doc reduction is pure int64 micro arithmetic (reassociable ⇒
+    * partitioning-independent), the keep verdict compares the INTEGER
+    * sum against zero (no float boundary), and only the reported
+    * per-token mean score is a float — one fixed-order division chain,
+    * r4-floored. Cost at 100 TB: one explode + two hash aggregates —
+    * scan-bound, no shuffle carries text. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifier(t(s, dir, "documents"), "doc_id", "text",
+      qualityModelMicro)
+
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        wMicro: Array[Long]): DataFrame = {
+    require(wMicro.length == 256, s"expected 256 weights, got ${wMicro.length}")
+    val fb = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(col(idCol),
+        conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int").as("f"))
+    fb.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("c"))
+      .select(col(idCol), col("c"),
+        element_at(typedlit(wMicro.toSeq), col("f") + 1).as("wm"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("wm")).as("score_micro"))
+      .withColumn("score", TextOps.r4(
+        col("score_micro").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double")))
+      .withColumn("keep", col("score_micro") > 0)
+      .select(idCol, "n_tokens", "score_micro", "score", "keep")
+      .orderBy(idCol)
+  }
+
   /** x12: curriculum quality bins — order the corpus by the t02
     * quality score and cut it into `nBins` equal-population tiers (the
     * easy→hard schedule curriculum training consumes; also the

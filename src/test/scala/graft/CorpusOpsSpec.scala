@@ -845,6 +845,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got == Seq((10L, 2L, 1L, other)))
   }
 
+  test("x15 quality classifier matches an integer-exact Scala recomputation") {
+    val w = Curation.qualityModelMicro
+    val expected = docs.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val scoreMicro = toks.map { t =>
+        w(Integer.parseInt(md5hex(t).substring(0, 2), 16)) }.sum
+      val n = toks.size.toLong
+      (id, n, scoreMicro,
+        r4(scoreMicro.toDouble / 1e6 / n), scoreMicro > 0)
+    }.sortBy(_._1)
+    val got = Curation.qualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // the model discriminates on this corpus, or keep is vacuous
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("x14 cluster sample: per-cell md5 pick over nearest pinned cells") {
     val cents = graft.operators.Pinned.ivfCentroids
     def dotd(a: Array[Double], b: Array[Double]): Double = {
