@@ -148,6 +148,19 @@ class ApiSpec extends SparkSuite {
     val mined = embA.mineBitext(embB, k = 2).collect()
     assert(mined.length == 2 &&
       mined.map(_.getLong(0)).toSet == Set(0L, 1L))
+    // quality classifier: one verdict per doc, integer-exact keep
+    val qc = corpus.classifyQuality("id", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(2) > 0, r.getBoolean(4)))
+    assert(qc.length == 5 && qc.forall(t => t._2 == t._3))
+    // incremental boilerplate through the facade: the planted span
+    // straddling store/batch is scrubbed
+    val span32 = (1 to 32).map(i => s"s$i").mkString(" ")
+    val ledger = graft.operators.TextOps.boilerplateStore(
+      Seq((1L, span32)).toDF("id", "body"), "id", "body")
+    val scrubbed = Seq((9L, span32)).toDF("id", "body")
+      .scrubBoilerplateIncremental(ledger, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(scrubbed == Seq((9L, 0L)))
   }
 
   test("asofJoin works through the facade with renamed columns") {
