@@ -39,6 +39,22 @@ object GraphKnobProbe {
       val label = nP.map(_.toString).getOrElse("auto")
       println(f"[knob] $dir nPlanes=$label: ${runs.map(_._1).min}%.2f s min-of-2, recall@3 vs exact $recall%.2f")
     }
+    // s23's MINING-tuned dial (occupancy 2^4): the same probe shape —
+    // wall + source coverage per explicit setting and for the
+    // registered auto default. Coverage = mined sources / side size
+    // (the dial must not starve sources of candidates).
+    val nSrc = graft.Tables.t(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr("label % 2 = 0")).count()
+    (planes.map(Option(_)) :+ None).foreach { nP =>
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime
+        val out = Similarity.bitextMineLsh(spark, dir, nPlanes = nP).collect()
+        ((System.nanoTime - t0) / 1e9, out)
+      }
+      val covered = runs.head._2.length.toDouble / nSrc
+      val label = nP.map(_.toString).getOrElse("auto")
+      println(f"[knob] $dir s23 nPlanes=$label: ${runs.map(_._1).min}%.2f s min-of-2, source coverage $covered%.2f")
+    }
     spark.stop()
   }
 }
