@@ -911,7 +911,7 @@ object Similarity {
     val cand = scored.withColumn("crk", row_number().over(wC))
       .filter(col("crk") <= nCand)
       .select("q_id", "n_id", "v", "nrm", "c")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pc = cand.select(col("q_id"), col("n_id").as("a"),
         col("v").as("va"), col("nrm").as("na"))
       .join(cand.select(col("q_id").as("q2"), col("n_id").as("b"),
@@ -920,7 +920,7 @@ object Similarity {
       .select(col("q_id"), col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("pcos"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candSlim = cand.select("q_id", "n_id", "c")
     val lam = lit(lambda)
     val oneMinus = lit(1.0 - lambda) // the exact double the oracle replays
@@ -930,7 +930,7 @@ object Similarity {
       .withColumn("rk0", row_number().over(wPick))
       .filter(col("rk0") === 1)
       .select(col("q_id"), col("n_id"), col("mmr"), lit(1L).as("rk"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (t <- 2 to k) {
       val rem = candSlim.join(selected.select("q_id", "n_id"),
         Seq("q_id", "n_id"), "left_anti")
@@ -946,7 +946,7 @@ object Similarity {
         .withColumn("rk0", row_number().over(wPick))
         .filter(col("rk0") === 1)
         .select(col("q_id"), col("n_id"), col("mmr"), lit(t.toLong).as("rk"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).localCheckpoint(eager = false)
     }
     selected.select("q_id", "rk", "n_id", "mmr").orderBy("q_id", "rk")
   }
