@@ -833,8 +833,14 @@ object SparkDialectTail {
     "s22_bitext_mine" -> s22Sql,
     "s23_bitext_mine_lsh" -> s23Sql,
     "s24_mmr_rerank" -> s24Sql,
+    "s25_ann_rank_eval" -> s25Sql,
     "x14_cluster_sample" -> x14Sql,
     "x15_quality_classifier" -> x15Sql)
+
+  /** s25: the rank-eval tail over the Spark-dialect member replays —
+    * mirrors SparkEntry.s25OracleSql via the shared generator. */
+  private lazy val s25Sql: String =
+    SparkEntry.rankEvalTailSql(SparkEntry.s01SparkSql, s04Sql)
 
   /** x15: the Spark-dialect replay — the same pinned weight literal
     * via `element_at`. Mirrors SparkEntry.x15OracleSql. */

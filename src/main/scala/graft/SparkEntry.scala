@@ -169,6 +169,7 @@ object SparkEntry {
     "s19_ann_graph_refined" -> ((s, dir) => Similarity.annGraphLshRefined(s, dir)),
     "s20_ann_graph_insert_recip" -> ((s, dir) => Similarity.annGraphInsertRecip(s, dir)),
     "s21_ann_recall"      -> ((s, dir) => Similarity.annRecallEval(s, dir)),
+    "s25_ann_rank_eval"   -> ((s, dir) => Similarity.annRankEval(s, dir)),
     "s22_bitext_mine"     -> ((s, dir) => Similarity.bitextMine(s, dir)),
     "s23_bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
     "s24_mmr_rerank"      -> ((s, dir) => Similarity.mmrRerank(s, dir)),
@@ -1635,6 +1636,7 @@ object SparkEntry {
     "s22_bitext_mine" -> s22OracleSql,
     "s23_bitext_mine_lsh" -> s23OracleSql,
     "s24_mmr_rerank" -> s24OracleSql,
+    "s25_ann_rank_eval" -> s25OracleSql,
     "s02_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2454,6 +2456,40 @@ object SparkEntry {
            floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / 3.0)*1e4 + 0.5)/1e4
              AS recall
          FROM qs LEFT JOIN hits USING (q_id) ORDER BY q_id"""
+
+  /** s25 tail shared by both dialects: graded gains from the exact
+    * ranking, MRR + nDCG with the ENGINE'S discount/ideal doubles
+    * interpolated verbatim (Similarity.ndcgDiscount/ndcgIdeal). */
+  private[graft] def rankEvalTailSql(bfSql: String, ivSql: String): String = {
+    val k = 3
+    val gains = (1 to k).map(i =>
+      s"max(CASE WHEN ap_rk = $i THEN gain END) AS g$i").mkString(",\n             ")
+    val dcg = (1 to k).map(i =>
+      s"CAST(coalesce(g$i, 0) AS DOUBLE)*${Similarity.ndcgDiscount(i)}")
+      .mkString(" + ")
+    s"""WITH j AS (
+           SELECT iv.q_id, iv.rk AS ap_rk,
+             coalesce(${k + 1} - bf.rk, 0) AS gain,
+             CASE WHEN bf.rk = 1 THEN iv.rk END AS t1
+           FROM ($ivSql) iv LEFT JOIN ($bfSql) bf
+             ON bf.q_id = iv.q_id AND bf.n_id = iv.n_id
+         ), per AS (
+           SELECT q_id,
+             $gains,
+             min(t1) AS t1pos
+           FROM j GROUP BY q_id)
+         SELECT q_id,
+           floor(coalesce(CAST(1 AS DOUBLE) / t1pos, 0.0)*1e4 + 0.5)/1e4
+             AS mrr,
+           floor((($dcg) / ${Similarity.ndcgIdeal(k)})*1e4 + 0.5)/1e4
+             AS ndcg
+         FROM per ORDER BY q_id"""
+  }
+
+  /** s25: MRR/nDCG replay over the s01 (exact) and s04 (IVF) member
+    * replays as derived tables — the s21 composition. */
+  private lazy val s25OracleSql: String =
+    rankEvalTailSql(s01OracleSql, s04OracleSql)
 
   /** `Σ v[d]²` unrolled — the L2 norm both ANN oracles divide by,
     * in the codegen'd dot's sequential order. */

