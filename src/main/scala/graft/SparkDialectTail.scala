@@ -798,8 +798,57 @@ object SparkDialectTail {
          ORDER BY n_id, rk"""
   }
 
+  /** s26 Spark-dialect replay — the same statement shape as the
+    * DuckDB oracle (sign-bit halves as exact power-of-two sums, lo/hi
+    * xor+bit_count Hamming, shortlist by (hamming, id), s01-form
+    * cosine re-rank), with nCand from [[Similarity.S26NCand]]. */
+  private lazy val s26Sql: String = {
+    val nc = Similarity.S26NCand
+    s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), n AS (
+           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e
+         ), sg AS (
+           SELECT vec_id,
+             aggregate(transform(sequence(0, 31),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS lo,
+             aggregate(transform(sequence(32, 63),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i - 32 AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS hi
+           FROM e
+         ), ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(a.lo ^ q.lo) + bit_count(a.hi ^ q.hi) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), cand AS (
+           SELECT q_id, n_id, hamming FROM (
+             SELECT q_id, n_id, hamming,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY hamming ASC, n_id ASC) AS crk
+             FROM ham)
+           WHERE crk <= $nc
+         ), rr AS (
+           SELECT c.q_id, c.n_id, c.hamming,
+             round(graft_dot(qe.v, ae.v) / (qe.nrm * ae.nrm), 6) AS cos
+           FROM cand c
+           JOIN n qe ON qe.vec_id = c.q_id
+           JOIN n ae ON ae.vec_id = c.n_id)
+         SELECT q_id, rk, n_id, hamming, cos FROM (
+           SELECT q_id, n_id, hamming, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id ASC) AS rk
+           FROM rr)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "s26_ann_binary" -> s26Sql,
     "s17_ann_graph_lsh" -> s17Sql,
     "s18_ann_graph_insert" -> s18Sql,
     "s19_ann_graph_refined" -> s19Sql,

@@ -173,6 +173,7 @@ object SparkEntry {
     "s22_bitext_mine"     -> ((s, dir) => Similarity.bitextMine(s, dir)),
     "s23_bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
     "s24_mmr_rerank"      -> ((s, dir) => Similarity.mmrRerank(s, dir)),
+    "s26_ann_binary"      -> ((s, dir) => Similarity.annBinarySign(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1632,6 +1633,7 @@ object SparkEntry {
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
     "s01_ann_bruteforce" -> s01OracleSql,
+    "s26_ann_binary" -> s26OracleSql,
     "s21_ann_recall" -> s21OracleSql,
     "s22_bitext_mine" -> s22OracleSql,
     "s23_bitext_mine_lsh" -> s23OracleSql,
@@ -2423,6 +2425,51 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s26 DuckDB replay — sign-bit halves as exact integer sums of
+    * powers of two (bit i set iff v[i] > 0, the engine's strict rule),
+    * the d04 lo/hi xor+bit_count Hamming, row_number-over-(hamming,id)
+    * shortlist (≡ the TopKPerGroup selection — the order is total),
+    * then the s01 cosine re-rank restricted to the shortlist. nCand is
+    * interpolated from [[graft.operators.Similarity.S26NCand]] so the
+    * replay can never desync from the engine's shortlist width. */
+  private lazy val s26OracleSql: String = {
+    val nc = graft.operators.Similarity.S26NCand
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sg AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 33) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS hi
+           FROM e),
+         ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(xor(a.lo, q.lo)) + bit_count(xor(a.hi, q.hi)) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         cand AS (
+           SELECT q_id, n_id, hamming FROM (
+             SELECT q_id, n_id, hamming,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY hamming ASC, n_id ASC) AS crk
+             FROM ham)
+           WHERE crk <= $nc),
+         rr AS (
+           SELECT c.q_id, c.n_id, c.hamming,
+             round(list_cosine_similarity(qe.v, ae.v), 6) AS cos
+           FROM cand c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ae ON ae.vec_id = c.n_id)
+         SELECT q_id, rk, n_id, hamming, cos FROM (
+           SELECT q_id, n_id, hamming, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id ASC) AS rk
+           FROM rr)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
 
   /** s01 DuckDB replay — extracted to a val so [[s21OracleSql]] can
     * compose it as the ground-truth side of the recall evaluation. */

@@ -1178,6 +1178,73 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Sign-bit packing for [[annBinarySign]]: bit (i − from) of the
+    * result is set iff v[i] > 0 (0-based dims, strict — an exact-zero
+    * component packs as 0 in both engines). Emitted as an exact
+    * integer sum of powers of two (max 2^31 per half, no float-order
+    * hazard), so the two BIGINT halves are bit-identical across
+    * engines and XOR/popcount on them is pure integer arithmetic. */
+  private[operators] def signPack(v: Column, from: Int, until: Int): Column =
+    aggregate(
+      transform(sequence(lit(from), lit(until - 1)),
+        i => when(get(v, i) > lit(0.0),
+          pow(lit(2.0), (i - lit(from)).cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** s26 shortlist size — single-sourced into both generated replays
+    * (SparkEntry.s26OracleSql / sparkSql) like [[S18NEntries]]. */
+  val S26NCand: Int = 20
+
+  /** s26: binary (1-bit-per-dimension) sign-quantized ANN — Hamming
+    * shortlist over 64-bit signatures, exact cosine re-rank of the
+    * shortlist only. The third point on the compression curve after
+    * full-precision (s01) and int8 (s08): 1 bit/dim is a 64× memory
+    * reduction (16 bytes/vector for dim=64, two BIGINT halves), and
+    * sign(v_a)·sign(v_b) agreement is the classic cosine proxy
+    * (Charikar STOC'02 — hamming/dim estimates the angle, here with
+    * the identity planes instead of random ones).
+    *
+    * 100 TB shape: the Hamming pass scans ONLY (vec_id, lo, hi) — the
+    * signature projection, 16 bytes/row, the full-precision vectors
+    * stay in their parquet column — against the broadcast query
+    * signatures, and the per-query shortlist routes through the
+    * [[graft.plans.TopKPerGroup]] physical plan (map-side capped
+    * heaps: nCand rows per partition per query cross the exchange, a
+    * `Window.partitionBy(q_id)` would drag each query's full
+    * corpus-sized score list through one task). Only the
+    * nQueries×nCand shortlist rows (broadcast) fetch their
+    * full-precision vectors for the re-rank — the targeted-fetch
+    * pattern of a real two-tier index. Deterministic end to end:
+    * integer Hamming with id tie-breaks picks the shortlist, the
+    * re-rank compares the 6-dp-rounded cosine with id tie-breaks (the
+    * s01 discipline), so the DuckDB oracle replays it exactly. */
+  def annBinarySign(s: SparkSession, dir: String, nQueries: Int = 5,
+                    k: Int = 3, nCand: Int = S26NCand): DataFrame = {
+    val all = emb(s, dir)
+    val sigs = all.select(col("vec_id"),
+      signPack(col("v"), 0, 32).as("lo"), signPack(col("v"), 32, 64).as("hi"))
+    val qs = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val ham = sigs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("int").as("hamming"))
+    val cands = graft.plans.TopKPerGroup.topKPerGroup(
+      ham, Seq("q_id"), Seq(("hamming", true), ("n_id", true)), nCand)
+    val qv = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val rer = all.join(broadcast(cands), col("vec_id") === col("n_id"))
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "hamming", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** Per-label embedding centroids via the typed
     * [[graft.functions.CentroidAggregator]] UDAF: one (sums, count)
     * buffer per label per partition, so the shuffle carries k×dim

@@ -104,6 +104,23 @@ class PlanGateSpec extends SparkSuite {
     assertPartialTopK(Warehouse.q34LatestSnapshot(spark, sf), "q34")
   }
 
+  test("s26 binary-sign ANN: map-side shortlist heap, broadcast re-rank fetch") {
+    // the Hamming shortlist must keep the TopKPerGroup partial below
+    // the exchange (a Window would drag each query's full corpus-sized
+    // score list through one task), and the re-rank's vector fetch must
+    // ride BROADCAST candidate/query joins — never a corpus shuffle
+    val df = Similarity.annBinarySign(spark, sf)
+    assertPartialTopK(df, "s26")
+    val plan = finalPlan(df)
+    // the Hamming pass itself is the s01 shape: corpus stream × the
+    // broadcast query signatures under a non-equi (<>) predicate — a
+    // BroadcastNestedLoopJoin with the QUERY side broadcast, counted
+    // separately from the two equi fetch joins below
+    assert(broadcastJoins(plan) >= 2,
+      s"expected candidate-fetch + query-vector joins broadcast, saw ${broadcastJoins(plan)}")
+    assert(noQuadraticJoins(plan), "s26 degraded to sort-merge/cartesian")
+  }
+
   // ---- t17 positional phrase search ---------------------------------
 
   test("t17 phrase search: postings pruned by BROADCAST phrase joins") {

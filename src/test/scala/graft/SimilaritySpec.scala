@@ -191,6 +191,71 @@ class SimilaritySpec extends SparkSuite {
       "every label is its own cluster root")
   }
 
+  test("s26 binary-sign ANN ≡ Scala shortlist+re-rank recomputation; recall holds") {
+    val (nq, k, nCand) = (5, 3, Similarity.S26NCand)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = emb.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      var i = 0
+      while (i < 64) {
+        if (v(i) > 0) {
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+        i += 1
+      }
+      (lo, hi)
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val expected = emb.filter(_._1 < nq).sortBy(_._1).flatMap { case (q, _) =>
+      val (qlo, qhi) = sigs(q)
+      val shortlist = emb.filter(_._1 != q).map { case (id, _) =>
+        val (lo, hi) = sigs(id)
+        (id, java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi))
+      }.sortBy(t => (t._2, t._1)).take(nCand)
+      shortlist.map { case (id, ham) =>
+        (id, ham, r6(dot(vecs(q), vecs(id)) / (nrm(q) * nrm(id))))
+      }.sortBy(t => (-t._3, t._1)).take(k).zipWithIndex
+        .map { case ((id, ham, cos), i) => (q, i + 1, id, ham, cos) }
+    }.toSeq
+    val got = Similarity.annBinarySign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // recall@3 vs exact: the Hamming proxy with an exact re-rank must
+    // recover most full-precision neighbors on this corpus
+    val exact = Similarity.annBruteForce(spark, sf, nq, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val binKeys = got.map(t => (t._1, t._3)).toSet
+    val recall = (exact & binKeys).size.toDouble / exact.size
+    info(f"binary-sign recall@3 vs brute force: $recall%.3f")
+    assert(recall >= 0.5, f"binary-sign recall@3 collapsed: $recall%.3f")
+  }
+
+  test("s26 law: widening the Hamming shortlist never loses recall") {
+    val exact = Similarity.annBruteForce(spark, sf, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(nCand: Int): Double = {
+      val got = Similarity.annBinarySign(spark, sf, nCand = nCand).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val narrow = recall(8)
+    val wide = recall(40)
+    assert(wide >= narrow,
+      s"wider shortlist lost recall: $wide < $narrow")
+  }
+
   test("s15 hard negatives: different label, exactly the label-filtered top-k") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => (r.getLong(0),
