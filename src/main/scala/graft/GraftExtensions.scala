@@ -99,6 +99,16 @@ object GraftExtensions {
       require(children.length == 3,
         "graft_bpe_apply(word, lefts, rights) takes 3 arguments")
       scalaUdfOf(graft.operators.TextOps.applyMergesUdf, children)
+    },
+    // FNV-1a 64-bit token hash (bigint)
+    "graft_fnv64" -> { children =>
+      require(children.length == 1, "graft_fnv64(s) takes 1 argument")
+      scalaUdfOf(Hashing.fnv64Udf, children)
+    },
+    // t25 CMS cell per sketch row for a token hash (array<int>)
+    "graft_cms_cells" -> { children =>
+      require(children.length == 1, "graft_cms_cells(h) takes 1 argument")
+      scalaUdfOf(Hashing.cmsCellsUdf, children)
     })
 
   /** Register graft's SQL functions on an already-running session (the

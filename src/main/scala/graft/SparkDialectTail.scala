@@ -846,9 +846,40 @@ object SparkDialectTail {
          WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  /** t25 Spark-dialect replay — the cell-count-table formulation of
+    * the SAME sketch: CMS is linear, so per-(row, cell) instance
+    * counts equal the aggregator's finished buffer cell-for-cell; the
+    * kernels (`graft_fnv64`, `graft_cms_cells`) wrap the identical
+    * JVM arithmetic the engine's UDAF folds with. */
+  private lazy val t25Sql: String =
+    """WITH words AS (
+           SELECT explode(split(trim(text), '\\s+')) AS w FROM documents
+         ), th AS (
+           SELECT w, graft_fnv64(w) AS h FROM words
+         ), counts AS (
+           SELECT w, h, count(*) AS n FROM th GROUP BY w, h
+         ), cells AS (
+           SELECT w, n, posexplode(graft_cms_cells(h)) AS (r, cell) FROM counts
+         ), cellcounts AS (
+           SELECT r, cell, CAST(sum(n) AS BIGINT) AS cn
+           FROM cells GROUP BY r, cell
+         ), topk AS (
+           SELECT w, n, rk FROM (
+             SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS rk
+             FROM counts) WHERE rk <= 10
+         )
+         SELECT rk, w, n_exact, n_cms FROM (
+           SELECT t.rk, t.w, t.n AS n_exact, min(cc.cn) AS n_cms
+           FROM topk t
+           JOIN cells c ON c.w = t.w
+           JOIN cellcounts cc ON cc.r = c.r AND cc.cell = c.cell
+           GROUP BY t.rk, t.w, t.n)
+         ORDER BY rk"""
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
     "s26_ann_binary" -> s26Sql,
+    "t25_cms_counts" -> t25Sql,
     "s17_ann_graph_lsh" -> s17Sql,
     "s18_ann_graph_insert" -> s18Sql,
     "s19_ann_graph_refined" -> s19Sql,

@@ -94,6 +94,7 @@ object SparkEntry {
     "t22_blocklist_filter" -> ((s, dir) => TextOps.blocklistFilter(s, dir)),
     "t23_boilerplate_scrub" -> ((s, dir) => TextOps.boilerplateScrub(s, dir)),
     "t24_incremental_boilerplate" -> ((s, dir) => TextOps.incrementalBoilerplate(s, dir)),
+    "t25_cms_counts"      -> ((s, dir) => TextOps.cmsFrequencies(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -775,6 +776,7 @@ object SparkEntry {
                ORDER BY p.n_pair DESC, p.next_tok ASC) AS rk
            FROM pc p JOIN top_ctx t USING (context))
          WHERE rk <= 3 ORDER BY context, rk""",
+    "t25_cms_counts" -> t25OracleSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -2425,6 +2427,56 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** t25 DuckDB replay — the CMS cell counts ARE per-(row, cell)
+    * token-instance counts (the sketch is linear), so the oracle
+    * recomputes them as a plain GROUP BY over the FNV token hashes
+    * (d04's HUGEINT mod-2⁶⁴ replay) pushed through the multiply-shift
+    * cell map (split-form 128-bit-safe multiply, then the unsigned
+    * `// 2^(64-logW)` that mirrors the JVM's `>>>`). Depth, width and
+    * the row multipliers are interpolated from
+    * [[graft.functions.Hashing]] — the engine can never sketch at a
+    * geometry the oracle doesn't recount. */
+  private lazy val t25OracleSql: String = {
+    val H = graft.functions.Hashing
+    val shiftDiv = java.math.BigInteger.ONE.shiftLeft(64 - H.CmsLogW)
+    val multRows = H.CmsMultipliers.zipWithIndex
+      .map { case (a, r) => s"($r, ${java.lang.Long.toUnsignedString(a)}::HUGEINT)" }
+      .mkString(", ")
+    s"""WITH words AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents
+         ), counts AS (SELECT w, count(*) AS n FROM words GROUP BY 1
+         ), th AS (
+           SELECT w, CAST(n AS BIGINT) AS n, list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(w, ''), c -> ord(c)::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT) AS h
+           FROM counts
+         ), m(r, a) AS (VALUES $multRows
+         ), cells AS (
+           SELECT th.w, th.n, m.r,
+             CAST((((th.h % 4294967296) * m.a
+                 + (((th.h // 4294967296) * m.a) % 4294967296) * 4294967296)
+                % 18446744073709551616::HUGEINT) // $shiftDiv AS INT) AS cell
+           FROM th CROSS JOIN m
+         ), cellcounts AS (
+           SELECT r, cell, CAST(sum(n) AS BIGINT) AS cn
+           FROM cells GROUP BY 1, 2
+         ), topk AS (
+           SELECT w, n, rk FROM (
+             SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS rk
+             FROM th) WHERE rk <= 10
+         )
+         SELECT rk, w, n_exact, n_cms FROM (
+           SELECT t.rk, t.w, t.n AS n_exact, min(cc.cn) AS n_cms
+           FROM topk t
+           JOIN cells c ON c.w = t.w
+           JOIN cellcounts cc ON cc.r = c.r AND cc.cell = c.cell
+           GROUP BY t.rk, t.w, t.n)
+         ORDER BY rk"""
+  }
 
   /** s26 DuckDB replay — sign-bit halves as exact integer sums of
     * powers of two (bit i set iff v[i] > 0, the engine's strict rule),

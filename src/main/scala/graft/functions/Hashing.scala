@@ -145,4 +145,43 @@ object Hashing {
 
   /** Column form of [[simhash64]]; input array<bigint>. */
   def simhash(shingleHashes: Column): Column = simhash64Udf(shingleHashes)
+
+  // ---- t25 Count-Min sketch geometry ------------------------------
+
+  /** CMS shape: depth rows × 2^CmsLogW cells. Single-sourced into the
+    * generated replays (SparkEntry t25 oracle / SparkDialectTail) so
+    * the engine can never sketch at a different geometry than the
+    * oracle recounts. */
+  val CmsDepth: Int = 3
+  val CmsLogW: Int = 9
+  val CmsWidth: Int = 1 << CmsLogW
+
+  /** Per-row multiply-shift multipliers (Dietzfelbinger et al.'s
+    * universal family: cell = (a·h mod 2⁶⁴) >> (64−logW), a odd) —
+    * the public splitmix64/xxhash64 mixing constants. */
+  val CmsMultipliers: Array[Long] = Array(
+    0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL, 0x165667B19E3779F9L)
+
+  /** The CMS cell of hash `h` in each sketch row. JVM `*` wraps mod
+    * 2⁶⁴ and `>>>` floor-divides the UNSIGNED value — exactly the
+    * HUGEINT split-form multiply + `// 2^(64-logW)` the DuckDB oracle
+    * replays (the d04 discipline). */
+  def cmsCells(h: Long): Array[Int] = {
+    val out = new Array[Int](CmsDepth)
+    var r = 0
+    while (r < CmsDepth) {
+      out(r) = ((CmsMultipliers(r) * h) >>> (64 - CmsLogW)).toInt
+      r += 1
+    }
+    out
+  }
+
+  private[graft] val fnv64Udf = udf((s: String) => fnv64(s))
+  private[graft] val cmsCellsUdf = udf((h: Long) => cmsCells(h))
+
+  /** Column form of [[fnv64]] (single-token hash). */
+  def tokenHash(c: Column): Column = fnv64Udf(c)
+
+  /** Column form of [[cmsCells]]; input bigint, output array<int>. */
+  def cmsCellsCol(h: Column): Column = cmsCellsUdf(h)
 }

@@ -372,6 +372,56 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** t25: Count-Min sketch frequency estimates vs exact recount —
+    * the additive mergeable sketch (Cormode & Muthukrishnan 2005)
+    * alongside t11's Misra-Gries, q20's HLL, and q32's percentile
+    * sketch. The corpus token stream folds into ONE fixed
+    * depth×width counter array via [[graft.functions.CountMinAggregator]]
+    * (linear sketch — partition partials merge by elementwise ADD, so
+    * the map-side-combine is exact); the finished sketch is model
+    * state (depth·width longs, ~12 KB) and rides into the estimate
+    * stage as a PLAN LITERAL (the x15 weight-vector discipline — no
+    * join, no broadcast exchange). Estimates are looked up for the
+    * exact top-k tokens (their recount is the output's other column),
+    * emitting (rk, w, n_exact, n_cms) with the CMS guarantee
+    * n_cms ≥ n_exact as a hard row-level invariant.
+    *
+    * 100 TB: the sketch pass shuffles depth·width longs per partition
+    * — corpus-size- AND vocabulary-independent (the exact recount
+    * here exists to price the sketch's error and serve the oracle; a
+    * deployment streams the sketch only). Deterministic end to end:
+    * FNV-1a token hashes into multiply-shift cells
+    * ([[graft.functions.Hashing.cmsCells]]) — pure integer arithmetic
+    * the DuckDB oracle replays in HUGEINT mod-2⁶⁴ SQL (the d04
+    * discipline), and every count is an exact integer. */
+  def cmsFrequencies(s: SparkSession, dir: String): DataFrame =
+    cmsFrequencies(t(s, dir, "documents"), "text")
+
+  def cmsFrequencies(docs: DataFrame, textCol: String,
+                     k: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hash = graft.functions.Hashing
+    // one tokenize+hash pass feeds BOTH the sketch fold and the exact
+    // counts — materialize it once (the t12/d05 discipline)
+    val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
+      .withColumn("h", hash.tokenHash(col("w")))
+      .localCheckpoint()
+    val cm = new graft.functions.CountMinAggregator().toColumn
+    val sketch: Array[Long] = words.select(col("h")).as[Long]
+      .select(cm).head()
+    val counts = words.groupBy("w", "h").agg(count(lit(1)).as("n"))
+    val top = globalTopK(counts, Seq(("n", false), ("w", true)), k)
+    val wWidth = hash.CmsWidth
+    val est = (0 until hash.CmsDepth)
+      .map(r => element_at(lit(sketch),
+        col("cells").getItem(r) + lit(r * wWidth + 1)))
+      .reduce((a, b) => least(a, b))
+    top.withColumn("cells", hash.cmsCellsCol(col("h")))
+      .withColumn("n_cms", est)
+      .select(col("rk"), col("w"), col("n").as("n_exact"), col("n_cms"))
+      .orderBy("rk")
+  }
+
   /** t12: bigram-LM perplexity scoring — the CCNet-style quality
     * signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
     * Datasets from Web Crawl Data", LREC 2020): train a smoothed bigram

@@ -138,6 +138,58 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("t25 CMS estimates ≡ Scala cell-count recomputation; overcount-only law") {
+    val H = graft.functions.Hashing
+    val toks = docs.flatMap(_._2.trim.split("\\s+"))
+    // sketch = per-(row, cell) instance counts (CMS is linear)
+    val cellCounts = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    toks.foreach { w =>
+      val cells = H.cmsCells(H.fnv64(w))
+      var r = 0
+      while (r < H.CmsDepth) {
+        cellCounts((r, cells(r))) = cellCounts.getOrElse((r, cells(r)), 0L) + 1
+        r += 1
+      }
+    }
+    val exact = toks.groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    val expected = exact.sortBy { case (w, n) => (-n, w) }.take(10)
+      .zipWithIndex.map { case ((w, n), i) =>
+        val cells = H.cmsCells(H.fnv64(w))
+        val est = (0 until H.CmsDepth).map(r => cellCounts((r, cells(r)))).min
+        (i + 1L, w, n, est)
+      }
+    val got = TextOps.cmsFrequencies(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, w, nExact, nCms) =>
+      assert(nCms >= nExact, s"CMS undercounted '$w': $nCms < $nExact")
+    }
+  }
+
+  test("CMS laws: linear merge is exact; estimate dominates truth for EVERY token") {
+    import graft.functions.CountMinAggregator
+    val H = graft.functions.Hashing
+    val stream = docs.flatMap(_._2.trim.split("\\s+")).map(H.fnv64)
+    val agg = new CountMinAggregator
+    val whole = stream.foldLeft(agg.zero)(agg.reduce)
+    // 4-way split merged pairwise — the partition/merge shape Spark runs;
+    // a LINEAR sketch must reproduce the single-pass buffer EXACTLY
+    val parts = stream.grouped(stream.size / 4 + 1).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val merged = parts.reduce(agg.merge)
+    assert(merged.sameElements(whole), "merge drifted from the one-pass fold")
+    // every token (not just the top-10) is overcounted, never under
+    val truth = docs.flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    truth.foreach { case (w, n) =>
+      val cells = H.cmsCells(H.fnv64(w))
+      val est = (0 until H.CmsDepth)
+        .map(r => whole(r * H.CmsWidth + cells(r))).min
+      assert(est >= n, s"'$w' undercounted: $est < $n")
+    }
+  }
+
   test("Misra-Gries laws: survival guarantee, undercount bound, mergeability") {
     import graft.functions.MisraGriesAggregator
     val rng = new scala.util.Random(42)
