@@ -109,6 +109,12 @@ object GraftExtensions {
     "graft_cms_cells" -> { children =>
       require(children.length == 1, "graft_cms_cells(h) takes 1 argument")
       scalaUdfOf(Hashing.cmsCellsUdf, children)
+    },
+    // t26 stride-1 w-token window hashes, one per position (array<bigint>)
+    "graft_window_hashes" -> { children =>
+      require(children.length == 2,
+        "graft_window_hashes(text, w) takes 2 arguments")
+      scalaUdfOf(Hashing.windowHashesUdf, children)
     })
 
   /** Register graft's SQL functions on an already-running session (the

@@ -876,10 +876,50 @@ object SparkDialectTail {
            GROUP BY t.rk, t.w, t.n)
          ORDER BY rk"""
 
+  /** t26 Spark-dialect replay — same statement shape as the DuckDB
+    * oracle; fingerprints via the registered `graft_window_hashes`
+    * kernel (the SAME JVM loop the engine folds with). Width from
+    * [[TextOps.T26Width]]. */
+  private lazy val t26Sql: String = {
+    val w = TextOps.T26Width
+    s"""WITH base AS (
+           SELECT doc_id, size(split(trim(text), '\\\\s+')) AS n_tokens, text
+           FROM documents
+         ), wins AS (
+           SELECT doc_id, posexplode(graft_window_hashes(text, $w)) AS (i, fp)
+           FROM base WHERE n_tokens >= $w
+         ), dup AS (
+           SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2
+         ), marked AS (
+           SELECT wi.doc_id, wi.i, wi.i + ${w - 1} AS e
+           FROM wins wi JOIN dup USING (fp)
+         ), isl AS (
+           SELECT doc_id,
+             greatest(0, e - greatest(i - 1,
+               coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)))
+               AS contrib
+           FROM marked
+         ), agg AS (
+           SELECT doc_id, count(*) AS n_dup_windows,
+             sum(contrib) AS covered_tokens
+           FROM isl GROUP BY doc_id
+         )
+         SELECT b.doc_id, n_tokens,
+           greatest(n_tokens - ${w - 1}, 0) AS n_windows,
+           coalesce(a.n_dup_windows, 0L) AS n_dup_windows,
+           coalesce(a.covered_tokens, 0L) AS covered_tokens,
+           floor((CAST(coalesce(a.covered_tokens, 0L) AS DOUBLE)
+                  / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_frac
+         FROM base b LEFT JOIN agg a USING (doc_id)
+         ORDER BY b.doc_id"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
     "s26_ann_binary" -> s26Sql,
     "t25_cms_counts" -> t25Sql,
+    "t26_span_coverage" -> t26Sql,
     "s17_ann_graph_lsh" -> s17Sql,
     "s18_ann_graph_insert" -> s18Sql,
     "s19_ann_graph_refined" -> s19Sql,

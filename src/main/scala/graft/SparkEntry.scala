@@ -95,6 +95,7 @@ object SparkEntry {
     "t23_boilerplate_scrub" -> ((s, dir) => TextOps.boilerplateScrub(s, dir)),
     "t24_incremental_boilerplate" -> ((s, dir) => TextOps.incrementalBoilerplate(s, dir)),
     "t25_cms_counts"      -> ((s, dir) => TextOps.cmsFrequencies(s, dir)),
+    "t26_span_coverage"   -> ((s, dir) => TextOps.spanCoverage(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -777,6 +778,7 @@ object SparkEntry {
            FROM pc p JOIN top_ctx t USING (context))
          WHERE rk <= 3 ORDER BY context, rk""",
     "t25_cms_counts" -> t25OracleSql,
+    "t26_span_coverage" -> t26OracleSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -2427,6 +2429,86 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** One splitmix64 round in DuckDB HUGEINT mod-2⁶⁴ SQL (the d04
+    * form: add, xor-shift via `//`, split-form 128-bit-safe multiply),
+    * aliased x/p/t/q/u/r/a with suffix `j`; `prev` is the accumulator
+    * expression entering the round. */
+  private def splitmixRoundSql(j: Int, prev: String, operand: String): String = {
+    def mulSplit(x: String, c: String) =
+      s"(($x % 4294967296) * $c + ((($x // 4294967296) * $c) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT"
+    s"""xor($prev, $operand) AS x$j,
+             (x$j + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p$j,
+             xor(p$j, p$j // 1073741824) AS t$j,
+             ${mulSplit(s"t$j", "13787848793156543929::HUGEINT")} AS q$j,
+             xor(q$j, q$j // 134217728) AS u$j,
+             ${mulSplit(s"u$j", "10723151780598845931::HUGEINT")} AS r$j,
+             xor(r$j, r$j // 2147483648) AS a$j"""
+  }
+
+  /** t26 DuckDB replay — the engine's window fingerprint
+    * (FNV-1a token hashes chained through w splitmix64 rounds,
+    * [[graft.operators.TextOps.spanCoverage]]'s kernel) re-derived
+    * exactly: the d04 toks CTE provides the HUGEINT token hashes and
+    * the chain is UNROLLED w rounds by [[splitmixRoundSql]] — one
+    * NESTED SUBQUERY LAYER per round, because DuckDB expands
+    * same-SELECT lateral aliases by substitution and a 16-round chain
+    * in one SELECT would blow up ~32^16 expressions (the d04 3-round
+    * chain is the safe ceiling for the single-SELECT form); each
+    * layer materializes its accumulator once. Duplication is
+    * fingerprint-count ≥ 2 corpus-wide, coverage via the q19/q33
+    * gaps-and-islands running max. Width from
+    * [[graft.operators.TextOps.T26Width]]. */
+  private lazy val t26OracleSql: String = {
+    val w = graft.operators.TextOps.T26Width
+    val innermost =
+      s"""SELECT doc_id, th, unnest(range(1, n_tokens - $w + 2)) AS i
+                   FROM base WHERE n_tokens >= $w"""
+    val chained = (1 to w).foldLeft(innermost) { (inner, j) =>
+      val prev = if (j == 1) "11400714819323198485::HUGEINT" else s"a${j - 1}"
+      s"""SELECT doc_id, th, i,
+             ${splitmixRoundSql(j, prev, s"th[CAST(i + ${j - 1} AS INT)]")}
+             FROM ($inner)"""
+    }
+    s"""WITH toks AS (
+           SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+             tk -> list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(tk, ''), c -> ord(c)::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT)) AS th
+           FROM documents
+         ), base AS (
+           SELECT doc_id, th, len(th) AS n_tokens FROM toks
+         ), wins AS (
+           SELECT doc_id, CAST(i AS INT) - 1 AS i, a$w AS fp
+           FROM ($chained)
+         ), dup AS (
+           SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2
+         ), marked AS (
+           SELECT wi.doc_id, wi.i, wi.i + $w - 1 AS e
+           FROM wins wi JOIN dup USING (fp)
+         ), isl AS (
+           SELECT doc_id,
+             greatest(0, e - greatest(i - 1,
+               coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)))
+               AS contrib
+           FROM marked
+         ), agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(contrib) AS BIGINT) AS covered_tokens
+           FROM isl GROUP BY doc_id
+         )
+         SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(greatest(b.n_tokens - ${w - 1}, 0) AS INT) AS n_windows,
+           coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(a.covered_tokens, 0) AS covered_tokens,
+           floor((CAST(coalesce(a.covered_tokens, 0) AS DOUBLE)
+                  / CAST(b.n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_frac
+         FROM base b LEFT JOIN agg a USING (doc_id)
+         ORDER BY b.doc_id"""
+  }
 
   /** t25 DuckDB replay — the CMS cell counts ARE per-(row, cell)
     * token-instance counts (the sketch is linear), so the oracle

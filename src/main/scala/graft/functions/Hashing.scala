@@ -127,6 +127,31 @@ object Hashing {
     out
   }
 
+  /** Stride-1 w-token window hashes of a document, one per position
+    * (NOT de-duplicated — position identity is the point): FNV-hash
+    * each token once, then chain w token hashes through the same
+    * splitmix mix as [[shingleHashes]]. O(n·w) long-mixes per doc —
+    * the t26 hot path; the md5-over-rebuilt-substring formulation this
+    * replaced hashed O(n·w) CHARACTERS plus built the strings. */
+  def windowHashes(text: String, w: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val toks = text.trim.split("\\s+")
+    if (toks.length < w) return Array.emptyLongArray
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = fnv64(toks(i)); i += 1 }
+    val out = new Array[Long](toks.length - w + 1)
+    i = 0
+    while (i + w <= toks.length) {
+      var acc = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < w) { acc = splitmix64(acc ^ th(i + j)); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   private[graft] val minhashBandKeysUdf = udf((h: Seq[Long]) => minhashBandKeys(h))
   private[graft] val simhash64Udf = udf((h: Seq[Long]) => simhash64(h))
   private[graft] val shingleHashesUdf = udf((t: String, n: Int) => shingleHashes(t, n))
@@ -178,6 +203,11 @@ object Hashing {
 
   private[graft] val fnv64Udf = udf((s: String) => fnv64(s))
   private[graft] val cmsCellsUdf = udf((h: Long) => cmsCells(h))
+  private[graft] val windowHashesUdf = udf((t: String, w: Int) => windowHashes(t, w))
+
+  /** Column form of [[windowHashes]]. */
+  def windowHashesCol(text: Column, w: Column): Column =
+    windowHashesUdf(text, w)
 
   /** Column form of [[fnv64]] (single-token hash). */
   def tokenHash(c: Column): Column = fnv64Udf(c)

@@ -742,6 +742,71 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** t26: stride-1 duplicated-span coverage — the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), in its distributed
+    * fingerprint form. t15 windows the corpus at stride = width, so a
+    * duplicate phrase straddling a chunk boundary or shifted by one
+    * token is invisible; here EVERY token position opens a w-token
+    * window (stride 1), a window is duplicated iff its fingerprint
+    * occurs ≥ 2 times corpus-wide (the suffix-array "appears twice"
+    * criterion restricted to fixed w), and the per-doc report is the
+    * interval-UNION coverage of duplicated windows — the fraction of
+    * the doc's tokens lying inside some corpus-repeated span, which is
+    * what a curation run thresholds on.
+    *
+    * Scale shape: fingerprints come from ONE single-pass kernel per
+    * doc ([[graft.functions.Hashing.windowHashes]] — FNV each token
+    * once, chain w token hashes per position through the shingle
+    * splitmix; 8-byte keys, no substrings rebuilt), then ONE count
+    * shuffle on the fingerprint and one equi-join back mark the
+    * duplicated occurrences; the coverage union is the q19/q33
+    * gaps-and-islands running-max — per-doc windows, bounded by doc
+    * length, no global window. Corpus-linear at n_tokens fingerprint
+    * rows total, which is the published algorithm's map-reduce cost.
+    * All-integer + one r4 division ⇒ exact DuckDB replay (the d04
+    * HUGEINT splitmix chain, unrolled w rounds by the generator). */
+  def spanCoverage(s: SparkSession, dir: String): DataFrame =
+    spanCoverage(t(s, dir, "documents"), "doc_id", "text")
+
+  /** t26's window width — single-sourced into both generated replays
+    * (the S18SplitId/DefaultBucketCap discipline). */
+  val T26Width: Int = 16
+
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int = T26Width): DataFrame = {
+    val hash = graft.functions.Hashing
+    val base = docs.select(col(idCol),
+      size(tokensOf(col(textCol))).as("n_tokens"),
+      hash.windowHashesCol(col(textCol), lit(w)).as("fps"))
+    val wins = base.filter(col("n_tokens") >= w)
+      .select(col(idCol), posexplode(col("fps")).as(Seq("i", "fp")))
+      .localCheckpoint() // feeds the count AND the mark join
+    val dupFps = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("fp")
+    val marked = wins.join(dupFps, "fp")
+      .select(col(idCol), col("i"), (col("i") + lit(w - 1)).as("e"))
+    val prev = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = greatest(lit(0),
+      col("e") - greatest(col("i") - 1, coalesce(max(col("e")).over(prev), lit(-1))))
+    val agg = marked.withColumn("contrib", contrib)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("contrib")).as("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        greatest(col("n_tokens") - lit(w - 1), lit(0)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        r4(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+      .orderBy(idCol)
+  }
+
   /** t18: collocation extraction by pointwise mutual information — the
     * phrase-mining pass a tokenizer/vocab pipeline runs before merging
     * multi-word units: PMI(a b) = ln( p(ab) / (p(a)·p(b)) ) with

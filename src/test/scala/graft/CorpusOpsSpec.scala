@@ -190,6 +190,56 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t26 span coverage ≡ Scala stride-1 window recomputation") {
+    val w = TextOps.T26Width
+    val winsByDoc = docs.map { case (id, text) =>
+      val tk = text.trim.split("\\s+").toSeq
+      id -> (tk.length, if (tk.length >= w) tk.sliding(w).map(_.mkString(" ")).toSeq
+                        else Seq.empty[String])
+    }
+    val occ = winsByDoc.flatMap { case (_, (_, ws)) => ws }
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    val expected = winsByDoc.sortBy(_._1).map { case (id, (nTok, ws)) =>
+      val dup = ws.zipWithIndex.filter { case (s, _) => occ(s) >= 2 }
+        .map { case (_, i) => (i, i + w - 1) }
+      // interval union via running max (the gaps-and-islands form)
+      var prevEnd = -1
+      var covered = 0L
+      dup.foreach { case (s, e) =>
+        covered += math.max(0, e - math.max(s - 1, prevEnd))
+        prevEnd = math.max(prevEnd, e)
+      }
+      (id, nTok, math.max(nTok - w + 1, 0), dup.size.toLong, covered,
+        r4(covered.toDouble / nTok))
+    }
+    val got = TextOps.spanCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("t26 law: a one-token-shifted cross-doc duplicate is caught (t15's blind spot)") {
+    import spark.implicits._
+    val w = TextOps.T26Width
+    val span = (1 to w).map(i => s"dup$i").mkString(" ")
+    val pad = (1 to 40).map(i => s"pada$i").mkString(" ")
+    val pad2 = (1 to 41).map(i => s"padb$i").mkString(" ")
+    // doc 1 carries the span at offset 40; doc 2 at offset 41 — never
+    // aligned to a common stride-w chunk boundary
+    val frame = Seq((1L, s"$pad $span"), (2L, s"$pad2 $span"))
+      .toDF("doc_id", "text")
+    val out = TextOps.spanCoverage(frame, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(out(1L) == w && out(2L) == w,
+      s"shifted duplicate span not fully covered: $out")
+    // the t15 stride-w chunking misses it: no chunk repeats
+    val t15Chunks = TextOps.chunkDedup(frame, "doc_id", "text", width = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    t15Chunks.foreach { case (_, nChunks, nKept) =>
+      assert(nKept == nChunks, "expected the chunked pass to see no dupes")
+    }
+  }
+
   test("Misra-Gries laws: survival guarantee, undercount bound, mergeability") {
     import graft.functions.MisraGriesAggregator
     val rng = new scala.util.Random(42)
