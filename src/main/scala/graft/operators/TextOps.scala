@@ -422,6 +422,22 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** t25's sketch in TABLE form — the (r, cell, n) count partial of a
+    * document batch. CMS is linear, so these cell counts equal the
+    * [[graft.functions.CountMinAggregator]] buffer cell-for-cell, and
+    * per-batch partials merge by (r, cell)-keyed SUM — the store
+    * format of the streaming consumer
+    * (IncrementalJobs.startIncrementalCms): the ingested corpus
+    * persists as ≤ depth·width rows per batch, text never rescanned,
+    * the d11/d12/t24 store discipline applied to a sketch. */
+  def cmsPartial(docs: DataFrame, textCol: String): DataFrame = {
+    val hash = graft.functions.Hashing
+    docs.select(explode(tokensOf(col(textCol))).as("w"))
+      .select(hash.cmsCellsCol(hash.tokenHash(col("w"))).as("cs"))
+      .select(posexplode(col("cs")).as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+  }
+
   /** t12: bigram-LM perplexity scoring — the CCNet-style quality
     * signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
     * Datasets from Web Crawl Data", LREC 2020): train a smoothed bigram

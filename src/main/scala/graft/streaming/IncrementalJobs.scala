@@ -116,6 +116,38 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val cmsStoreSchema = StructType.fromDDL("r INT, cell INT, n BIGINT")
+
+  /** Streaming corpus-frequency sketch (t25's lifecycle): document
+    * files land in `srcDir`; each micro-batch writes ONLY its own
+    * (r, cell, n) Count-Min partial, batchId-keyed/Overwrite. CMS is
+    * a LINEAR sketch, so the effective artifact — [[cmsLedger]]'s
+    * (r, cell)-keyed sum — equals the one-pass sketch over everything
+    * ingested, exactly; a replayed batch overwrites its own partial
+    * and the sum stays exact (the t24 count-partial discipline, here
+    * with a corpus-size-INDEPENDENT store: ≤ depth·width rows per
+    * batch, ~1.5k). */
+  def startIncrementalCms(spark: SparkSession, srcDir: String,
+                          docSchema: StructType, storeDir: String,
+                          checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextOps.cmsPartial(batch, "text")
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The served sketch: the store's (r, cell)-keyed sum. */
+  def cmsLedger(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    readStore(spark, storeDir, cmsStoreSchema)
+      .groupBy("r", "cell").agg(sum("n").as("n"))
+  }
+
   private val sketchSchema =
     StructType.fromDDL("doc_id BIGINT, sh ARRAY<BIGINT>, bands ARRAY<BIGINT>")
 

@@ -77,6 +77,62 @@ class StreamingIncrementalSpec extends SparkSuite {
       .select("keeper").as[Long].collect().toSet == Set(10L, 12L, 21L))
   }
 
+  test("streaming CMS sketch: kill/restart; ledger == one-pass sketch over all ingested") {
+    val src = Files.createTempDirectory("graft_cms_src").toString
+    val store = Files.createTempDirectory("graft_cms_store").toString
+    val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+
+    val docsA = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta delta"))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalCms(
+      spark, src, schema, store, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    val docsB = Seq((3L, "alpha epsilon beta")).toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start() // same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    // LAW: the (r, cell)-summed ledger equals the one-pass partial
+    // over the union — CMS linearity surviving the restart boundary
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val ledger = cellMap(IncrementalJobs.cmsLedger(spark, store))
+    val ref = cellMap(graft.operators.TextOps.cmsPartial(
+      docsA.unionByName(docsB), "text"))
+    assert(ledger == ref)
+
+    // the ledger ALSO equals the t25 UDAF buffer over the same stream
+    // (table form ≡ aggregator form)
+    val H = graft.functions.Hashing
+    val agg = new graft.functions.CountMinAggregator
+    val buf = (docsA.unionByName(docsB)).collect()
+      .flatMap(_.getString(1).trim.split("\\s+")).map(H.fnv64)
+      .foldLeft(agg.zero)(agg.reduce)
+    ledger.foreach { case ((r, cell), n) =>
+      assert(buf(r * H.CmsWidth + cell) == n,
+        s"ledger cell ($r,$cell)=$n != UDAF ${buf(r * H.CmsWidth + cell)}")
+    }
+    assert(buf.map(_.toDouble).sum ==
+      ledger.values.map(_.toDouble).sum, "mass mismatch")
+
+    // a restart with no new input is a no-op on the ledger
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(cellMap(IncrementalJobs.cmsLedger(spark, store)) == ref)
+  }
+
   test("streaming incremental near-dup: kill/restart; verdicts and store admission equal the batch composition") {
     val src = Files.createTempDirectory("graft_nd_src").toString
     val store = Files.createTempDirectory("graft_nd_store").toString
