@@ -133,6 +133,18 @@ package object api {
                         k: Int = 3): DataFrame =
       TextOps.lmContinuations(df, textCol, nCtx, k)
 
+    /** Count-Min sketch estimates vs the exact recount for the corpus
+      * top-k tokens (the linear mergeable sketch; est ≥ truth always). */
+    def cmsTokenCounts(textCol: String, k: Int = 10): DataFrame =
+      TextOps.cmsFrequencies(df, textCol, k)
+
+    /** Stride-1 duplicated-span coverage per document — the
+      * exact-substring dedup signal (fraction of tokens inside some
+      * corpus-repeated w-token span). */
+    def spanCoverage(idCol: String, textCol: String,
+                     w: Int = TextOps.T26Width): DataFrame =
+      TextOps.spanCoverage(df, idCol, textCol, w)
+
     /** Probe this batch against an already-ingested corpus for
       * near-duplicates (banded minhash candidates, exact-Jaccard
       * verdicts; the store's text is sketched, never rescanned). */

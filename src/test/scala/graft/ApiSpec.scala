@@ -163,6 +163,22 @@ class ApiSpec extends SparkSuite {
     assert(scrubbed == Seq((9L, 0L)))
   }
 
+  test("r10c facade methods: cmsTokenCounts and spanCoverage on user-named columns") {
+    val span = (1 to graft.operators.TextOps.T26Width).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"pad1 pad2 $span"),
+      (2L, s"padx pady padz $span"),
+      (3L, "lone words only here"))
+      .toDF("id", "body")
+    val cms = corpus.cmsTokenCounts("body", k = 5).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cms.length == 5 && cms.forall { case (_, ex, est) => est >= ex })
+    val cov = corpus.spanCoverage("id", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(cov(1L) == graft.operators.TextOps.T26Width && cov(2L) == graft.operators.TextOps.T26Width
+      && cov(3L) == 0L)
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")
