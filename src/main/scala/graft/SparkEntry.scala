@@ -56,6 +56,7 @@ object SparkEntry {
     "q32_approx_percentiles" -> Warehouse.q32ApproxPercentiles,
     "q33_scd2_intervals"  -> Warehouse.q33Scd2Intervals,
     "q34_latest_snapshot" -> Warehouse.q34LatestSnapshot,
+    "q35_funnel"          -> Warehouse.q35Funnel,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -482,6 +483,33 @@ object SparkEntry {
                         event_id DESC) AS rk
            FROM events)
          WHERE rk = 1 ORDER BY user_id""",
+    // q35: dialect-portable — runs VERBATIM in Spark (SqlParitySpec's
+    // `portable` list); output carries no timestamps, so the events.ts
+    // physical-encoding hazard never reaches the compare.
+    "q35_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id
+         ), c AS (
+           SELECT e.user_id, min(e.ts) AS tc FROM events e
+           JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.tv
+           GROUP BY e.user_id
+         ), p AS (
+           SELECT e.user_id, min(e.ts) AS tp FROM events e
+           JOIN c ON c.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.tc
+           GROUP BY e.user_id
+         ), s AS (
+           SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM v
+           UNION ALL SELECT 2, 'click', count(*) FROM c
+           UNION ALL SELECT 3, 'purchase', count(*) FROM p
+         )
+         SELECT stage, step, n_users,
+           floor((CAST(n_users AS DOUBLE)
+                  / CAST(max(n_users) OVER () AS DOUBLE))*1e4 + 0.5)/1e4
+             AS conv_frac
+         FROM s ORDER BY stage""",
     "j04_nearest_event" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),

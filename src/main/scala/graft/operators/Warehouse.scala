@@ -502,6 +502,45 @@ object Warehouse {
         Seq("ts" -> false, "event_id" -> false), k = 1)
       .orderBy("user_id")
 
+  /** q35: ordered funnel analysis over the event stream — how many
+    * users progressed view → click → purchase IN THAT ORDER (each
+    * stage's timestamp strictly after the previous stage's first
+    * occurrence), the product-analytics query the reference's
+    * delegated BigQuery surface exists to answer. Output is the
+    * 3-row stage summary (stage, step, n_users, conv_frac vs stage 1).
+    *
+    * Scale shape: three user-keyed min aggregates chained by
+    * equi-joins on user_id — each frame is user-cardinality (never
+    * event-cardinality) after its aggregate, the joins co-locate on
+    * the same key so AQE reuses the partitioning, and nothing ever
+    * collects a per-user event list (the collect_list formulation
+    * dies on a hot user; this one's per-stage state is one timestamp).
+    * Fully dialect-portable SQL — the oracle runs VERBATIM in Spark. */
+  def q35Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val stages = v.select(lit(1).as("stage"), lit("view").as("step"))
+      .groupBy("stage", "step").agg(count(lit(1)).as("n_users"))
+      .unionByName(c.select(lit(2).as("stage"), lit("click").as("step"))
+        .groupBy("stage", "step").agg(count(lit(1)).as("n_users")))
+      .unionByName(p.select(lit(3).as("stage"), lit("purchase").as("step"))
+        .groupBy("stage", "step").agg(count(lit(1)).as("n_users")))
+    val all = Window.partitionBy()
+    stages
+      .withColumn("conv_frac",
+        floor((col("n_users").cast("double") /
+          max(col("n_users")).over(all).cast("double")) * lit(1e4)
+          + lit(0.5)) / lit(1e4))
+      .orderBy("stage")
+  }
+
   /** Sliding windows (20-minute length, 5-minute slide): every event
     * contributes to 4 overlapping windows — Spark's `window()` plans an
     * Expand (4 rows per event) before the aggregate, which is also the

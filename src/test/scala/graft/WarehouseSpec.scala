@@ -94,6 +94,35 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("q35 funnel ≡ Scala ordered-sequence recomputation; stages monotone") {
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map { r =>
+        val i = r.getTimestamp(2).toInstant // keep MICROS, not just ms
+        (r.getLong(0), r.getString(1),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] =
+      byUser.getOrElse(u, Array.empty)
+        .filter(e => e._2 == tpe && e._3 > after)
+        .map(_._3).minOption
+    val tv = byUser.keys.flatMap(u => firstAfter(u, "view", Long.MinValue)
+      .map(u -> _)).toMap
+    val tc = tv.flatMap { case (u, t) => firstAfter(u, "click", t).map(u -> _) }
+    val tp = tc.flatMap { case (u, t) => firstAfter(u, "purchase", t).map(u -> _) }
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = Seq(
+      (1, "view", tv.size.toLong, r4d(1.0)),
+      (2, "click", tc.size.toLong, r4d(tc.size.toDouble / tv.size)),
+      (3, "purchase", tp.size.toLong, r4d(tp.size.toDouble / tv.size)))
+    val got = Warehouse.q35Funnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(tv.size >= tc.size && tc.size >= tp.size, "funnel must narrow")
+  }
+
   test("q34 latest snapshot equals the window formulation, one row per user") {
     val got = Warehouse.q34LatestSnapshot(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
