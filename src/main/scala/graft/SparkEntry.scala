@@ -70,6 +70,7 @@ object SparkEntry {
     "m07_media_similar"   -> ((s, dir) => Multimodal.mediaSimilar(s, dir)),
     "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
     "j04_nearest_event"   -> TemporalJoins.clickNearestPurchase,
+    "j05_asof_tolerance"  -> TemporalJoins.clickLastPurchaseWithin,
     // text analysis (training-data pipeline ops)
     "t01_token_counts"    -> TextOps.tokenCounts,
     "t02_quality_score"   -> TextOps.qualityScore,
@@ -538,6 +539,25 @@ object SparkEntry {
          FROM c LEFT JOIN LATERAL (
            SELECT ts, p_value FROM p
            WHERE p.user_id = c.user_id AND p.ts <= c.ts
+           ORDER BY ts DESC LIMIT 1) pp ON true
+         ORDER BY event_id""",
+    // j05: tolerance inside the lateral ≡ the engine's match-then-void
+    // (the latest at-or-before IS the latest inside any backward
+    // window that contains it; if IT is stale, every earlier match is
+    // staler)
+    "j05_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           strftime(pp.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(pp.p_value, 4) AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT ts, p_value FROM p
+           WHERE p.user_id = c.user_id AND p.ts <= c.ts
+             AND p.ts >= c.ts - INTERVAL 30 MINUTE
            ORDER BY ts DESC LIMIT 1) pp ON true
          ORDER BY event_id""",
     "j02_range_join" ->
@@ -3768,6 +3788,25 @@ object SparkEntry {
            WHERE p.user_id = c.user_id AND p.ts >= c.ts
            ORDER BY ts ASC LIMIT 1) pp ON true
          ORDER BY event_id""",
+    // j05's Spark form: the j04 ranked-join workaround (Spark rejects
+    // correlated references in a LATERAL ORDER BY) with the tolerance
+    // riding in the join predicate
+    "j05_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.p_value,
+             row_number() OVER (PARTITION BY c.event_id
+               ORDER BY p.ts DESC) AS rk
+           FROM c LEFT JOIN p ON p.user_id = c.user_id
+             AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 30 MINUTE)
+         SELECT event_id, user_id,
+           date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+           date_format(pts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
+           round(p_value, 4) AS purchase_value
+         FROM j WHERE rk = 1 ORDER BY event_id""",
     // Spark rejects correlated references in a LATERAL subquery's ORDER
     // BY, so the nearest-event pick is a ranked join instead (same
     // tie-break: abs distance, then earlier purchase ts)

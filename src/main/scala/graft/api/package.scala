@@ -202,6 +202,12 @@ package object api {
       graft.operators.Similarity.bitextMine(df, tgt, k)
 
     // ---- joins ----
+    /** Backward as-of with a staleness bound (merge_asof tolerance):
+      * matches older than `toleranceUs` microseconds yield nulls. */
+    def asofJoinWithin(right: DataFrame, key: String, ts: String,
+                       rightVals: Seq[String], toleranceUs: Long): DataFrame =
+      TemporalJoins.asofJoinTolerance(df, right, key, ts, rightVals, toleranceUs)
+
     def asofJoin(right: DataFrame, key: String, ts: String,
                  rightVals: Seq[String]): DataFrame =
       TemporalJoins.asofJoin(df, right, key, ts, rightVals)

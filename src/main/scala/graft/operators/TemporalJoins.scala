@@ -73,6 +73,28 @@ object TemporalJoins {
       .select((leftCols.map(col) :+ col("__asof")("__t").as("asof_ts")) ++ carried: _*)
   }
 
+  /** Backward as-of with a STALENESS BOUND — pandas `merge_asof`'s
+    * `tolerance`: a match older than `toleranceUs` microseconds is
+    * DISCARDED (null asof columns), not carried. The semantics
+    * attribution and feature-freshness joins actually need (a
+    * day-old quote must not price today's trade; a week-old click
+    * must not claim today's purchase). Costs the same single window
+    * pass as [[asofJoin]] — the bound is one column expression over
+    * the already-matched row, NOT a second join. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, rightVals: Seq[String],
+                        toleranceUs: Long): DataFrame = {
+    val base = asofJoin(left, right, key, ts, rightVals)
+    val fresh = col("asof_ts").isNotNull &&
+      unix_micros(col(ts)) - unix_micros(col("asof_ts")) <= toleranceUs
+    val guard: Seq[(String, Column)] =
+      ("asof_ts" -> col("asof_ts")) +:
+        rightVals.map(v => s"asof_$v" -> col(s"asof_$v"))
+    guard.foldLeft(base) { case (df, (name, c)) =>
+      df.withColumn(name, when(fresh, c))
+    }
+  }
+
   /** Generic bucketed range join: for every left row, aggregate right
     * rows with the same key and `ts` in `[leftTs - width, leftTs)`.
     * Returns left keyed by `leftId` with `n_in_range` (0 for no match).
@@ -108,6 +130,27 @@ object TemporalJoins {
     val purchases = typed(s, dir, "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("p_value"))
     asofJoin(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        round(col("asof_p_value"), 4).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** j05's tolerance window — single-sourced into the oracle SQL
+    * (INTERVAL 30 MINUTE there). */
+  val J05ToleranceUs: Long = 30L * 60 * 1000000
+
+  /** j05: last-touch attribution join — for every click, the user's
+    * most recent purchase at-or-before it, but only if it happened
+    * within the last 30 minutes ([[asofJoinTolerance]]); a stale match
+    * yields nulls, exactly pandas `merge_asof(tolerance=...)`. */
+  def clickLastPurchaseWithin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = typed(s, dir, "click").select("event_id", "user_id", "ts")
+    val purchases = typed(s, dir, "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    asofJoinTolerance(clicks, purchases, "user_id", "ts", Seq("p_value"),
+        J05ToleranceUs)
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
         date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),

