@@ -104,6 +104,7 @@ object SparkEntry {
     "x03_token_shards"    -> ((s, dir) => Sampling.tokenShards(s, dir)),
     "x04_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
     "x05_decontaminate"   -> Dedup.decontaminate,
+    "x16_fuzzy_decontaminate" -> ((s, dir) => Dedup.fuzzyDecontaminate(s, dir)),
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
@@ -1341,6 +1342,38 @@ object SparkEntry {
              AS contamination
          FROM train t JOIN test_sh USING (shingle)
          GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id""",
+    // x16: exact cross-split Jaccard verdicts (string shingles replay
+    // the engine's hashed sets — sizes/intersections identical modulo
+    // 64-bit collisions, the documented docShingles equivalence);
+    // threshold interpolated from Dedup.X16Threshold.
+    "x16_fuzzy_decontaminate" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+               for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), m AS (
+           SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+             round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+               / (len(t.shingles) + len(b.shingles)
+                  - len(list_intersect(t.shingles, b.shingles))), 4) AS jaccard
+           FROM sh t JOIN sh b ON t.bucket >= '1a' AND b.bucket < '0d'
+           WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+               / (len(t.shingles) + len(b.shingles)
+                  - len(list_intersect(t.shingles, b.shingles))), 4)
+             >= ${graft.operators.Dedup.X16Threshold})
+         SELECT doc_id, bench_id, jaccard, n_matches FROM (
+           SELECT doc_id, bench_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, bench_id ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches
+           FROM m)
+         WHERE rk = 1 ORDER BY doc_id""",
     "x06_range_shards" ->
       """WITH o AS (
            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
@@ -3214,6 +3247,35 @@ object SparkEntry {
              AS contamination
          FROM train t JOIN test_sh USING (shingle)
          GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id""",
+    "x16_fuzzy_decontaminate" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket,
+             split(trim(text), '\\\\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             array_distinct(transform(sequence(1, size(tk) - 2),
+               i -> array_join(slice(tk, i, 3), ' '))) AS shingles
+           FROM toks WHERE size(tk) >= 3
+         ), m AS (
+           SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+             round(size(array_intersect(t.shingles, b.shingles)) * 1.0
+               / (size(t.shingles) + size(b.shingles)
+                  - size(array_intersect(t.shingles, b.shingles))), 4)
+               AS jaccard
+           FROM sh t JOIN sh b ON t.bucket >= '1a' AND b.bucket < '0d'
+         ), f AS (
+           SELECT * FROM m
+           WHERE jaccard >= ${graft.operators.Dedup.X16Threshold}
+         )
+         SELECT doc_id, bench_id, jaccard, n_matches FROM (
+           SELECT doc_id, bench_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, bench_id ASC) AS rk,
+             count(*) OVER (PARTITION BY doc_id) AS n_matches
+           FROM f)
+         WHERE rk = 1 ORDER BY doc_id""",
     "x06_range_shards" ->
       """WITH o AS (
            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

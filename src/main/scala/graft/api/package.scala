@@ -202,6 +202,17 @@ package object api {
       graft.operators.Similarity.bitextMine(df, tgt, k)
 
     // ---- joins ----
+    /** Fuzzy benchmark decontamination: best whole-document Jaccard
+      * match of each corpus doc against the (broadcast) benchmark at
+      * the x16 threshold — catches rephrased eval items exact-shingle
+      * containment underweights. */
+    def decontaminateFuzzy(benchmark: DataFrame, idCol: String,
+                           textCol: String,
+                           threshold: Double = Dedup.X16Threshold): DataFrame =
+      Dedup.fuzzyDecontaminate(
+        Dedup.sketchDocs(df, idCol, textCol),
+        Dedup.sketchDocs(benchmark, idCol, textCol), threshold)
+
     /** Backward as-of with a staleness bound (merge_asof tolerance):
       * matches older than `toleranceUs` microseconds yield nulls. */
     def asofJoinWithin(right: DataFrame, key: String, ts: String,

@@ -167,6 +167,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** x16's verdict threshold — single-sourced into the replay SQL. */
+  val X16Threshold: Double = 0.5
+
+  /** x16: FUZZY benchmark decontamination — the GPT-3/Llama near-dup
+    * discipline. [[decontaminate]] (x05) reports exact-shingle
+    * containment; a rephrased eval item that keeps most-but-not-all
+    * of its shingles needs a whole-document similarity verdict
+    * instead: each train doc's best BENCHMARK match by exact Jaccard
+    * at τ = [[X16Threshold]].
+    *
+    * Deliberately NOT banded: τ = 0.5 sits below the 16×4 minhash
+    * band-recall knee (P(candidate) ≈ 0.64 at J = 0.5 — d12's
+    * exactness argument would not hold), and it doesn't need to be —
+    * the benchmark side is MBs against the corpus' TBs, so the
+    * production shape is x05's: the benchmark's hashed-shingle
+    * inverted index BROADCASTS, candidates are the shingle-sharing
+    * cross pairs only (J ≥ τ > 0 implies a shared shingle, so no
+    * recall is lost), and the corpus never shuffles. Verdict shape
+    * matches d12: (doc_id, bench_id, jaccard, n_matches). */
+  def fuzzyDecontaminate(s: SparkSession, dir: String,
+                         threshold: Double = X16Threshold): DataFrame = {
+    val sh = Sampling.deterministicSplit(docShingles(s, dir), "doc_id")
+    fuzzyDecontaminate(
+      sh.filter(col("split") === "train"),
+      sh.filter(col("split") === "test"), threshold)
+  }
+
+  /** Generic core over pre-shingled frames (see [[docShingles]]). */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         threshold: Double): DataFrame = {
+    val benchIx = benchmark
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+    val cand = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchIx), "shingle")
+      .select("doc_id", "bench_id").distinct()
+    val withSets = cand
+      .join(corpus.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(broadcast(benchmark
+        .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))),
+        "bench_id")
+    val matches = jaccardOf(withSets).filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("doc_id").orderBy(desc("jaccard"), asc("bench_id"))
+    matches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"), col("n_matches"))
+      .orderBy("doc_id")
+  }
+
   /** Documents with their distinct HASHED 3-shingle sets (docs with none
     * drop out). One single-pass JVM kernel per document — see
     * [[graft.functions.Hashing.shingleHashes]]; every sketch below

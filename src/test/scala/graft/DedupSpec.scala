@@ -203,4 +203,55 @@ class DedupSpec extends SparkSuite {
     assert(got == expected)
     assert(got.nonEmpty, "no cross-split near-dups — the check is vacuous")
   }
+
+  test("x16 fuzzy decontamination ≡ exact cross-split Jaccard; catches a rephrase x05 underweights") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def shingles(text: String): Set[String] = {
+      val tk = text.trim.split("\\s+")
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def md5b(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+    def r4half(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bench = docs.filter(d => md5b(d._1) < "0d")
+      .map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val train = docs.filter(d => md5b(d._1) >= "1a")
+      .map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val expected = train.flatMap { case (tid, tsh) =>
+      val ms = bench.flatMap { case (bid, bsh) =>
+        val inter = (tsh & bsh).size
+        val j = r4half(inter.toDouble / (tsh.size + bsh.size - inter))
+        if (j >= Dedup.X16Threshold) Some((bid, j)) else None
+      }
+      if (ms.isEmpty) None
+      else {
+        val (bestId, bestJ) = ms.minBy { case (bid, j) => (-j, bid) }
+        Some((tid, bestId, bestJ, ms.size.toLong))
+      }
+    }.sortBy(_._1)
+    val got = Dedup.fuzzyDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // a planted rephrase: the benchmark item with one word substituted
+    // mid-document — J well above 0.5 but below any exact-dup bar
+    import spark.implicits._
+    // 14 tokens -> 12 shingles; the substitution at position 13 kills 3
+    // of them: J = 9/15 = 0.6 — above tau yet far from exact-dup
+    val benchDoc = (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")
+    val rephrased = (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu XXX xi")
+    val flagged = Dedup.fuzzyDecontaminate(
+      Dedup.sketchDocs(Seq(rephrased).toDF("doc_id", "text"), "doc_id", "text"),
+      Dedup.sketchDocs(Seq(benchDoc).toDF("doc_id", "text"), "doc_id", "text"),
+      Dedup.X16Threshold).collect()
+    assert(flagged.length == 1 && flagged(0).getLong(1) == 1L,
+      "the rephrased benchmark item must be flagged")
+    assert(flagged(0).getDouble(2) >= 0.5 && flagged(0).getDouble(2) < 1.0)
+  }
 }
