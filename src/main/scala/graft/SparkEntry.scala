@@ -57,6 +57,7 @@ object SparkEntry {
     "q33_scd2_intervals"  -> Warehouse.q33Scd2Intervals,
     "q34_latest_snapshot" -> Warehouse.q34LatestSnapshot,
     "q35_funnel"          -> Warehouse.q35Funnel,
+    "q36_cohort_retention" -> Warehouse.q36CohortRetention,
     // temporal joins (as-of / range)
     "j01_asof_join"       -> TemporalJoins.clickLastPurchase,
     "j02_range_join"      -> TemporalJoins.purchasesBeforeClick,
@@ -512,6 +513,29 @@ object SparkEntry {
                   / CAST(max(n_users) OVER () AS DOUBLE))*1e4 + 0.5)/1e4
              AS conv_frac
          FROM s ORDER BY stage""",
+    // q36: integer day arithmetic + one r4 division; only the
+    // datediff spelling differs between dialects (DuckDB 3-arg)
+    "q36_cohort_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         ), cohorts AS (
+           SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+         ), sizes AS (
+           SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n
+           FROM cohorts GROUP BY cohort_day
+         ), act AS (
+           SELECT c.cohort_day,
+             CAST(datediff('day', c.cohort_day, e.day) AS INT) AS day_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+           FROM ev e JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2
+         )
+         SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset, n_active, cohort_n,
+           floor((CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE))*1e4
+             + 0.5)/1e4 AS retention
+         FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day
+         ORDER BY 1, 2""",
     "j04_nearest_event" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -3869,6 +3893,27 @@ object SparkEntry {
            date_format(pts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS purchase_ts,
            round(p_value, 4) AS purchase_value
          FROM j WHERE rk = 1 ORDER BY event_id""",
+    "q36_cohort_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         ), cohorts AS (
+           SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+         ), sizes AS (
+           SELECT cohort_day, count(*) AS cohort_n
+           FROM cohorts GROUP BY cohort_day
+         ), act AS (
+           SELECT c.cohort_day,
+             datediff(e.day, c.cohort_day) AS day_offset,
+             count(*) AS n_active
+           FROM ev e JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2
+         )
+         SELECT date_format(a.cohort_day, 'yyyy-MM-dd') AS cohort_day,
+           day_offset, n_active, cohort_n,
+           floor((CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE))*1e4
+             + 0.5)/1e4 AS retention
+         FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day
+         ORDER BY 1, 2""",
     // Spark rejects correlated references in a LATERAL subquery's ORDER
     // BY, so the nearest-event pick is a ranked join instead (same
     // tie-break: abs distance, then earlier purchase ts)

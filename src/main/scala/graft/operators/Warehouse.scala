@@ -541,6 +541,44 @@ object Warehouse {
       .orderBy("stage")
   }
 
+  /** q36: cohort retention — users grouped by first-activity DAY
+    * (the cohort), then for each day offset k, how many of the cohort
+    * were active k days later and what fraction of the cohort that
+    * is. The companion to q35 in the product-analytics pair the
+    * reference's delegated warehouse exists for.
+    *
+    * Scale shape: one user-keyed min aggregate (the cohort
+    * assignment), one distinct over (user, active-day) — both
+    * event-stream shuffles on keys that can share the exchange — and
+    * an equi-join of the day-level activity back to the
+    * user-cardinality cohort frame; the final (cohort, offset) frame
+    * is calendar-sized, not data-sized. Day arithmetic is pure
+    * integer (datediff), so the whole output is integer counts + one
+    * r4 division — dialect-portable, the oracle runs VERBATIM. */
+  def q36CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.distinct()
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_n"))
+    active.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active"), col("cohort_n"),
+        (floor((col("n_active").cast("double") /
+          col("cohort_n").cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Sliding windows (20-minute length, 5-minute slide): every event
     * contributes to 4 overlapping windows — Spark's `window()` plans an
     * Expand (4 rows per event) before the aggregate, which is also the

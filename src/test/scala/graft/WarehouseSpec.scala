@@ -123,6 +123,32 @@ class WarehouseSpec extends SparkSuite {
     assert(tv.size >= tc.size && tc.size >= tp.size, "funnel must narrow")
   }
 
+  test("q36 cohort retention ≡ Scala recomputation; offset-0 row is the full cohort") {
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val cohortOf = ev.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val sizes = cohortOf.values.groupBy(identity).map { case (d, v) => d -> v.size }
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = ev.map { case (u, d) =>
+      val c = cohortOf(u)
+      ((c, java.time.temporal.ChronoUnit.DAYS.between(c, d).toInt), u)
+    }.distinct.groupBy(_._1).toSeq
+      .map { case ((c, off), us) =>
+        (c.toString, off, us.length.toLong, sizes(c).toLong,
+          r4d(us.length.toDouble / sizes(c)))
+      }.sortBy(t => (t._1, t._2))
+    val got = Warehouse.q36CohortRetention(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // offset 0 always retains the whole cohort
+    got.filter(_._2 == 0).foreach { case (_, _, nAct, nCoh, ret) =>
+      assert(nAct == nCoh && ret == 1.0)
+    }
+  }
+
   test("q34 latest snapshot equals the window formulation, one row per user") {
     val got = Warehouse.q34LatestSnapshot(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
