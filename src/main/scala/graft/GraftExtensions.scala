@@ -115,6 +115,13 @@ object GraftExtensions {
       require(children.length == 2,
         "graft_window_hashes(text, w) takes 2 arguments")
       scalaUdfOf(Hashing.windowHashesUdf, children)
+    },
+    // t27 unigram-LM Viterbi segmentation of a word under a
+    // (pieces, scores) table (array<string>)
+    "graft_unigram_segment" -> { children =>
+      require(children.length == 3,
+        "graft_unigram_segment(word, pieces, scores) takes 3 arguments")
+      scalaUdfOf(graft.operators.TextOps.unigramSegmentUdf, children)
     })
 
   /** Register graft's SQL functions on an already-running session (the

@@ -949,6 +949,7 @@ object SparkDialectTail {
     "s14_semdedup" -> s14Sql,
     "t13_bpe_merges" -> t13Sql,
     "t14_bpe_encode" -> t14Sql,
+    "t27_unigram_lm" -> t27Sql,
     "s21_ann_recall" -> s21Sql,
     "s22_bitext_mine" -> s22Sql,
     "s23_bitext_mine_lsh" -> s23Sql,
@@ -956,6 +957,79 @@ object SparkDialectTail {
     "s25_ann_rank_eval" -> s25Sql,
     "x14_cluster_sample" -> x14Sql,
     "x15_quality_classifier" -> x15Sql)
+
+  /** t27: the 2-round unigram-LM hard-EM loop unrolled (the t13
+    * discipline) — seed vocab from weighted substring counts, each
+    * round's Viterbi segmentation through the registered engine
+    * kernel (`graft_unigram_segment`) with the piece/score table
+    * carried as piece-sorted parallel arrays (collect_list over a
+    * sort-keyed struct, the same driver-state-as-literal move as
+    * t13's merge cross-joins), add-1 re-scoring between rounds.
+    * Knobs single-sourced from [[graft.operators.TextOps]] T27*. */
+  private lazy val t27Sql: String = {
+    val T = graft.operators.TextOps
+    val P = T.T27MaxPieceLen
+    val S = T.T27SeedMulti
+    val K = T.T27K
+    require(T.T27Rounds == 2, "t27 Spark form unrolls exactly 2 rounds")
+    s"""WITH words AS (
+           SELECT w, CAST(count(1) AS BIGINT) AS n FROM (
+             SELECT word AS w FROM documents
+             LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS word)
+           GROUP BY w),
+         occ AS (
+           SELECT substr(w, i, l) AS piece, n
+           FROM words
+           LATERAL VIEW explode(sequence(1, length(w))) ti AS i
+           LATERAL VIEW explode(sequence(1, $P)) tl AS l
+           WHERE i + l - 1 <= length(w)),
+         f0 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS f
+                FROM occ GROUP BY piece),
+         v0 AS (
+           SELECT piece, f FROM f0 WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, f FROM (
+             SELECT piece, f,
+               row_number() OVER (ORDER BY f DESC, piece ASC) AS rk
+             FROM f0 WHERE length(piece) > 1) WHERE rk <= $S),
+         tot0 AS (SELECT CAST(sum(f) AS BIGINT) AS t,
+                         CAST(count(1) AS BIGINT) AS v FROM v0),
+         a0 AS (
+           SELECT transform(arr, x -> x.piece) AS ps,
+                  transform(arr, x ->
+                    ln(CAST(x.f AS DOUBLE) / CAST(t AS DOUBLE))) AS ss
+           FROM (SELECT array_sort(collect_list(named_struct(
+                   'piece', piece, 'f', f))) AS arr FROM v0)
+           CROSS JOIN tot0),
+         seg1 AS (
+           SELECT n, piece FROM words CROSS JOIN a0
+           LATERAL VIEW explode(graft_unigram_segment(w, ps, ss)) t AS piece),
+         c1 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c
+                FROM seg1 GROUP BY piece),
+         t1 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+         a1 AS (
+           SELECT transform(arr, x -> x.piece) AS ps,
+                  transform(arr, x -> ln(CAST(x.c + 1 AS DOUBLE) /
+                    CAST(t1.t + tot0.v AS DOUBLE))) AS ss
+           FROM (SELECT array_sort(collect_list(named_struct(
+                   'piece', v.piece,
+                   'c', coalesce(c.c, CAST(0 AS BIGINT))))) AS arr
+                 FROM v0 v LEFT JOIN c1 c ON v.piece = c.piece)
+           CROSS JOIN t1 CROSS JOIN tot0),
+         seg2 AS (
+           SELECT n, piece FROM words CROSS JOIN a1
+           LATERAL VIEW explode(graft_unigram_segment(w, ps, ss)) t AS piece),
+         c2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c
+                FROM seg2 GROUP BY piece),
+         t2 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c2)
+         SELECT rk, piece, n_uses, logp FROM (
+           SELECT piece, c AS n_uses,
+             floor(ln(CAST(c + 1 AS DOUBLE) /
+               CAST(t2.t + tot0.v AS DOUBLE))*1e4 + 0.5)/1e4 AS logp,
+             row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+           FROM c2 CROSS JOIN t2 CROSS JOIN tot0)
+         WHERE rk <= $K ORDER BY rk"""
+  }
 
   /** s25: the rank-eval tail over the Spark-dialect member replays —
     * mirrors SparkEntry.s25OracleSql via the shared generator. */

@@ -99,6 +99,7 @@ object SparkEntry {
     "t24_incremental_boilerplate" -> ((s, dir) => TextOps.incrementalBoilerplate(s, dir)),
     "t25_cms_counts"      -> ((s, dir) => TextOps.cmsFrequencies(s, dir)),
     "t26_span_coverage"   -> ((s, dir) => TextOps.spanCoverage(s, dir)),
+    "t27_unigram_lm"      -> ((s, dir) => TextOps.unigramTrain(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -852,6 +853,7 @@ object SparkEntry {
          WHERE rk <= 3 ORDER BY context, rk""",
     "t25_cms_counts" -> t25OracleSql,
     "t26_span_coverage" -> t26OracleSql,
+    "t27_unigram_lm" -> t27OracleSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -2549,6 +2551,159 @@ object SparkEntry {
              xor(q$j, q$j // 134217728) AS u$j,
              ${mulSplit(s"u$j", "10723151780598845931::HUGEINT")} AS r$j,
              xor(r$j, r$j // 2147483648) AS a$j"""
+  }
+
+  /** t27's unrolled per-word Viterbi + backtrack as a nested-subquery
+    * chain (one LAYER per step — the t26 lateral-substitution lesson),
+    * parameterized on the round's piece-score CTE name. Layer grammar,
+    * innermost to outermost: a pivoted SEED (w, n, len, dp_0, and one
+    * s{start}_{len} score column per in-bounds substring slot, built
+    * by ONE hash join against the score table — a correlated
+    * subquery per slot made DuckDB's planner replay the whole chain
+    * per lookup and never finish) → per position i: a CANDIDATE layer
+    * (c{l}_{i} = dp_{i−l} + s{i−l+1}_{l}, NULL when the piece is out
+    * of vocab or l > i) then a PICK layer (dp_i = greatest of the
+    * coalesced candidates; ch_i = the smallest l attaining it — the
+    * kernel's ascending-l strict-> rule) → backtrack layers walking
+    * q_k = q_{k−1} − ch[q_{k−1}] → a UNION over segment slots emits
+    * (piece, n); `bt` is MATERIALIZED so the 8 arms share one pass. */
+  private def t27SegSql(sc: String): String = {
+    val W = 8 // unroll bound; the oracle guard errors if exceeded
+    val P = graft.operators.TextOps.T27MaxPieceLen
+    val slots = for { st <- 1 to W; l <- 1 to P; if st + l - 1 <= W }
+      yield (st, l)
+    val pivots = slots.map { case (st, l) =>
+      s"max(CASE WHEN p.i = $st AND p.l = $l THEN sc.s END) AS s${st}_$l"
+    }.mkString(",\n               ")
+    val seed =
+      s"""SELECT w.w, any_value(w.n) AS n,
+               any_value(length(w.w)) AS len,
+               CAST(0.0 AS DOUBLE) AS dp_0,
+               $pivots
+             FROM words w
+             JOIN (SELECT i.i, l.l
+                   FROM (SELECT unnest(range(1, ${W + 1})) AS i) i
+                   CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS l) l) p
+               ON p.i + p.l - 1 <= length(w.w)
+             LEFT JOIN $sc sc
+               ON sc.piece = substr(w.w, CAST(p.i AS INT), CAST(p.l AS INT))
+             GROUP BY w.w"""
+    val dpChain = (1 to W).foldLeft(seed) { (inner, i) =>
+      val cands = (1 to math.min(P, i)).map { l =>
+        s"""CASE WHEN $i <= len THEN dp_${i - l} +
+               s${i - l + 1}_$l END AS c${l}_$i"""
+      }.mkString(",\n             ")
+      val candLayer = s"""SELECT *,
+             $cands
+             FROM ($inner)"""
+      val co = (1 to P).map { l =>
+        if (l <= i) s"coalesce(c${l}_$i, -1e18)" else "-1e18"
+      }
+      val pick =
+        s"""CASE WHEN $i > len THEN NULL
+               WHEN ${co(0)} >= ${co(1)} AND ${co(0)} >= ${co(2)}
+                 AND ${co(0)} >= ${co(3)} THEN 1
+               WHEN ${co(1)} >= ${co(2)} AND ${co(1)} >= ${co(3)} THEN 2
+               WHEN ${co(2)} >= ${co(3)} THEN 3
+               ELSE 4 END AS ch_$i"""
+      s"""SELECT *,
+             CASE WHEN $i <= len THEN
+               greatest(${co.mkString(", ")}) END AS dp_$i,
+             $pick
+             FROM ($candLayer)"""
+    }
+    val btSeed = s"""SELECT *, len AS q_0 FROM ($dpChain)"""
+    val btChain = (1 to W).foldLeft(btSeed) { (inner, k) =>
+      val chAt = (1 to W).map(j => s"WHEN ${j} THEN ch_$j").mkString(" ")
+      s"""SELECT *,
+             CASE WHEN q_${k - 1} > 0
+               THEN CASE q_${k - 1} $chAt END END AS pick_$k,
+             CASE WHEN q_${k - 1} > 0
+               THEN q_${k - 1} - (CASE q_${k - 1} $chAt END)
+               ELSE 0 END AS q_$k
+             FROM ($inner)"""
+    }
+    val arms = (1 to W).map { k =>
+      s"""SELECT substr(w, q_$k + 1, pick_$k) AS piece, n
+           FROM bt WHERE pick_$k IS NOT NULL"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""SELECT piece, n FROM (
+           WITH bt AS MATERIALIZED ($btChain)
+           $arms)"""
+  }
+
+  /** t27 DuckDB replay — the full 2-round hard-EM trajectory
+    * re-derived from the raw corpus: weighted-substring seed vocab,
+    * seed scores, [[t27SegSql]]'s unrolled Viterbi per round, add-1
+    * re-scoring between rounds (the engine's exact double op order:
+    * ln of a division of two exact integers), final top-K by
+    * (uses DESC, piece ASC). Knobs interpolated from
+    * [[graft.operators.TextOps]]; a guard CTE errors if any corpus
+    * word exceeds the W=8 unroll bound instead of silently truncating
+    * (the capGuard discipline). */
+  private lazy val t27OracleSql: String = {
+    val T = graft.operators.TextOps
+    val P = T.T27MaxPieceLen
+    val S = T.T27SeedMulti
+    val K = T.T27K
+    require(T.T27Rounds == 2, "t27 oracle unrolls exactly 2 rounds")
+    require(P == 4, "the pick CASE is written for maxPieceLen 4")
+    s"""WITH words AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+             FROM documents)
+           GROUP BY w
+         ), guard AS MATERIALIZED (
+           SELECT CASE WHEN max(length(w)) > 8
+             THEN CAST(error('t27 unroll bound: word longer than 8') AS INT)
+             ELSE 1 END AS ok FROM words
+         ), occ AS (
+           SELECT substr(w.w, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece, w.n
+           FROM words w
+           CROSS JOIN (SELECT unnest(range(1, 9)) AS i) i
+           CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS l) l
+           WHERE i.i + l.l - 1 <= length(w.w)
+         ), f0 AS MATERIALIZED (
+           SELECT piece, CAST(sum(n) AS BIGINT) AS f FROM occ GROUP BY piece
+         ), vocab0 AS MATERIALIZED (
+           SELECT piece, f FROM f0 WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, f FROM (
+             SELECT piece, f,
+               row_number() OVER (ORDER BY f DESC, piece ASC) AS rk
+             FROM f0 WHERE length(piece) > 1) WHERE rk <= $S
+         ), tot0 AS MATERIALIZED (
+           SELECT CAST(sum(f) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+           FROM vocab0
+         ), sc0 AS MATERIALIZED (
+           SELECT piece,
+             ln(CAST(f AS DOUBLE) / CAST((SELECT t FROM tot0) AS DOUBLE)) AS s
+           FROM vocab0
+         ), seg1 AS MATERIALIZED (
+           ${t27SegSql("sc0")}
+         ), c1 AS MATERIALIZED (
+           SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM seg1 GROUP BY piece
+         ), totc1 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1
+         ), sc1 AS MATERIALIZED (
+           SELECT v.piece,
+             ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+                CAST((SELECT t FROM totc1) + (SELECT v FROM tot0) AS DOUBLE))
+               AS s
+           FROM vocab0 v LEFT JOIN c1 c USING (piece)
+         ), seg2 AS MATERIALIZED (
+           ${t27SegSql("sc1")}
+         ), c2 AS MATERIALIZED (
+           SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM seg2 GROUP BY piece
+         ), totc2 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS t FROM c2)
+         SELECT rk, piece, n_uses, logp FROM (
+           SELECT piece, c AS n_uses,
+             floor(ln(CAST(c + 1 AS DOUBLE) /
+               CAST((SELECT t FROM totc2) + (SELECT v FROM tot0) AS DOUBLE))
+               *1e4 + 0.5)/1e4 AS logp,
+             row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+           FROM c2)
+         WHERE rk <= $K AND (SELECT ok FROM guard) = 1
+         ORDER BY rk"""
   }
 
   /** t26 DuckDB replay — the engine's window fingerprint

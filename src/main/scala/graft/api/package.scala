@@ -145,6 +145,16 @@ package object api {
                      w: Int = TextOps.T26Width): DataFrame =
       TextOps.spanCoverage(df, idCol, textCol, w)
 
+    /** Train a unigram-LM subword inventory (SentencePiece's other
+      * algorithm next to BPE): weighted-substring seed vocab, then
+      * fixed rounds of hard EM (Viterbi segmentation / add-1
+      * re-score); returns the top-k pieces with their log-probs. */
+    def trainUnigramLm(textCol: String,
+                       seedMulti: Int = TextOps.T27SeedMulti,
+                       rounds: Int = TextOps.T27Rounds,
+                       k: Int = TextOps.T27K): DataFrame =
+      TextOps.unigramTrain(df, textCol, seedMulti, rounds, k)
+
     /** Probe this batch against an already-ingested corpus for
       * near-duplicates (banded minhash candidates, exact-Jaccard
       * verdicts; the store's text is sketched, never rescanned). */

@@ -591,6 +591,135 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // ---- t27: unigram-LM tokenizer (Kudo, ACL 2018 — SentencePiece's
+  // other algorithm next to t13/t14's BPE) --------------------------
+
+  /** t27 knobs — single-sourced into the generated replays. */
+  val T27MaxPieceLen: Int = 4
+  val T27SeedMulti: Int = 24
+  val T27Rounds: Int = 2
+  val T27K: Int = 20
+
+  /** One word's Viterbi segmentation under a piece→score table — the
+    * hard-EM E-step kernel (maximum-probability split; SentencePiece's
+    * own Viterbi mode). dp over END positions, candidate piece lengths
+    * 1..[[T27MaxPieceLen]] evaluated ASCENDING with a strict `>` so an
+    * exact score tie keeps the SHORTER piece — the tie rule the SQL
+    * replay's `c1 >= c2 ...` CASE chain encodes identically. Single
+    * characters are always in the vocab, so every position is
+    * reachable and no -inf arithmetic exists on either engine. */
+  private[graft] def unigramViterbiLocal(word: String, pieces: Seq[String],
+                                         scores: Seq[Double]): Seq[String] = {
+    val score = pieces.zip(scores).toMap
+    val L = word.length
+    val dp = new Array[Double](L + 1)
+    val choice = new Array[Int](L + 1)
+    var i = 1
+    while (i <= L) {
+      var best = Double.NegativeInfinity
+      var bestL = 0
+      var l = 1
+      while (l <= math.min(T27MaxPieceLen, i)) {
+        score.get(word.substring(i - l, i)) match {
+          case Some(s) =>
+            val cand = dp(i - l) + s
+            if (cand > best) { best = cand; bestL = l }
+          case None =>
+        }
+        l += 1
+      }
+      dp(i) = best
+      choice(i) = bestL
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = L
+    while (p > 0) { val l = choice(p); out += word.substring(p - l, p); p -= l }
+    out.reverse.toSeq
+  }
+
+  private[graft] val unigramSegmentUdf =
+    udf { (w: String, pieces: Seq[String], scores: Seq[Double]) =>
+      unigramViterbiLocal(w, pieces, scores)
+    }
+
+  /** t27: unigram-LM tokenizer training — the OTHER real-world
+    * subword algorithm next to BPE (t13): seed a piece inventory from
+    * weighted substring counts, then [[T27Rounds]] rounds of hard EM
+    * (E: Viterbi-segment every distinct word under the current piece
+    * scores — [[unigramViterbiLocal]]; M: re-score pieces from the
+    * weighted segmentation counts with add-1 smoothing, t12's ln
+    * discipline). Output: the top-[[T27K]] pieces of the final
+    * segmentation by (uses DESC, piece ASC) with their r4-floored
+    * log-probs.
+    *
+    * Scale shape (the t13 contract): the corpus collapses once to the
+    * (distinct word, count) table — every EM pass scans THAT, never
+    * the corpus; the piece table collected per round is model state
+    * (≤ seedMulti + |alphabet| rows, like the k-means centroids); the
+    * segmentation E-step is a narrow distributed map (kernel over the
+    * broadcast score table), and all counts are map-side-combined
+    * integer aggregates. `rounds` is FIXED, so the DuckDB oracle
+    * unrolls the whole trajectory — the per-word Viterbi DP becomes
+    * one nested subquery layer per word position (the t26 lesson:
+    * same-SELECT lateral aliases blow up by substitution), with the
+    * backtrack walked in 8 more layers and the piece emission as a
+    * UNION over segment slots. */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame =
+    unigramTrain(t(s, dir, "documents"), "text")
+
+  def unigramTrain(docs: DataFrame, textCol: String,
+                   seedMulti: Int = T27SeedMulti, rounds: Int = T27Rounds,
+                   k: Int = T27K): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the seed pass + every EM round
+    // seed: every (position, length ≤ MaxPieceLen) substring occurrence,
+    // weighted by the word count
+    val occ = words
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("n"), col("i"),
+        explode(sequence(lit(1), lit(T27MaxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("n"))
+    val f0 = occ.groupBy("piece").agg(sum("n").as("f")).localCheckpoint()
+    val singles = f0.filter(length(col("piece")) === 1)
+    val multis = globalTopK(f0.filter(length(col("piece")) > 1),
+      Seq(("f", false), ("piece", true)), seedMulti)
+      .select("piece", "f")
+    val vocab0: Array[(String, Long)] =
+      singles.unionByName(multis).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val nVocab = vocab0.length
+    val total0 = vocab0.map(_._2).sum
+    var pieces: Seq[String] = vocab0.map(_._1).toSeq
+    var scores: Seq[Double] =
+      vocab0.map(p => math.log(p._2.toDouble / total0.toDouble)).toSeq
+    var counts: Map[String, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val seg = words.select(col("n"),
+        explode(unigramSegmentUdf(col("w"),
+          typedLit(pieces), typedLit(scores))).as("piece"))
+      counts = seg.groupBy("piece").agg(sum("n").as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totalC = counts.values.sum
+      scores = pieces.map(p =>
+        math.log((counts.getOrElse(p, 0L) + 1).toDouble /
+          (totalC + nVocab).toDouble))
+    }
+    val totalC = counts.values.sum
+    val rows = counts.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(k).zipWithIndex
+      .map { case ((p, c), idx) =>
+        val logp = math.log((c + 1).toDouble / (totalC + nVocab).toDouble)
+        (idx + 1, p, c, math.floor(logp * 1e4 + 0.5) / 1e4)
+      }
+    import spark.implicits._
+    rows.toDF("rk", "piece", "n_uses", "logp")
+  }
+
   /** Leftmost-greedy application of a rank-ordered merge list to one
     * word's symbol sequence — the same sequential kernel as one
     * training round, folded over every merge in rank order, so

@@ -179,6 +179,19 @@ class ApiSpec extends SparkSuite {
       && cov(3L) == 0L)
   }
 
+  test("trainUnigramLm works through the facade on user-named columns") {
+    val corpus = Seq(
+      (1L, "abab abab cd"),
+      (2L, "abab cd cd"),
+      (3L, "ab cd abab")).toDF("id", "body")
+    val pieces = corpus.trainUnigramLm("body", k = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(pieces.nonEmpty && pieces.map(_._1).toSeq == (1 to pieces.length))
+    // the dominant repeated substring is learned as one piece
+    assert(pieces.exists(_._2 == "abab"), s"abab not learned: ${pieces.toSeq}")
+    assert(pieces.forall(_._4 < 0.0))
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")

@@ -997,4 +997,96 @@ class CorpusOpsSpec extends SparkSuite {
     val popOf = assigned.groupBy(_._2).map { case (c, vs) => c -> vs.size }
     perCell.foreach { case (c, n) => assert(n == math.min(5, popOf(c))) }
   }
+
+  // Every segmentation of `word` into pieces of length 1..maxLen —
+  // the brute-force oracle for the Viterbi kernel (words are ≤8
+  // chars, so ≤108 compositions).
+  private def allSegs(word: String, maxLen: Int): Seq[Seq[String]] =
+    if (word.isEmpty) Seq(Seq.empty)
+    else (1 to math.min(maxLen, word.length)).flatMap { l =>
+      allSegs(word.drop(l), maxLen).map(word.take(l) +: _)
+    }
+
+  test("t27 Viterbi kernel laws: concat identity, max-score vs brute force, shorter-piece ties") {
+    val pieces = Seq("a", "b", "c", "ab", "bc", "abc", "abcd")
+    val scores = Seq(-3.0, -3.0, -3.0, -4.0, -4.0, -5.0, -6.0)
+    val score = pieces.zip(scores).toMap
+    for (w <- Seq("a", "ab", "abc", "abcd", "abcabc", "abcdabcd", "cab")) {
+      val got = TextOps.unigramViterbiLocal(w, pieces, scores)
+      assert(got.mkString == w, s"concat identity broken for $w: $got")
+      val best = allSegs(w, TextOps.T27MaxPieceLen)
+        .filter(_.forall(score.contains))
+        .map(seg => seg.map(score).sum).max
+      assert(math.abs(got.map(score).sum - best) < 1e-12,
+        s"$w: kernel score ${got.map(score).sum} != brute-force best $best")
+    }
+    // exact tie: "ab"+"c" (−4 + −3) vs "abc" (−7) — the ascending-l
+    // strict-> rule keeps the SHORTER last piece, so "abc" loses
+    val tp = Seq("a", "b", "c", "ab", "abc")
+    val ts = Seq(-2.0, -3.0, -3.0, -4.0, -7.0)
+    assert(TextOps.unigramViterbiLocal("abc", tp, ts) == Seq("ab", "c"))
+  }
+
+  test("t27 unigram-LM training matches an independent brute-force EM recomputation") {
+    val T = TextOps
+    val words = docs.flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, v) => (w, v.size.toLong) }.toSeq
+    // seed: weighted substring counts, singles + top-seedMulti multis
+    val occ = words.flatMap { case (w, n) =>
+      for { i <- 0 until w.length
+            l <- 1 to math.min(T.T27MaxPieceLen, w.length - i) }
+        yield (w.substring(i, i + l), n)
+    }.groupBy(_._1).map { case (p, v) => (p, v.map(_._2).sum) }
+    val singles = occ.filter(_._1.length == 1).toSeq
+    val multis = occ.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(T.T27SeedMulti)
+    val vocab = (singles ++ multis).sortBy(_._1)
+    val nV = vocab.size
+    val tot0 = vocab.map(_._2).sum
+    var sc: Map[String, Double] =
+      vocab.map { case (p, f) => p -> math.log(f.toDouble / tot0.toDouble) }.toMap
+    // strict lexicographic < on piece-length sequences
+    def lexLt(x: Seq[Int], y: Seq[Int]): Boolean =
+      x.zip(y).find { case (a, b) => a != b } match {
+        case Some((a, b)) => a < b
+        case None => x.length < y.length
+      }
+    def bestSeg(w: String): Seq[String] = {
+      // brute force, tie-broken the kernel's way: the backtrack picks
+      // the shortest piece at each END position, so among max-score
+      // segmentations the winner has the lexicographically smallest
+      // piece-length sequence read RIGHT to LEFT
+      // exact-double comparison throughout: both engines sum each
+      // segmentation's score left to right, so bit-identical values
+      val cands = allSegs(w, T.T27MaxPieceLen).filter(_.forall(sc.contains))
+      val best = cands.map(seg => seg.map(sc).sum).max
+      cands.filter(seg => seg.map(sc).sum == best)
+        .reduceLeft { (a, b) =>
+          if (lexLt(b.map(_.length).reverse, a.map(_.length).reverse)) b
+          else a
+        }
+    }
+    var counts: Map[String, Long] = Map.empty
+    for (_ <- 1 to T.T27Rounds) {
+      counts = words.flatMap { case (w, n) => bestSeg(w).map(p => (p, n)) }
+        .groupBy(_._1).map { case (p, v) => (p, v.map(_._2).sum) }
+      val totC = counts.values.sum
+      sc = vocab.map { case (p, _) =>
+        p -> math.log((counts.getOrElse(p, 0L) + 1).toDouble /
+          (totC + nV).toDouble)
+      }.toMap
+    }
+    val totC = counts.values.sum
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(T.T27K).zipWithIndex.map { case ((p, c), i) =>
+        (i + 1, p, c,
+          r4(math.log((c + 1).toDouble / (totC + nV).toDouble)))
+      }
+    val got = TextOps.unigramTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the learned inventory actually uses multi-char pieces
+    assert(got.exists(_._2.length > 1), "no multi-char piece survived EM")
+  }
 }
