@@ -100,6 +100,7 @@ object SparkEntry {
     "t25_cms_counts"      -> ((s, dir) => TextOps.cmsFrequencies(s, dir)),
     "t26_span_coverage"   -> ((s, dir) => TextOps.spanCoverage(s, dir)),
     "t27_unigram_lm"      -> ((s, dir) => TextOps.unigramTrain(s, dir)),
+    "t28_zipf_profile"    -> ((s, dir) => TextOps.zipfProfile(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -854,6 +855,7 @@ object SparkEntry {
     "t25_cms_counts" -> t25OracleSql,
     "t26_span_coverage" -> t26OracleSql,
     "t27_unigram_lm" -> t27OracleSql,
+    "t28_zipf_profile" -> t28OracleSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -2632,6 +2634,85 @@ object SparkEntry {
            $arms)"""
   }
 
+  /** t28 Spark-dialect replay — same statement shape as the DuckDB
+    * form; the rank-ordered float sums go through the engine's own
+    * array-fold spelling (array_sort + aggregate, the t12 pattern). */
+  private lazy val t28SparkSql: String = {
+    val K = graft.operators.TextOps.T28K
+    val kf = "CAST(kf AS DOUBLE)"
+    val num = s"($kf*sxy - sx*sy)"
+    val den = s"($kf*sxx - sx*sx)"
+    val deny = s"($kf*syy - sy*sy)"
+    def sumOf(body: String) =
+      s"""aggregate(transform(arr, e -> $body),
+               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+    s"""WITH w AS (
+           SELECT explode(split(trim(text), '\\\\s+')) AS w FROM documents
+         ), cnt AS (
+           SELECT w, count(1) AS n FROM w GROUP BY w
+         ), tot AS (
+           SELECT count(1) AS nv, sum(n) AS nt FROM cnt
+         ), top AS (
+           SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+           FROM (SELECT n,
+                   row_number() OVER (ORDER BY n DESC, w ASC) AS rk
+                 FROM cnt)
+           WHERE rk <= $K
+         ), packed AS (
+           SELECT count(1) AS kf,
+             array_sort(collect_list(struct(rk, x, y))) AS arr
+           FROM top
+         ), s AS (
+           SELECT kf,
+             ${sumOf("e.x")} AS sx, ${sumOf("e.y")} AS sy,
+             ${sumOf("e.x * e.y")} AS sxy, ${sumOf("e.x * e.x")} AS sxx,
+             ${sumOf("e.y * e.y")} AS syy
+           FROM packed)
+         SELECT nv AS n_vocab, nt AS n_tokens, kf AS k_fit,
+           floor(($num/$den)*1e4 + 0.5)/1e4 AS slope,
+           floor(((sy - ($num/$den)*sx)/$kf)*1e4 + 0.5)/1e4 AS intercept,
+           floor((($num*$num)/($den*$deny))*1e4 + 0.5)/1e4 AS r2
+         FROM tot CROSS JOIN s"""
+  }
+
+  /** t28 DuckDB replay — token counts, a (n DESC, w ASC) rank, and
+    * the least-squares fit over the top-[[graft.operators.TextOps.T28K]]
+    * ranks with every float sum rank-ORDERED (DuckDB's ordered
+    * aggregate folds sequentially — the t12 discipline — so the sums
+    * reproduce the engine's array-fold bit-for-bit). */
+  private lazy val t28OracleSql: String = {
+    val K = graft.operators.TextOps.T28K
+    val kf = "CAST(kf AS DOUBLE)"
+    val num = s"($kf*sxy - sx*sy)"
+    val den = s"($kf*sxx - sx*sx)"
+    val deny = s"($kf*syy - sy*sy)"
+    s"""WITH w AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents
+         ), cnt AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY w
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS nv,
+                  CAST(sum(n) AS BIGINT) AS nt FROM cnt
+         ), top AS (
+           SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+           FROM (SELECT n,
+                   row_number() OVER (ORDER BY n DESC, w ASC) AS rk
+                 FROM cnt)
+           WHERE rk <= $K
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS kf,
+             sum(x ORDER BY rk) AS sx, sum(y ORDER BY rk) AS sy,
+             sum(x*y ORDER BY rk) AS sxy, sum(x*x ORDER BY rk) AS sxx,
+             sum(y*y ORDER BY rk) AS syy
+           FROM top)
+         SELECT nv AS n_vocab, nt AS n_tokens, kf AS k_fit,
+           floor(($num/$den)*1e4 + 0.5)/1e4 AS slope,
+           floor(((sy - ($num/$den)*sx)/$kf)*1e4 + 0.5)/1e4 AS intercept,
+           floor((($num*$num)/($den*$deny))*1e4 + 0.5)/1e4 AS r2
+         FROM tot CROSS JOIN s"""
+  }
+
   /** t27 DuckDB replay — the full 2-round hard-EM trajectory
     * re-derived from the raw corpus: weighted-substring seed vocab,
     * seed scores, [[t27SegSql]]'s unrolled Viterbi per round, add-1
@@ -4159,6 +4240,7 @@ object SparkEntry {
            floor(exp((-lnp_sum) / CAST(n_bigrams AS DOUBLE))*1e4 + 0.5)/1e4
              AS ppl
          FROM folded ORDER BY doc_id""",
+    "t28_zipf_profile" -> t28SparkSql,
     "x04_curation_funnel" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -155,6 +155,13 @@ package object api {
                        k: Int = TextOps.T27K): DataFrame =
       TextOps.unigramTrain(df, textCol, seedMulti, rounds, k)
 
+    /** Zipf rank-frequency profile of the corpus: least-squares
+      * ln(freq) ~ ln(rank) fit over the top-k token ranks (slope ≈ −1
+      * for natural language; drift is a data-quality signal), plus
+      * vocabulary/token totals. One row out. */
+    def zipfProfile(textCol: String, k: Int = TextOps.T28K): DataFrame =
+      TextOps.zipfProfile(df, textCol, k)
+
     /** Probe this batch against an already-ingested corpus for
       * near-duplicates (banded minhash candidates, exact-Jaccard
       * verdicts; the store's text is sketched, never rescanned). */

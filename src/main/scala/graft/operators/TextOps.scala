@@ -591,6 +591,64 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // ---- t28: Zipf rank-frequency profile ----------------------------
+
+  /** t28 fit depth — the top-K ranks the log-log line is fit over
+    * (the head of the rank-frequency curve is where Zipf's law holds;
+    * the singleton tail deviates and would drown the fit). */
+  val T28K: Int = 200
+
+  def zipfProfile(s: SparkSession, dir: String): DataFrame =
+    zipfProfile(t(s, dir, "documents"), "text")
+
+  /** t28: corpus-statistics profile — least-squares fit of
+    * ln(freq) ~ ln(rank) over the top-[[T28K]] token ranks (Zipf's
+    * law: slope ≈ −1 for natural language; a corpus whose slope
+    * drifts is a data-quality signal — boilerplate flattens it,
+    * template spam steepens it), plus vocabulary/token totals.
+    *
+    * Scale shape: ONE corpus-sized explode + map-side-combined count
+    * shuffle collapses to the vocab table; the top-K ranks come from
+    * the TopKPerGroup AllTuples heap (map-side capped, never a
+    * vocab-wide sort); the fit itself runs over K rows folded in rank
+    * order (the t12 fixed-order float discipline, so the DuckDB
+    * replay's `sum(x ORDER BY rk)` reproduces it bit-for-bit).
+    * Output is ONE row of model state. */
+  def zipfProfile(docs: DataFrame, textCol: String,
+                  k: Int = T28K): DataFrame = {
+    val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the totals AND the top-K heap
+    val totals = words.agg(
+      count(lit(1)).as("n_vocab"),
+      sum("n").as("n_tokens"))
+    val top = globalTopK(words, Seq(("n", false), ("w", true)), k)
+      .select(col("rk"),
+        log(col("rk").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    // one sorted array, five rank-ordered folds over it
+    val arr = array_sort(collect_list(struct(col("rk"), col("x"), col("y"))))
+    def sumOf(f: Column => Column): Column =
+      aggregate(transform(arr, st => f(st)), lit(0.0), (a, v) => a + v)
+    val sums = top.agg(
+      count(lit(1)).as("k_fit"),
+      sumOf(st => st("x")).as("sx"),
+      sumOf(st => st("y")).as("sy"),
+      sumOf(st => st("x") * st("y")).as("sxy"),
+      sumOf(st => st("x") * st("x")).as("sxx"),
+      sumOf(st => st("y") * st("y")).as("syy"))
+    val kD = col("k_fit").cast("double")
+    val num = kD * col("sxy") - col("sx") * col("sy")
+    val den = kD * col("sxx") - col("sx") * col("sx")
+    val deny = kD * col("syy") - col("sy") * col("sy")
+    val slope = num / den
+    totals.crossJoin(sums)
+      .select(col("n_vocab"), col("n_tokens"), col("k_fit"),
+        r4(slope).as("slope"),
+        r4((col("sy") - slope * col("sx")) / kD).as("intercept"),
+        r4((num * num) / (den * deny)).as("r2"))
+  }
+
   // ---- t27: unigram-LM tokenizer (Kudo, ACL 2018 — SentencePiece's
   // other algorithm next to t13/t14's BPE) --------------------------
 

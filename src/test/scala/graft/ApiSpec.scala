@@ -192,6 +192,17 @@ class ApiSpec extends SparkSuite {
     assert(pieces.forall(_._4 < 0.0))
   }
 
+  test("zipfProfile works through the facade on user-named columns") {
+    val corpus = Seq(
+      (1L, "a a a a b b c d"),
+      (2L, "a a b c e f g h")).toDF("id", "body")
+    val row = corpus.zipfProfile("body").collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(0) == 8 && r.getLong(1) == 16 && r.getLong(2) == 8)
+    assert(r.getDouble(3) < 0.0) // frequency falls with rank
+  }
+
   test("asofJoin works through the facade with renamed columns") {
     val left = Seq((1L, 100L, "c1"), (1L, 200L, "c2"))
       .toDF("uid", "t", "tag")

@@ -998,6 +998,37 @@ class CorpusOpsSpec extends SparkSuite {
     perCell.foreach { case (c, n) => assert(n == math.min(5, popOf(c))) }
   }
 
+  test("t28 Zipf profile matches an independent least-squares recomputation") {
+    val T = TextOps
+    val counts = docs.flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, v) => (w, v.size.toLong) }.toSeq
+    val ranked = counts.sortBy { case (w, n) => (-n, w) }.take(T.T28K)
+    val xy = ranked.zipWithIndex.map { case ((_, n), i) =>
+      (math.log((i + 1).toDouble), math.log(n.toDouble))
+    }
+    // rank-ordered left folds — the engine's exact accumulation order
+    val kf = xy.size.toLong
+    val sx = xy.foldLeft(0.0)((a, p) => a + p._1)
+    val sy = xy.foldLeft(0.0)((a, p) => a + p._2)
+    val sxy = xy.foldLeft(0.0)((a, p) => a + p._1 * p._2)
+    val sxx = xy.foldLeft(0.0)((a, p) => a + p._1 * p._1)
+    val syy = xy.foldLeft(0.0)((a, p) => a + p._2 * p._2)
+    val kD = kf.toDouble
+    val num = kD * sxy - sx * sy
+    val den = kD * sxx - sx * sx
+    val slope = num / den
+    val expected = (counts.size.toLong, counts.map(_._2).sum, kf,
+      r4(slope), r4((sy - slope * sx) / kD),
+      r4((num * num) / (den * (kD * syy - sy * sy))))
+    val got = TextOps.zipfProfile(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(expected))
+    // Zipf law: frequency falls with rank, and the fit explains most
+    // of the head's variance on any skewed corpus
+    assert(got.head._4 < 0.0, s"non-negative Zipf slope: ${got.head}")
+  }
+
   // Every segmentation of `word` into pieces of length 1..maxLen —
   // the brute-force oracle for the Viterbi kernel (words are ≤8
   // chars, so ≤108 compositions).
