@@ -122,6 +122,12 @@ object GraftExtensions {
       require(children.length == 3,
         "graft_unigram_segment(word, pieces, scores) takes 3 arguments")
       scalaUdfOf(graft.operators.TextOps.unigramSegmentUdf, children)
+    },
+    // t29 serve variant: out-of-vocab single chars fall back to `unk`
+    "graft_unigram_segment_unk" -> { children =>
+      require(children.length == 4,
+        "graft_unigram_segment_unk(word, pieces, scores, unk) takes 4 arguments")
+      scalaUdfOf(graft.operators.TextOps.unigramSegmentUnkUdf, children)
     })
 
   /** Register graft's SQL functions on an already-running session (the

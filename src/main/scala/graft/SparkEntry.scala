@@ -101,6 +101,7 @@ object SparkEntry {
     "t26_span_coverage"   -> ((s, dir) => TextOps.spanCoverage(s, dir)),
     "t27_unigram_lm"      -> ((s, dir) => TextOps.unigramTrain(s, dir)),
     "t28_zipf_profile"    -> ((s, dir) => TextOps.zipfProfile(s, dir)),
+    "t29_unigram_encode"  -> ((s, dir) => TextOps.unigramEncodePinned(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -856,6 +857,7 @@ object SparkEntry {
     "t26_span_coverage" -> t26OracleSql,
     "t27_unigram_lm" -> t27OracleSql,
     "t28_zipf_profile" -> t28OracleSql,
+    "t29_unigram_encode" -> t29OracleSql,
     "t11_heavy_hitters" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -2569,7 +2571,13 @@ object SparkEntry {
     * kernel's ascending-l strict-> rule) → backtrack layers walking
     * q_k = q_{k−1} − ch[q_{k−1}] → a UNION over segment slots emits
     * (piece, n); `bt` is MATERIALIZED so the 8 arms share one pass. */
-  private def t27SegSql(sc: String): String = {
+  private def t27SegSql(sc: String): String =
+    viterbiSegSql(sc, unkLit = None)
+
+  /** The generator proper — `unkLit`, when set, is the serve path's
+    * out-of-vocab single-character fallback (t29): the l=1 candidate
+    * coalesces the missing score to it instead of going NULL. */
+  private def viterbiSegSql(sc: String, unkLit: Option[String]): String = {
     val W = 8 // unroll bound; the oracle guard errors if exceeded
     val P = graft.operators.TextOps.T27MaxPieceLen
     val slots = for { st <- 1 to W; l <- 1 to P; if st + l - 1 <= W }
@@ -2592,8 +2600,12 @@ object SparkEntry {
              GROUP BY w.w"""
     val dpChain = (1 to W).foldLeft(seed) { (inner, i) =>
       val cands = (1 to math.min(P, i)).map { l =>
+        val sCol = (l, unkLit) match {
+          case (1, Some(u)) => s"coalesce(s${i}_1, $u)"
+          case _ => s"s${i - l + 1}_$l"
+        }
         s"""CASE WHEN $i <= len THEN dp_${i - l} +
-               s${i - l + 1}_$l END AS c${l}_$i"""
+               $sCol END AS c${l}_$i"""
       }.mkString(",\n             ")
       val candLayer = s"""SELECT *,
              $cands
@@ -2625,13 +2637,85 @@ object SparkEntry {
                ELSE 0 END AS q_$k
              FROM ($inner)"""
     }
-    val arms = (1 to W).map { k =>
-      s"""SELECT substr(w, q_$k + 1, pick_$k) AS piece, n
-           FROM bt WHERE pick_$k IS NOT NULL"""
-    }.mkString("\n           UNION ALL\n           ")
-    s"""SELECT piece, n FROM (
+    if (unkLit.isEmpty) {
+      val arms = (1 to W).map { k =>
+        s"""SELECT substr(w, q_$k + 1, pick_$k) AS piece, n
+             FROM bt WHERE pick_$k IS NOT NULL"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""SELECT piece, n FROM (
            WITH bt AS MATERIALIZED ($btChain)
            $arms)"""
+    } else {
+      // serve emitter (t29): per-word PIECE COUNT — one CASE sum over
+      // the backtrack picks, no UNION arms
+      val cnt = (1 to W)
+        .map(k => s"(CASE WHEN pick_$k IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT w, CAST($cnt AS BIGINT) AS n_sub
+           FROM ($btChain)"""
+    }
+  }
+
+  /** t29 DuckDB replay — the pinned unigram model as a VALUES
+    * literal (integer counts; scores re-derived with the engine's
+    * exact ln((c+1)/denom) op order), [[viterbiSegSql]] in serve mode
+    * (UNK coalesce on the single-char candidates, per-word piece
+    * COUNTS out), joined back to the corpus token stream for per-doc
+    * totals. Knobs single-sourced from [[graft.operators.TextOps]]. */
+  private lazy val t29OracleSql: String = {
+    val T = graft.operators.TextOps
+    val unk = s"CAST(${T.T29UnkScore} AS DOUBLE)"
+    val vals = T.pinnedUnigram
+      .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    s"""WITH tok AS MATERIALIZED (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents
+         ), words AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
+         ), guard AS MATERIALIZED (
+           SELECT CASE WHEN max(length(w)) > 8
+             THEN CAST(error('t29 unroll bound: word longer than 8') AS INT)
+             ELSE 1 END AS ok FROM words
+         ), scp AS MATERIALIZED (
+           SELECT piece,
+             ln(CAST(c + 1 AS DOUBLE) /
+                CAST(${T.pinnedUnigramDenom} AS DOUBLE)) AS s
+           FROM (VALUES $vals) AS t(piece, c)
+         ), seg AS MATERIALIZED (
+           ${viterbiSegSql("scp", Some(unk))}
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_pieces
+         FROM tok JOIN seg USING (w)
+         WHERE (SELECT ok FROM guard) = 1
+         GROUP BY doc_id
+         ORDER BY doc_id"""
+  }
+
+  /** t29 Spark-dialect replay — the same pinned model as array
+    * literals through the registered serve kernel
+    * (`graft_unigram_segment_unk`); distinct-word kernel + join-back,
+    * the engine's own shape. */
+  private lazy val t29SparkSql: String = {
+    val T = graft.operators.TextOps
+    val pcs = T.pinnedUnigramPieces
+      .map(p => s"'$p'").mkString("array(", ", ", ")")
+    val cts = T.pinnedUnigram
+      .map(_._2.toString + "L").mkString("array(", ", ", ")")
+    s"""WITH w AS (
+           SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word
+           FROM documents
+         ), v AS (
+           SELECT word,
+             CAST(size(graft_unigram_segment_unk(word, $pcs,
+               transform($cts, c -> ln(CAST(c + 1 AS DOUBLE) /
+                 CAST(${T.pinnedUnigramDenom}L AS DOUBLE))),
+               CAST(${T.T29UnkScore} AS DOUBLE))) AS BIGINT) AS n_sub
+           FROM (SELECT DISTINCT word FROM w)
+         )
+         SELECT w.doc_id, count(1) AS n_words, sum(v.n_sub) AS n_pieces
+         FROM w JOIN v USING (word)
+         GROUP BY w.doc_id ORDER BY doc_id"""
   }
 
   /** t28 Spark-dialect replay — same statement shape as the DuckDB
@@ -4241,6 +4325,7 @@ object SparkEntry {
              AS ppl
          FROM folded ORDER BY doc_id""",
     "t28_zipf_profile" -> t28SparkSql,
+    "t29_unigram_encode" -> t29SparkSql,
     "x04_curation_funnel" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -155,6 +155,15 @@ package object api {
                        k: Int = TextOps.T27K): DataFrame =
       TextOps.unigramTrain(df, textCol, seedMulti, rounds, k)
 
+    /** Tokenize with a pre-trained unigram-LM model (the serve path
+      * to [[trainUnigramLm]]'s fit; defaults to the pinned sf0.01
+      * model): per-document word and subword-piece totals. */
+    def encodeUnigramLm(idCol: String, textCol: String,
+                        pieces: Seq[String] = TextOps.pinnedUnigramPieces,
+                        scores: Seq[Double] = TextOps.pinnedUnigramScores,
+                        unk: Double = TextOps.T29UnkScore): DataFrame =
+      TextOps.unigramEncodeWith(df, idCol, textCol, pieces, scores, unk)
+
     /** Zipf rank-frequency profile of the corpus: least-squares
       * ln(freq) ~ ln(rank) fit over the top-k token ranks (slope ≈ −1
       * for natural language; drift is a data-quality signal), plus

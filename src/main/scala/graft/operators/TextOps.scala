@@ -500,6 +500,77 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  // ---- t29: unigram-LM encode (pinned-model serve path) ------------
+
+  /** Serve-time UNK log-prob: out-of-vocab SINGLE characters score
+    * here (the pinned alphabet is the fit corpus's; a bigger corpus
+    * can carry characters the model never saw) so any input stays
+    * segmentable — SentencePiece's unk piece. */
+  val T29UnkScore: Double = -20.0
+
+  /** The t27 unigram model fit at sf0.01, pinned as (piece,
+    * final-round use count) — counts are EXACT integers, scores
+    * re-derive as ln((c+1)/(totC+|V|)) identically on both engines,
+    * so the serve path is a pure function of (text, model) and the
+    * driver can oracle it (the t14 pinnedMerges / PQ-codebook
+    * fit-once/serve-many split). GENERATED — regenerate with
+    * `runMain graft.tools.PinUnigramTool`. */
+  val pinnedUnigram: Seq[(String, Long)] = Seq(
+    ("a", 5367L), ("al", 1825L), ("ar", 0L), ("as", 947L),
+    ("at", 1845L), ("b", 2721L), ("c", 4653L), ("d", 2732L),
+    ("e", 6272L), ("er", 1845L), ("f", 1787L), ("g", 4474L),
+    ("h", 3671L), ("i", 1809L), ("in", 1796L), ("j", 0L),
+    ("jo", 0L), ("joi", 0L), ("join", 964L), ("k", 1776L),
+    ("l", 4597L), ("lu", 934L), ("m", 2750L), ("me", 0L),
+    ("mer", 1852L), ("n", 1870L), ("o", 1868L), ("oi", 0L),
+    ("oin", 0L), ("or", 2696L), ("ow", 2747L), ("p", 904L),
+    ("pa", 0L), ("par", 1758L), ("q", 871L), ("r", 2702L),
+    ("ro", 878L), ("rt", 0L), ("s", 4534L), ("st", 2676L),
+    ("t", 4435L), ("ta", 908L), ("to", 0L), ("u", 1838L),
+    ("ue", 1768L), ("v", 1809L), ("w", 886L), ("y", 1767L)
+  )
+
+  private[graft] lazy val pinnedUnigramPieces: Seq[String] =
+    pinnedUnigram.map(_._1)
+  /** Score denominator: total final-round uses + |V| (add-1). */
+  private[graft] lazy val pinnedUnigramDenom: Long =
+    pinnedUnigram.map(_._2).sum + pinnedUnigram.size
+  private[graft] lazy val pinnedUnigramScores: Seq[Double] =
+    pinnedUnigram.map { case (_, c) =>
+      math.log((c + 1).toDouble / pinnedUnigramDenom.toDouble)
+    }
+
+  private[graft] val unigramSegmentUnkUdf =
+    udf { (w: String, pieces: Seq[String], scores: Seq[Double], unk: Double) =>
+      unigramViterbiLocal(w, pieces, scores, unk)
+    }
+
+  /** t29 registered form: encode with the [[pinnedUnigram]] model. */
+  def unigramEncodePinned(s: SparkSession, dir: String): DataFrame =
+    unigramEncodeWith(t(s, dir, "documents"), "doc_id", "text",
+      pinnedUnigramPieces, pinnedUnigramScores)
+
+  /** Encode with a pre-trained unigram model — the serve path, t14's
+    * shape: the Viterbi kernel runs once per DISTINCT word (the model
+    * rides into the UDF as broadcast literals), then joins back to
+    * the corpus stream for per-doc totals. */
+  def unigramEncodeWith(docs: DataFrame, idCol: String, textCol: String,
+                        pieces: Seq[String], scores: Seq[Double],
+                        unk: Double = T29UnkScore): DataFrame = {
+    val nUdf = udf { w: String =>
+      unigramViterbiLocal(w, pieces, scores, unk).length.toLong
+    }
+    val words = docs
+      .select(col(idCol), explode(tokensOf(col(textCol))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("n_sub", nUdf(col("word")))
+    words.join(vocab, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_pieces"))
+      .orderBy(idCol)
+  }
+
   // left-to-right greedy pair merge — the sequential inner step of BPE
   // (overlaps resolve leftmost: aaa + (a,a) → [aa, a]); a JVM kernel
   // because the step is inherently order-dependent, not expressible as
@@ -667,7 +738,9 @@ object TextOps {
     * characters are always in the vocab, so every position is
     * reachable and no -inf arithmetic exists on either engine. */
   private[graft] def unigramViterbiLocal(word: String, pieces: Seq[String],
-                                         scores: Seq[Double]): Seq[String] = {
+                                         scores: Seq[Double],
+                                         unkSingle: Double =
+                                           Double.NegativeInfinity): Seq[String] = {
     val score = pieces.zip(scores).toMap
     val L = word.length
     val dp = new Array[Double](L + 1)
@@ -678,7 +751,15 @@ object TextOps {
       var bestL = 0
       var l = 1
       while (l <= math.min(T27MaxPieceLen, i)) {
-        score.get(word.substring(i - l, i)) match {
+        // out-of-vocab SINGLE characters fall back to `unkSingle`
+        // (the serve path's UNK; −∞ — the training default, where the
+        // alphabet is in-vocab by construction — reproduces the
+        // skip-missing behavior exactly: −∞ never beats best)
+        val sOpt = score.get(word.substring(i - l, i)) match {
+          case None if l == 1 => Some(unkSingle)
+          case o => o
+        }
+        sOpt match {
           case Some(s) =>
             val cand = dp(i - l) + s
             if (cand > best) { best = cand; bestL = l }
@@ -730,6 +811,24 @@ object TextOps {
                    seedMulti: Int = T27SeedMulti, rounds: Int = T27Rounds,
                    k: Int = T27K): DataFrame = {
     val spark = docs.sparkSession
+    val (pieces, counts) = unigramEm(docs, textCol, seedMulti, rounds)
+    val nVocab = pieces.length
+    val totalC = counts.values.sum
+    val rows = counts.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(k).zipWithIndex
+      .map { case ((p, c), idx) =>
+        val logp = math.log((c + 1).toDouble / (totalC + nVocab).toDouble)
+        (idx + 1, p, c, math.floor(logp * 1e4 + 0.5) / 1e4)
+      }
+    import spark.implicits._
+    rows.toDF("rk", "piece", "n_uses", "logp")
+  }
+
+  /** The t27 hard-EM fit itself: (vocab pieces, final-round piece-use
+    * counts) — shared by the t27 report and the t29 model pin. */
+  private[graft] def unigramEm(docs: DataFrame, textCol: String,
+                               seedMulti: Int = T27SeedMulti,
+                               rounds: Int = T27Rounds): (Seq[String], Map[String, Long]) = {
     val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .localCheckpoint() // feeds the seed pass + every EM round
@@ -767,15 +866,7 @@ object TextOps {
         math.log((counts.getOrElse(p, 0L) + 1).toDouble /
           (totalC + nVocab).toDouble))
     }
-    val totalC = counts.values.sum
-    val rows = counts.toSeq
-      .sortBy { case (p, c) => (-c, p) }.take(k).zipWithIndex
-      .map { case ((p, c), idx) =>
-        val logp = math.log((c + 1).toDouble / (totalC + nVocab).toDouble)
-        (idx + 1, p, c, math.floor(logp * 1e4 + 0.5) / 1e4)
-      }
-    import spark.implicits._
-    rows.toDF("rk", "piece", "n_uses", "logp")
+    (pieces, counts)
   }
 
   /** Leftmost-greedy application of a rank-ordered merge list to one

@@ -192,6 +192,17 @@ class ApiSpec extends SparkSuite {
     assert(pieces.forall(_._4 < 0.0))
   }
 
+  test("encodeUnigramLm works through the facade with the pinned model") {
+    val corpus = Seq((1L, "join merge lu~9"), (2L, "par part")).toDF("id", "body")
+    val rows = corpus.encodeUnigramLm("id", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m.keySet == Set(1L, 2L))
+    assert(m(1L)._1 == 3 && m(2L)._1 == 2)
+    // "join" is one pinned piece; "lu~9" needs UNK chars yet encodes
+    assert(m(1L)._2 >= 1 + 1 + 3 && m(2L)._2 >= 2)
+  }
+
   test("zipfProfile works through the facade on user-named columns") {
     val corpus = Seq(
       (1L, "a a a a b b c d"),

@@ -1058,6 +1058,53 @@ class CorpusOpsSpec extends SparkSuite {
     assert(TextOps.unigramViterbiLocal("abc", tp, ts) == Seq("ab", "c"))
   }
 
+  test("t29 unigram encode matches a brute-force recomputation under the pinned model") {
+    val T = TextOps
+    val model = T.pinnedUnigramPieces.zip(T.pinnedUnigramScores).toMap
+    def lexLt(x: Seq[Int], y: Seq[Int]): Boolean =
+      x.zip(y).find { case (a, b) => a != b } match {
+        case Some((a, b)) => a < b
+        case None => x.length < y.length
+      }
+    def nPieces(w: String): Long = {
+      // valid: multi-char pieces must be in-vocab; single chars fall
+      // back to the UNK score (the kernel's serve rule)
+      def score(seg: Seq[String]): Option[Double] =
+        seg.foldLeft(Option(0.0)) {
+          case (None, _) => None
+          case (Some(acc), p) if p.length == 1 =>
+            Some(acc + model.getOrElse(p, T.T29UnkScore))
+          case (Some(acc), p) => model.get(p).map(acc + _)
+        }
+      val scored = allSegs(w, T.T27MaxPieceLen)
+        .flatMap(seg => score(seg).map(seg -> _))
+      val best = scored.map(_._2).max
+      scored.filter(_._2 == best).map(_._1)
+        .reduceLeft { (a, b) =>
+          if (lexLt(b.map(_.length).reverse, a.map(_.length).reverse)) b
+          else a
+        }.length.toLong
+    }
+    val expected = docs.map { case (id, text) =>
+      val ws = text.trim.split("\\s+").toSeq
+      (id, ws.size.toLong, ws.map(nPieces).sum)
+    }.sortBy(_._1)
+    val got = TextOps.unigramEncodePinned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // learned multi-char pieces actually compress: fewer pieces than chars
+    val totChars = docs.map(_._2.trim.split("\\s+").map(_.length).sum).sum
+    assert(got.map(_._3).sum < totChars, "no compression over chars")
+  }
+
+  test("t29 serve kernel: out-of-vocab characters segment via UNK, never crash") {
+    val T = TextOps
+    val got = T.unigramViterbiLocal("zz~9x",
+      T.pinnedUnigramPieces, T.pinnedUnigramScores, T.T29UnkScore)
+    assert(got.mkString == "zz~9x", s"concat identity broken: $got")
+    assert(got.forall(_.length == 1), "unk chars must stay single")
+  }
+
   test("t27 unigram-LM training matches an independent brute-force EM recomputation") {
     val T = TextOps
     val words = docs.flatMap(_._2.trim.split("\\s+"))
