@@ -120,6 +120,7 @@ object SparkEntry {
     "x14_cluster_sample"  -> ((s, dir) => Sampling.clusterSample(s, dir)),
     "x15_quality_classifier" -> ((s, dir) => Curation.qualityClassifier(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
+    "v02_referential_integrity" -> Checks.referentialIntegrity,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -939,6 +940,7 @@ object SparkEntry {
          FROM words w JOIN encoded e USING (word)
          GROUP BY w.doc_id
          ORDER BY doc_id""",
+    "v02_referential_integrity" -> v02OracleSql,
     "v01_quality_checks" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -2654,6 +2656,26 @@ object SparkEntry {
       s"""SELECT w, CAST($cnt AS BIGINT) AS n_sub
            FROM ($btChain)"""
     }
+  }
+
+  /** v02 replay — dialect-PORTABLE (runs verbatim in DuckDB AND via
+    * spark.sql): one slim-key LEFT JOIN per FK edge, arms generated
+    * from the SAME [[graft.operators.Checks.warehouseEdges]] list the
+    * engine audits. */
+  private lazy val v02OracleSql: String = {
+    val arms = graft.operators.Checks.warehouseEdges.map { e =>
+      s"""SELECT '${e.id}' AS edge,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+           FROM (SELECT ${e.childCol} AS k FROM ${e.child}
+                 WHERE ${e.childCol} IS NOT NULL) c
+           LEFT JOIN (SELECT DISTINCT ${e.parentCol} AS k
+                      FROM ${e.parent}) p ON c.k = p.k"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""SELECT edge, n_child, n_orphans, n_orphans = 0 AS ok FROM (
+           $arms)
+         ORDER BY edge"""
   }
 
   /** t29 DuckDB replay — the pinned unigram model as a VALUES

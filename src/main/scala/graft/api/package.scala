@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{Curation, Dedup, Sampling, Skew, TemporalJoins, TextOps}
+import graft.operators.{Checks, Curation, Dedup, Sampling, Skew, TemporalJoins, TextOps}
 
 /** User-facing fluent API: `import graft.api._` and every corpus
   * operator hangs off any DataFrame with the right columns — the
@@ -154,6 +154,14 @@ package object api {
                        rounds: Int = TextOps.T27Rounds,
                        k: Int = TextOps.T27K): DataFrame =
       TextOps.unigramTrain(df, textCol, seedMulti, rounds, k)
+
+    /** Audit one foreign-key edge against a parent table: non-null
+      * child-key count, orphan count, pass verdict — one slim-key
+      * join, dimension parents broadcast. */
+    def auditForeignKey(childCol: String, parent: DataFrame,
+                        parentCol: String): DataFrame =
+      Checks.fkOrphans(df, childCol, parent, parentCol,
+        s"$childCol->$parentCol")
 
     /** Tokenize with a pre-trained unigram-LM model (the serve path
       * to [[trainUnigramLm]]'s fit; defaults to the pinned sf0.01

@@ -103,4 +103,49 @@ object Checks {
       MinBound("o_totalprice", 0.0),
       MaxBound("o_totalprice", 100000.0),
       InSet("o_orderstatus", Seq("O", "F", "P"))))
+
+  /** One declared foreign-key edge of a star schema. */
+  final case class FkEdge(child: String, childCol: String,
+                          parent: String, parentCol: String) {
+    def id: String = s"$child.$childCol->$parent.$parentCol"
+  }
+
+  /** The testdata warehouse's FK edges — v02's audit set, and the
+    * single source for its replay SQL. */
+  val warehouseEdges: Seq[FkEdge] = Seq(
+    FkEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+    FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    FkEdge("lineitem", "l_partkey", "part", "p_partkey"),
+    FkEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    FkEdge("nation", "n_regionkey", "region", "r_regionkey"),
+    FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+    FkEdge("supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** One FK edge's audit row: non-null child-key count, orphan count
+    * (child keys with no parent row), pass verdict. The join carries
+    * ONLY the key column from either side — never the fact payload —
+    * so a dimension parent broadcasts and a fact-fact edge shuffles
+    * one slim column. */
+  def fkOrphans(child: DataFrame, childCol: String,
+                parent: DataFrame, parentCol: String,
+                edge: String): DataFrame = {
+    val ck = child.select(col(childCol).as("k")).where(col("k").isNotNull)
+    val pk = parent.select(col(parentCol).as("k")).distinct()
+      .withColumn("hit", lit(1))
+    ck.join(pk, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphans"))
+      .select(lit(edge).as("edge"), col("n_child"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("ok"))
+  }
+
+  /** v02: referential-integrity audit over every declared warehouse
+    * FK edge — the cross-table half of the Deequ-style gate (v01 is
+    * the single-table half). */
+  def referentialIntegrity(s: SparkSession, dir: String): DataFrame =
+    warehouseEdges.map { e =>
+      fkOrphans(t(s, dir, e.child), e.childCol,
+        t(s, dir, e.parent), e.parentCol, e.id)
+    }.reduce(_ unionByName _).orderBy("edge")
 }

@@ -78,4 +78,29 @@ class ChecksSpec extends SparkSuite {
     assert(byId("not_null(o_custkey)") && byId("unique(o_orderkey)")
       && byId("min_bound(o_totalprice)") && byId("in_set(o_orderstatus)"))
   }
+
+  test("v02 fkOrphans: planted orphans counted, null child keys excluded, clean edge passes") {
+    import spark.implicits._
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val dirty = Seq(Some(10L), Some(10L), Some(99L), Some(77L), None)
+      .toDF("fk")
+    val r = Checks.fkOrphans(dirty, "fk", parent, "pk", "dirty.fk->p.pk")
+      .collect().head
+    // null child key excluded from n_child; 99 and 77 are orphans
+    assert(r.getString(0) == "dirty.fk->p.pk")
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2 && !r.getBoolean(3))
+    val clean = Seq(10L, 20L, 20L).toDF("fk")
+    val c = Checks.fkOrphans(clean, "fk", parent, "pk", "e").collect().head
+    assert(c.getLong(1) == 3 && c.getLong(2) == 0 && c.getBoolean(3))
+  }
+
+  test("v02 warehouse audit: every declared FK edge holds on the testdata") {
+    val rows = Checks.referentialIntegrity(spark, sf).collect()
+    assert(rows.length == Checks.warehouseEdges.length)
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"orphans on ${r.getString(0)}: $r")
+      assert(r.getLong(1) > 0, s"empty child side on ${r.getString(0)}")
+    }
+  }
 }

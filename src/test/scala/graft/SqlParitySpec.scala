@@ -49,7 +49,8 @@ class SqlParitySpec extends SparkSuite {
     "q11_anti_join", "q12_distinct_agg", "q15_having", "q17_cube",
     "q18_above_cust_avg", "q21_market_share", "q22_string_match",
     "q24_dormant_rich", "q26_multiset_ops", "q27_running_window",
-    "q31_topk_per_group", "q35_funnel", "v01_quality_checks")
+    "q31_topk_per_group", "q35_funnel", "v01_quality_checks",
+    "v02_referential_integrity")
 
   portable.foreach { name =>
     test(s"$name: oracle SQL runs verbatim via spark.sql and equals the DataFrame form") {
