@@ -109,6 +109,7 @@ object SparkEntry {
     "x04_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
     "x05_decontaminate"   -> Dedup.decontaminate,
     "x16_fuzzy_decontaminate" -> ((s, dir) => Dedup.fuzzyDecontaminate(s, dir)),
+    "x17_soft_dedup_weights" -> ((s, dir) => Sampling.softDedupWeights(s, dir)),
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
@@ -1419,6 +1420,16 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "x17_soft_dedup_weights" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents
+         ), fam AS (
+           SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM f GROUP BY fp)
+         SELECT doc_id, n_copies,
+           floor((1.0 / CAST(n_copies AS DOUBLE))*1e4 + 0.5)/1e4 AS weight
+         FROM f JOIN fam USING (fp) ORDER BY doc_id""",
     "d11_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id,
@@ -3961,6 +3972,16 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp,
            min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "x17_soft_dedup_weights" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+           FROM documents
+         ), fam AS (
+           SELECT fp, count(*) AS n_copies FROM f GROUP BY fp)
+         SELECT doc_id, n_copies,
+           floor((1.0 / CAST(n_copies AS DOUBLE))*1e4 + 0.5)/1e4 AS weight
+         FROM f JOIN fam USING (fp) ORDER BY doc_id""",
     "d11_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id,

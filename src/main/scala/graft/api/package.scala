@@ -155,6 +155,13 @@ package object api {
                        k: Int = TextOps.T27K): DataFrame =
       TextOps.unigramTrain(df, textCol, seedMulti, rounds, k)
 
+    /** SoftDeDup sampling weights: every duplicate copy survives at
+      * weight 1/|exact-dup family|, so a family contributes one
+      * document's probability mass (composes with [[sampleWeighted]]
+      * instead of dropping copies). */
+    def softDedupWeights(idCol: String, textCol: String): DataFrame =
+      Sampling.softDedupWeights(df, idCol, textCol)
+
     /** Audit one foreign-key edge against a parent table: non-null
       * child-key count, orphan count, pass verdict — one slim-key
       * join, dimension parents broadcast. */

@@ -385,4 +385,29 @@ object Sampling {
         (col("start_tok") % budget).as("pos_in_seq"))
       .orderBy(idCol)
   }
+
+  /** x17: soft-dedup sampling weights — instead of DROPPING a
+    * duplicate family to one keeper (d01), every copy survives with
+    * weight 1/|family|, so the family contributes one document's
+    * probability mass to the training mix (the SoftDeDup reweighting
+    * discipline, arXiv:2401.14624; composes directly with
+    * [[weightedSample]], which accepts any weight column).
+    *
+    * Scale shape: the d01 fingerprint key (16 bytes/doc), one
+    * fp-keyed count shuffle, one fp-keyed join back — both exchanges
+    * hash-partition on fp, so AQE plans them as one co-partitioned
+    * pair; no payload wider than (id, fp) moves. */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val f = docs.select(col(idCol),
+      md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
+    val fam = f.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    f.join(fam, Seq("fp"))
+      .select(col(idCol), col("n_copies"),
+        TextOps.r4(lit(1.0) / col("n_copies").cast("double")).as("weight"))
+      .orderBy(idCol)
+  }
+
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame =
+    softDedupWeights(t(s, dir, "documents"), "doc_id", "text")
 }

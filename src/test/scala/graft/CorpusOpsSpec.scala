@@ -998,6 +998,35 @@ class CorpusOpsSpec extends SparkSuite {
     perCell.foreach { case (c, n) => assert(n == math.min(5, popOf(c))) }
   }
 
+  test("x17 soft-dedup weights match a Scala recomputation and conserve family mass") {
+    val fams = docs.groupBy { case (_, text) =>
+      md5hex(text.trim.replaceAll("\\s+", " ").toLowerCase)
+    }
+    val sizeOf = fams.flatMap { case (_, ds) =>
+      ds.map(d => d._1 -> ds.size.toLong)
+    }
+    val expected = docs.map { case (id, _) =>
+      val n = sizeOf(id)
+      (id, n, r4(1.0 / n.toDouble))
+    }.sortBy(_._1)
+    val got = Sampling.softDedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // mass conservation: weights sum to the number of distinct
+    // families (up to r4 rounding)
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - fams.size) < 0.01 * fams.size)
+    // planted family law (sf0.001 happens to be dup-free): three
+    // copies — whitespace/case variants land in ONE family at 1/3
+    import spark.implicits._
+    val planted = Seq((1L, "same doc here"), (2L, "  same   DOC here "),
+      (3L, "same doc HERE"), (4L, "another one")).toDF("doc_id", "text")
+    val w = Sampling.softDedupWeights(planted, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => w(id) == (3L, r4(1.0 / 3))))
+    assert(w(4L) == (1L, 1.0))
+  }
+
   test("t28 Zipf profile matches an independent least-squares recomputation") {
     val T = TextOps
     val counts = docs.flatMap(_._2.trim.split("\\s+"))
