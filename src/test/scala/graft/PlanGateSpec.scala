@@ -247,6 +247,33 @@ class PlanGateSpec extends SparkSuite {
       "should be literal-driven, not join-driven")
   }
 
+  test("t29 unigram encode: the distinct-word model table joins BROADCAST") {
+    // the Viterbi kernel runs once per DISTINCT word; the vocab frame
+    // (word, n_sub) must broadcast back over the corpus token stream —
+    // losing it shuffles every token occurrence on the word key
+    val plan = finalPlan(graft.operators.TextOps.unigramEncodePinned(spark, sf))
+    assert(broadcastJoins(plan) >= 1,
+      s"t29 vocab join not broadcast, saw ${broadcastJoins(plan)} BHJs")
+    assert(noQuadraticJoins(plan), "t29 degraded to sort-merge/cartesian")
+  }
+
+  test("v02 referential integrity: every parent-key side joins BROADCAST, " +
+      "and only key columns are scanned") {
+    // each FK edge distinct's the parent keys then LEFT-joins the
+    // child key column; the parents are dimension-sized (largest:
+    // orders' key set) so all seven must broadcast at any tested SF —
+    // and no scan may read more than the key column (slim-key claim)
+    val df = graft.operators.Checks.referentialIntegrity(spark, sf)
+    val plan = finalPlan(df)
+    assert(broadcastJoins(plan) >= graft.operators.Checks.warehouseEdges.length,
+      s"expected >=7 broadcast edge joins, saw ${broadcastJoins(plan)}")
+    assert(noQuadraticJoins(plan), "v02 degraded to sort-merge/cartesian")
+    val wideScan = plan.collect { case s: FileSourceScanExec => s }
+      .find(_.schema.fields.length > 1)
+    assert(wideScan.isEmpty,
+      s"v02 scan reads beyond the key column: ${wideScan.map(_.schema)}")
+  }
+
   // ---- scan pushdown / pruning --------------------------------------
 
   test("q02: range filter pushed to the parquet scan; columns pruned") {
