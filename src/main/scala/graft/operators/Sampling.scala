@@ -397,10 +397,22 @@ object Sampling {
     * fp-keyed count shuffle, one fp-keyed join back — both exchanges
     * hash-partition on fp, so AQE plans them as one co-partitioned
     * pair; no payload wider than (id, fp) moves. */
+  /** The d01/x17 content fingerprint (case-folded,
+    * whitespace-collapsed md5). */
+  private[graft] def contentFp(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
   def softDedupWeights(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
-    val f = docs.select(col(idCol),
-      md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
+                       textCol: String): DataFrame =
+    softDedupWeightsFromFps(
+      docs.select(col(idCol), contentFp(col(textCol)).as("fp")), idCol)
+
+  /** The weight computation over an already-fingerprinted (id, fp)
+    * frame — shared with the streaming ledger
+    * (IncrementalJobs.softDedupLedger), whose store persists exactly
+    * these rows, so stream state ≡ batch composition by construction. */
+  private[graft] def softDedupWeightsFromFps(f: DataFrame,
+                                             idCol: String): DataFrame = {
     val fam = f.groupBy("fp").agg(count(lit(1)).as("n_copies"))
     f.join(fam, Seq("fp"))
       .select(col(idCol), col("n_copies"),

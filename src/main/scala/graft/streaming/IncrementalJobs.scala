@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
 /** The incremental operators run END-TO-END as streaming consumers —
   * the lifecycle [[NormalizationJob]] models for normalization,
@@ -147,6 +147,39 @@ object IncrementalJobs {
     readStore(spark, storeDir, cmsStoreSchema)
       .groupBy("r", "cell").agg(sum("n").as("n"))
   }
+
+  private val softDedupStoreSchema =
+    StructType.fromDDL("doc_id BIGINT, fp STRING")
+
+  /** Streaming soft-dedup weights (x17's lifecycle): each micro-batch
+    * writes ONLY its own (doc_id, fp) fingerprint rows — 16 bytes of
+    * hash per doc, batchId-keyed/Overwrite, so a replayed batch
+    * overwrites its own partial (the t24/t25 discipline). Family
+    * sizes are additive over the store, so [[softDedupLedger]] equals
+    * the one-pass x17 weights over everything ingested, exactly. */
+  def startIncrementalSoftDedup(spark: SparkSession, srcDir: String,
+                                docSchema: StructType, storeDir: String,
+                                checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        batch.select(col("doc_id"),
+            Sampling.contentFp(col("text")).as("fp"))
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The served weights: the batch kernel over the store's (id, fp)
+    * rows — the SAME code path x17 registers, so stream state ≡ batch
+    * composition by construction, not by reimplementation. */
+  def softDedupLedger(spark: SparkSession, storeDir: String): DataFrame =
+    Sampling.softDedupWeightsFromFps(
+      readStore(spark, storeDir, softDedupStoreSchema)
+        .select("doc_id", "fp"), "doc_id")
 
   private val sketchSchema =
     StructType.fromDDL("doc_id BIGINT, sh ARRAY<BIGINT>, bands ARRAY<BIGINT>")

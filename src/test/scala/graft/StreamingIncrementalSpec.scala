@@ -133,6 +133,58 @@ class StreamingIncrementalSpec extends SparkSuite {
     assert(cellMap(IncrementalJobs.cmsLedger(spark, store)) == ref)
   }
 
+  test("streaming soft-dedup weights: kill/restart; ledger == batch x17 over all ingested") {
+    val src = Files.createTempDirectory("graft_sd_src").toString
+    val store = Files.createTempDirectory("graft_sd_store").toString
+    val ckpt = Files.createTempDirectory("graft_sd_ckpt").toString
+
+    // wave A: an in-batch family of two
+    val docsA = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha  BETA gamma "), // same normalized content as 1
+      (3L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalSoftDedup(
+      spark, src, schema, store, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while down: a CROSS-BATCH copy joining family {1,2} —
+    // its arrival must retroactively dilute the stored copies' weight
+    val docsB = Seq(
+      (4L, "alpha beta gamma"),
+      (5L, "zeta eta"))
+      .toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start() // same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    def wmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val ledger = wmap(IncrementalJobs.softDedupLedger(spark, store))
+    // LAW: ledger == the registered batch kernel over the union
+    val ref = wmap(graft.operators.Sampling.softDedupWeights(
+      docsA.unionByName(docsB), "doc_id", "text"))
+    assert(ledger == ref)
+    // the cross-batch family is a THREE-way split after wave B
+    val third = math.floor((1.0 / 3) * 1e4 + 0.5) / 1e4
+    assert(ledger(1L) == ((3L, third)) && ledger(4L) == ((3L, third)))
+    assert(ledger(5L) == ((1L, 1.0)))
+
+    // a restart with no new input is a no-op on the ledger
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(wmap(IncrementalJobs.softDedupLedger(spark, store)) == ref)
+  }
+
   test("streaming incremental near-dup: kill/restart; verdicts and store admission equal the batch composition") {
     val src = Files.createTempDirectory("graft_nd_src").toString
     val store = Files.createTempDirectory("graft_nd_store").toString
