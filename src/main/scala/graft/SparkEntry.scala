@@ -69,6 +69,7 @@ object SparkEntry {
     "m05_resize_meta"     -> Multimodal.resizedDims,
     "m06_media_dedup"     -> Multimodal.mediaDedup,
     "m07_media_similar"   -> ((s, dir) => Multimodal.mediaSimilar(s, dir)),
+    "m08_media_dup_clusters" -> Multimodal.mediaDupClusters,
     "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
     "j04_nearest_event"   -> TemporalJoins.clickNearestPurchase,
     "j05_asof_tolerance"  -> TemporalJoins.clickLastPurchaseWithin,
@@ -645,6 +646,7 @@ object SparkEntry {
                  unnest(range(0, CAST(n_chars * 10 AS BIGINT), 500)) AS f
                FROM documents WHERE doc_id % 3 = 2)
          ORDER BY media_id, frame_idx""",
+    "m08_media_dup_clusters" -> m08OracleSql,
     "m04_byte_histogram" ->
       // UTF-8 BYTE semantics, not characters: hex(encode(text)) renders
       // each payload byte as 2 hex digits, so the high nibble of byte i
@@ -2689,6 +2691,49 @@ object SparkEntry {
          ORDER BY edge"""
   }
 
+  /** m08 DuckDB replay — the m04 hex-nibble trick per payload (high
+    * nibble of byte i = hex char 2i−1), 16 quantized levels
+    * (`8·count // n`, exact integer division both engines) joined to
+    * a signature, then a plain group. */
+  private lazy val m08OracleSql: String = {
+    val digits = "0123456789ABCDEF"
+    val levels = (0 until 16).map { i =>
+      s"""CAST((8 * len(list_filter(range(1, L + 1),
+             i -> substring(hx, CAST(2*i - 1 AS INT), 1) = '${digits(i)}')))
+             // L AS VARCHAR)"""
+    }.mkString(",\n             ")
+    s"""WITH m AS (
+           SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS L,
+             hex(encode(text)) AS hx
+           FROM documents
+         ), sigs AS (
+           SELECT media_id, concat_ws('-', $levels) AS sig FROM m)
+         SELECT sig, min(media_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_members
+         FROM sigs GROUP BY sig ORDER BY keeper"""
+  }
+
+  /** m08 Spark-dialect replay — same statement with Spark's
+    * hex/filter spellings; `div` is Spark's integer division. */
+  private lazy val m08SparkSql: String = {
+    val digits = "0123456789ABCDEF"
+    val levels = (0 until 16).map { i =>
+      s"""CAST((8 * size(filter(sequence(1, L),
+             i -> substring(hx, CAST(2*i - 1 AS INT), 1) = '${digits(i)}')))
+             div L AS STRING)"""
+    }.mkString(",\n             ")
+    s"""WITH m AS (
+           SELECT doc_id AS media_id,
+             octet_length(CAST(text AS BINARY)) AS L,
+             hex(CAST(text AS BINARY)) AS hx
+           FROM documents
+         ), sigs AS (
+           SELECT media_id, concat_ws('-', $levels) AS sig FROM m)
+         SELECT sig, min(media_id) AS keeper, count(1) AS n_members
+         FROM sigs GROUP BY sig ORDER BY keeper"""
+  }
+
   /** t29 DuckDB replay — the pinned unigram model as a VALUES
     * literal (integer counts; scores re-derived with the engine's
     * exact ln((c+1)/denom) op order), [[viterbiSegSql]] in serve mode
@@ -4176,6 +4221,7 @@ object SparkEntry {
                    CAST(n_chars * 10 AS BIGINT) - 1, CAST(500 AS BIGINT))) AS f
                FROM documents WHERE doc_id % 3 = 2)
          ORDER BY media_id, frame_idx""",
+    "m08_media_dup_clusters" -> m08SparkSql,
     "m04_byte_histogram" ->
       """SELECT element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS kind,
            count(*) AS n_docs,

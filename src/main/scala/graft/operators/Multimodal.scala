@@ -237,4 +237,34 @@ object Multimodal {
       .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"))
       .select("fp", "keeper", "n_copies")
       .orderBy("keeper")
+
+  /** m08: perceptual-BUCKET near-dup clusters — the pHash primitive
+    * between m06's byte-exact dedup and m07's top-k search: each
+    * payload's 16-bin nibble histogram is quantized to eighths of the
+    * byte length (INTEGER arithmetic — `8·bin div n`, exact on both
+    * engines), the 16 levels concatenate to a signature, and
+    * same-signature assets are one perceptual family (keeper =
+    * smallest id). A byte-identical copy always shares the signature;
+    * a lightly-edited copy (re-encode, metadata strip) usually does —
+    * the recall/precision trade every production pHash bucket makes.
+    *
+    * At 100 TB: ONE codegen'd payload scan emits the 16 counts, the
+    * shuffle carries a ≤48-char signature per asset (payloads never
+    * move), and clustering is a plain groupBy — no pair join exists
+    * anywhere, which is what lets this run on billions of images
+    * where m07's scoring pass is reserved for candidate sets. */
+  def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val levels = (0 until 16).map { i =>
+      expr(s"(8 * element_at(h, ${i + 1})) div n").cast("string")
+    }
+    media(s, dir).toDF()
+      .select(col("media_id"),
+        length(col("payload")).as("n"),
+        graft.functions.VectorExprs.nibbleHistogram(col("payload")).as("h"))
+      .select(col("media_id"), concat_ws("-", levels: _*).as("sig"))
+      .groupBy("sig")
+      .agg(min("media_id").as("keeper"), count(lit(1)).as("n_members"))
+      .select("sig", "keeper", "n_members")
+      .orderBy("keeper")
+  }
 }

@@ -78,6 +78,51 @@ class MultimodalSpec extends SparkSuite {
     assert(got.map(_._3).sum == docs.length, "every payload accounted for")
   }
 
+  test("m08 perceptual clusters match a driver quantized-histogram recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sig(text: String): String = {
+      val b = text.getBytes("UTF-8")
+      val bins = new Array[Long](16)
+      b.foreach(x => bins((x & 0xF0) >>> 4) += 1)
+      bins.map(c => (8 * c) / b.length).mkString("-")
+    }
+    val expected = docs.groupBy(d => sig(d._2))
+      .map { case (s, g) => (s, g.map(_._1).min, g.length.toLong) }
+      .toSeq.sortBy(_._2)
+    val got = Multimodal.mediaDupClusters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == docs.length, "every payload accounted for")
+  }
+
+  test("m08 law: a byte-permuted payload is a PERCEPTUAL dup that m06 separates") {
+    // same byte multiset, different order: identical nibble histogram
+    // → one m08 family; different md5 → two m06 families. The
+    // exact-vs-perceptual distinction the pair of operators exists for.
+    val a = "abcdef xyz 123"
+    val b = new String(a.getBytes("UTF-8").reverse, "UTF-8")
+    val frame = Seq((1L, a), (2L, b), (3L, "totally different payload density!!!!"))
+      .toDF("doc_id", "text")
+    // rebuild the signature over this planted frame via the same
+    // expressions the operator uses
+    val withH = frame.select(col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n"),
+        graft.functions.VectorExprs.nibbleHistogram(
+          col("text").cast("binary")).as("h"))
+      .selectExpr("doc_id",
+        "concat_ws('-', " + (0 until 16).map(i =>
+          s"CAST((8 * element_at(h, ${i + 1})) div n AS STRING)")
+          .mkString(", ") + ") AS sig")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(withH(1L) == withH(2L), "permuted payload left the bucket")
+    assert(withH(1L) != withH(3L), "unrelated payload joined the bucket")
+    val md5s = frame.select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(md5s(1L) != md5s(2L), "m06 would have caught this as exact")
+  }
+
   test("m07 media similarity matches a driver nibble-histogram cosine top-k") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
