@@ -2679,7 +2679,8 @@ object SparkEntry {
     val arms = graft.operators.Checks.warehouseEdges.map { e =>
       s"""SELECT '${e.id}' AS edge,
              CAST(count(*) AS BIGINT) AS n_child,
-             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(coalesce(
+               sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS n_orphans
            FROM (SELECT ${e.childCol} AS k FROM ${e.child}
                  WHERE ${e.childCol} IS NOT NULL) c
@@ -2981,6 +2982,11 @@ object SparkEntry {
                (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
                          % 18446744073709551616::HUGEINT)) AS th
            FROM documents
+         ), guard AS MATERIALIZED (
+           SELECT CASE WHEN max(ord(c)) > 65535
+             THEN CAST(error('t26 BMP bound: non-BMP code point desyncs the fnv64 replay (UTF-16 units vs code points)') AS INT)
+             ELSE 1 END AS ok
+           FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
          ), base AS (
            SELECT doc_id, th, len(th) AS n_tokens FROM toks
          ), wins AS (
@@ -3010,6 +3016,7 @@ object SparkEntry {
            floor((CAST(coalesce(a.covered_tokens, 0) AS DOUBLE)
                   / CAST(b.n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_frac
          FROM base b LEFT JOIN agg a USING (doc_id)
+         WHERE (SELECT ok FROM guard) = 1
          ORDER BY b.doc_id"""
   }
 
@@ -3031,6 +3038,11 @@ object SparkEntry {
     s"""WITH words AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
            FROM documents
+         ), guard AS MATERIALIZED (
+           SELECT CASE WHEN max(ord(c)) > 65535
+             THEN CAST(error('t25 BMP bound: non-BMP code point desyncs the fnv64 replay (UTF-16 units vs code points)') AS INT)
+             ELSE 1 END AS ok
+           FROM (SELECT unnest(string_split(w, '')) AS c FROM words)
          ), counts AS (SELECT w, count(*) AS n FROM words GROUP BY 1
          ), th AS (
            SELECT w, CAST(n AS BIGINT) AS n, list_reduce(
@@ -3060,6 +3072,7 @@ object SparkEntry {
            JOIN cells c ON c.w = t.w
            JOIN cellcounts cc ON cc.r = c.r AND cc.cell = c.cell
            GROUP BY t.rk, t.w, t.n)
+         WHERE (SELECT ok FROM guard) = 1
          ORDER BY rk"""
   }
 

@@ -251,8 +251,8 @@ package object api {
                            textCol: String,
                            threshold: Double = Dedup.X16Threshold): DataFrame =
       Dedup.fuzzyDecontaminate(
-        Dedup.sketchDocs(df, idCol, textCol),
-        Dedup.sketchDocs(benchmark, idCol, textCol), threshold)
+        Dedup.docShingles(df, idCol, textCol),
+        Dedup.docShingles(benchmark, idCol, textCol), threshold)
 
     /** Backward as-of with a staleness bound (merge_asof tolerance):
       * matches older than `toleranceUs` microseconds yield nulls. */

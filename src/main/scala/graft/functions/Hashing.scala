@@ -85,7 +85,14 @@ object Hashing {
   }
 
   /** FNV-1a 64-bit over the UTF-16 chars — deterministic 64-bit string
-    * hash with no dependency on JVM `hashCode`. */
+    * hash with no dependency on JVM `hashCode`.
+    *
+    * BMP-only oracle equivalence: the DuckDB replays (d04/t25/t26)
+    * feed `ord()` per CODE POINT, identical to UTF-16 units only for
+    * BMP characters — a surrogate pair hashes as two units here but
+    * one code point there. The t25/t26 oracles carry a guard CTE that
+    * errors on any code point > 0xFFFF so the precondition is
+    * enforced, not assumed (d04 documents it; its corpus is ASCII). */
   def fnv64(s: String): Long = {
     var h = 0xCBF29CE484222325L
     var i = 0

@@ -224,8 +224,8 @@ object Dedup {
     * consumes the 8-byte hashes, never shingle strings. Set sizes and
     * intersections are identical to the string-shingle formulation
     * modulo 64-bit collisions (negligible at feasible corpus sizes). */
-  private[operators] def docShingles(docs: DataFrame, idCol: String,
-                                     textCol: String): DataFrame =
+  private[graft] def docShingles(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), Hashing.hashedShingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) >= 1)

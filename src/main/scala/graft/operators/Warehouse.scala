@@ -526,12 +526,15 @@ object Warehouse {
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts") > col("tc"))
       .groupBy("user_id").agg(min("ts").as("tp"))
-    val stages = v.select(lit(1).as("stage"), lit("view").as("step"))
-      .groupBy("stage", "step").agg(count(lit(1)).as("n_users"))
-      .unionByName(c.select(lit(2).as("stage"), lit("click").as("step"))
-        .groupBy("stage", "step").agg(count(lit(1)).as("n_users")))
-      .unionByName(p.select(lit(3).as("stage"), lit("purchase").as("step"))
-        .groupBy("stage", "step").agg(count(lit(1)).as("n_users")))
+    // Global agg per stage (not groupBy over literals): an empty stage
+    // must still emit its 0-count row, matching the oracle's scalar
+    // count(*) which always produces one row per stage.
+    def stageRow(df: DataFrame, stage: Int, step: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(step).as("step"), col("n_users"))
+    val stages = stageRow(v, 1, "view")
+      .unionByName(stageRow(c, 2, "click"))
+      .unionByName(stageRow(p, 3, "purchase"))
     val all = Window.partitionBy()
     stages
       .withColumn("conv_frac",

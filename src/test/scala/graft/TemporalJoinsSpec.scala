@@ -106,16 +106,23 @@ class TemporalJoinsSpec extends SparkSuite {
     // law: on rows where the plain as-of match is within tolerance,
     // the two joins agree exactly — over the real events table
     val j01 = TemporalJoins.clickLastPurchase(spark, sf).collect()
-      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      .map(r => r.getLong(0) -> ((r.getString(2), Option(r.getString(3))))).toMap
     val j05 = TemporalJoins.clickLastPurchaseWithin(spark, sf).collect()
       .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
     assert(j01.keySet == j05.keySet)
-    j05.foreach { case (id, pts) =>
-      if (pts.isDefined) assert(j01(id) == pts, s"fresh match drifted at $id")
-      else assert(j01(id).isEmpty ||
-        true, "voided rows are stale j01 matches or true misses")
+    def usOf(s: String): Long = {
+      val t = Timestamp.valueOf(s)
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
     }
-    assert(j05.values.count(_.isDefined) < j01.values.count(_.isDefined),
+    j05.foreach { case (id, pts) =>
+      val (clickTs, j01Pts) = j01(id)
+      if (pts.isDefined) assert(j01Pts == pts, s"fresh match drifted at $id")
+      else j01Pts.foreach { p => // voided: the j01 match must be STALE
+        assert(usOf(clickTs) - usOf(p) > TemporalJoins.J05ToleranceUs,
+          s"j05 voided a within-tolerance j01 match at $id")
+      }
+    }
+    assert(j05.values.count(_.isDefined) < j01.values.count(_._2.isDefined),
       "the 30-min bound must actually void something on the events table")
   }
 
