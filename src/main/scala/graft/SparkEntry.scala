@@ -111,6 +111,8 @@ object SparkEntry {
     "x05_decontaminate"   -> Dedup.decontaminate,
     "x16_fuzzy_decontaminate" -> ((s, dir) => Dedup.fuzzyDecontaminate(s, dir)),
     "x17_soft_dedup_weights" -> ((s, dir) => Sampling.softDedupWeights(s, dir)),
+    "x18_bloom_decontaminate" -> ((s, dir) => Dedup.bloomDecontaminate(s, dir)),
+    "x19_epoch_shuffle"   -> ((s, dir) => Sampling.epochShuffle(s, dir)),
     "x06_range_shards"    -> ((s, dir) => Sampling.rangeShardManifest(s, dir)),
     "x07_proportional_sample" -> ((s, dir) => Sampling.proportionalCounts(s, dir)),
     "x08_temperature_mix" -> ((s, dir) => Sampling.temperatureMix(s, dir)),
@@ -1432,6 +1434,8 @@ object SparkEntry {
          SELECT doc_id, n_copies,
            floor((1.0 / CAST(n_copies AS DOUBLE))*1e4 + 0.5)/1e4 AS weight
          FROM f JOIN fam USING (fp) ORDER BY doc_id""",
+    "x18_bloom_decontaminate" -> x18OracleSql,
+    "x19_epoch_shuffle" -> x19OracleSql,
     "d11_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id,
@@ -2690,6 +2694,89 @@ object SparkEntry {
     s"""SELECT edge, n_child, n_orphans, n_orphans = 0 AS ok FROM (
            $arms)
          ORDER BY edge"""
+  }
+
+  /** x18 replays — shared shape for both dialects: the Bloom
+    * membership test WITHOUT bit arithmetic. A bit at position p is
+    * set iff ANY benchmark doc maps one of its slices there, so
+    * `bloom_hit` = all [[graft.operators.Dedup.X18K]] positions ∈ the
+    * distinct benchmark-position set — provably ≡ the engine's
+    * word/mask test (same positions, same membership). Positions are
+    * the same disjoint 40-bit md5-hex slices mod
+    * [[graft.operators.Dedup.X18Bits]]; only the hex→int spelling
+    * differs per dialect (DuckDB `'0x' ||` cast, Spark `conv`). */
+  private def x18Sql(hexToInt: String => String, gFlag: String,
+                     ws: String): String = {
+    val m = graft.operators.Dedup.X18Bits
+    val k = graft.operators.Dedup.X18K
+    require(k == 3, "the x18 replay joins exactly 3 probe slices")
+    def posSql(j: Int) =
+      s"${hexToInt(s"substring(fp, ${1 + 10 * (j - 1)}, 10)")} % $m AS p$j"
+    val benchArms = (1 to k)
+      .map(j => s"SELECT p$j AS pos FROM pos WHERE split = 'test'")
+      .mkString("\n             UNION ALL ")
+    val allHit = (1 to k).map(j => s"s$j.pos IS NOT NULL").mkString(" AND ")
+    val setJoins = (1 to k)
+      .map(j => s"LEFT JOIN setbits s$j ON s$j.pos = c.p$j")
+      .mkString("\n         ")
+    s"""WITH base AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '$ws', ' '$gFlag))) AS fp,
+             CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d'
+                    THEN 'test'
+                  WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '1a'
+                    THEN 'val'
+                  ELSE 'train' END AS split
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, fp, split,
+             ${(1 to k).map(posSql).mkString(",\n             ")}
+           FROM base
+         ), setbits AS (
+           SELECT DISTINCT pos FROM (
+             $benchArms)
+         ), bfp AS (
+           SELECT fp, CAST(count(*) AS BIGINT) AS n_bench
+           FROM base WHERE split = 'test' GROUP BY fp
+         )
+         SELECT c.doc_id,
+           ($allHit) AS bloom_hit,
+           b.fp IS NOT NULL AS exact_hit,
+           ($allHit AND b.fp IS NULL) AS is_fp,
+           CAST(coalesce(b.n_bench, 0) AS BIGINT) AS n_bench_matches
+         FROM pos c
+         $setJoins
+         LEFT JOIN bfp b ON b.fp = c.fp
+         ORDER BY c.doc_id"""
+  }
+
+  private lazy val x18OracleSql: String =
+    x18Sql(h => s"CAST(('0x' || $h) AS BIGINT)", ", 'g'", "\\s+")
+  private[graft] lazy val x18SparkSqlText: String =
+    x18Sql(h => s"CAST(conv($h, 16, 10) AS BIGINT)", "", "\\\\s+")
+
+  /** x19 replay — dialect-PORTABLE (runs verbatim in DuckDB AND via
+    * spark.sql): per-epoch md5-salted sort keys ranked by one window;
+    * the engine's bucket-splice produces the same total order. Epochs
+    * and shard count interpolate from
+    * [[graft.operators.Sampling.X19Epochs]]/[[graft.operators.Sampling.X19Shards]]. */
+  private lazy val x19OracleSql: String = {
+    val e = graft.operators.Sampling.X19Epochs
+    val sh = graft.operators.Sampling.X19Shards
+    val values = (0 until e).map(i => s"($i)").mkString(", ")
+    s"""WITH k AS (
+           SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS STRING) || ':' || CAST(d.doc_id AS STRING))
+               AS key
+           FROM documents d CROSS JOIN (VALUES $values) AS e(epoch)
+         )
+         SELECT epoch, doc_id, pos, CAST((pos - 1) % $sh AS INT) AS shard
+         FROM (
+           SELECT epoch, doc_id,
+             CAST(row_number() OVER (PARTITION BY epoch
+               ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+           FROM k)
+         ORDER BY epoch, pos"""
   }
 
   /** m08 DuckDB replay — the m04 hex-nibble trick per payload (high
@@ -4040,6 +4127,7 @@ object SparkEntry {
          SELECT doc_id, n_copies,
            floor((1.0 / CAST(n_copies AS DOUBLE))*1e4 + 0.5)/1e4 AS weight
          FROM f JOIN fam USING (fp) ORDER BY doc_id""",
+    "x18_bloom_decontaminate" -> x18SparkSqlText,
     "d11_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id,

@@ -114,6 +114,21 @@ package object api {
     def sampleWeighted(idCol: String, weight: Column, n: Int): DataFrame =
       Sampling.weightedSample(df, idCol, weight, n)
 
+    /** Deterministic per-epoch shuffle manifest: each epoch gets an
+      * independent md5-salted permutation (pos within epoch + a
+      * round-robin shard), reproducible with no stored permutation
+      * table — re-deriving any shard of any epoch is stateless. */
+    def shuffleEpochs(idCol: String, epochs: Int = Sampling.X19Epochs,
+                      nShards: Int = Sampling.X19Shards): DataFrame =
+      Sampling.epochShuffle(df, idCol, epochs, nShards)
+
+    /** Bloom pre-filtered benchmark decontamination over (id, fp)
+      * frames: the benchmark compresses to a [[Dedup.X18Bits]]-bit
+      * filter (O(bits) broadcast at any benchmark size), the corpus
+      * never shuffles, per-row verdicts carry bloom/exact/FP flags. */
+    def decontaminateBloom(benchmark: DataFrame): DataFrame =
+      Dedup.bloomDecontaminate(df, benchmark)
+
     /** DSIR-style importance weights: per doc, Σ c_f·ln(p_target/p_raw)
       * over hashed unigram features, micro-scaled int64. `targetPred`
       * marks the target-domain rows (e.g. `col("lang") === "en"`). */

@@ -632,6 +632,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** x18 Bloom geometry — single-sourced into the oracle replay.
+    * 256 bits for the ~35-doc gate benchmark ⇒ ~34% fill, so the
+    * false-positive path is exercised by real data (a 100 TB run
+    * sizes bits ∝ benchmark cardinality for its target FP rate —
+    * the geometry is a parameter, the discipline is not). */
+  val X18Bits = 256
+  val X18K = 3
+
+  /** Bloom-filter benchmark decontamination (x18): the 100 TB
+    * PRE-FILTER in front of exact-fingerprint membership checks.
+    * [[decontaminate]] (x05) measures shingle-level overlap and ships
+    * every corpus shingle into a join; at scale the FIRST question is
+    * cheaper — "can this doc possibly be a benchmark member at all?" —
+    * answered by a [[X18Bits]]-bit Bloom filter over the benchmark's
+    * normalized-text fingerprints that broadcasts at O(bits) no matter
+    * how large the benchmark grows.
+    *
+    * Fully deterministic and engine-portable: a doc's [[X18K]] bit
+    * positions are DISJOINT 40-bit slices of its md5 fingerprint hex
+    * mod [[X18Bits]] (the x13 hex-slice discipline — no engine-native
+    * hash anywhere), the filter is 16 longs built by a bit-OR
+    * aggregate (mergeable ⇒ map-side partials; idempotent ⇒
+    * replay-safe under at-least-once delivery), and the probe is
+    * [[X18K]] broadcast lookups against the 16-row word table plus one
+    * broadcast fp lookup for the exact verdict — the corpus NEVER
+    * shuffles and probe cost is independent of corpus size. No false
+    * negatives by construction (an exact match shares the fingerprint,
+    * hence every position); false positives are bounded by the fill
+    * factor and SURFACED per row as `is_fp` — the pre-filter's cost is
+    * measured, not hidden. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    // Benchmark = the deterministic test split; corpus = the WHOLE
+    // table — the real contamination scenario is a benchmark whose
+    // items were scraped from the same web the corpus was, so the
+    // corpus genuinely contains them (train-vs-test would be overlap-
+    // free by construction here and never exercise a hit).
+    val fps = Sampling.deterministicSplit(
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.contentFp(col("text")).as("fp")), "doc_id")
+    bloomDecontaminate(
+      fps.select("doc_id", "fp"),
+      fps.filter(col("split") === "test").select("doc_id", "fp"))
+  }
+
+  /** Generic core over (doc_id, fp) frames — fp is any ≥30-char hex
+    * string (the d01/x17 content fingerprint here). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    def pos(j: Int): Column =
+      (conv(substring(col("fp"), 1 + 10 * (j - 1), 10), 16, 10)
+        .cast("long") % X18Bits).as(s"pos$j")
+    val words = benchmark
+      .select(explode(array((1 to X18K).map(pos): _*)).as("pos"))
+      .select(expr("cast(pos div 64 as int)").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
+    val benchFp = benchmark.groupBy("fp")
+      .agg(count(lit(1)).as("n_bench"))
+    val probes = corpus.select(
+      col("doc_id") +: col("fp") +: (1 to X18K).map(pos): _*)
+    val probed = (1 to X18K).foldLeft(probes) { (df, j) =>
+      df.join(broadcast(words
+          .select(col("word_idx").as(s"wi$j"), col("word").as(s"w$j"))),
+          expr(s"cast(pos$j div 64 as int) = wi$j"), "left")
+        .withColumn(s"hit$j", coalesce(
+          expr(s"(w$j & shiftleft(1L, cast(pos$j % 64 as int))) != 0"),
+          lit(false)))
+        .drop(s"wi$j", s"w$j")
+    }
+    probed
+      .withColumn("bloom_hit",
+        (1 to X18K).map(j => col(s"hit$j")).reduce(_ && _))
+      .join(broadcast(benchFp), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        col("n_bench").isNotNull.as("exact_hit"),
+        (col("bloom_hit") && col("n_bench").isNull).as("is_fp"),
+        coalesce(col("n_bench"), lit(0L)).as("n_bench_matches"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash near-duplicate pairs. Fully deterministic integer
     * math (FNV-1a token hashes + SplitMix64 shingle mixing, both pure
     * functions — [[graft.functions.Hashing]]), so the driver checks it

@@ -422,4 +422,56 @@ object Sampling {
 
   def softDedupWeights(s: SparkSession, dir: String): DataFrame =
     softDedupWeights(t(s, dir, "documents"), "doc_id", "text")
+
+  /** x19: deterministic epoch-shuffle manifest — the data-ORDER half
+    * of training reproducibility (x01 decides membership, x13 weighs,
+    * x10 packs; this decides the ORDER each epoch reads the corpus
+    * in). Epoch e's sort key is md5("e:id"), so every epoch gets an
+    * independent, uncorrelated permutation that is reproducible
+    * across retries, partitionings, and engines with NO stored
+    * permutation table — re-deriving any shard of any epoch is a
+    * stateless map. `pos` is the 1-based global position within the
+    * epoch; `shard` round-robins positions over `nShards`, so each
+    * shard is a uniform spread of the epoch order (a contiguous-range
+    * shard would serialize consumers behind shard 0).
+    *
+    * At 100 TB: `row_number() OVER (PARTITION BY epoch ORDER BY key)`
+    * funnels every epoch through ONE task — this is the x12
+    * bucket-splice instead: 256 hash-prefix buckets rank locally, the
+    * 256·E-row offset table broadcasts back, pos = offset + local
+    * rank. No global sort, no single-task window; the only wide rows
+    * are (epoch, id, 32-char key). */
+  /** x19 defaults — single-sourced into the oracle replay. */
+  val X19Epochs = 2
+  val X19Shards = 8
+
+  def epochShuffle(s: SparkSession, dir: String, epochs: Int = X19Epochs,
+                   nShards: Int = X19Shards): DataFrame =
+    epochShuffle(t(s, dir, "documents").select("doc_id"), "doc_id",
+      epochs, nShards)
+
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   nShards: Int): DataFrame = {
+    val eps = df.sparkSession.range(epochs)
+      .select(col("id").cast("int").as("epoch"))
+    val keyed = df.select(col(idCol))
+      .crossJoin(broadcast(eps))
+      .withColumn("key", md5(concat(col("epoch").cast("string"), lit(":"),
+        col(idCol).cast("string"))))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val offsets = keyed.groupBy("epoch", "bucket")
+      .agg(count(lit(1)).as("part_n"))
+      .withColumn("offset", coalesce(
+        sum("part_n").over(Window.partitionBy("epoch").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "bucket", "offset")
+    val wLocal = Window.partitionBy("epoch", "bucket")
+      .orderBy(col("key").asc, col(idCol).asc)
+    keyed.withColumn("local_rk", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("pos", col("offset") + col("local_rk"))
+      .select(col("epoch"), col(idCol), col("pos"),
+        ((col("pos") - 1) % nShards).cast("int").as("shard"))
+      .orderBy("epoch", "pos")
+  }
 }

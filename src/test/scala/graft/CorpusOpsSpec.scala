@@ -618,6 +618,40 @@ class CorpusOpsSpec extends SparkSuite {
       s"weighted draw did not favor heavy docs: $sampleMean <= $corpusMean")
   }
 
+  test("x19 epoch shuffle: per-epoch permutations ≡ the md5-sorted Scala order, " +
+    "uncorrelated across epochs, partitioning-invariant") {
+    val ids = docs.map(_._1)
+    val expected = (0 until Sampling.X19Epochs).flatMap { e =>
+      ids.map(id => (e, id, md5hex(s"$e:$id")))
+        .sortBy { case (_, id, k) => (k, id) }.zipWithIndex
+        .map { case ((ep, id, _), i) =>
+          (ep, id, (i + 1).toLong, ((i.toLong) % Sampling.X19Shards).toInt) }
+    }
+    val got = Sampling.epochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    // each epoch is a full permutation
+    (0 until Sampling.X19Epochs).foreach { e =>
+      val ep = got.filter(_._1 == e)
+      assert(ep.map(_._2).toSet == ids.toSet, s"epoch $e not a permutation")
+      assert(ep.map(_._3).toSet == (1L to ids.size.toLong).toSet)
+    }
+    // orders are uncorrelated: epoch 0's sequence differs from epoch 1's
+    val ord0 = got.filter(_._1 == 0).sortBy(_._3).map(_._2)
+    val ord1 = got.filter(_._1 == 1).sortBy(_._3).map(_._2)
+    assert(ord0 != ord1, "epoch orders identical - salt not applied")
+    // round-robin sharding balances within 1
+    val sizes = got.filter(_._1 == 0).groupBy(_._4).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"shards unbalanced: $sizes")
+    // the manifest is partitioning-invariant (the x03/x12 law)
+    import spark.implicits._
+    val repart = Sampling.epochShuffle(
+      ids.toDF("doc_id").repartition(7), "doc_id",
+      Sampling.X19Epochs, Sampling.X19Shards).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(repart == expected)
+  }
+
   test("x12 curriculum bins equal the single-window global ranking") {
     val q = TextOps.qualityScore(spark, sf).select("doc_id", "quality")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

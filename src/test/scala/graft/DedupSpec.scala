@@ -254,4 +254,52 @@ class DedupSpec extends SparkSuite {
       "the rephrased benchmark item must be flagged")
     assert(flagged(0).getDouble(2) >= 0.5 && flagged(0).getDouble(2) < 1.0)
   }
+
+  test("x18 bloom decontamination ≡ Scala position-set recomputation; " +
+    "no false negatives; FP accounting exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fps = docs.map { case (id, t) =>
+      (id, md5hex(t.trim.replaceAll("\\s+", " ").toLowerCase)) }
+    def positions(fp: String): Seq[Long] =
+      (0 until Dedup.X18K).map(j =>
+        java.lang.Long.parseLong(fp.substring(10 * j, 10 * j + 10), 16) %
+          Dedup.X18Bits)
+    val benchFps = fps.filter { case (id, _) =>
+      md5hex(id.toString).substring(0, 2) < "0d" }
+    val setBits = benchFps.flatMap(b => positions(b._2)).toSet
+    val benchCount = benchFps.groupBy(_._2).map { case (f, xs) => f -> xs.size.toLong }
+    val expected = fps.map { case (id, fp) =>
+      val bloom = positions(fp).forall(setBits.contains)
+      val n = benchCount.getOrElse(fp, 0L)
+      (id, bloom, n > 0, bloom && n == 0, n)
+    }.sortBy(_._1)
+    val got = Dedup.bloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the Bloom guarantee: every exact member is a bloom hit (no FNs)
+    assert(got.forall { case (_, bloom, exact, _, _) => !exact || bloom })
+    // this corpus+geometry engages every path: hits, exacts AND FPs
+    assert(got.exists(_._3), "no exact hit - the leak scenario is gone")
+    assert(got.exists(_._4), "no false positive - geometry too sparse to test FP accounting")
+    assert(got.count(_._2) == got.count(_._3) + got.count(_._4))
+    // planted: a corpus doc equal to a benchmark doc bloom-hits and
+    // exact-hits through the generic core
+    import spark.implicits._
+    def fpDf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) =>
+        (id, md5hex(t.trim.replaceAll("\\s+", " ").toLowerCase)) }
+        .toDF("doc_id", "fp")
+    val verdicts = Dedup.bloomDecontaminate(
+      fpDf(Seq((1L, "the leaked eval item"), (2L, "an innocent document"))),
+      fpDf(Seq((10L, "the leaked eval item"))))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(verdicts(1L) == ((true, true)), "planted leak must hit exactly")
+    assert(!verdicts(2L)._2, "innocent doc must not exact-hit")
+  }
 }

@@ -192,6 +192,22 @@ class PlanGateSpec extends SparkSuite {
       graft.Tables.t(spark, sf, "documents"), "doc_id", nTok, 50), "x13")
   }
 
+  test("x18 bloom decontamination: corpus probe is broadcast-only " +
+    "(word table + bench fp), never sort-merge/cartesian") {
+    val plan = finalPlan(graft.operators.Dedup.bloomDecontaminate(spark, sf))
+    assert(noQuadraticJoins(plan),
+      "x18 probe degraded to a sort-merge/cartesian - the corpus is shuffling")
+    assert(broadcastJoins(plan) >= graft.operators.Dedup.X18K + 1,
+      "x18 lost a broadcast: word-table probes + bench fp lookup must all broadcast")
+  }
+
+  test("x19 epoch shuffle: offset table broadcast, no global sort splice") {
+    val plan = finalPlan(Sampling.epochShuffle(spark, sf))
+    assert(noQuadraticJoins(plan),
+      "x19 offset splice degraded to a sort-merge join")
+    assert(broadcastJoins(plan) >= 1, "x19 offsets must join broadcast")
+  }
+
   test("d12 incremental near-dup: band probe is an equi-join, never cartesian") {
     // the batch→store candidate probe must join on (band, key) buckets;
     // a cartesian there is the batch×store product the LSH exists to avoid
