@@ -70,6 +70,7 @@ object SparkEntry {
     "m06_media_dedup"     -> Multimodal.mediaDedup,
     "m07_media_similar"   -> ((s, dir) => Multimodal.mediaSimilar(s, dir)),
     "m08_media_dup_clusters" -> Multimodal.mediaDupClusters,
+    "m09_cdc_chunks"      -> Multimodal.mediaCdcChunks,
     "j03_asof_forward"    -> TemporalJoins.clickNextPurchase,
     "j04_nearest_event"   -> TemporalJoins.clickNearestPurchase,
     "j05_asof_tolerance"  -> TemporalJoins.clickLastPurchaseWithin,
@@ -649,6 +650,7 @@ object SparkEntry {
                FROM documents WHERE doc_id % 3 = 2)
          ORDER BY media_id, frame_idx""",
     "m08_media_dup_clusters" -> m08OracleSql,
+    "m09_cdc_chunks" -> m09OracleSql,
     "m04_byte_histogram" ->
       // UTF-8 BYTE semantics, not characters: hex(encode(text)) renders
       // each payload byte as 2 hex digits, so the high nibble of byte i
@@ -2696,6 +2698,74 @@ object SparkEntry {
          ORDER BY edge"""
   }
 
+  /** m09 replays — the window-md5 boundary rule re-derived from the
+    * text: position e (1-based) ends a chunk when the big-endian
+    * unsigned first-4-bytes of md5(window) ≡ 0 mod
+    * [[graft.operators.Multimodal.M09Divisor]]; chunks are the
+    * lag-islands between boundaries, chunk fps are md5 of the char
+    * slice. Payload bytes ARE the text's UTF-8 bytes, so char slices
+    * equal byte slices only on ASCII — the DuckDB side enforces that
+    * precondition with a guard CTE (the t25/t26 discipline, tightened
+    * to 7 bits). Only the hex→int spelling, the unnest/explode
+    * spelling, and the guard differ per dialect. */
+  private def m09Sql(hexToInt: String => String, posGen: Int => String,
+                     guardCte: String, guardPred: String): String = {
+    val w = graft.operators.Multimodal.M09Window
+    val d = graft.operators.Multimodal.M09Divisor
+    s"""WITH base AS (
+           SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+         ), $guardCte pos AS (
+           SELECT media_id, text, n, ${posGen(w)} AS e
+           FROM base WHERE n >= $w
+         ), bounds AS (
+           SELECT media_id, CAST(e AS INT) AS e FROM pos
+           WHERE ${hexToInt(s"substring(md5(substring(text, CAST(e AS INT) - ${w - 1}, $w)), 1, 8)")} % $d = 0
+           UNION
+           SELECT media_id, CAST(n AS INT) FROM base
+         ), chunks AS (
+           SELECT media_id,
+             coalesce(lag(e) OVER (PARTITION BY media_id ORDER BY e), 0) + 1
+               AS start,
+             e - coalesce(lag(e) OVER (PARTITION BY media_id ORDER BY e), 0)
+               AS len
+           FROM bounds
+         ), fps AS (
+           SELECT c.media_id, c.len,
+             md5(substring(d.text, c.start, c.len)) AS fp
+           FROM chunks c JOIN documents d ON d.doc_id = c.media_id
+         ), cnt AS (
+           SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+           FROM fps GROUP BY fp
+         )
+         SELECT f.media_id, CAST(b.n AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(CASE WHEN n_copies > 1 THEN f.len ELSE 0 END) AS BIGINT)
+             AS shared_bytes,
+           floor((CAST(sum(CASE WHEN n_copies > 1 THEN f.len ELSE 0 END)
+                    AS DOUBLE) / b.n)*1e4 + 0.5)/1e4 AS dup_frac
+         FROM fps f JOIN cnt USING (fp) JOIN base b USING (media_id)
+         $guardPred
+         GROUP BY f.media_id, b.n
+         ORDER BY f.media_id"""
+  }
+
+  private lazy val m09OracleSql: String = m09Sql(
+    h => s"CAST(('0x' || $h) AS BIGINT)",
+    w => s"unnest(range($w, n + 1))",
+    """guard AS MATERIALIZED (
+           SELECT CASE WHEN max(ord(c)) > 127
+             THEN CAST(error('m09 ASCII bound: a non-ASCII byte desyncs char offsets from the byte offsets the engine chunks by') AS INT)
+             ELSE 1 END AS ok
+           FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
+         ),""",
+    "WHERE (SELECT ok FROM guard) = 1")
+  private[graft] lazy val m09SparkSqlText: String = m09Sql(
+    h => s"CAST(conv($h, 16, 10) AS BIGINT)",
+    w => s"explode(sequence($w, n))",
+    "", "")
+
   /** x18 replays — shared shape for both dialects: the Bloom
     * membership test WITHOUT bit arithmetic. A bit at position p is
     * set iff ANY benchmark doc maps one of its slices there, so
@@ -4128,6 +4198,7 @@ object SparkEntry {
            floor((1.0 / CAST(n_copies AS DOUBLE))*1e4 + 0.5)/1e4 AS weight
          FROM f JOIN fam USING (fp) ORDER BY doc_id""",
     "x18_bloom_decontaminate" -> x18SparkSqlText,
+    "m09_cdc_chunks" -> m09SparkSqlText,
     "d11_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id,

@@ -3,6 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
+/** One content-defined chunk of a byte payload: 1-based start, byte
+  * length, and the lowercase-hex md5 of the chunk bytes. */
+case class ChunkSpan(start: Int, len: Int, fp: String)
+
 /** Single-pass JVM kernels for the dedup sketches.
   *
   * The naive column-expression formulation of a 64-permutation MinHash
@@ -215,6 +219,63 @@ object Hashing {
   /** Column form of [[windowHashes]]. */
   def windowHashesCol(text: Column, w: Column): Column =
     windowHashesUdf(text, w)
+
+  /** Content-defined chunk spans of a byte payload (the LBFS/rsync
+    * discipline behind every sub-file dedup store): a chunk boundary
+    * closes after byte position e (1-based) when the hash of the
+    * trailing `w`-byte window is ≡ 0 mod `divisor` — a pure function
+    * of LOCAL content, so boundaries RE-SYNCHRONIZE right after any
+    * insert/edit and shifted copies of shared content still produce
+    * byte-identical chunks (a fixed-size grid loses every chunk after
+    * the first shifted byte — the m09 spec pins this law).
+    *
+    * The window hash is the big-endian unsigned first-4-bytes of the
+    * window's md5 — one digest per position, bit-identical in SQL on
+    * both engines (`'0x' || substr(md5(...),1,8)` / `conv`), which is
+    * what makes m09 an exact-oracle query. A production kernel swaps
+    * in an O(n) rolling gear/Rabin hash; the chunking discipline,
+    * plan shape, and store schema stay put. Deliberately PURE
+    * content-defined — no min/max clamp — so the replay needs no
+    * sequential state; the expected chunk size is `divisor` bytes and
+    * a clamp belongs in the production rolling kernel. */
+  def cdcChunks(payload: Array[Byte], w: Int, divisor: Int): Array[ChunkSpan] = {
+    if (payload == null || payload.length == 0) return Array.empty
+    val n = payload.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(d: Array[Byte]): String = d.map("%02x".format(_)).mkString
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var e = w
+    while (e <= n) {
+      md.reset()
+      md.update(payload, e - w, w)
+      val d = md.digest()
+      val head = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      if (head % divisor == 0L) ends += e
+      e += 1
+    }
+    if (ends.isEmpty || ends.last != n) ends += n
+    val out = new Array[ChunkSpan](ends.length)
+    var prev = 0
+    var k = 0
+    while (k < ends.length) {
+      val len = ends(k) - prev
+      md.reset()
+      md.update(payload, prev, len)
+      out(k) = ChunkSpan(prev + 1, len, hex(md.digest()))
+      prev = ends(k)
+      k += 1
+    }
+    out
+  }
+
+  private[graft] val cdcChunksUdf =
+    udf((b: Array[Byte], w: Int, d: Int) => cdcChunks(b, w, d))
+
+  /** Column form of [[cdcChunks]]; input binary, output
+    * array<struct<start:int,len:int,fp:string>>. */
+  def cdcChunksCol(payload: Column, w: Column, divisor: Column): Column =
+    cdcChunksUdf(payload, w, divisor)
 
   /** Column form of [[fnv64]] (single-token hash). */
   def tokenHash(c: Column): Column = fnv64Udf(c)

@@ -253,6 +253,53 @@ object Multimodal {
     * move), and clustering is a plain groupBy — no pair join exists
     * anywhere, which is what lets this run on billions of images
     * where m07's scoring pass is reserved for candidate sets. */
+  /** m09 CDC geometry — single-sourced into the oracle replay.
+    * Expected chunk ≈ [[M09Divisor]] bytes. */
+  val M09Window = 8
+  val M09Divisor = 64
+
+  /** m09: content-defined chunking + sub-file dedup accounting — the
+    * third rung of the media-dedup ladder (m06 whole-file exact, m08
+    * perceptual buckets, THIS chunk-level sharing): each payload is cut
+    * at content-defined boundaries ([[graft.functions.Hashing.cdcChunks]]
+    * — boundaries re-synchronize across inserts/edits, so shifted
+    * copies of shared content still dedup, which a fixed grid cannot
+    * do), every chunk gets a 16-byte fingerprint, and per-media
+    * accounting reports how many of its chunks/bytes are shared with
+    * ANY other chunk in the corpus — the storage-dedup ratio a
+    * 100 TB media store actually realizes.
+    *
+    * At 100 TB: ONE payload scan computes boundaries and chunk md5s
+    * in a single kernel pass (payloads never leave their scan
+    * partitions); everything downstream — the fp-count shuffle and
+    * the fp-keyed join back — carries only (media_id, start, len, fp)
+    * rows, ~36 bytes per ~64-byte chunk. The chunk frame is
+    * checkpointed once so the two consumers (counts + join) cannot
+    * re-run the payload scan. */
+  def mediaCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = media(s, dir).toDF()
+      .select(col("media_id"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        explode(graft.functions.Hashing.cdcChunksCol(
+          col("payload"), lit(M09Window), lit(M09Divisor))).as("c"))
+      .select(col("media_id"), col("n_bytes"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        col("c.fp").as("fp"))
+      .localCheckpoint()
+    val counts = chunks.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    chunks.join(counts, Seq("fp"))
+      .groupBy("media_id", "n_bytes")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("n_copies") > 1, col("len").cast("bigint"))
+          .otherwise(0L)).as("shared_bytes"))
+      .select(col("media_id"), col("n_bytes"), col("n_chunks"),
+        col("n_shared_chunks"), col("shared_bytes"),
+        TextOps.r4(col("shared_bytes").cast("double") /
+          col("n_bytes").cast("double")).as("dup_frac"))
+      .orderBy("media_id")
+  }
+
   def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
     val levels = (0 until 16).map { i =>
       expr(s"(8 * element_at(h, ${i + 1})) div n").cast("string")

@@ -151,4 +151,57 @@ class MultimodalSpec extends SparkSuite {
       .toSeq
     assert(got == expected)
   }
+
+  test("m09 CDC chunks ≡ driver recomputation; chunks tile each payload; " +
+    "shifted shared content re-syncs where a fixed grid cannot") {
+    import graft.functions.Hashing
+    val w = Multimodal.M09Window
+    val d = Multimodal.M09Divisor
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // driver recomputation straight from the kernel contract
+    val perMedia = docs.map { case (id, t) =>
+      (id, t.getBytes("UTF-8"), Hashing.cdcChunks(t.getBytes("UTF-8"), w, d)) }
+    // tiling law: contiguous 1-based spans covering exactly n bytes
+    perMedia.foreach { case (id, b, cs) =>
+      assert(cs.head.start == 1 && cs.map(_.len).sum == b.length,
+        s"chunks do not tile media $id")
+      cs.sliding(2).foreach {
+        case Array(a, c) => assert(c.start == a.start + a.len)
+        case _ => ()
+      }
+    }
+    val copies = perMedia.flatMap(_._3.map(_.fp))
+      .groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+    val expected = perMedia.map { case (id, b, cs) =>
+      val shared = cs.filter(c => copies(c.fp) > 1)
+      (id, b.length.toLong, cs.length.toLong, shared.length.toLong,
+        shared.map(_.len.toLong).sum,
+        BigDecimal(shared.map(_.len).sum.toDouble / b.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = Multimodal.mediaCdcChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // the data itself exercises sharing (else the accounting is vacuous)
+    assert(got.exists(_._4 > 0), "no shared chunks anywhere in the corpus")
+    // the CDC law: insert a prefix before a shared body — boundaries
+    // re-synchronize after the edit, so the shifted copy still shares
+    // most chunks; a fixed-size grid shares NONE (every grid cell is
+    // offset by the insertion)
+    val rnd = new scala.util.Random(7)
+    val body = Array.fill(4096)((rnd.nextInt(256) - 128).toByte)
+    val a = Hashing.cdcChunks(body, w, d)
+    val shifted = Array.fill(11)((rnd.nextInt(256) - 128).toByte) ++ body
+    val b2 = Hashing.cdcChunks(shifted, w, d)
+    val sharedFps = a.map(_.fp).toSet intersect b2.map(_.fp).toSet
+    val sharedBytes = a.filter(c => sharedFps(c.fp)).map(_.len).sum
+    assert(sharedBytes > body.length / 2,
+      s"CDC failed to re-sync after a prefix insert: $sharedBytes of ${body.length}")
+    val gridShared = body.grouped(d).map(_.toSeq).toSet
+      .intersect(shifted.grouped(d).map(_.toSeq).toSet)
+    assert(gridShared.isEmpty, "the fixed grid accidentally survived the shift")
+  }
 }
