@@ -126,6 +126,7 @@ object SparkEntry {
     "x15_quality_classifier" -> ((s, dir) => Curation.qualityClassifier(s, dir)),
     "v01_quality_checks"  -> Checks.ordersContract,
     "v02_referential_integrity" -> Checks.referentialIntegrity,
+    "v03_profile"         -> Checks.ordersProfile,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -948,6 +949,7 @@ object SparkEntry {
          GROUP BY w.doc_id
          ORDER BY doc_id""",
     "v02_referential_integrity" -> v02OracleSql,
+    "v03_profile" -> v03OracleSql,
     "v01_quality_checks" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -2696,6 +2698,38 @@ object SparkEntry {
     s"""SELECT edge, n_child, n_orphans, n_orphans = 0 AS ok FROM (
            $arms)
          ORDER BY edge"""
+  }
+
+  /** v03 replay — dialect-PORTABLE (runs verbatim in DuckDB AND via
+    * spark.sql): one scalar-aggregate arm per profiled column,
+    * generated from the SAME
+    * [[graft.operators.Checks.V03NumCols]]/[[graft.operators.Checks.V03StrCols]]
+    * lists the engine profiles — the oracle can never profile a
+    * column set the engine doesn't. */
+  private lazy val v03OracleSql: String = {
+    val C = graft.operators.Checks
+    def arm(c: String, isNum: Boolean): String = {
+      val (minNum, maxNum, minStr, maxStr) =
+        if (isNum) (s"floor(CAST(min($c) AS DOUBLE)*1e4 + 0.5)/1e4",
+                    s"floor(CAST(max($c) AS DOUBLE)*1e4 + 0.5)/1e4",
+                    "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"CAST(min($c) AS STRING)", s"CAST(max($c) AS STRING)")
+      s"""SELECT '$c' AS col_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_null,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             $minNum AS min_num, $maxNum AS max_num,
+             $minStr AS min_str, $maxStr AS max_str
+           FROM orders"""
+    }
+    val arms = (C.V03NumCols.map(arm(_, isNum = true)) ++
+      C.V03StrCols.map(arm(_, isNum = false)))
+      .mkString("\n         UNION ALL\n         ")
+    s"""SELECT * FROM (
+         $arms)
+       ORDER BY col_name"""
   }
 
   /** m09 replays — the window-md5 boundary rule re-derived from the

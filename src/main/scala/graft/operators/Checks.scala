@@ -148,4 +148,59 @@ object Checks {
       fkOrphans(t(s, dir, e.child), e.childCol,
         t(s, dir, e.parent), e.parentCol, e.id)
     }.reduce(_ unionByName _).orderBy("edge")
+
+  /** v03 profiled columns — single-sourced into the oracle replay. */
+  val V03NumCols: Seq[String] = Seq("o_orderkey", "o_custkey", "o_totalprice")
+  val V03StrCols: Seq[String] = Seq("o_orderstatus", "o_orderpriority")
+
+  /** v03: one-pass column profile — the Deequ ANALYZER surface next
+    * to v01's constraint gate and v02's cross-table audit: per column,
+    * row count, null count, exact distinct count, and min/max
+    * (numerics as r4 doubles, strings verbatim; each row carries one
+    * family and NULLs the other, so the report schema is fixed no
+    * matter which columns are profiled).
+    *
+    * Scale shape: ONE aggregate job computes every metric — the
+    * multi-column `count_distinct` plans as Spark's Expand (one data
+    * pass at ×(k+1) row width, the standard price of exact
+    * multi-distinct; at 100 TB swap in `approx_count_distinct` if ±2%
+    * is acceptable and the Expand disappears — q20's documented
+    * trade). The single result row then explodes into the per-column
+    * report, so nothing is collected and no second scan exists. */
+  def profile(df: DataFrame, numCols: Seq[String],
+              strCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
+      (numCols ++ strCols).flatMap { c => Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nnull"),
+        count_distinct(col(c)).as(s"${c}__ndist")) } ++
+      numCols.flatMap { c => Seq(
+        TextOps.r4(min(col(c)).cast("double")).as(s"${c}__min"),
+        TextOps.r4(max(col(c)).cast("double")).as(s"${c}__max")) } ++
+      strCols.flatMap { c => Seq(
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")) }
+    val entries = numCols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nnull").as("n_null"),
+        col(s"${c}__ndist").as("n_distinct"),
+        col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    } ++ strCols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nnull").as("n_null"),
+        col(s"${c}__ndist").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  def ordersProfile(s: SparkSession, dir: String): DataFrame =
+    profile(t(s, dir, "orders"), V03NumCols, V03StrCols)
 }

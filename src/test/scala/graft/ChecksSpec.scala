@@ -103,4 +103,56 @@ class ChecksSpec extends SparkSuite {
       assert(r.getLong(1) > 0, s"empty child side on ${r.getString(0)}")
     }
   }
+
+  test("v03 profile ≡ driver recomputation over orders; nulls and both " +
+    "metric families exercised on a crafted frame") {
+    def r4(x: Double): Double =
+      math.floor(x * 1e4 + 0.5) / 1e4
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority").collect()
+    def expectNum(c: Int): (Long, Long, Double, Double) = {
+      val vs = rows.map(r => if (r.isNullAt(c)) None
+        else Some(r.get(c) match {
+          case l: Long => l.toDouble; case d: Double => d }))
+      (vs.count(_.isEmpty).toLong, vs.flatten.distinct.length.toLong,
+        r4(vs.flatten.min), r4(vs.flatten.max))
+    }
+    def expectStr(c: Int): (Long, Long, String, String) = {
+      val vs = rows.map(r => Option(r.getString(c)))
+      (vs.count(_.isEmpty).toLong, vs.flatten.distinct.length.toLong,
+        vs.flatten.min, vs.flatten.max)
+    }
+    val got = Checks.ordersProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 5)
+    Seq("o_orderkey" -> 0, "o_custkey" -> 1, "o_totalprice" -> 2).foreach {
+      case (name, c) =>
+        val (nn, nd, mn, mx) = expectNum(c)
+        val r = got(name)
+        assert(r.getLong(1) == rows.length.toLong && r.getLong(2) == nn &&
+          r.getLong(3) == nd && r.getDouble(4) == mn && r.getDouble(5) == mx &&
+          r.isNullAt(6) && r.isNullAt(7), s"$name: $r")
+    }
+    Seq("o_orderstatus" -> 3, "o_orderpriority" -> 4).foreach {
+      case (name, c) =>
+        val (nn, nd, mn, mx) = expectStr(c)
+        val r = got(name)
+        assert(r.getLong(2) == nn && r.getLong(3) == nd &&
+          r.isNullAt(4) && r.isNullAt(5) &&
+          r.getString(6) == mn && r.getString(7) == mx, s"$name: $r")
+    }
+    // crafted frame: nulls counted, distincts ignore nulls, min/max skip them
+    val crafted = Seq(
+      (Some(3.0), Some("b")), (None, Some("a")), (Some(1.5), None),
+      (Some(3.0), Some("a"))
+    ).toDF("x", "s")
+    val p = Checks.profile(crafted, Seq("x"), Seq("s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("x").getLong(1) == 4 && p("x").getLong(2) == 1 &&
+      p("x").getLong(3) == 2 && p("x").getDouble(4) == 1.5 &&
+      p("x").getDouble(5) == 3.0)
+    assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 2 &&
+      p("s").getString(6) == "a" && p("s").getString(7) == "b")
+  }
 }
