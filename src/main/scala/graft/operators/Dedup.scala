@@ -676,21 +676,37 @@ object Dedup {
       fps.filter(col("split") === "test").select("doc_id", "fp"))
   }
 
-  /** Generic core over (doc_id, fp) frames — fp is any ≥30-char hex
-    * string (the d01/x17 content fingerprint here). */
-  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
-    def pos(j: Int): Column =
-      (conv(substring(col("fp"), 1 + 10 * (j - 1), 10), 16, 10)
-        .cast("long") % X18Bits).as(s"pos$j")
-    val words = benchmark
-      .select(explode(array((1 to X18K).map(pos): _*)).as("pos"))
+  private def x18Pos(j: Int): Column =
+    (conv(substring(col("fp"), 1 + 10 * (j - 1), 10), 16, 10)
+      .cast("long") % X18Bits).as(s"pos$j")
+
+  /** The x18 filter ARTIFACT over a (…, fp) frame: ≤ X18Bits/64 rows
+    * of (word_idx, word). Built by a bit-OR aggregate — associative,
+    * commutative AND idempotent, so partial word tables from any
+    * batching (or even replayed/duplicated batches) OR together into
+    * exactly the one-pass filter; the streaming consumer
+    * ([[graft.streaming.IncrementalJobs.startIncrementalBloom]])
+    * leans on that. */
+  def bloomWords(benchmark: DataFrame): DataFrame =
+    benchmark
+      .select(explode(array((1 to X18K).map(x18Pos): _*)).as("pos"))
       .select(expr("cast(pos div 64 as int)").as("word_idx"),
         expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
       .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
-    val benchFp = benchmark.groupBy("fp")
-      .agg(count(lit(1)).as("n_bench"))
+
+  /** Generic core over (doc_id, fp) frames — fp is any ≥30-char hex
+    * string (the d01/x17 content fingerprint here). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    bloomProbe(corpus, bloomWords(benchmark),
+      benchmark.groupBy("fp").agg(count(lit(1)).as("n_bench")))
+
+  /** The probe half against pre-built artifacts: the word table and
+    * the benchmark fp counts (both broadcast; the corpus never
+    * shuffles). */
+  def bloomProbe(corpus: DataFrame, words: DataFrame,
+                 benchFp: DataFrame): DataFrame = {
     val probes = corpus.select(
-      col("doc_id") +: col("fp") +: (1 to X18K).map(pos): _*)
+      col("doc_id") +: col("fp") +: (1 to X18K).map(x18Pos): _*)
     val probed = (1 to X18K).foldLeft(probes) { (df, j) =>
       df.join(broadcast(words
           .select(col("word_idx").as(s"wi$j"), col("word").as(s"w$j"))),

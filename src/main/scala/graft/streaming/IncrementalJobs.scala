@@ -219,6 +219,42 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val bloomStoreSchema =
+    StructType.fromDDL("word_idx INT, word BIGINT")
+
+  /** Streaming Bloom benchmark index (x18's lifecycle): BENCHMARK doc
+    * files land in `srcDir`; each micro-batch writes ONLY its own
+    * ≤[[graft.operators.Dedup.X18Bits]]/64-row word-table partial
+    * (bit-OR of its members' masks), batchId-keyed/Overwrite. Bit-OR
+    * is associative, commutative AND IDEMPOTENT, so [[bloomLedger]]'s
+    * word-keyed OR equals the one-pass filter over everything ingested
+    * — the strongest form of the t24/t25 partial discipline: count
+    * partials need the batchId overwrite for exactness, OR partials
+    * would survive even outright duplication. The corpus-probe side
+    * (`Dedup.bloomProbe`) consumes the ledger unchanged. */
+  def startIncrementalBloom(spark: SparkSession, srcDir: String,
+                            docSchema: StructType, storeDir: String,
+                            checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        Dedup.bloomWords(batch.select(col("doc_id"),
+            Sampling.contentFp(col("text")).as("fp")))
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The served filter: the store's word-keyed bit-OR. */
+  def bloomLedger(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    readStore(spark, storeDir, bloomStoreSchema)
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+  }
+
   /** Streaming graph insert: batch-vector files land in `srcDir`;
     * each micro-batch beam-searches the ingested-corpus graph (s18's
     * primitive over the explicit batch) and its edge selections land

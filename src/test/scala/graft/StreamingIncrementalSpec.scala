@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.operators.{Dedup, Similarity}
 import graft.streaming.IncrementalJobs
@@ -131,6 +131,60 @@ class StreamingIncrementalSpec extends SparkSuite {
     q3.processAllAvailable()
     q3.stop()
     assert(cellMap(IncrementalJobs.cmsLedger(spark, store)) == ref)
+  }
+
+  test("streaming bloom index: kill/restart; ledger == one-pass filter; " +
+    "OR-idempotence survives duplicated input") {
+    val src = Files.createTempDirectory("graft_bloom_src").toString
+    val store = Files.createTempDirectory("graft_bloom_store").toString
+    val ckpt = Files.createTempDirectory("graft_bloom_ckpt").toString
+
+    val docsA = Seq(
+      (1L, "the leaked eval item"),
+      (2L, "another benchmark question"))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalBloom(
+      spark, src, schema, store, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    val docsB = Seq((3L, "a third item")).toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start() // same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    def wmap(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.operators.Sampling
+        .contentFp(col("text")).as("fp"))
+    // LAW: the OR-ledger equals the one-pass filter over the union
+    val ledger = wmap(IncrementalJobs.bloomLedger(spark, store))
+    val ref = wmap(Dedup.bloomWords(fps(docsA.unionByName(docsB))))
+    assert(ledger == ref)
+    // OR-IDEMPOTENCE: re-ingesting the SAME docs (new batch, so the
+    // batchId overwrite does NOT dedupe it) leaves the ledger bits
+    // unchanged — the property count partials do not have
+    docsA.write.mode("append").parquet(src)
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(wmap(IncrementalJobs.bloomLedger(spark, store)) == ref,
+      "bit-OR ledger changed under duplicated input")
+    // the served ledger drives the probe verbatim: members hit exactly
+    val verdicts = Dedup.bloomProbe(
+      fps(docsA), IncrementalJobs.bloomLedger(spark, store),
+      fps(docsA.unionByName(docsB)).groupBy("fp")
+        .agg(count(lit(1)).as("n_bench")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts(1L) && verdicts(2L))
   }
 
   test("streaming soft-dedup weights: kill/restart; ledger == batch x17 over all ingested") {
