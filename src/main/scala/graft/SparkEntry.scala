@@ -127,6 +127,10 @@ object SparkEntry {
     "v01_quality_checks"  -> Checks.ordersContract,
     "v02_referential_integrity" -> Checks.referentialIntegrity,
     "v03_profile"         -> Checks.ordersProfile,
+    "v04_drift_psi"       -> Checks.driftPsi,
+    "x20_mixture_waterfill" -> ((s, dir) => Sampling.mixtureWaterfill(s, dir)),
+    "j06_window_features" -> TemporalJoins.purchaseClickFeatures,
+    "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -950,6 +954,10 @@ object SparkEntry {
          ORDER BY doc_id""",
     "v02_referential_integrity" -> v02OracleSql,
     "v03_profile" -> v03OracleSql,
+    "v04_drift_psi" -> v04OracleSql,
+    "x20_mixture_waterfill" -> x20OracleSql,
+    "j06_window_features" -> j06OracleSql,
+    "m10_aspect_buckets" -> m10OracleSql,
     "v01_quality_checks" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -2730,6 +2738,144 @@ object SparkEntry {
     s"""SELECT * FROM (
          $arms)
        ORDER BY col_name"""
+  }
+
+  /** v04 replay — dialect-portable (runs verbatim in Spark too): the
+    * bin frame is a literal VALUES list, counts are exact integers,
+    * and the one float expression (add-half smoothing + ln, 6-dp
+    * floored) mirrors [[graft.operators.Checks.driftPsi]] op for op.
+    * Bin geometry and the split date interpolate from the same
+    * constants the engine reads. */
+  private lazy val v04OracleSql: String = {
+    val C = graft.operators.Checks
+    val n = C.V04NBins
+    val binVals = (0 until n).map(i => s"($i)").mkString(",")
+    val half = n / 2.0
+    s"""WITH b AS (
+           SELECT CAST(least(floor(o_totalprice / ${C.V04BinWidth}), ${n - 1})
+               AS INT) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '${C.V04SplitDate}'
+               THEN 1 ELSE 0 END AS is_ref
+           FROM orders
+         ), c AS (
+           SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+           FROM b GROUP BY bin
+         ), t AS (
+           SELECT CAST(sum(is_ref) AS BIGINT) AS t_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS t_cur
+           FROM b
+         ), bins AS (SELECT * FROM (VALUES $binVals) AS v(bin)
+         ), f AS (
+           SELECT bins.bin,
+             coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+             (coalesce(c.n_ref, 0) + 0.5) / (t.t_ref + $half) AS p,
+             (coalesce(c.n_cur, 0) + 0.5) / (t.t_cur + $half) AS q
+           FROM bins LEFT JOIN c ON bins.bin = c.bin CROSS JOIN t)
+         SELECT bin, n_ref, n_cur,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 < 0.01 AS stable
+         FROM f ORDER BY bin"""
+  }
+
+  /** x20 replay — dialect-portable: the closed-form water-filling
+    * level (λ* = max over saturation prefixes of g, see
+    * [[graft.operators.Sampling.mixtureWaterfill]]) is two window
+    * cumsums and one scalar max; every count is an exact integer and
+    * every divide is the same IEEE double op the engine runs. */
+  private lazy val x20OracleSql: String = {
+    val frac = graft.operators.Sampling.X20BudgetFrac
+    s"""WITH a AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+           FROM documents GROUP BY source
+         ), w AS (
+           SELECT source, avail,
+             CAST(count(*) OVER () + 1 - row_number() OVER (ORDER BY source)
+               AS BIGINT) AS weight
+           FROM a
+         ), t AS (
+           SELECT CAST(sum(weight) AS BIGINT) AS tot_w,
+             CAST(floor(sum(avail) * $frac) AS BIGINT) AS budget
+           FROM w
+         ), c AS (
+           SELECT w.source, w.avail, w.weight, t.tot_w, t.budget,
+             sum(w.avail) OVER (ORDER BY w.avail * 1.0 / w.weight, w.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_avail,
+             t.tot_w - sum(w.weight) OVER (ORDER BY w.avail * 1.0 / w.weight,
+               w.source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS w_rem
+           FROM w CROSS JOIN t
+         ), l AS (
+           SELECT max(CASE WHEN w_rem > 0
+             THEN (budget - cum_avail) * 1.0 / w_rem END) AS g_max
+           FROM c
+         ), f AS (
+           SELECT c.source, c.avail, c.weight,
+             greatest(l.g_max, c.budget * 1.0 / c.tot_w) AS lam
+           FROM c CROSS JOIN l)
+         SELECT source, avail, weight,
+           least(avail, CAST(floor(lam * weight) AS BIGINT)) AS alloc,
+           least(avail, CAST(floor(lam * weight) AS BIGINT)) = avail
+             AS saturated
+         FROM f ORDER BY source"""
+  }
+
+  /** j06 replay — dialect-portable: the bucketed range-aggregate join
+    * collapses to one LEFT JOIN + GROUP BY at oracle scale; the
+    * 30-minute window interpolates from
+    * [[graft.operators.TemporalJoins.J06WidthUs]]. */
+  private lazy val j06OracleSql: String = {
+    val mins = graft.operators.TemporalJoins.J06WidthUs / 60000000L
+    s"""WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'
+         ), c AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+           CAST(count(c.value) AS BIGINT) AS n_clicks,
+           round(sum(c.value), 4) AS sum_click_value,
+           round(max(c.value), 4) AS max_click_value
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL $mins MINUTE AND c.ts < p.ts
+         GROUP BY p.event_id, p.user_id
+         ORDER BY p.event_id"""
+  }
+
+  /** m10 replay — dialect-portable: media dims re-derive from
+    * `documents` exactly as the m05 oracle does; the bucket table is
+    * the interpolated [[graft.operators.Multimodal.M10Buckets]]
+    * VALUES list; distance and resize math mirror the engine
+    * (integer products, one ln floored at 6 dp, integer division via
+    * floor). */
+  private lazy val m10OracleSql: String = {
+    val bucketVals = graft.operators.Multimodal.M10Buckets
+      .map { case (i, w, h) => s"($i, $w, $h)" }.mkString(",")
+    s"""WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(64 + n_chars % 64 AS BIGINT) AS w,
+             CAST(64 + n_chars % 48 AS BIGINT) AS h
+           FROM documents
+         ), b AS (SELECT * FROM (VALUES $bucketVals) AS v(bucket_id, bw, bh)
+         ), scored AS (
+           SELECT m.media_id, m.w, m.h, b.bucket_id, b.bw, b.bh,
+             floor(abs(ln(CAST(m.w * b.bh AS DOUBLE)
+               / CAST(m.h * b.bw AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS dist
+           FROM m CROSS JOIN b
+         ), best AS (
+           SELECT *, row_number() OVER (PARTITION BY media_id
+             ORDER BY dist, bucket_id) AS rk
+           FROM scored)
+         SELECT media_id, bucket_id,
+           CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+           CAST(CASE WHEN w * bh >= h * bw
+             THEN floor(w * bh / h) ELSE bw END AS INT) AS resize_w,
+           CAST(CASE WHEN w * bh >= h * bw
+             THEN bh ELSE floor(h * bw / w) END AS INT) AS resize_h,
+           CAST(CASE WHEN w * bh >= h * bw
+             THEN floor(w * bh / h) - bw ELSE 0 END AS INT) AS crop_x,
+           CAST(CASE WHEN w * bh >= h * bw
+             THEN 0 ELSE floor(h * bw / w) - bh END AS INT) AS crop_y
+         FROM best WHERE rk = 1 ORDER BY media_id"""
   }
 
   /** m09 replays — the window-md5 boundary rule re-derived from the

@@ -203,4 +203,64 @@ object Checks {
 
   def ordersProfile(s: SparkSession, dir: String): DataFrame =
     profile(t(s, dir, "orders"), V03NumCols, V03StrCols)
+
+  /** v04 binning constants — single-sourced into the oracle replay
+    * (the V03NumCols discipline): 10 equal-width value bins and the
+    * snapshot split date. */
+  val V04NBins: Int = 10
+  val V04BinWidth: Double = 50000.0
+  val V04SplitDate: String = "1998-01-01"
+
+  /** v04: distribution-drift audit — the Population Stability Index
+    * between two snapshots of the same table (the monitoring gate a
+    * production pipeline runs on every refresh: "has this column's
+    * distribution moved since the reference snapshot?"). Reference
+    * population = orders before [[V04SplitDate]], current = after;
+    * `o_totalprice` is histogrammed into [[V04NBins]] equal-width
+    * bins, counts are add-half smoothed (Laplace ½ per bin, so empty
+    * bins never divide by zero and the index is defined for ANY pair
+    * of snapshots), and each bin reports its PSI term
+    * `(p−q)·ln(p/q)` — the standard credit-scoring drift measure;
+    * Σ terms < 0.1 is the conventional "stable" verdict, which the
+    * `stable` column applies per bin contribution.
+    *
+    * Scale shape: ONE narrow scan (two pushed-down column reads), one
+    * 10-row aggregate per side — the bin frame is a literal VALUES
+    * list both engines share, so missing bins still report. Counts
+    * are exact integers; the only float math is the smoothed divide
+    * and one `ln`, floored at 6 dp before comparison (the repo-wide
+    * engine-portability discipline). */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val split = lit(V04SplitDate).cast("timestamp")
+    val bin = least(floor(col("o_totalprice") / V04BinWidth),
+      lit(V04NBins - 1L)).cast("int").as("bin")
+    psiReport(orders.select(bin,
+      (col("o_orderdate") < split).as("is_ref")))
+  }
+
+  /** The PSI report over an already-binned population frame
+    * (`bin: int` in [0, [[V04NBins]]), `is_ref: boolean`) — the form
+    * the laws test directly (identical populations ⇒ every term 0). */
+  def psiReport(binned: DataFrame): DataFrame = {
+    val s = binned.sparkSession
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val bins = s.range(V04NBins).select(col("id").cast("int").as("bin"))
+    val totals = binned.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("t_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("t_cur"))
+    val half = lit(0.5)
+    val p = (col("n_ref") + half) / (col("t_ref") + lit(0.5 * V04NBins))
+    val q = (col("n_cur") + half) / (col("t_cur") + lit(0.5 * V04NBins))
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    bins.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        r6((p - q) * log(p / q)).as("psi_term"))
+      .withColumn("stable", col("psi_term") < lit(0.01))
+      .orderBy("bin")
+  }
 }

@@ -314,4 +314,53 @@ object Multimodal {
       .select("sig", "keeper", "n_members")
       .orderBy("keeper")
   }
+
+  /** m10's bucket inventory — single-sourced into the oracle replay's
+    * VALUES list. (bucket_id, width, height): near-constant area with
+    * aspect ratios spanning 0.42–2.4, the SDXL-style fixed grid. */
+  val M10Buckets: Seq[(Int, Int, Int)] = Seq(
+    (0, 64, 64), (1, 80, 48), (2, 48, 80), (3, 96, 40), (4, 40, 96))
+
+  /** m10: aspect-ratio bucketing — the batch-shape assignment an image
+    * training pipeline runs so each batch holds same-shaped tensors
+    * (the SDXL/NovelAI bucketing scheme): every image goes to the
+    * bucket minimizing |ln(aspect) − ln(bucket aspect)|, then the
+    * resize-and-center-crop dims are derived so the SHORT side exactly
+    * fills the bucket (cover semantics — no letterboxing, minimal
+    * crop). METADATA-ONLY: the payload column is never touched; at
+    * 100 TB this plans as one slim scan of (media_id, width, height)
+    * against a broadcast 5-row bucket table.
+    *
+    * Engine-exact by construction: the aspect distance compares
+    * `ln((w·bh)/(h·bw))` of INTEGER products floored at 6 dp (ties to
+    * the lower bucket_id), and the resize dims are pure integer
+    * arithmetic (`floor(w·bh/h)`), so the oracle replays every row
+    * bit-identically. */
+  def aspectBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = s.createDataFrame(M10Buckets).toDF("bucket_id", "bw", "bh")
+    val dims = media(s, dir).toDF()
+      .select(col("media_id"),
+        col("meta.width").cast("long").as("w"),
+        col("meta.height").cast("long").as("h"))
+    val dist = floor(abs(log((col("w") * col("bh")).cast("double") /
+      (col("h") * col("bw")).cast("double"))) * 1e6 + 0.5) / 1e6
+    val wider = col("w") * col("bh") >= col("h") * col("bw")
+    val rW = when(wider, floor(col("w") * col("bh") / col("h")))
+      .otherwise(col("bw")).cast("int")
+    val rH = when(wider, col("bh"))
+      .otherwise(floor(col("h") * col("bw") / col("w"))).cast("int")
+    val byDist = Window.partitionBy("media_id")
+      .orderBy(col("dist").asc, col("bucket_id").asc)
+    dims.crossJoin(broadcast(buckets))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(byDist))
+      .where(col("rk") === 1)
+      .select(col("media_id"), col("bucket_id"),
+        col("bw").as("bucket_w"), col("bh").as("bucket_h"),
+        rW.as("resize_w"), rH.as("resize_h"),
+        (rW - col("bw")).cast("int").as("crop_x"),
+        (rH - col("bh")).cast("int").as("crop_y"))
+      .orderBy("media_id")
+  }
 }

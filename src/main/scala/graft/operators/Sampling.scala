@@ -474,4 +474,73 @@ object Sampling {
         ((col("pos") - 1) % nShards).cast("int").as("shard"))
       .orderBy("epoch", "pos")
   }
+
+  /** x20 budget fraction — single-sourced into the oracle replay. */
+  val X20BudgetFrac: Double = 0.5
+
+  /** x20: target-mixture realization under availability caps — the
+    * water-filling allocation a pretraining data plan runs AFTER the
+    * per-source token counts are known: given target mixture weights
+    * and what each source actually has, how many tokens may each
+    * source contribute so the realized mix is as close to the target
+    * as possible within a total budget? A source with less than its
+    * target share is taken whole ("saturated"); the shortfall
+    * redistributes over the others in proportion to their weights —
+    * the unique solution of `Σ min(availᵢ, λ·wᵢ) = B`, i.e. the
+    * classic water-filling level problem (Boyd & Vandenberghe,
+    * Convex Optimization §5.5 example).
+    *
+    * λ is computed in CLOSED FORM, not by iteration: sort sources by
+    * saturation ratio availᵢ/wᵢ; for each prefix i the tentative
+    * level g(i) = (B − Σ_{≤i} avail) / Σ_{>i} w moves toward the
+    * fixpoint monotonically (g(i+1) − g(i) has the sign of
+    * g(i) − ratioᵢ₊₁), so λ* = max over prefixes of g — one window
+    * cumsum, no loop, engine-exact to replay.
+    *
+    * Scale shape: ONE count shuffle over the corpus (sources ×
+    * counts); everything after operates on the n_sources-row frame —
+    * the unpartitioned windows run on that tiny aggregate, never on
+    * corpus rows. Weights here are the deterministic linear decay
+    * n+1−rank(source) so the fixture exercises both regimes
+    * (low-weight sources saturate at budgetFrac 0.5). */
+  def mixtureWaterfill(s: SparkSession, dir: String,
+                       budgetFrac: Double = X20BudgetFrac): DataFrame =
+    mixtureWaterfill(t(s, dir, "documents"), "source", col("n_chars"),
+      budgetFrac)
+
+  def mixtureWaterfill(df: DataFrame, stratumCol: String, massCol: Column,
+                       budgetFrac: Double): DataFrame = {
+    val avail = df.groupBy(stratumCol)
+      .agg(sum(massCol).cast("long").as("avail"))
+    // deterministic target weights: linear decay by source-name rank
+    val byName = Window.orderBy(col(stratumCol).asc)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val weighted = avail
+      .withColumn("weight",
+        (count(lit(1)).over(wAll) + 1 - row_number().over(byName))
+          .cast("long"))
+      .withColumn("tot_w", sum(col("weight")).over(wAll))
+      .withColumn("budget",
+        floor(sum(col("avail")).over(wAll) * budgetFrac).cast("long"))
+    val byRatio = Window.orderBy(
+      (col("avail").cast("double") / col("weight")).asc, col(stratumCol).asc)
+    val cum = weighted
+      .withColumn("cum_avail",
+        sum(col("avail")).over(byRatio.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("w_rem", col("tot_w") -
+        sum(col("weight")).over(byRatio.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("g", when(col("w_rem") > 0,
+        (col("budget") - col("cum_avail")).cast("double") / col("w_rem")))
+    val lam = cum.withColumn("lam", greatest(
+      max(col("g")).over(wAll),
+      col("budget").cast("double") / col("tot_w")))
+    lam.select(col(stratumCol), col("avail"), col("weight"),
+        least(col("avail"), floor(col("lam") * col("weight")).cast("long"))
+          .as("alloc"))
+      .withColumn("saturated", col("alloc") === col("avail"))
+      .orderBy(stratumCol)
+  }
 }

@@ -213,4 +213,54 @@ object TemporalJoins {
       .select(col("event_id"), col("user_id"), col("n_in_range").as("n_purchases"))
       .orderBy("event_id")
   }
+
+  /** j06's lookback window — single-sourced into the oracle SQL
+    * (INTERVAL 30 MINUTE there). */
+  val J06WidthUs: Long = 30L * 60 * 1000000
+
+  /** Generic bucketed range-AGGREGATE join: [[rangeJoinCount]]
+    * generalized from a count to arbitrary aggregates over the right
+    * rows with the same key and `ts` in `[leftTs − width, leftTs)`.
+    * `aggs` builds the aggregate list from the right-side value column;
+    * left rows with no match keep a row (fill NULL/0 downstream).
+    * Same scale contract as [[rangeJoinCount]]: the probe explodes to
+    * at most TWO width-sized buckets, the join is an equi-join on
+    * (key, bucket), shuffle volume O(input) never O(pairs). */
+  def rangeJoinAgg(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, leftId: String, valCol: String,
+                   width: Long, aggs: Seq[Column]): DataFrame = {
+    val l = left.withColumn("__us", unix_micros(col(ts)))
+    val r = right.select(col(key), unix_micros(col(ts)).as("__rus"),
+        col(valCol))
+      .withColumn("__bucket", floor(col("__rus") / width))
+    val probe = l.withColumn("__bucket",
+      explode(array(floor(col("__us") / width) - 1, floor(col("__us") / width))))
+    val feat = probe.join(r, Seq(key, "__bucket"))
+      .where(col("__rus") >= col("__us") - width && col("__rus") < col("__us"))
+      .groupBy(leftId)
+      .agg(aggs.head, aggs.tail: _*)
+    left.join(feat, Seq(leftId), "left")
+  }
+
+  /** j06: point-in-time feature join — for every purchase, aggregate
+    * features of the same user's CLICKS in the preceding 30 minutes
+    * (count / total / peak click value): the leakage-free feature
+    * backfill a training pipeline runs to attach behavioral context to
+    * each label event. The window is strictly before the purchase
+    * (`[ts−30min, ts)`), so no feature can see the label's own instant
+    * — the point-in-time-correctness rule feature stores enforce. */
+  def purchaseClickFeatures(s: SparkSession, dir: String): DataFrame = {
+    val purchases = typed(s, dir, "purchase").select("event_id", "user_id", "ts")
+    val clicks = typed(s, dir, "click").select("user_id", "ts", "value")
+    rangeJoinAgg(purchases, clicks, "user_id", "ts", "event_id", "value",
+        J06WidthUs, Seq(
+          count(lit(1)).as("__n"),
+          round(sum(col("value")), 4).as("__sum"),
+          round(max(col("value")), 4).as("__max")))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("__n"), lit(0L)).as("n_clicks"),
+        col("__sum").as("sum_click_value"),
+        col("__max").as("max_click_value"))
+      .orderBy("event_id")
+  }
 }

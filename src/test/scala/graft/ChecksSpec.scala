@@ -155,4 +155,34 @@ class ChecksSpec extends SparkSuite {
     assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 2 &&
       p("s").getString(6) == "a" && p("s").getString(7) == "b")
   }
+
+  test("v04 psi: identical populations score exactly zero in every bin") {
+    // every value appears once as ref and once as cur → p == q bin-wise
+    val vals = Seq(0, 0, 3, 5, 5, 5, 9)
+    val binned = (vals.map((_, true)) ++ vals.map((_, false)))
+      .toDF("bin", "is_ref")
+    val got = Checks.psiReport(binned).collect()
+    assert(got.length == Checks.V04NBins)
+    assert(got.forall(r => r.getDouble(3) == 0.0 && r.getBoolean(4)),
+      got.mkString(","))
+  }
+
+  test("v04 psi: report is total (all bins present), terms non-negative, " +
+       "and a one-sided population still yields finite terms") {
+    val binned = Seq((0, true), (0, true), (1, true), (9, false))
+      .toDF("bin", "is_ref")
+    val got = Checks.psiReport(binned).collect()
+    assert(got.map(_.getInt(0)).toSeq == (0 until Checks.V04NBins))
+    assert(got.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0),
+      got.mkString(","))
+    // the drifted bins carry the mass of the index
+    val byBin = got.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(byBin(0) > byBin(4) && byBin(9) > byBin(4))
+  }
+
+  test("v04 drift over the warehouse: 10 bins, every term defined") {
+    val got = Checks.driftPsi(spark, sf).collect()
+    assert(got.length == Checks.V04NBins)
+    assert(got.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0))
+  }
 }

@@ -1230,4 +1230,49 @@ class CorpusOpsSpec extends SparkSuite {
     // the learned inventory actually uses multi-char pieces
     assert(got.exists(_._2.length > 1), "no multi-char piece survived EM")
   }
+
+  test("x20 waterfill: budget met within flooring slack, saturated rows " +
+       "taken whole, unsaturated rows share one level") {
+    val got = Sampling.mixtureWaterfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val totalAvail = got.map(_._2).sum
+    val budget = math.floor(totalAvail * Sampling.X20BudgetFrac).toLong
+    val alloc = got.map(_._4).sum
+    assert(alloc <= budget, s"overshoot: $alloc > $budget")
+    assert(budget - alloc <= got.length, // < 1 lost per floored source
+      s"undershoot beyond flooring slack: $alloc vs $budget")
+    got.foreach { case (src, avail, _, a, sat) =>
+      assert(a <= avail, s"$src allocated beyond availability")
+      assert(sat == (a == avail), s"$src saturation flag wrong")
+    }
+    // unsaturated sources sit at a common level: alloc_i/w_i within 1/w
+    val levels = got.filter(!_._5).map(t => t._4.toDouble / t._3)
+    if (levels.length >= 2)
+      assert(levels.max - levels.min <= 1.0,
+        s"unsaturated levels diverge: ${levels.min} .. ${levels.max}")
+    // saturated sources are exactly the cheap-ratio prefix
+    val byRatio = got.sortBy(t => (t._2.toDouble / t._3, t._1))
+    val firstUnsat = byRatio.indexWhere(!_._5)
+    if (firstUnsat >= 0)
+      assert(byRatio.drop(firstUnsat).forall(!_._5),
+        "a saturated source ranked after an unsaturated one")
+  }
+
+  test("x20 waterfill: monotone in the budget, degenerate budgets behave") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("b", 3L, 50L), ("c", 4L, 1000L)
+    ).toDF("source", "doc_id", "n_chars")
+    def alloc(frac: Double): Map[String, Long] =
+      Sampling.mixtureWaterfill(docs, "source", col("n_chars"), frac)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val lo = alloc(0.3)
+    val hi = alloc(0.8)
+    assert(lo.keySet == Set("a", "b", "c"))
+    lo.keys.foreach(k => assert(lo(k) <= hi(k), s"$k shrank as budget grew"))
+    // frac 1.0: everything saturates, alloc == avail
+    val full = alloc(1.0)
+    assert(full == Map("a" -> 200L, "b" -> 50L, "c" -> 1000L), full.toString)
+  }
 }

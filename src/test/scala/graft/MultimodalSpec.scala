@@ -204,4 +204,30 @@ class MultimodalSpec extends SparkSuite {
       .intersect(shifted.grouped(d).map(_.toSeq).toSet)
     assert(gridShared.isEmpty, "the fixed grid accidentally survived the shift")
   }
+
+  test("m10 aspect buckets: one row per asset, cover-resize ≥ bucket, " +
+       "crop on exactly one axis, and the chosen bucket is the argmin") {
+    val got = Multimodal.aspectBuckets(spark, sf).collect()
+    val media = Multimodal.media(spark, sf).collect()
+      .map(m => m.media_id -> (m.meta.width.toLong, m.meta.height.toLong))
+      .toMap
+    assert(got.length == media.size)
+    got.foreach { r =>
+      val (bw, bh) = (r.getAs[Int]("bucket_w"), r.getAs[Int]("bucket_h"))
+      val (rw, rh) = (r.getAs[Int]("resize_w"), r.getAs[Int]("resize_h"))
+      val (cx, cy) = (r.getAs[Int]("crop_x"), r.getAs[Int]("crop_y"))
+      assert(rw >= bw && rh >= bh, s"resize smaller than bucket: $r")
+      assert(cx == rw - bw && cy == rh - bh, s"crop mismatch: $r")
+      assert(cx == 0 || cy == 0, s"crop on both axes (not cover-resize): $r")
+      // argmin law: no other bucket is strictly closer in log-aspect
+      val (w, h) = media(r.getAs[Long]("media_id"))
+      def dist(b: (Int, Int, Int)): Double =
+        math.floor(math.abs(math.log((w * b._3).toDouble / (h * b._2)))
+          * 1e6 + 0.5) / 1e6
+      val chosen = Multimodal.M10Buckets
+        .find(_._1 == r.getAs[Int]("bucket_id")).get
+      val best = Multimodal.M10Buckets.minBy(b => (dist(b), b._1))
+      assert(chosen == best, s"bucket not argmin for ${w}x$h: $r vs $best")
+    }
+  }
 }

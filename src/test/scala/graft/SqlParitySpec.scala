@@ -50,7 +50,9 @@ class SqlParitySpec extends SparkSuite {
     "q18_above_cust_avg", "q21_market_share", "q22_string_match",
     "q24_dormant_rich", "q26_multiset_ops", "q27_running_window",
     "q31_topk_per_group", "q35_funnel", "v01_quality_checks",
-    "v02_referential_integrity", "v03_profile", "x19_epoch_shuffle")
+    "v02_referential_integrity", "v03_profile", "v04_drift_psi",
+    "x19_epoch_shuffle", "x20_mixture_waterfill", "j06_window_features",
+    "m10_aspect_buckets")
 
   portable.foreach { name =>
     test(s"$name: oracle SQL runs verbatim via spark.sql and equals the DataFrame form") {

@@ -158,4 +158,57 @@ class TemporalJoinsSpec extends SparkSuite {
       assert(got == exp, s"event $id: got $got, expected $exp")
     }
   }
+
+  test("j06 rangeJoinAgg: strict half-open window on a crafted frame") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val left = Seq((1L, 7L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts(30), 1.0),   // stale — before the 30-min window
+      (7L, ts(70), 2.0),   // exactly at ts−width → INcluded (>= bound)
+      (7L, ts(99), 3.0),   // inside
+      (7L, ts(100), 99.0), // at the purchase instant → EXcluded (strict <)
+      (8L, ts(99), 50.0)   // other user
+    ).toDF("user_id", "ts", "value")
+    val got = TemporalJoins.rangeJoinAgg(left, right, "user_id", "ts",
+        "event_id", "value", TemporalJoins.J06WidthUs,
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("s")))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n") == 2 && got.head.getAs[Double]("s") == 5.0,
+      got.head.toString)
+  }
+
+  test("j06 rangeJoinAgg: left rows with no match survive with null aggs") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val left = Seq((1L, 7L, ts(100)), (2L, 9L, ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(99), 3.0)).toDF("user_id", "ts", "value")
+    val got = TemporalJoins.rangeJoinAgg(left, right, "user_id", "ts",
+        "event_id", "value", TemporalJoins.J06WidthUs,
+        Seq(sum(col("value")).as("s")))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("s"))).toMap
+    assert(got(1L).contains(3.0) && got(2L).isEmpty, got.toString)
+  }
+
+  test("j06 registry form: n_clicks 0 rows carry null sums, counts match " +
+       "a naive recomputation") {
+    val got = TemporalJoins.purchaseClickFeatures(spark, sf)
+    val zeros = got.filter(col("n_clicks") === 0)
+    assert(zeros.filter(col("sum_click_value").isNotNull).count() == 0)
+    // naive recomputation (unbucketed inequality join) — small SF only
+    val ev = Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("value"))
+    val naive = p.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("ts") - expr("INTERVAL 30 MINUTE") &&
+        col("cts") < col("ts"), "left")
+      .groupBy("event_id").agg(count(col("value")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      assert(r.getAs[Long]("n_clicks") == naive(r.getAs[Long]("event_id")))
+    }
+  }
 }
