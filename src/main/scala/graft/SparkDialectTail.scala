@@ -915,8 +915,78 @@ object SparkDialectTail {
          ORDER BY b.doc_id"""
   }
 
+  /** d14 Spark-dialect replay — the t26 fingerprint CTEs with the
+    * maximal-span tail (gap ⇒ new island; touching windows merge). */
+  private lazy val d14Sql: String = {
+    val w = TextOps.T26Width
+    s"""WITH base AS (
+           SELECT doc_id, size(split(trim(text), '\\\\s+')) AS n_tokens, text
+           FROM documents
+         ), wins AS (
+           SELECT doc_id, posexplode(graft_window_hashes(text, $w)) AS (i, fp)
+           FROM base WHERE n_tokens >= $w
+         ), dup AS (
+           SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2
+         ), marked AS (
+           SELECT wi.doc_id, wi.i, wi.i + ${w - 1} AS e
+           FROM wins wi JOIN dup USING (fp)
+         ), isl AS (
+           SELECT doc_id, i, e,
+             CASE WHEN i > coalesce(max(e) OVER (PARTITION BY doc_id
+                 ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+               THEN 1L ELSE 0L END AS opens
+           FROM marked
+         ), isl2 AS (
+           SELECT doc_id, i, e,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl)
+         SELECT doc_id, CAST(island AS INT) AS span_id,
+           min(i) AS span_start, max(e) AS span_end,
+           max(e) - min(i) + 1 AS span_tokens,
+           count(*) AS n_windows
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_id"""
+  }
+
+  /** t30 Spark-dialect replay — the t18 bigram spelling with the KN
+    * count frames; discount from [[TextOps.T30Discount]]. */
+  private lazy val t30Sql: String = {
+    val d = TextOps.T30Discount
+    s"""WITH toks AS (
+           SELECT split(trim(text), '\\\\s+') AS tk FROM documents
+         ), bg AS (
+           SELECT b.w1, b.w2 FROM (
+             SELECT explode(transform(sequence(1, size(tk) - 1),
+               i -> struct(element_at(tk, i) AS w1,
+                           element_at(tk, i + 1) AS w2))) AS b
+             FROM toks WHERE size(tk) >= 2)
+         ), bgc AS (
+           SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2
+         ), ctx AS (
+           SELECT w1, sum(n12) AS c1, count(*) AS fwd FROM bgc GROUP BY 1
+         ), cont AS (
+           SELECT w2, count(*) AS back FROM bgc GROUP BY 1
+         ), tot AS (SELECT count(*) AS nb FROM bgc
+         ), scored AS (
+           SELECT b.w1, b.w2, b.n12,
+             floor((greatest(CAST(b.n12 AS DOUBLE) - $d, 0.0D)
+                 / CAST(c.c1 AS DOUBLE)
+               + (($d * CAST(c.fwd AS DOUBLE)) / CAST(c.c1 AS DOUBLE))
+                 * (CAST(n.back AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS p_kn
+           FROM bgc b JOIN ctx c USING (w1) JOIN cont n USING (w2)
+           CROSS JOIN tot t)
+         SELECT CAST(row_number() OVER (ORDER BY n12 DESC, w1, w2) AS INT)
+             AS rk, w1, w2, n12, p_kn
+         FROM scored ORDER BY n12 DESC, w1, w2 LIMIT 20"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "d14_dup_spans" -> d14Sql,
+    "t30_kneser_ney" -> t30Sql,
     "s26_ann_binary" -> s26Sql,
     "t25_cms_counts" -> t25Sql,
     "t26_span_coverage" -> t26Sql,

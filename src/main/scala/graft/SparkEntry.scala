@@ -104,6 +104,9 @@ object SparkEntry {
     "t27_unigram_lm"      -> ((s, dir) => TextOps.unigramTrain(s, dir)),
     "t28_zipf_profile"    -> ((s, dir) => TextOps.zipfProfile(s, dir)),
     "t29_unigram_encode"  -> ((s, dir) => TextOps.unigramEncodePinned(s, dir)),
+    "t30_kneser_ney"      -> ((s, dir) => TextOps.knBigrams(s, dir)),
+    "d13_fuzzy_pairs"     -> Dedup.fuzzyPairs,
+    "d14_dup_spans"       -> ((s, dir) => TextOps.dupSpans(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -958,6 +961,9 @@ object SparkEntry {
     "x20_mixture_waterfill" -> x20OracleSql,
     "j06_window_features" -> j06OracleSql,
     "m10_aspect_buckets" -> m10OracleSql,
+    "t30_kneser_ney" -> t30OracleSql,
+    "d13_fuzzy_pairs" -> d13OracleSql,
+    "d14_dup_spans" -> d14OracleSql,
     "v01_quality_checks" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -3300,7 +3306,11 @@ object SparkEntry {
     * fingerprint-count ≥ 2 corpus-wide, coverage via the q19/q33
     * gaps-and-islands running max. Width from
     * [[graft.operators.TextOps.T26Width]]. */
-  private lazy val t26OracleSql: String = {
+  /** The shared t26/d14 window-fingerprint CTE prefix (toks → guard →
+    * base → wins → dup → marked): both oracles re-derive the stride-1
+    * duplicated windows identically; only the reporting tail differs
+    * (coverage fraction vs maximal spans). */
+  private lazy val t26MarkedCtes: String = {
     val w = graft.operators.TextOps.T26Width
     val innermost =
       s"""SELECT doc_id, th, unnest(range(1, n_tokens - $w + 2)) AS i
@@ -3334,7 +3344,12 @@ object SparkEntry {
          ), marked AS (
            SELECT wi.doc_id, wi.i, wi.i + $w - 1 AS e
            FROM wins wi JOIN dup USING (fp)
-         ), isl AS (
+         )"""
+  }
+
+  private lazy val t26OracleSql: String = {
+    val w = graft.operators.TextOps.T26Width
+    s"""$t26MarkedCtes, isl AS (
            SELECT doc_id,
              greatest(0, e - greatest(i - 1,
                coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
@@ -3355,6 +3370,85 @@ object SparkEntry {
          FROM base b LEFT JOIN agg a USING (doc_id)
          WHERE (SELECT ok FROM guard) = 1
          ORDER BY b.doc_id"""
+  }
+
+  /** d14 replay — the t26 fingerprint CTEs verbatim, with the span
+    * tail: a window opens a new island iff a token gap precedes it
+    * (start > running max end + 1, so touching windows merge), then
+    * each island reports its extent. */
+  private lazy val d14OracleSql: String =
+    s"""$t26MarkedCtes, isl AS (
+           SELECT doc_id, i, e,
+             CASE WHEN i > coalesce(max(e) OVER (PARTITION BY doc_id
+                 ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+               THEN 1 ELSE 0 END AS opens
+           FROM marked
+         ), isl2 AS (
+           SELECT doc_id, i, e,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl)
+         SELECT doc_id, CAST(island AS INT) AS span_id,
+           CAST(min(i) AS INT) AS span_start,
+           CAST(max(e) AS INT) AS span_end,
+           CAST(max(e) - min(i) + 1 AS INT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM isl2
+         WHERE (SELECT ok FROM guard) = 1
+         GROUP BY doc_id, island
+         ORDER BY doc_id, span_id"""
+
+  /** t30 replay — the t18 bigram-extraction dialect with the three
+    * KN count frames; the discount interpolates from
+    * [[graft.operators.TextOps.T30Discount]] so engine and oracle can
+    * never discount at different rates. */
+  private lazy val t30OracleSql: String = {
+    val d = graft.operators.TextOps.T30Discount
+    s"""WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), bg AS (
+           SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                 FROM toks WHERE len(tk) >= 2)
+         ), bgc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+           FROM bg GROUP BY 1, 2
+         ), ctx AS (
+           SELECT w1, CAST(sum(n12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS fwd
+           FROM bgc GROUP BY 1
+         ), cont AS (
+           SELECT w2, CAST(count(*) AS BIGINT) AS back FROM bgc GROUP BY 1
+         ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bgc
+         ), scored AS (
+           SELECT b.w1, b.w2, b.n12,
+             floor((greatest(CAST(b.n12 AS DOUBLE) - $d, 0.0)
+                 / CAST(c.c1 AS DOUBLE)
+               + (($d * CAST(c.fwd AS DOUBLE)) / CAST(c.c1 AS DOUBLE))
+                 * (CAST(n.back AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS p_kn
+           FROM bgc b JOIN ctx c USING (w1) JOIN cont n USING (w2)
+           CROSS JOIN tot t)
+         SELECT CAST(row_number() OVER (ORDER BY n12 DESC, w1, w2) AS INT)
+             AS rk, w1, w2, n12, p_kn
+         FROM scored ORDER BY n12 DESC, w1, w2 LIMIT 20"""
+  }
+
+  /** d13 replay — the deliberate ALL-PAIRS levenshtein baseline (the
+    * d03 quadratic-oracle contract): the engine's delete-neighborhood
+    * candidate join must reproduce the brute-force pair set exactly.
+    * Dialect-portable (Spark and DuckDB both ship `levenshtein`). */
+  private lazy val d13OracleSql: String = {
+    val k = graft.operators.Dedup.D13MaxDist
+    s"""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+         SELECT a.id AS a_id, b.id AS b_id,
+           a.name AS a_name, b.name AS b_name,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= $k
+         ORDER BY a_id, b_id"""
   }
 
   /** t25 DuckDB replay — the CMS cell counts ARE per-(row, cell)

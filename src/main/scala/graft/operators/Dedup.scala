@@ -787,4 +787,53 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** d13's edit-distance bound — single-sourced into the oracle's
+    * WHERE clause. The delete-neighborhood index below is exact for
+    * this k=1 bound; a larger k needs the full SymSpell recursion
+    * (delete up to k chars per side). */
+  val D13MaxDist: Int = 1
+
+  /** d13: fuzzy entity matching by SymSpell delete-neighborhood
+    * blocking (Garbe's symmetric-delete algorithm; same candidate
+    * theory as FastSS, Bocek et al. 2007): two strings within edit
+    * distance 1 necessarily share a member of {self} ∪ {one-char
+    * deletes} — a substitution at i makes both delete-at-i variants
+    * equal; an insert/delete makes the shorter string itself one of
+    * the longer's deletes. So the candidate generator is an EQUI-join
+    * on the variant key (L+1 keys per string), never an all-pairs
+    * loop, and one exact `levenshtein` verifies each candidate pair —
+    * the d02/d04 sketch-then-verify contract applied to edit distance.
+    *
+    * Scale: the shuffle carries (variant, id, name) at L+1 rows per
+    * entity — O(corpus·L) keys, bucket sizes bounded by how many
+    * entities collapse onto one delete (a skew cap could ride the
+    * [[graft.operators.Similarity.DefaultBucketCap]] discipline if a
+    * pathological key family appeared). The quadratic all-pairs
+    * levenshtein exists ONLY in the DuckDB oracle, as d03's documented
+    * baseline contract. */
+  def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+
+  def fuzzyPairs(names: DataFrame): DataFrame = {
+    val variants = names.select(col("id"), col("name"),
+      explode(expr(
+        """transform(sequence(0, char_length(name)),
+           i -> CASE WHEN i = 0 THEN name
+                ELSE concat(substr(name, 1, i - 1),
+                            substr(name, i + 1, char_length(name))) END)"""))
+        .as("variant"))
+    val a = variants
+      .select(col("variant"), col("id").as("a_id"), col("name").as("a_name"))
+    val b = variants
+      .select(col("variant"), col("id").as("b_id"), col("name").as("b_name"))
+    a.join(b, Seq("variant"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_name", "b_name")
+      .distinct() // a pair can share up to L variants — verify once
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .where(col("dist") <= D13MaxDist)
+      .orderBy("a_id", "b_id")
+  }
 }

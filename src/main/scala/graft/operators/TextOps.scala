@@ -1446,4 +1446,119 @@ object TextOps {
       .select("fp")
     scrubTail(occB, boiler, idCol)
   }
+
+  /** t30's absolute discount — single-sourced into the oracle replay
+    * (the canonical 0.75 of Chen & Goodman 1998). */
+  val T30Discount: Double = 0.75
+
+  /** t30: interpolated Kneser–Ney bigram probabilities — the smoothing
+    * the t12/t21 add-α bigram LM is the baseline for (Kneser & Ney
+    * 1995; Chen & Goodman, "An Empirical Study of Smoothing Techniques
+    * for Language Modeling", 1998): mass D is discounted from every
+    * seen bigram and redistributed over the CONTINUATION unigram
+    * distribution P_cont(w₂) = N₁₊(·w₂)/N_b — "how many contexts does
+    * w₂ complete" rather than "how often does w₂ occur" — which is
+    * what stops high-count-but-single-context words from absorbing
+    * backoff mass. P(w₂|w₁) = max(c₁₂−D,0)/c₁ + (D·N₁₊(w₁·)/c₁)·P_cont(w₂).
+    *
+    * Scale shape: the t18 pattern — one bigram count shuffle, two
+    * grouped reductions OVER THE COUNT FRAME (type-level, far smaller
+    * than the corpus), the 1-row bigram-type total broadcast back.
+    * Every count is an exact integer; the probability is one fixed
+    * double expression floored at 6 dp, so the oracle replays it
+    * bit-identically. The per-context sum-to-1 law is spec-pinned on
+    * the unrounded [[knTable]]. */
+  def knBigrams(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    knBigrams(t(s, dir, "documents"), "text", k)
+
+  def knBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ranked = knTable(docs, textCol)
+      .select(col("w1"), col("w2"), col("n12"),
+        (floor(col("p_kn") * 1e6 + 0.5) / 1e6).as("p_kn"))
+      .orderBy(desc("n12"), asc("w1"), asc("w2")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("n12"), asc("w1"), asc("w2"))))
+    ranked.select("rk", "w1", "w2", "n12", "p_kn").orderBy("rk")
+  }
+
+  /** The full (unrounded) KN table — exposed for the normalization
+    * law: for every context w₁, Σ_{w₂ seen} P(w₂|w₁) + backoff mass
+    * of unseen continuations = 1, and since P_cont sums to 1 over ALL
+    * w₂ types, Σ_{seen w₂} max(c−D,0)/c₁ + λ(w₁)·ΣP_cont(seen) ≤ 1
+    * with equality when every type continues w₁. */
+  private[graft] def knTable(docs: DataFrame, textCol: String): DataFrame = {
+    val d = T30Discount
+    val bg = docs.select(tokensOf(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+           i -> struct(element_at(tk, i) AS w1,
+                       element_at(tk, i + 1) AS w2))""")).as("b"))
+      .select("b.w1", "b.w2")
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val ctx = bgc.groupBy("w1").agg(sum("n12").as("c1"),
+      count(lit(1)).as("fwd"))
+    val cont = bgc.groupBy("w2").agg(count(lit(1)).as("back"))
+    val nb = bgc.agg(count(lit(1)).as("nb"))
+    bgc.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n12"),
+        (greatest(col("n12").cast("double") - d, lit(0.0)) /
+            col("c1").cast("double") +
+          ((lit(d) * col("fwd").cast("double")) / col("c1").cast("double")) *
+            (col("back").cast("double") / col("nb").cast("double")))
+          .as("p_kn"))
+  }
+
+  /** d14: cross-document duplicated-SPAN extraction — the removal-list
+    * form of t26's coverage signal (Lee et al., ACL 2022 §4: their
+    * suffix-array pass emits the actual byte ranges to cut, not just a
+    * fraction): same stride-1 window fingerprints, same "occurs ≥ 2
+    * times corpus-wide" criterion, but the marked windows are merged
+    * into MAXIMAL per-doc islands and reported as (start, end) token
+    * spans a scrub pass can splice out. Gaps-and-islands is the
+    * q19/q33 running-max: a window opens a new span iff its start lies
+    * beyond every previous window's end.
+    *
+    * Scale: identical to t26 (one fingerprint count shuffle + one
+    * mark join + per-doc windows); the extra island id is one more
+    * column in the same per-doc window pass, no new exchange. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpans(t(s, dir, "documents"), "doc_id", "text")
+
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               w: Int = T26Width): DataFrame = {
+    val hash = graft.functions.Hashing
+    val base = docs.select(col(idCol),
+      size(tokensOf(col(textCol))).as("n_tokens"),
+      hash.windowHashesCol(col(textCol), lit(w)).as("fps"))
+    val wins = base.filter(col("n_tokens") >= w)
+      .select(col(idCol), posexplode(col("fps")).as(Seq("i", "fp")))
+      .localCheckpoint() // feeds the count AND the mark join
+    val dupFps = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("fp")
+    val marked = wins.join(dupFps, "fp")
+      .select(col(idCol), col("i"), (col("i") + lit(w - 1)).as("e"))
+    val prev = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // a window opens a new span iff a token gap exists: its start is
+    // at least 2 past the running max end (adjacent windows merge —
+    // the union of overlapping-or-touching intervals is one interval)
+    val opens = (col("i") >
+      coalesce(max(col("e")).over(prev), lit(-2L)) + 1).cast("long")
+    val islandId = sum(opens).over(Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked
+      .withColumn("island", islandId)
+      .groupBy(idCol, "island")
+      .agg(min(col("i")).as("span_start"),
+        max(col("e")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("island").cast("int").as("span_id"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy(idCol, "span_id")
+  }
 }

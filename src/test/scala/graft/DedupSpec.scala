@@ -302,4 +302,42 @@ class DedupSpec extends SparkSuite {
     assert(verdicts(1L) == ((true, true)), "planted leak must hit exactly")
     assert(!verdicts(2L)._2, "innocent doc must not exact-hit")
   }
+
+  test("d13 fuzzy pairs: delete-neighborhood finds exactly the " +
+       "distance-≤1 pairs (substitution, insertion, deletion; no misses, " +
+       "no dist-2 leaks, no duplicate pairs)") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "spark"),   // substitution partner of 2
+      (2L, "snark"),
+      (3L, "sparks"),  // insertion partner of 1
+      (4L, "park"),    // deletion partner of 1
+      (5L, "sparse"),  // dist 2 from spark → excluded
+      (6L, "quartz")   // unrelated
+    ).toDF("id", "name")
+    val got = Dedup.fuzzyPairs(names).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    assert(got.distinct.length == got.length, "duplicate pairs emitted")
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L)), pairs.toString)
+    assert(got.forall(_._3 == 1))
+    // exhaustive cross-check: candidate generation loses nothing vs
+    // brute force at this scale
+    val brute = names.as("a").crossJoin(names.as("b"))
+      .where(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= Dedup.D13MaxDist)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute, s"engine $pairs vs brute $brute")
+  }
+
+  test("d13 fuzzy pairs over the warehouse: every pair verifies, " +
+       "ordering is total") {
+    val got = Dedup.fuzzyPairs(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getInt(4) <= Dedup.D13MaxDist))
+    val keys = got.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.sorted.sameElements(keys), "not ordered by (a_id, b_id)")
+    assert(keys.distinct.length == keys.length, "duplicate pairs")
+  }
 }
