@@ -469,6 +469,58 @@ object SparkDialectTail {
            WHERE q.vec_id < 5)
          $rankTail"""
 
+  /** s28 Spark-dialect replay — s04's form with the tombstone
+    * predicate on the candidate side. */
+  private lazy val s28Sql: String = {
+    val m = Similarity.S28TombMod
+    val r = Similarity.S28TombResidue
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 1, nPlanes = 4)},
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(graft_dot(qe.v, ae.v) / (qe.nrm * ae.nrm), 6) AS cos
+           FROM buckets q JOIN buckets a
+             ON a.tb = q.tb AND a.bucket = q.bucket AND a.vec_id <> q.vec_id
+             AND a.vec_id % $m <> $r
+           JOIN en qe ON qe.vec_id = q.vec_id
+           JOIN en ae ON ae.vec_id = a.vec_id
+           WHERE q.vec_id < 5)
+         $rankTail"""
+  }
+
+  /** s27 Spark-dialect replay — per-truncation brute force via
+    * `slice` + `graft_dot`, joined to the full-dim truth set. */
+  private lazy val s27Sql: String = {
+    val dims = Similarity.S27Dims
+    def topCte(name: String, slice: String => String): String =
+      s"""$name AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(graft_dot(${slice("q.v")}, ${slice("a.v")})
+                   / (sqrt(graft_dot(${slice("q.v")}, ${slice("q.v")}))
+                      * sqrt(graft_dot(${slice("a.v")}, ${slice("a.v")}))),
+                   6) DESC, a.vec_id ASC) AS rk
+             FROM e q JOIN e a ON a.vec_id <> q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rk <= 3)"""
+    val ctes = (topCte("fullr", identity) +: dims.map(d =>
+      topCte(s"t$d", v => s"slice($v, 1, $d)"))).mkString(",\n         ")
+    val arms = dims.map { d =>
+      s"""SELECT $d AS trunc_dim, f.q_id,
+           count(t.n_id) AS hits,
+           floor(CAST(count(t.n_id) AS DOUBLE) / 3 * 1e4 + 0.5)/1e4 AS recall
+         FROM fullr f LEFT JOIN t$d t ON t.q_id = f.q_id AND t.n_id = f.n_id
+         GROUP BY f.q_id"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+           FROM embeddings),
+         $ctes
+         SELECT * FROM (
+         $arms)
+         ORDER BY trunc_dim, q_id"""
+  }
+
   private lazy val s05Sql: String = {
     val dts = centroidDotsArr("sv", Pinned.ivfCentroids)
     s"""WITH $normCte,
@@ -987,6 +1039,8 @@ object SparkDialectTail {
   lazy val forms: Map[String, String] = Map(
     "d14_dup_spans" -> d14Sql,
     "t30_kneser_ney" -> t30Sql,
+    "s27_matryoshka_eval" -> s27Sql,
+    "s28_ann_tombstones" -> s28Sql,
     "s26_ann_binary" -> s26Sql,
     "t25_cms_counts" -> t25Sql,
     "t26_span_coverage" -> t26Sql,

@@ -197,6 +197,8 @@ object SparkEntry {
     "s23_bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
     "s24_mmr_rerank"      -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     "s26_ann_binary"      -> ((s, dir) => Similarity.annBinarySign(s, dir)),
+    "s27_matryoshka_eval" -> ((s, dir) => Similarity.matryoshkaEval(s, dir)),
+    "s28_ann_tombstones"  -> ((s, dir) => Similarity.annIvfTombstoned(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1816,6 +1818,8 @@ object SparkEntry {
     "s20_ann_graph_insert_recip" -> s20OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
+    "s27_matryoshka_eval" -> s27OracleSql,
+    "s28_ann_tombstones" -> s28OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
     // Pinned.pq), so cell assignment, PQ codes, ADC scores and the
@@ -2387,6 +2391,64 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s28 replay — [[s04OracleSql]] with the serve-time tombstone
+    * predicate on the CANDIDATE side of the bucket join (queries stay
+    * external); modulus/residue interpolate from
+    * [[graft.operators.Similarity.S28TombMod]]. */
+  private lazy val s28OracleSql: String = {
+    val m = graft.operators.Similarity.S28TombMod
+    val r = graft.operators.Similarity.S28TombResidue
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
+         scored AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(qe.v, ae.v), 6) AS cos
+           FROM buckets q
+           JOIN buckets a
+             ON a.tb = q.tb AND a.bucket = q.bucket AND a.vec_id <> q.vec_id
+             AND a.vec_id % $m <> $r
+           JOIN e qe ON qe.vec_id = q.vec_id
+           JOIN e ae ON ae.vec_id = a.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** s27 replay — one s01-shaped brute-force CTE per truncation (the
+    * DuckDB list slice `v[1:d]` mirrors the engine's `slice(v,1,d)`),
+    * LEFT-joined to the full-dimension truth set; dims interpolate
+    * from [[graft.operators.Similarity.S27Dims]]. */
+  private lazy val s27OracleSql: String = {
+    val dims = graft.operators.Similarity.S27Dims
+    def topCte(name: String, vq: String, va: String): String =
+      s"""$name AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity($vq, $va), 6) DESC,
+                          a.vec_id ASC) AS rk
+             FROM e q JOIN e a ON a.vec_id <> q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rk <= 3)"""
+    val ctes = (topCte("fullr", "q.v", "a.v") +: dims.map(d =>
+      topCte(s"t$d", s"q.v[1:$d]", s"a.v[1:$d]"))).mkString(",\n         ")
+    val arms = dims.map { d =>
+      s"""SELECT $d AS trunc_dim, f.q_id,
+           CAST(count(t.n_id) AS BIGINT) AS hits,
+           floor(CAST(count(t.n_id) AS DOUBLE) / 3 * 1e4 + 0.5)/1e4 AS recall
+         FROM fullr f LEFT JOIN t$d t ON t.q_id = f.q_id AND t.n_id = f.n_id
+         GROUP BY f.q_id"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $ctes
+         SELECT * FROM (
+         $arms)
+         ORDER BY trunc_dim, q_id"""
+  }
 
   /** t10 DuckDB replay — extracted to a val so [[t20OracleSql]] can
     * compose it as the keyword side of the RRF fusion. */

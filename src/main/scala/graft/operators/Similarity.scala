@@ -1633,14 +1633,20 @@ object Similarity {
     * exact-re-rank output is driver-verified against DuckDB, not just
     * rows-counted. */
   def annIvf(s: SparkSession, dir: String,
-             nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4): DataFrame = {
+             nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4,
+             tombstoned: Option[Column] = None): DataFrame = {
     val all = emb(s, dir)
       .select(col("vec_id"), col("v"), col("nrm"),
         lshBucketInt(col("v"), nPlanes).as("bucket"))
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("q_nrm"), col("bucket"))
-    val scored = all.join(broadcast(queries),
+    // s28 serve-time logical deletes: the bucket INDEX is untouched
+    // (built before the deletes, exactly a FAISS IDSelector / Lucene
+    // live-docs serve); tombstoned ids are dropped from the CANDIDATE
+    // side only, before any scoring — queries stay external.
+    val candidates = tombstoned.fold(all)(dead => all.filter(!dead))
+    val scored = candidates.join(broadcast(queries),
         Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -1650,6 +1656,81 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("q_id", "rk", "n_id", "cos")
       .orderBy("q_id", "rk")
+  }
+
+  /** s28's tombstone rule — single-sourced into the oracle predicate:
+    * vec_id ≡ [[S28TombResidue]] (mod [[S28TombMod]]) is deleted. */
+  val S28TombMod: Int = 7
+  val S28TombResidue: Int = 3
+
+  /** s28: ANN serving under LOGICAL DELETES — the index-maintenance
+    * half of the serve lifecycle (s11 covered fit-once/serve-many;
+    * this covers delete-without-rebuild): the IVF bucket index is
+    * built over the full corpus, a tombstone set marks deleted ids,
+    * and the serve path filters candidates BEFORE scoring, so deleted
+    * vectors can never be returned while the index itself is never
+    * rewritten — FAISS's IDSelector / Lucene's live-docs bitmap as a
+    * declarative Spark filter. At 100 TB the tombstone predicate is a
+    * broadcast semi-join against a delete table; here it is the
+    * deterministic modular rule the oracle replays. */
+  def annIvfTombstoned(s: SparkSession, dir: String,
+                       nQueries: Int = 5, k: Int = 3,
+                       nPlanes: Int = 4): DataFrame =
+    annIvf(s, dir, nQueries, k, nPlanes,
+      tombstoned = Some(col("vec_id") % S28TombMod === S28TombResidue))
+
+  /** s27 truncation dims — single-sourced into the oracle replay. */
+  val S27Dims: Seq[Int] = Seq(8, 16, 32)
+
+  /** s27: Matryoshka truncation evaluation (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): how much
+    * recall survives serving only the first d dimensions of the
+    * embedding? For each d the brute-force top-k is recomputed on the
+    * PREFIX slice and compared against the full-dimension truth set —
+    * the measurement that justifies (or vetoes) shipping truncated
+    * vectors, which at 100 TB cuts index bytes and dot cost by
+    * dim/d with no re-embedding.
+    *
+    * Scale shape: one full-dim pass (the s01 plan) plus one narrow
+    * pass per truncation — each is the same broadcast-queries ×
+    * corpus-stream scan with a codegen'd dot over the SLICED array;
+    * the truth set (nQueries·k rows) is localCheckpoint'd and joined
+    * per dim, so nothing corpus-sized is reused across passes. */
+  def matryoshkaEval(s: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 3,
+                     dims: Seq[Int] = S27Dims): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def topkOf(vecs: DataFrame): DataFrame = {
+      val withN = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val qs = withN.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("q_nrm"))
+      val scored = withN.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+            .as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("q_id", "n_id")
+    }
+    val full = topkOf(base).localCheckpoint() // truth set, reused per dim
+    val evals = dims.map { d =>
+      // both joins operate on nQueries·k-row frames — broadcast-hinted
+      // so AQE can never sort-merge a query-set-sized intersection
+      // (the s03 anchor-side lesson from the sf1 scale run)
+      val hits = full.join(broadcast(topkOf(base.select(col("vec_id"),
+          slice(col("v"), 1, d).as("v")))),
+          Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      full.select("q_id").distinct()
+        .join(broadcast(hits), Seq("q_id"), "left")
+        .select(lit(d).as("trunc_dim"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          TextOps.r4(coalesce(col("hits"), lit(0L)).cast("double") / k)
+            .as("recall"))
+    }
+    evals.reduce(_ unionByName _).orderBy("trunc_dim", "q_id")
   }
 
   /** t20: reciprocal-rank-fusion hybrid retrieval — the standard way

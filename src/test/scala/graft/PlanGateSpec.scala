@@ -355,4 +355,54 @@ class PlanGateSpec extends SparkSuite {
     assert(!plan.exists { case t: TopKPerGroupExec => t.partial; case _ => false },
       "window-rank plan unexpectedly contains a partial TopKPerGroup")
   }
+
+  // ---- round-12 operators -------------------------------------------
+
+  test("d13 fuzzy pairs: candidate generation is an EQUI-join on the " +
+       "variant key, never the all-pairs product") {
+    // the all-pairs levenshtein lives ONLY in the oracle; the engine
+    // plan must join on the delete-variant key — a cartesian (or a
+    // broadcast nested loop, which is the same product with a hint)
+    // means the SymSpell blocking silently collapsed
+    val plan = finalPlan(graft.operators.Dedup.fuzzyPairs(spark, sf))
+    assert(!plan.exists {
+      case _: CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "d13 degraded to an all-pairs product")
+  }
+
+  test("j06 range-agg join: bucketed equi-join, no row-blowup product") {
+    val plan = finalPlan(
+      graft.operators.TemporalJoins.purchaseClickFeatures(spark, sf))
+    assert(!plan.exists {
+      case _: CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "j06 degraded to a purchases×clicks product")
+  }
+
+  test("m10 aspect buckets: the 5-row bucket table rides broadcast; " +
+       "no sort-merge anywhere") {
+    val plan = finalPlan(graft.operators.Multimodal.aspectBuckets(spark, sf))
+    assert(!plan.exists {
+      case _: SortMergeJoinExec | _: CartesianProductExec => true
+      case _ => false
+    }, "m10 shuffled the corpus against a 5-row literal table")
+  }
+
+  test("s28 tombstone serve keeps s04's bucket equi-join shape") {
+    val plan = finalPlan(Similarity.annIvfTombstoned(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "s28 degraded to a cartesian")
+  }
+
+  test("s27 matryoshka: every truncation pass keeps the broadcast-" +
+       "queries shape (no corpus-side shuffle joins)") {
+    val plan = finalPlan(Similarity.matryoshkaEval(spark, sf))
+    assert(!plan.exists {
+      case _: SortMergeJoinExec | _: CartesianProductExec => true
+      case _ => false
+    }, "s27 shuffled the corpus for a query-set-sized join")
+  }
 }

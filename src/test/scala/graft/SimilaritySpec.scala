@@ -852,4 +852,48 @@ class SimilaritySpec extends SparkSuite {
       assert(cosv == exact, s"mined cos for ($s,$t) drifted from exact")
     }
   }
+
+  test("s27 matryoshka: truncating at the FULL dimension reproduces the " +
+       "truth set exactly (recall 1.0 per query); partial dims bounded") {
+    val full = Similarity.matryoshkaEval(spark, sf, dims = Seq(64)).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Long]("hits") == 3 && r.getAs[Double]("recall") == 1.0,
+        s"full-dim truncation must be the identity: $r")
+    }
+    val partial = Similarity.matryoshkaEval(spark, sf).collect()
+    assert(partial.length == Similarity.S27Dims.length * 5)
+    partial.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0 && h <= 3 &&
+        r.getAs[Double]("recall") ==
+          math.floor(h.toDouble / 3 * 1e4 + 0.5) / 1e4, r.toString)
+    }
+  }
+
+  test("s28 tombstones: deleted ids never surface, and every surviving " +
+       "s04 neighbor keeps or improves its rank") {
+    val mod = Similarity.S28TombMod
+    val res = Similarity.S28TombResidue
+    val got = Similarity.annIvfTombstoned(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("n_id")))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, n) =>
+      assert(n % mod != res, s"tombstoned id $n served")
+    }
+    val base = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("n_id")))
+    val gotRank = got.map { case (q, rk, n) => (q, n) -> rk }.toMap
+    base.filter { case (_, _, n) => n % mod != res }.foreach {
+      case (q, rk, n) =>
+        val newRk = gotRank.get((q, n))
+        // a survivor can only move UP when competitors are deleted;
+        // it may also fall off only if it was never in the top-k —
+        // impossible here since it already was ≤ k
+        assert(newRk.exists(_ <= rk),
+          s"survivor ($q,$n) rank worsened: $rk -> $newRk")
+    }
+  }
 }
