@@ -286,5 +286,41 @@ package object api {
     def saltedJoin(small: DataFrame, key: String, idCol: String,
                    salts: Int = 8): DataFrame =
       Skew.saltedJoin(df, small, key, idCol, salts)
+
+    /** j06: point-in-time feature join — aggregate `right` rows with
+      * the same `key` in `[leftTs − widthMicros, leftTs)` per left row
+      * (strictly before: leakage-free feature backfill). */
+    def rangeJoinAgg(right: DataFrame, key: String, ts: String,
+                     leftId: String, valCol: String, widthMicros: Long,
+                     aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+      TemporalJoins.rangeJoinAgg(df, right, key, ts, leftId, valCol,
+        widthMicros, aggs)
+
+    /** d13: edit-distance-≤1 pair mining via SymSpell delete-variant
+      * blocking over `(id, name)` frames. */
+    def fuzzyPairs(): DataFrame = Dedup.fuzzyPairs(df)
+
+    /** d14: maximal cross-document duplicated token spans — the
+      * removal list form of [[spanCoverage]]. */
+    def dupSpans(idCol: String, textCol: String,
+                 width: Int = TextOps.T26Width): DataFrame =
+      TextOps.dupSpans(df, idCol, textCol, width)
+
+    /** t30: interpolated Kneser–Ney bigram probabilities (top-k by
+      * count). */
+    def knBigrams(textCol: String, k: Int = 20): DataFrame =
+      TextOps.knBigrams(df, textCol, k)
+
+    /** x20: water-filling mixture realization — per-stratum
+      * allocations hitting a `budgetFrac` total under availability
+      * caps. */
+    def mixtureWaterfill(stratumCol: String,
+                         mass: org.apache.spark.sql.Column,
+                         budgetFrac: Double = Sampling.X20BudgetFrac): DataFrame =
+      Sampling.mixtureWaterfill(df, stratumCol, mass, budgetFrac)
+
+    /** v04: PSI drift report over an already-binned population frame
+      * (`bin: int`, `is_ref: boolean`). */
+    def psiReport(): DataFrame = Checks.psiReport(df)
   }
 }

@@ -817,23 +817,32 @@ object Dedup {
       .select(col("c_custkey").as("id"), col("c_name").as("name")))
 
   def fuzzyPairs(names: DataFrame): DataFrame = {
-    val variants = names.select(col("id"), col("name"),
+    // the variant shuffle carries ONLY (8-ish-byte id, variant key) —
+    // never the name payload twice per side: candidate ids dedup
+    // first (a pair can share up to L variants), and the names are
+    // fetched AFTER the distinct via two slim hash joins (broadcast
+    // at dimension scale; the join keys are unique ids either way)
+    val variants = names.select(col("id"),
       explode(expr(
         """transform(sequence(0, char_length(name)),
            i -> CASE WHEN i = 0 THEN name
                 ELSE concat(substr(name, 1, i - 1),
                             substr(name, i + 1, char_length(name))) END)"""))
         .as("variant"))
-    val a = variants
-      .select(col("variant"), col("id").as("a_id"), col("name").as("a_name"))
-    val b = variants
-      .select(col("variant"), col("id").as("b_id"), col("name").as("b_name"))
-    a.join(b, Seq("variant"))
+    val a = variants.select(col("variant"), col("id").as("a_id"))
+    val b = variants.select(col("variant"), col("id").as("b_id"))
+    val cand = a.join(b, Seq("variant"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_name", "b_name")
-      .distinct() // a pair can share up to L variants — verify once
+      .select("a_id", "b_id")
+      .distinct() // verify each candidate pair once
+    cand
+      .join(broadcast(names.select(col("id").as("a_id"),
+        col("name").as("a_name"))), Seq("a_id"))
+      .join(broadcast(names.select(col("id").as("b_id"),
+        col("name").as("b_name"))), Seq("b_id"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .where(col("dist") <= D13MaxDist)
+      .select("a_id", "b_id", "a_name", "b_name", "dist")
       .orderBy("a_id", "b_id")
   }
 }

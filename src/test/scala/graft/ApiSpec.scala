@@ -225,4 +225,26 @@ class ApiSpec extends SparkSuite {
       .map(r => (r.getString(2), r.isNullAt(4))).toMap
     assert(out == Map("c1" -> true, "c2" -> false))
   }
+
+  test("round-12 facade: fuzzyPairs / knBigrams / mixtureWaterfill / " +
+       "psiReport / dupSpans compose on plain DataFrames") {
+    val names = Seq((1L, "kafka"), (2L, "kafkb"), (3L, "query"))
+      .toDF("id", "name")
+    val fp = names.fuzzyPairs().collect()
+    assert(fp.length == 1 && fp.head.getLong(0) == 1L
+      && fp.head.getLong(1) == 2L)
+
+    val corpus = Seq((1L, "x y x y x y"), (2L, "x y z")).toDF("id", "body")
+    assert(corpus.knBigrams("body", 5).count() > 0)
+    assert(corpus.dupSpans("id", "body", width = 2).columns
+      .contains("span_tokens"))
+
+    val alloc = corpus
+      .mixtureWaterfill("id", org.apache.spark.sql.functions
+        .lit(10L), budgetFrac = 0.5)
+    assert(alloc.columns.contains("alloc"))
+
+    val binned = Seq((0, true), (0, false)).toDF("bin", "is_ref")
+    assert(binned.psiReport().count() == graft.operators.Checks.V04NBins)
+  }
 }
