@@ -107,6 +107,7 @@ object SparkEntry {
     "t30_kneser_ney"      -> ((s, dir) => TextOps.knBigrams(s, dir)),
     "d13_fuzzy_pairs"     -> Dedup.fuzzyPairs,
     "d14_dup_spans"       -> ((s, dir) => TextOps.dupSpans(s, dir)),
+    "d15_incremental_fuzzy" -> ((s, dir) => Dedup.incrementalFuzzy(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -134,6 +135,8 @@ object SparkEntry {
     "x20_mixture_waterfill" -> ((s, dir) => Sampling.mixtureWaterfill(s, dir)),
     "j06_window_features" -> TemporalJoins.purchaseClickFeatures,
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
+    "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
+    "x21_family_split"    -> Sampling.familySplit,
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -963,9 +966,12 @@ object SparkEntry {
     "x20_mixture_waterfill" -> x20OracleSql,
     "j06_window_features" -> j06OracleSql,
     "m10_aspect_buckets" -> m10OracleSql,
+    "m11_batch_manifest" -> m11OracleSql,
+    "x21_family_split" -> x21OracleSql,
     "t30_kneser_ney" -> t30OracleSql,
     "d13_fuzzy_pairs" -> d13OracleSql,
     "d14_dup_spans" -> d14OracleSql,
+    "d15_incremental_fuzzy" -> d15OracleSql,
     "v01_quality_checks" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -2915,10 +2921,11 @@ object SparkEntry {
     * VALUES list; distance and resize math mirror the engine
     * (integer products, one ln floored at 6 dp, integer division via
     * floor). */
-  private lazy val m10OracleSql: String = {
+  /** The m10 CTE chain + select body, shared with the m11 wrapper. */
+  private lazy val m10Ctes: String = {
     val bucketVals = graft.operators.Multimodal.M10Buckets
       .map { case (i, w, h) => s"($i, $w, $h)" }.mkString(",")
-    s"""WITH m AS (
+    s"""m AS (
            SELECT doc_id AS media_id,
              CAST(64 + n_chars % 64 AS BIGINT) AS w,
              CAST(64 + n_chars % 48 AS BIGINT) AS h
@@ -2932,8 +2939,11 @@ object SparkEntry {
          ), best AS (
            SELECT *, row_number() OVER (PARTITION BY media_id
              ORDER BY dist, bucket_id) AS rk
-           FROM scored)
-         SELECT media_id, bucket_id,
+           FROM scored)"""
+  }
+
+  private lazy val m10SelectBody: String =
+    """SELECT media_id, bucket_id,
            CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
            CAST(CASE WHEN w * bh >= h * bw
              THEN floor(w * bh / h) ELSE bw END AS INT) AS resize_w,
@@ -2943,8 +2953,52 @@ object SparkEntry {
              THEN floor(w * bh / h) - bw ELSE 0 END AS INT) AS crop_x,
            CAST(CASE WHEN w * bh >= h * bw
              THEN 0 ELSE floor(h * bw / w) - bh END AS INT) AS crop_y
-         FROM best WHERE rk = 1 ORDER BY media_id"""
+         FROM best WHERE rk = 1"""
+
+  private lazy val m10OracleSql: String =
+    s"""WITH $m10Ctes
+         $m10SelectBody ORDER BY media_id"""
+
+  /** m11 replay — the m10 chain verbatim plus the batch-chunk window;
+    * batch size interpolates from
+    * [[graft.operators.Multimodal.M11BatchSize]]. Integer division is
+    * spelled floor() (a bare CAST would round-half-even in DuckDB but
+    * truncate in Spark). Dialect-portable like m10. */
+  private lazy val m11OracleSql: String = {
+    val b = graft.operators.Multimodal.M11BatchSize
+    s"""WITH $m10Ctes, picked AS (
+           $m10SelectBody
+         ), ranked AS (
+           SELECT media_id, bucket_id,
+             row_number() OVER (PARTITION BY bucket_id ORDER BY media_id)
+               AS rn
+           FROM picked
+         ), chunked AS (
+           SELECT bucket_id,
+             CAST(floor((rn - 1) / $b.0) AS INT) AS batch_idx,
+             CAST((rn - 1) % $b AS INT) AS slot, media_id
+           FROM ranked)
+         SELECT bucket_id, batch_idx, slot, media_id,
+           count(*) OVER (PARTITION BY bucket_id, batch_idx) = $b AS full
+         FROM chunked ORDER BY bucket_id, batch_idx, slot"""
   }
+
+  /** x21 replay — the x17 content-fingerprint spelling pushed through
+    * the x01 hash-prefix split, keyed on the FAMILY fingerprint. */
+  private lazy val x21OracleSql: String =
+    """WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents
+         ), sp AS (
+           SELECT fp,
+             CASE WHEN substring(md5(fp), 1, 2) < '0d' THEN 'test'
+                  WHEN substring(md5(fp), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+           FROM f)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_families
+         FROM sp GROUP BY split ORDER BY split"""
 
   /** m09 replays — the window-md5 boundary rule re-derived from the
     * text: position e (1-based) ends a chunk when the big-endian
@@ -3511,6 +3565,30 @@ object SparkEntry {
          FROM c a JOIN c b ON a.id < b.id
          WHERE levenshtein(a.name, b.name) <= $k
          ORDER BY a_id, b_id"""
+  }
+
+  /** d15 replay — the incremental-admission verdicts as a brute-force
+    * batch×store levenshtein (the d13 quadratic-oracle contract); the
+    * split scalar replays the engine's floor(max·frac). Dialect-
+    * portable. */
+  private lazy val d15OracleSql: String = {
+    val k = graft.operators.Dedup.D13MaxDist
+    val frac = graft.operators.Dedup.D15SplitFrac
+    s"""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+         cut AS (SELECT CAST(floor(max(id) * $frac) AS BIGINT) AS v FROM c),
+         b AS (SELECT id, name FROM c CROSS JOIN cut WHERE id >= cut.v),
+         st AS (SELECT id, name FROM c CROSS JOIN cut WHERE id < cut.v),
+         m AS (
+           SELECT b.id, st.id AS store_id,
+             CAST(levenshtein(b.name, st.name) AS INT) AS dist
+           FROM b JOIN st ON levenshtein(b.name, st.name) <= $k)
+         SELECT id, best_match, dist, n_matches FROM (
+           SELECT id, store_id AS best_match, dist,
+             row_number() OVER (PARTITION BY id ORDER BY dist, store_id)
+               AS rk,
+             CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n_matches
+           FROM m)
+         WHERE rk = 1 ORDER BY id"""
   }
 
   /** t25 DuckDB replay — the CMS cell counts ARE per-(row, cell)
@@ -4534,6 +4612,20 @@ object SparkEntry {
            floor((1.0 / CAST(n_copies AS DOUBLE))*1e4 + 0.5)/1e4 AS weight
          FROM f JOIN fam USING (fp) ORDER BY doc_id""",
     "x18_bloom_decontaminate" -> x18SparkSqlText,
+    "x21_family_split" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+           FROM documents
+         ), sp AS (
+           SELECT fp,
+             CASE WHEN substring(md5(fp), 1, 2) < '0d' THEN 'test'
+                  WHEN substring(md5(fp), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+           FROM f)
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT fp) AS n_families
+         FROM sp GROUP BY split ORDER BY split""",
     "m09_cdc_chunks" -> m09SparkSqlText,
     "d11_incremental_dedup" ->
       """WITH f AS (

@@ -322,5 +322,16 @@ package object api {
     /** v04: PSI drift report over an already-binned population frame
       * (`bin: int`, `is_ref: boolean`). */
     def psiReport(): DataFrame = Checks.psiReport(df)
+
+    /** x21: leakage-safe split report — membership decided per content
+      * family so no duplicate family straddles train/val/test. */
+    def familySplit(idCol: String, textCol: String): DataFrame =
+      Sampling.familySplit(df, idCol, textCol)
+
+    /** d15: probe this batch of `(id, name)` rows against an
+      * accumulated delete-variant store; matched rows report their
+      * best fuzzy match, unmatched rows are the admissions. */
+    def fuzzyAdmit(store: DataFrame): DataFrame =
+      Dedup.incrementalFuzzy(df, store)
   }
 }

@@ -263,4 +263,63 @@ object Checks {
       .withColumn("stable", col("psi_term") < lit(0.01))
       .orderBy("bin")
   }
+
+  /** v05: per-source vocabulary divergence — the TEXT-side companion
+    * of v04's numeric PSI: Jensen–Shannon divergence between each
+    * source's unigram distribution and the corpus-wide distribution,
+    * the monitoring dial a mixture plan watches ("did source X's
+    * vocabulary drift away from the mix?"). JSD is symmetric and
+    * bounded by ln 2, so one threshold works for every source.
+    *
+    * Absent-word terms need no materialized (source, word) frame:
+    * for w ∉ source, p = 0 and m = q/2, so the contribution is
+    * q·ln 2 — summed in closed form as ln 2 · (1 − Σ_{w∈source} q_w).
+    * The sums over PRESENT words run on the (source, word) count
+    * frame only.
+    *
+    * Scale shape: ONE (source, word) count shuffle over the exploded
+    * tokens (map-side combined); the global word frame is a grouped
+    * reduction of that same frame (vocab-sized, far below corpus
+    * size), joined back word-keyed; per-source totals broadcast. The
+    * only float math is the divides and `ln`s, and the report value is
+    * floored at 6 dp (the v04/x11 engine-portability discipline). */
+  def vocabDivergence(s: SparkSession, dir: String): DataFrame =
+    vocabDivergence(t(s, dir, "documents"), "source", "text")
+
+  def vocabDivergence(docs: DataFrame, srcCol: String,
+                      textCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val st = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val global = st.groupBy("w").agg(sum("c").as("cg"))
+    val totals = st.groupBy("source").agg(sum("c").as("ns"))
+    val grand = st.agg(sum("c").as("n")) // 1 row
+    val joined = st.join(global, "w")
+      .join(totals, "source")
+      .crossJoin(broadcast(grand))
+    val p = col("c").cast("double") / col("ns").cast("double")
+    val q = col("cg").cast("double") / col("n").cast("double")
+    val m = (p + q) / 2.0
+    // Each word's two KL terms are floored to NANO-units BEFORE the
+    // per-source sum (the x11 lam_micro discipline): float addition is
+    // order-dependent under Spark's partial aggregation, integer
+    // addition is not — and the oracle replays the identical
+    // floor-then-sum, so the equivalence is exact, not approximate.
+    val nano = (c: Column) => floor(c * 1e9 + 0.5).cast("long")
+    val perSrc = joined.groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(nano(p * log(p / m))).as("kp_nano"),
+        sum(nano(q * log(q / m))).as("kq_nano"),
+        sum(col("cg")).as("cg_sum"),
+        max(col("n")).as("n"))
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val absentMass =
+      lit(1.0) - col("cg_sum").cast("double") / col("n").cast("double")
+    perSrc.select(col("source"), col("n_tokens"), col("vocab"),
+        r6((col("kp_nano").cast("double") / 1e9) * 0.5
+          + (col("kq_nano").cast("double") / 1e9
+             + absentMass * math.log(2.0)) * 0.5).as("jsd"))
+      .orderBy("source")
+  }
 }

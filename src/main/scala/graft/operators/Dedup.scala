@@ -816,19 +816,27 @@ object Dedup {
     fuzzyPairs(t(s, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name")))
 
-  def fuzzyPairs(names: DataFrame): DataFrame = {
-    // the variant shuffle carries ONLY (8-ish-byte id, variant key) —
-    // never the name payload twice per side: candidate ids dedup
-    // first (a pair can share up to L variants), and the names are
-    // fetched AFTER the distinct via two slim hash joins (broadcast
-    // at dimension scale; the join keys are unique ids either way)
-    val variants = names.select(col("id"),
+  /** The SymSpell k=1 delete neighborhood of a name frame: one row per
+    * (id, variant) over {self} ∪ {one-char deletes} — the persisted
+    * INDEX artifact of the fuzzy family (the streaming consumer in
+    * [[graft.streaming.IncrementalJobs]] reads/extends exactly this
+    * frame, the d12 sketch-store discipline). */
+  def nameVariants(names: DataFrame): DataFrame =
+    names.select(col("id"), col("name"),
       explode(expr(
         """transform(sequence(0, char_length(name)),
            i -> CASE WHEN i = 0 THEN name
                 ELSE concat(substr(name, 1, i - 1),
                             substr(name, i + 1, char_length(name))) END)"""))
         .as("variant"))
+
+  def fuzzyPairs(names: DataFrame): DataFrame = {
+    // the variant shuffle carries ONLY (8-ish-byte id, variant key) —
+    // never the name payload twice per side: candidate ids dedup
+    // first (a pair can share up to L variants), and the names are
+    // fetched AFTER the distinct via two slim hash joins (broadcast
+    // at dimension scale; the join keys are unique ids either way)
+    val variants = nameVariants(names).drop("name")
     val a = variants.select(col("variant"), col("id").as("a_id"))
     val b = variants.select(col("variant"), col("id").as("b_id"))
     val cand = a.join(b, Seq("variant"))
@@ -844,5 +852,124 @@ object Dedup {
       .where(col("dist") <= D13MaxDist)
       .select("a_id", "b_id", "a_name", "b_name", "dist")
       .orderBy("a_id", "b_id")
+  }
+
+  /** d15's batch/store split — single-sourced into the oracle SQL.
+    * Entities below the split are the accumulated store; the rest
+    * arrive as "the batch" (the d12 fixture discipline; the split is
+    * a FRACTION of the key range so the fixture is meaningful at
+    * every SF). */
+  val D15SplitFrac: Double = 0.8
+
+  /** d15: INCREMENTAL fuzzy admission — d13's matcher under
+    * continuous ingestion (the d11/d12 store discipline applied to
+    * the edit-distance family): the accumulated store holds the
+    * delete-variant INDEX of every admitted name ([[nameVariants]] —
+    * what SymSpell persists instead of re-deriving); a new batch
+    * probes it with an equi-join on the variant key, one exact
+    * `levenshtein` verifies each candidate, and the report carries
+    * each matched batch entity's best store match (dist ASC, id ASC)
+    * plus its match count. Batch rows with no verdict row are the
+    * admissions whose variants extend the store.
+    *
+    * At 100 TB: per-batch work is batch-sized (batch variants ×
+    * store-bucket lookups — the store side of the equi-join prunes to
+    * the batch's variant keys); the store grows by L+1 slim rows per
+    * ADMITTED name, never per arrival. */
+  def incrementalFuzzy(s: SparkSession, dir: String,
+                       splitFrac: Double = D15SplitFrac): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // floor() on BOTH sides (oracle replays the same scalar) — a bare
+    // toLong truncates while SQL CAST rounds, so the split could
+    // desync on a .5 edge
+    val cut = math.floor(c.agg(max("id")).head.getLong(0) * splitFrac).toLong
+    incrementalFuzzy(c.filter(col("id") >= cut),
+      nameVariants(c.filter(col("id") < cut)))
+  }
+
+  /** The probe half over a pre-derived variant store (id, name,
+    * variant). */
+  def incrementalFuzzy(batch: DataFrame, store: DataFrame): DataFrame = {
+    val bv = nameVariants(batch)
+      .select(col("variant"), col("id").as("batch_id"))
+    val sv = store.select(col("variant"), col("id").as("store_id"))
+    val cand = bv.join(sv, Seq("variant"))
+      .select("batch_id", "store_id").distinct()
+    val verified = cand
+      .join(broadcast(batch.select(col("id").as("batch_id"),
+        col("name").as("b_name"))), Seq("batch_id"))
+      .join(store.select(col("id").as("store_id"), col("name").as("s_name"))
+        .distinct(), Seq("store_id"))
+      .withColumn("dist", levenshtein(col("b_name"), col("s_name")))
+      .where(col("dist") <= D13MaxDist)
+    val w = Window.partitionBy("batch_id")
+      .orderBy(asc("dist"), asc("store_id"))
+    verified
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("batch_id")))
+      .filter(col("rk") === 1)
+      .select(col("batch_id").as("id"), col("store_id").as("best_match"),
+        col("dist"), col("n_matches"))
+      .orderBy("id")
+  }
+
+  /** d16's ground-truth floor — pairs below this Jaccard are outside
+    * the measurement (banding theory puts their candidate probability
+    * near 0 anyway); single-sourced into the oracle replay. */
+  val D16MinJaccard: Double = 0.1
+
+  /** d16: the REALIZED LSH S-curve — per-Jaccard-bin recall of the
+    * 16×4 minhash band candidates against exact shingle-Jaccard ground
+    * truth. d02's exactness contract rests on band recall ≈ 1 above
+    * the threshold; this query MEASURES that curve on the corpus
+    * instead of assuming the 1−(1−j⁴)¹⁶ formula (the s21/s25 eval
+    * discipline applied to the dedup family — the dial to read before
+    * moving the dedup threshold or re-banding).
+    *
+    * Ground truth is the documented quadratic EVAL baseline (the
+    * d03/s02 contract): at 100 TB this query runs on a sample — its
+    * OUTPUT (a 9-row curve) is what transfers, the banded candidate
+    * side is the at-scale path being graded. Bins are
+    * floor(jaccard·10) clamped to 9; recall is milli-rounded on exact
+    * integer counts. */
+  def lshScurve(s: SparkSession, dir: String): DataFrame =
+    lshScurve(t(s, dir, "documents"), "doc_id", "text")
+
+  def lshScurve(docs: DataFrame, idCol: String, textCol: String,
+                minJaccard: Double = D16MinJaccard): DataFrame = {
+    // read 3 times (band explode + both sides of the shingle index)
+    val sh = docShingles(docs, idCol, textCol)
+      .withColumn("bands", Hashing.minhashBands(col("sh")))
+      .localCheckpoint()
+    val banded = sh
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val truth = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 10), lit(9.0)).cast("int")
+        .as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall_milli",
+        floor(col("n_caught") * 1000.0 / col("n_pairs") + 0.5).cast("long"))
+      .orderBy("bin")
   }
 }

@@ -336,6 +336,33 @@ object Multimodal {
     * the lower bucket_id), and the resize dims are pure integer
     * arithmetic (`floor(w·bh/h)`), so the oracle replays every row
     * bit-identically. */
+  /** m11 batch size — single-sourced into the oracle replay. */
+  val M11BatchSize: Int = 4
+
+  /** m11: the DATALOADER MANIFEST over m10's buckets — same-shaped
+    * assets grouped into fixed-size training batches (what an image
+    * trainer's sampler actually consumes): within each aspect bucket,
+    * assets order deterministically by id and chunk into batches of
+    * [[M11BatchSize]]; `full` marks complete batches (the
+    * drop_last=True set) while partial tails stay visible for the
+    * drop_last=False consumer. Composes m10 unchanged — metadata-only,
+    * one window pass per bucket, no payload touch. */
+  def batchManifest(s: SparkSession, dir: String,
+                    batchSize: Int = M11BatchSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy("bucket_id").orderBy("media_id")
+    val counts = Window.partitionBy("bucket_id", "batch_idx")
+    aspectBuckets(s, dir)
+      .select(col("media_id"), col("bucket_id"))
+      .withColumn("rn", row_number().over(byBucket))
+      .withColumn("batch_idx",
+        floor((col("rn") - 1) / lit(batchSize.toDouble)).cast("int"))
+      .withColumn("slot", ((col("rn") - 1) % batchSize).cast("int"))
+      .withColumn("full", count(lit(1)).over(counts) === batchSize)
+      .select("bucket_id", "batch_idx", "slot", "media_id", "full")
+      .orderBy("bucket_id", "batch_idx", "slot")
+  }
+
   def aspectBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val buckets = s.createDataFrame(M10Buckets).toDF("bucket_id", "bw", "bh")

@@ -478,6 +478,40 @@ object Sampling {
   /** x20 budget fraction — single-sourced into the oracle replay. */
   val X20BudgetFrac: Double = 0.5
 
+  /** x21: LEAKAGE-SAFE train/val/test split — membership decided per
+    * content FAMILY, not per document: the split hash is taken over
+    * the d01/x17 content fingerprint, so every copy of the same
+    * (normalized) content lands in the SAME split by construction.
+    * This is the dedup-aware split rule serious eval hygiene requires
+    * — a doc-keyed split (x01) scatters a duplicate family across
+    * train and test and silently leaks training content into eval;
+    * Lee et al. (ACL 2022 §6.2) measure exactly this contamination.
+    * The spec plants a cross-split family and proves x01 leaks where
+    * x21 cannot.
+    *
+    * Scale shape: identical to x01 plus one md5 over the normalized
+    * text (map-side, no extra shuffle — the fingerprint IS the hash
+    * input); the report is one count shuffle. */
+  def familySplit(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val f = docs.select(col(idCol), contentFp(col(textCol)).as("fp"))
+    deterministicSplit(f, "fp")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_families"))
+      .orderBy("split")
+  }
+
+  def familySplit(s: SparkSession, dir: String): DataFrame =
+    familySplit(t(s, dir, "documents"), "doc_id", "text")
+
+  /** The per-doc assignment (id, fp, split) — what the spec's leakage
+    * law checks and what a pipeline materializes. */
+  private[graft] def familySplitAssignments(docs: DataFrame, idCol: String,
+                                            textCol: String): DataFrame =
+    deterministicSplit(
+      docs.select(col(idCol), contentFp(col(textCol)).as("fp")), "fp")
+
   /** x20: target-mixture realization under availability caps — the
     * water-filling allocation a pretraining data plan runs AFTER the
     * per-source token counts are known: given target mixture weights
@@ -503,6 +537,48 @@ object Sampling {
     * corpus rows. Weights here are the deterministic linear decay
     * n+1−rank(source) so the fixture exercises both regimes
     * (low-weight sources saturate at budgetFrac 0.5). */
+  /** x22: packing-efficiency report — the trainer-facing audit of the
+    * x10 manifest: one row per packed SEQUENCE with how many tokens
+    * actually fill it, how many documents contribute, and how many of
+    * those are FRAGMENTS (documents split across a sequence boundary —
+    * the attention-mask pollution a packing scheme trades for
+    * padding). Only the final sequence may be partial (`full` =
+    * filled == budget), so Σ(budget − n_tokens_filled) over non-full
+    * rows IS the corpus' total padding waste — the number a data plan
+    * compares across budget choices before committing an epoch.
+    *
+    * Scale shape: the x10 manifest is doc-count-sized; each doc
+    * explodes to its occupied sequences (1 + n_tokens/budget rows on
+    * average — a constant factor, not a blow-up), and the only
+    * exchange is the (seq_id) count shuffle over slim
+    * (seq_id, overlap, fragment) rows. The offsets-table broadcast
+    * inside [[packManifest]] carries over unchanged. */
+  def packEfficiency(s: SparkSession, dir: String,
+                     budget: Long = 256L): DataFrame =
+    packEfficiency(packSequences(s, dir, budget), budget)
+
+  /** The report over an already-built manifest (x10's columns:
+    * id, n_tokens, start_tok, seq_first, n_seqs). */
+  def packEfficiency(manifest: DataFrame, budget: Long): DataFrame = {
+    // zero-token rows occupy no sequence (and would make the
+    // descending-sequence edge of `sequence()` reachable) — drop them
+    val ex = manifest.filter(col("n_tokens") >= 1)
+      .select(col("n_tokens"), col("start_tok"),
+        col("n_seqs"),
+        explode(sequence(col("seq_first"),
+          col("seq_first") + col("n_seqs") - 1)).as("seq_id"))
+      .withColumn("tok_here",
+        least(col("start_tok") + col("n_tokens"),
+            (col("seq_id") + 1) * budget)
+          - greatest(col("start_tok"), col("seq_id") * budget))
+    ex.groupBy("seq_id")
+      .agg(sum("tok_here").as("n_tokens_filled"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("n_fragments"))
+      .withColumn("full", col("n_tokens_filled") === budget)
+      .orderBy("seq_id")
+  }
+
   def mixtureWaterfill(s: SparkSession, dir: String,
                        budgetFrac: Double = X20BudgetFrac): DataFrame =
     mixtureWaterfill(t(s, dir, "documents"), "source", col("n_chars"),

@@ -1561,4 +1561,47 @@ object TextOps {
         col("n_windows"))
       .orderBy(idCol, "span_id")
   }
+
+  /** t31: memorization audit — for each EVAL document, the fraction of
+    * its stride-1 token windows that appear verbatim anywhere in the
+    * TRAIN split (the Carlini et al. extractable-memorization /
+    * eval-contamination measurement at window granularity; x05/x16
+    * answer "is this eval DOC in the corpus", this answers "how much
+    * of it is"). Splits come from the x01 hash rule keyed on the doc
+    * id ('val' docs belong to neither side and are ignored); windows
+    * are t26's [[graft.functions.Hashing.windowHashesCol]]
+    * fingerprints, width [[T26Width]].
+    *
+    * Scale shape: the train side reduces to a DISTINCT 8-byte
+    * fingerprint frame (one slim shuffle over the corpus — the same
+    * key discipline as d01's store); the eval side is benchmark-sized
+    * and joins fingerprint-keyed, so the corpus never moves whole. At
+    * 100 TB the x18 Bloom index fronts this join as the O(bits)
+    * broadcast pre-filter; here the exact join IS the gate artifact.
+    * Ratio is milli-rounded on exact integer counts (order-free). */
+  def memorization(s: SparkSession, dir: String): DataFrame = {
+    val sp = Sampling.deterministicSplit(t(s, dir, "documents"), "doc_id")
+    memorization(sp.filter(col("split") === "train"),
+      sp.filter(col("split") === "test"), "doc_id", "text")
+  }
+
+  def memorization(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, w: Int = T26Width): DataFrame = {
+    val hash = graft.functions.Hashing
+    def wins(df: DataFrame): DataFrame = df
+      .filter(size(tokensOf(col(textCol))) >= w)
+      .select(col(idCol),
+        explode(hash.windowHashesCol(col(textCol), lit(w))).as("fp"))
+    val trainFps = wins(train).select("fp").distinct()
+      .withColumn("hit", lit(1L))
+    wins(eval)
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_memorized"))
+      .withColumn("memorized_milli",
+        floor(col("n_memorized") * 1000.0 / col("n_windows") + 0.5)
+          .cast("long"))
+      .orderBy(idCol)
+  }
 }

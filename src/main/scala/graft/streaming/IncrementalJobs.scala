@@ -219,6 +219,42 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val fuzzyStoreSchema =
+    StructType.fromDDL("id BIGINT, name STRING, variant STRING")
+
+  /** Streaming incremental fuzzy admission (d15's lifecycle): name
+    * batches land in `srcDir`; each micro-batch probes the accumulated
+    * delete-variant store ([[graft.operators.Dedup.incrementalFuzzy]]
+    * — batch-sized equi-join + exact levenshtein verify), rejected
+    * entities' verdict rows land batchId-keyed in `outDir`, and the
+    * ADMITTED names' variants extend the store. Store-only probe (the
+    * d12 semantic): two fuzzy-equal names inside one batch are both
+    * admitted — the batch is the ingestion atom. */
+  def startIncrementalFuzzy(spark: SparkSession, srcDir: String,
+                            nameSchema: StructType, storeDir: String,
+                            outDir: String,
+                            checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(nameSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, fuzzyStoreSchema)
+          .localCheckpoint()
+        val b = batch.localCheckpoint()
+        val verdicts = Dedup.incrementalFuzzy(b, store)
+          .localCheckpoint() // read twice: write + admission anti-join
+        verdicts.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        Dedup.nameVariants(
+            b.join(verdicts.select("id"), Seq("id"), "left_anti"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
   private val bloomStoreSchema =
     StructType.fromDDL("word_idx INT, word BIGINT")
 

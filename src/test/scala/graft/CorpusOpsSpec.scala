@@ -1324,6 +1324,36 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("x21 family split: a planted duplicate family NEVER straddles " +
+       "splits (where the doc-keyed x01 rule does leak), and totals add up") {
+    import spark.implicits._
+    // 60 docs: 20 content families of 3 copies each, ids scattered so
+    // a doc-keyed split will cut through some family
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"family ${i % 20} content payload")
+    }.toDF("doc_id", "text")
+    val assign = Sampling.familySplitAssignments(docs, "doc_id", "text")
+    val straddle = assign.groupBy("fp")
+      .agg(org.apache.spark.sql.functions.count_distinct(col("split"))
+        .as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddle == 0, "a family straddled splits")
+    // the doc-keyed rule DOES leak on the same corpus — the law that
+    // motivates x21 (if this ever stops leaking, the fixture is dead)
+    val docKeyed = Sampling.deterministicSplit(
+        docs.select(col("doc_id"),
+          Sampling.contentFp(col("text")).as("fp")), "doc_id")
+      .groupBy("fp")
+      .agg(org.apache.spark.sql.functions.count_distinct(col("split"))
+        .as("k"))
+      .filter(col("k") > 1).count()
+    assert(docKeyed > 0, "fixture no longer demonstrates doc-split leakage")
+    // report totals == corpus
+    val rep = Sampling.familySplit(docs, "doc_id", "text").collect()
+    assert(rep.map(_.getLong(1)).sum == 60)
+    assert(rep.map(_.getLong(2)).sum == 20)
+  }
+
   test("x20 waterfill: monotone in the budget, degenerate budgets behave") {
     import spark.implicits._
     val docs = Seq(

@@ -331,6 +331,27 @@ class DedupSpec extends SparkSuite {
     assert(pairs == brute, s"engine $pairs vs brute $brute")
   }
 
+  test("d15 incremental fuzzy: store-probe admission on crafted waves " +
+       "(substitution + deletion caught, dist-2 admitted, best match " +
+       "is (dist, id)-minimal)") {
+    import spark.implicits._
+    val storeNames = Seq((1L, "spark"), (2L, "sparks"), (3L, "duck"))
+      .toDF("id", "name")
+    val batch = Seq(
+      (10L, "snark"),  // dist 1 from spark(1) only
+      (11L, "spark"),  // dist 0 from 1, dist 1 from sparks(2) → best = 1
+      (12L, "ducks"),  // insertion vs duck(3)
+      (13L, "quartz")  // no match → admitted (no verdict row)
+    ).toDF("id", "name")
+    val got = Dedup.incrementalFuzzy(batch, Dedup.nameVariants(storeNames))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) == ((1L, 1, 1L)))
+    assert(got(11L) == ((1L, 0, 2L))) // dist-0 best, TWO matches
+    assert(got(12L) == ((3L, 1, 1L)))
+  }
+
   test("d13 fuzzy pairs over the warehouse: every pair verifies, " +
        "ordering is total") {
     val got = Dedup.fuzzyPairs(spark, sf).collect()

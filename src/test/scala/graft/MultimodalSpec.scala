@@ -230,4 +230,32 @@ class MultimodalSpec extends SparkSuite {
       assert(chosen == best, s"bucket not argmin for ${w}x$h: $r vs $best")
     }
   }
+
+  test("m11 batch manifest: every asset placed once, slots dense per " +
+       "batch, only the bucket tail is partial, `full` is exact") {
+    val b = Multimodal.M11BatchSize
+    val got = Multimodal.batchManifest(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bucket_id"), r.getAs[Int]("batch_idx"),
+        r.getAs[Int]("slot"), r.getAs[Long]("media_id"),
+        r.getAs[Boolean]("full")))
+    val nAssets = Multimodal.aspectBuckets(spark, sf).count()
+    assert(got.length.toLong == nAssets)
+    assert(got.map(_._4).distinct.length == got.length, "asset placed twice")
+    got.groupBy(t => (t._1, t._2)).foreach { case ((bk, bi), members) =>
+      val slots = members.map(_._3).sorted
+      assert(slots.sameElements(slots.indices.map(identity)),
+        s"bucket $bk batch $bi slots not dense: ${slots.mkString(",")}")
+      assert(members.forall(_._5 == (members.length == b)),
+        s"full flag wrong in bucket $bk batch $bi")
+    }
+    // at most one partial batch per bucket, and it must be the LAST
+    got.groupBy(_._1).foreach { case (bk, members) =>
+      val partial = members.groupBy(_._2).filter(_._2.length < b)
+      assert(partial.size <= 1, s"bucket $bk has ${partial.size} partials")
+      partial.keys.foreach { bi =>
+        assert(bi == members.map(_._2).max,
+          s"bucket $bk partial batch $bi is not the tail")
+      }
+    }
+  }
 }

@@ -407,4 +407,61 @@ class StreamingIncrementalSpec extends SparkSuite {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(got == expected)
   }
+
+  test("streaming incremental fuzzy admission: kill/restart; store and " +
+       "verdicts equal the batch composition") {
+    val src = Files.createTempDirectory("graft_fz_src").toString
+    val store = Files.createTempDirectory("graft_fz_store").toString
+    val out = Files.createTempDirectory("graft_fz_out").toString
+    val ckpt = Files.createTempDirectory("graft_fz_ckpt").toString
+
+    // wave A: three distinct names (none within distance 1)
+    val namesA = Seq(
+      (10L, "spark"), (11L, "duck"), (12L, "quartz"))
+      .toDF("id", "name")
+    namesA.write.mode("append").parquet(src)
+    val schema = namesA.schema
+
+    def start() = IncrementalJobs.startIncrementalFuzzy(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while the job is down: 20 is a typo of stored 10
+    // (substitution), 21 a deletion of 11, 22 clean
+    val namesB = Seq(
+      (20L, "snark"), (21L, "duc"), (22L, "onyx"))
+      .toDF("id", "name")
+    namesB.write.mode("append").parquet(src)
+
+    val q2 = start() // restart on the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    // verdicts: exactly the planted cross-restart matches
+    val verdicts = spark.read.parquet(out)
+      .select("id", "best_match", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(verdicts == Set((20L, 10L, 1), (21L, 11L, 1)), verdicts.toString)
+
+    // admitted names' variants extend the store; rejects don't
+    def admitted(): Set[Long] = spark.read.parquet(store)
+      .select("id").as[Long].collect().toSet
+    assert(admitted() == Set(10L, 11L, 12L, 22L))
+
+    // the store IS the d15 variant artifact: probing wave B against
+    // wave A's variants gives the same verdict frame
+    val ref = Dedup.incrementalFuzzy(namesB, Dedup.nameVariants(namesA))
+      .select("id", "best_match", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ref == verdicts)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(admitted() == Set(10L, 11L, 12L, 22L))
+  }
 }
