@@ -1035,8 +1035,156 @@ object SparkDialectTail {
          FROM scored ORDER BY n12 DESC, w1, w2 LIMIT 20"""
   }
 
+  /** x22 Spark-dialect replay — x10's offsets chain exploded to the
+    * occupied sequences (Spark's `sequence` is inclusive), then one
+    * (seq_id) aggregate. All-integer math. */
+  private lazy val x22Sql: String =
+    """WITH n AS (
+         SELECT doc_id, CAST(size(split(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+         FROM documents
+       ), c AS (
+         SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS start_tok
+         FROM n
+       ), m AS (
+         SELECT n_tokens, start_tok,
+           ((start_tok + n_tokens - 1) DIV 256) - (start_tok DIV 256) + 1
+             AS n_seqs
+         FROM c WHERE n_tokens >= 1
+       ), ex AS (
+         SELECT n_tokens, start_tok, n_seqs,
+           explode(sequence(start_tok DIV 256,
+             start_tok DIV 256 + n_seqs - 1)) AS seq_id
+         FROM m)
+       SELECT seq_id, n_tokens_filled, n_docs, n_fragments,
+         n_tokens_filled = 256 AS full
+       FROM (
+         SELECT seq_id,
+           CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 256)
+             - greatest(start_tok, seq_id * 256)) AS BIGINT)
+             AS n_tokens_filled,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_seqs > 1 THEN 1L ELSE 0L END) AS n_fragments
+         FROM ex GROUP BY seq_id)
+       ORDER BY seq_id"""
+
+  /** v05 Spark-dialect replay — identical statement shape to the
+    * DuckDB oracle (floor-then-sum nano KL terms, closed-form absent
+    * mass); only explode/split spellings differ. */
+  private lazy val v05Sql: String =
+    """WITH tok AS (
+         SELECT source, explode(split(trim(text), '\\s+')) AS w FROM documents
+       ), st AS (
+         SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+       ), g AS (SELECT w, sum(c) AS cg FROM st GROUP BY 1),
+       ts AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+       nn AS (SELECT sum(c) AS n FROM st),
+       pq AS (
+         SELECT source, cg, ns, n,
+           CAST(c AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+           CAST(cg AS DOUBLE) / CAST(n AS DOUBLE) AS q
+         FROM st JOIN g USING (w) JOIN ts USING (source) CROSS JOIN nn
+       ), terms AS (
+         SELECT source, cg, ns, n,
+           CAST(floor(p * ln(p / ((p + q) / 2.0D)) * 1e9 + 0.5) AS BIGINT)
+             AS kp_nano,
+           CAST(floor(q * ln(q / ((p + q) / 2.0D)) * 1e9 + 0.5) AS BIGINT)
+             AS kq_nano
+         FROM pq)
+       SELECT source, max(ns) AS n_tokens, count(*) AS vocab,
+         floor(((CAST(sum(kp_nano) AS DOUBLE) / 1e9) * 0.5D
+           + ((CAST(sum(kq_nano) AS DOUBLE) / 1e9)
+              + (1.0D - CAST(sum(cg) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+                * ln(2.0D)) * 0.5D) * 1e6 + 0.5) / 1e6 AS jsd
+       FROM terms GROUP BY source ORDER BY source"""
+
+  /** t31 Spark-dialect replay — t26's `graft_window_hashes` kernel
+    * (the SAME JVM loop the engine folds with) + the x01 md5 split
+    * rule; train fingerprints DISTINCT, eval windows LEFT-JOIN. */
+  private lazy val t31Sql: String = {
+    val w = TextOps.T26Width
+    s"""WITH base AS (
+         SELECT doc_id, size(split(trim(text), '\\\\s+')) AS n_tokens, text
+         FROM documents
+       ), wins AS (
+         SELECT doc_id, fp FROM (
+           SELECT doc_id, posexplode(graft_window_hashes(text, $w)) AS (i, fp)
+           FROM base WHERE n_tokens >= $w)
+       ), spl AS (
+         SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d'
+                THEN 'test'
+                WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '1a'
+                THEN 'val' ELSE 'train' END AS split
+         FROM documents
+       ), trainfp AS (
+         SELECT DISTINCT fp FROM wins JOIN spl USING (doc_id)
+         WHERE split = 'train'
+       ), ev AS (
+         SELECT doc_id, fp FROM wins JOIN spl USING (doc_id)
+         WHERE split = 'test'
+       ), rep AS (
+         SELECT e.doc_id, count(*) AS n_windows,
+           sum(CASE WHEN tf.fp IS NOT NULL THEN 1L ELSE 0L END)
+             AS n_memorized
+         FROM ev e LEFT JOIN trainfp tf ON e.fp = tf.fp
+         GROUP BY e.doc_id)
+       SELECT doc_id, n_windows, n_memorized,
+         CAST(floor(n_memorized * 1000.0 / n_windows + 0.5) AS BIGINT)
+           AS memorized_milli
+       FROM rep ORDER BY doc_id"""
+  }
+
+  /** d16 Spark-dialect replay — band candidates through the
+    * registered `graft_minhash_bands` kernel, ground truth from the
+    * hashed-shingle inverted index (the engine's own plan shape, as
+    * SQL text); threshold single-sourced from
+    * [[Dedup.D16MinJaccard]]. */
+  private lazy val d16Sql: String = {
+    val minJ = graft.operators.Dedup.D16MinJaccard
+    s"""WITH $docsCte,
+       banded AS (
+         SELECT doc_id, band, key FROM (
+           SELECT doc_id, graft_minhash_bands(sh) AS bands FROM docs)
+         LATERAL VIEW posexplode(bands) t AS band, key),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       ex AS (SELECT doc_id, size(sh) AS n, explode(sh) AS shingle FROM docs),
+       ix AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+           count(*) AS inter
+         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+       truth AS (
+         SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4)
+             AS jaccard
+         FROM ix)
+       SELECT bin, n_pairs, n_caught,
+         CAST(floor(n_caught * 1000.0 / n_pairs + 0.5) AS BIGINT)
+           AS recall_milli
+       FROM (
+         SELECT CAST(least(floor(t.jaccard * 10), 9.0D) AS INT) AS bin,
+           count(*) AS n_pairs,
+           sum(CASE WHEN c.doc_a IS NOT NULL THEN 1L ELSE 0L END) AS n_caught
+         FROM truth t LEFT JOIN cand c
+           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         WHERE t.jaccard >= $minJ
+         GROUP BY 1)
+       ORDER BY bin"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "x22_pack_efficiency" -> x22Sql,
+    "v05_vocab_divergence" -> v05Sql,
+    "t31_memorization" -> t31Sql,
+    "d16_lsh_scurve" -> d16Sql,
     "d14_dup_spans" -> d14Sql,
     "t30_kneser_ney" -> t30Sql,
     "s27_matryoshka_eval" -> s27Sql,

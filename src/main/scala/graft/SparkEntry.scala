@@ -137,6 +137,10 @@ object SparkEntry {
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
     "x21_family_split"    -> Sampling.familySplit,
+    "x22_pack_efficiency" -> ((s, dir) => Sampling.packEfficiency(s, dir)),
+    "v05_vocab_divergence" -> ((s, dir) => Checks.vocabDivergence(s, dir)),
+    "t31_memorization"    -> ((s, dir) => TextOps.memorization(s, dir)),
+    "d16_lsh_scurve"      -> ((s, dir) => Dedup.lshScurve(s, dir)),
     // deduplication
     "d01_exact_dedup"     -> Dedup.exactDedup,
     "d02_minhash_lsh"     -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -968,6 +972,10 @@ object SparkEntry {
     "m10_aspect_buckets" -> m10OracleSql,
     "m11_batch_manifest" -> m11OracleSql,
     "x21_family_split" -> x21OracleSql,
+    "x22_pack_efficiency" -> x22OracleSql,
+    "v05_vocab_divergence" -> v05OracleSql,
+    "t31_memorization" -> t31OracleSql,
+    "d16_lsh_scurve" -> d16OracleSql,
     "t30_kneser_ney" -> t30OracleSql,
     "d13_fuzzy_pairs" -> d13OracleSql,
     "d14_dup_spans" -> d14OracleSql,
@@ -2650,7 +2658,13 @@ object SparkEntry {
     * form: add, xor-shift via `//`, split-form 128-bit-safe multiply),
     * aliased x/p/t/q/u/r/a with suffix `j`; `prev` is the accumulator
     * expression entering the round. */
-  private def splitmixRoundSql(j: Int, prev: String, operand: String): String = {
+  private def splitmixRoundSql(j: Int, prev: String, operand: String): String =
+    splitmixChainSql(j.toString, prev, operand)
+
+  /** The generalized form (string alias suffix) — the d16 minhash
+    * replay runs 64 of these chains in PARALLEL inside one layer, so
+    * suffixes like `p7` / `b3r1` must coexist in one SELECT. */
+  private def splitmixChainSql(j: String, prev: String, operand: String): String = {
     def mulSplit(x: String, c: String) =
       s"(($x % 4294967296) * $c + ((($x // 4294967296) * $c) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT"
     s"""xor($prev, $operand) AS x$j,
@@ -2999,6 +3013,82 @@ object SparkEntry {
          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT fp) AS BIGINT) AS n_families
          FROM sp GROUP BY split ORDER BY split"""
+
+  /** x22 replay — x10's offsets chain, each doc exploded to its
+    * occupied sequences via range() (DuckDB range is half-open; the
+    * engine's `sequence` is inclusive, hence the +n_seqs bound), then
+    * one (seq_id) aggregate. All-integer math. */
+  private lazy val x22OracleSql: String =
+    """WITH n AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS start_tok
+           FROM n
+         ), m AS (
+           SELECT n_tokens, start_tok,
+             ((start_tok + n_tokens - 1) // 256) - (start_tok // 256) + 1
+               AS n_seqs
+           FROM c WHERE n_tokens >= 1
+         ), ex AS (
+           SELECT n_tokens, start_tok, n_seqs,
+             unnest(range(start_tok // 256, start_tok // 256 + n_seqs))
+               AS seq_id
+           FROM m)
+         SELECT seq_id, n_tokens_filled, n_docs, n_fragments,
+           n_tokens_filled = 256 AS full
+         FROM (
+           SELECT seq_id,
+             CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 256)
+               - greatest(start_tok, seq_id * 256)) AS BIGINT)
+               AS n_tokens_filled,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fragments
+           FROM ex GROUP BY seq_id)
+         ORDER BY seq_id"""
+
+  /** v05 replay — the floor-then-sum KL terms re-derived per
+    * (source, word): nano-floored doubles summed as BIGINTs (the x11
+    * lam_micro discipline), absent-word mass in closed form
+    * (Σ_{w∉s} q·ln2 = ln2·(1 − Σ_{w∈s} q)), final jsd floored at
+    * 6 dp. Engine and oracle share every scalar op and its order. */
+  private lazy val v05OracleSql: String =
+    """WITH tok AS (
+           SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents
+         ), st AS (
+           SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2
+         ), g AS (
+           SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY 1
+         ), ts AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1
+         ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+         pq AS (
+           SELECT source, cg, ns, n,
+             CAST(c AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+             CAST(cg AS DOUBLE) / CAST(n AS DOUBLE) AS q
+           FROM st JOIN g USING (w) JOIN ts USING (source) CROSS JOIN nn
+         ), terms AS (
+           SELECT source, cg, ns, n,
+             CAST(floor(p * ln(p / ((p + q) / 2.0)) * 1e9 + 0.5) AS BIGINT)
+               AS kp_nano,
+             CAST(floor(q * ln(q / ((p + q) / 2.0)) * 1e9 + 0.5) AS BIGINT)
+               AS kq_nano
+           FROM pq)
+         SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           floor(((CAST(sum(kp_nano) AS BIGINT) / 1e9) * 0.5
+             + ((CAST(sum(kq_nano) AS BIGINT) / 1e9)
+                + (1.0 - CAST(sum(cg) AS BIGINT) / CAST(max(n) AS DOUBLE))
+                  * ln(2.0)) * 0.5) * 1e6 + 0.5) / 1e6 AS jsd
+         FROM terms GROUP BY source ORDER BY source"""
 
   /** m09 replays — the window-md5 boundary rule re-derived from the
     * text: position e (1-based) ends a chunk when the big-endian
@@ -3589,6 +3679,161 @@ object SparkEntry {
              CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n_matches
            FROM m)
          WHERE rk = 1 ORDER BY id"""
+  }
+
+  /** t31 replay — the t26 window-fingerprint CTEs (wins = exact
+    * engine fingerprints, BMP guard included) split by the x01 hash
+    * rule on the doc id; train fingerprints DISTINCT, eval windows
+    * LEFT-JOIN them, milli ratio on exact integer counts. */
+  private lazy val t31OracleSql: String =
+    s"""$t26MarkedCtes, spl AS (
+           SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                  THEN 'test'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'val' ELSE 'train' END AS split
+           FROM documents
+         ), trainfp AS (
+           SELECT DISTINCT fp FROM wins JOIN spl USING (doc_id)
+           WHERE split = 'train'
+         ), ev AS (
+           SELECT we.doc_id, we.fp FROM wins we JOIN spl USING (doc_id)
+           WHERE split = 'test'
+         ), rep AS (
+           SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_memorized
+           FROM ev e LEFT JOIN trainfp tf ON e.fp = tf.fp
+           GROUP BY e.doc_id)
+         SELECT doc_id, n_windows, n_memorized,
+           CAST(floor(CAST(n_memorized AS DOUBLE) * 1000.0
+             / CAST(n_windows AS DOUBLE) + 0.5) AS BIGINT)
+             AS memorized_milli
+         FROM rep
+         WHERE (SELECT ok FROM guard) = 1
+         ORDER BY doc_id"""
+
+  /** d16 replay — the ONLY oracle that replays the full
+    * 64-permutation minhash in SQL (d02 sidesteps it by running in
+    * the band-recall-1.0 regime; d16's whole point is measuring the
+    * band recall where it is NOT 1). Layout follows the t26
+    * layer-per-splitmix-round lesson:
+    *
+    *  - `shr`: the d04 HUGEINT hashed-shingle rows (FNV-1a tokens,
+    *    3-round splitmix 3-grams) — the same values the engine's
+    *    [[graft.functions.Hashing.shingleHashes]] kernel emits;
+    *  - `perm`: ONE layer with 64 PARALLEL one-splitmix chains
+    *    (independent chains don't compound the lateral-substitution
+    *    blow-up the way d04's 3 chained rounds do);
+    *  - `mins`: per-doc minima taken over the SIGNED reinterpretation
+    *    (the engine's `Long` compare), mapped back to unsigned bits;
+    *  - `bnd0..3`: four layers of 16 parallel chains folding the band
+    *    minima into the 8-byte band keys, inits/seeds single-sourced
+    *    from [[graft.functions.Hashing.permSeed]]/`bandInit`;
+    *  - candidates from the (band, key) self-join; ground truth from
+    *    the d03 string-shingle brute force at
+    *    [[graft.operators.Dedup.D16MinJaccard]]; binned recall tail.
+    */
+  private lazy val d16OracleSql: String = {
+    val hash = graft.functions.Hashing
+    val nPerm = hash.NumPerm
+    val bands = hash.Bands
+    val rpb = hash.RowsPerBand
+    val minJ = graft.operators.Dedup.D16MinJaccard
+    def u(v: Long) = java.lang.Long.toUnsignedString(v) + "::HUGEINT"
+    val permChains = (0 until nPerm).map { i =>
+      splitmixChainSql(i.toString, "shingle", u(hash.permSeed(i)))
+    }.mkString(",\n             ")
+    val minCols = (0 until nPerm).map { i =>
+      s"""min(CASE WHEN a$i >= 9223372036854775808::HUGEINT
+             THEN a$i - 18446744073709551616::HUGEINT ELSE a$i END) AS sm$i"""
+    }.mkString(",\n             ")
+    val unsignedCols = (0 until nPerm).map { i =>
+      s"""CASE WHEN sm$i < 0 THEN sm$i + 18446744073709551616::HUGEINT
+             ELSE sm$i END AS m$i"""
+    }.mkString(",\n             ")
+    val mAll = (0 until nPerm).map(i => s"m$i").mkString(", ")
+    def bandLayer(r: Int): String = {
+      val chains = (0 until bands).map { b =>
+        val prev = if (r == 0) u(hash.bandInit(b)) else s"ab${b}r${r - 1}"
+        splitmixChainSql(s"b${b}r$r", prev, s"m${b * rpb + r}")
+      }.mkString(",\n             ")
+      s"""SELECT doc_id, $mAll,
+             $chains
+           FROM ${if (r == 0) "minsu" else s"bnd${r - 1}"}"""
+    }
+    val keyList = (0 until bands).map(b => s"ab${b}r${rpb - 1}")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+           SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+             tk -> list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(tk, ''), c -> ord(c)::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT)) AS th
+           FROM documents
+         ), sh_pos AS (
+           SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i
+           FROM toks WHERE len(th) >= 3
+         ), shr AS (
+           SELECT DISTINCT doc_id, a3 AS shingle FROM (
+             SELECT doc_id,
+               ${splitmixChainSql("1",
+                   "11400714819323198485::HUGEINT", "th[CAST(i AS INT)]")},
+               ${splitmixChainSql("2", "a1", "th[CAST(i + 1 AS INT)]")},
+               ${splitmixChainSql("3", "a2", "th[CAST(i + 2 AS INT)]")}
+             FROM sh_pos)
+         ), perm AS (
+           SELECT doc_id,
+             $permChains
+           FROM shr
+         ), mins AS (
+           SELECT doc_id,
+             $minCols
+           FROM perm GROUP BY doc_id
+         ), minsu AS (
+           SELECT doc_id,
+             $unsignedCols
+           FROM mins
+         ), bnd0 AS (${bandLayer(0)}
+         ), bnd1 AS (${bandLayer(1)}
+         ), bnd2 AS (${bandLayer(2)}
+         ), bnd3 AS (${bandLayer(3)}
+         ), keys AS (
+           SELECT doc_id, CAST(bb.b AS INT) AS band,
+             ($keyList)[CAST(bb.b AS INT) + 1] AS key
+           FROM bnd3 CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb
+         ), cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM keys x JOIN keys y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         ), stoks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), ssh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM stoks WHERE len(tk) >= 3
+         ), truth AS (
+           SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS uni
+             FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id)
+           WHERE round(inter * 1.0 / uni, 4) >= $minJ)
+         SELECT bin, n_pairs, n_caught,
+           CAST(floor(CAST(n_caught AS DOUBLE) * 1000.0
+             / CAST(n_pairs AS DOUBLE) + 0.5) AS BIGINT) AS recall_milli
+         FROM (
+           SELECT CAST(least(floor(t.jaccard * 10), 9) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_caught
+           FROM truth t LEFT JOIN cand c
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+           GROUP BY 1)
+         ORDER BY bin"""
   }
 
   /** t25 DuckDB replay — the CMS cell counts ARE per-(row, cell)

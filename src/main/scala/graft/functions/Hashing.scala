@@ -38,6 +38,12 @@ object Hashing {
   private val seeds: Array[Long] =
     Array.tabulate(NumPerm)(i => splitmix64(0xABCDEF1234567890L + i))
 
+  /** The i-th permutation seed / the band-b key-chain init — exposed
+    * read-only so the d16 oracle generator single-sources the replay
+    * constants from the kernel instead of duplicating them. */
+  private[graft] def permSeed(i: Int): Long = seeds(i)
+  private[graft] def bandInit(b: Int): Long = splitmix64(0x5DEECE66DL + b)
+
   /** 16 LSH band keys from a 64-permutation MinHash over the shingle
     * hashes: minᵢ over shingles of splitmix64(h ^ seedᵢ), then each band
     * of 4 minima mixed into one 64-bit key. Band keys are 8-byte longs —

@@ -290,7 +290,13 @@ object Checks {
                       textCol: String): DataFrame = {
     val tok = docs.select(col(srcCol).as("source"),
       explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    // the (source, word) count frame feeds FOUR consumers (itself, the
+    // global/vocab reduce, the per-source totals, the grand total) —
+    // localCheckpoint so the corpus explode+shuffle runs ONCE, and the
+    // three reductions read the vocab-sized frame (blocks auto-released
+    // on plan GC, the minhashLsh note)
     val st = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val global = st.groupBy("w").agg(sum("c").as("cg"))
     val totals = st.groupBy("source").agg(sum("c").as("ns"))
     val grand = st.agg(sum("c").as("n")) // 1 row

@@ -915,10 +915,12 @@ object Dedup {
       .orderBy("id")
   }
 
-  /** d16's ground-truth floor — pairs below this Jaccard are outside
-    * the measurement (banding theory puts their candidate probability
-    * near 0 anyway); single-sourced into the oracle replay. */
-  val D16MinJaccard: Double = 0.1
+  /** d16's ground-truth floor — any shared-shingle pair at or above
+    * this (4-dp-rounded) Jaccard enters the measurement, so bin 0
+    * reports the curve's FLOOR (the false-positive end banding theory
+    * puts near 0) alongside the high bins' recall. Single-sourced
+    * into the oracle replay. */
+  val D16MinJaccard: Double = 0.01
 
   /** d16: the REALIZED LSH S-curve — per-Jaccard-bin recall of the
     * 16×4 minhash band candidates against exact shingle-Jaccard ground

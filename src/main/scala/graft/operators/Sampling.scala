@@ -361,7 +361,16 @@ object Sampling {
   }
 
   def packManifest(df: DataFrame, idCol: String, nTokensCol: Column,
-                   budget: Long, bucketWidth: Long = 64L): DataFrame = {
+                   budget: Long, bucketWidth: Long = 64L): DataFrame =
+    packManifestUnordered(df, idCol, nTokensCol, budget, bucketWidth)
+      .orderBy(idCol)
+
+  /** [[packManifest]] without the presentation sort — x22's
+    * per-sequence aggregate re-shuffles on seq_id anyway, so the
+    * manifest's global range exchange would be pure waste there. */
+  private[graft] def packManifestUnordered(
+      df: DataFrame, idCol: String, nTokensCol: Column,
+      budget: Long, bucketWidth: Long = 64L): DataFrame = {
     require(budget >= 1 && bucketWidth >= 1,
       s"budget ($budget) and bucketWidth ($bucketWidth) must be >= 1")
     val narrow = df.select(col(idCol), nTokensCol.as("n_tokens"))
@@ -383,7 +392,6 @@ object Sampling {
         (expr(s"(start_tok + n_tokens - 1) div $budget")
           - col("seq_first") + lit(1L)).as("n_seqs"),
         (col("start_tok") % budget).as("pos_in_seq"))
-      .orderBy(idCol)
   }
 
   /** x17: soft-dedup sampling weights — instead of DROPPING a
@@ -554,8 +562,11 @@ object Sampling {
     * (seq_id, overlap, fragment) rows. The offsets-table broadcast
     * inside [[packManifest]] carries over unchanged. */
   def packEfficiency(s: SparkSession, dir: String,
-                     budget: Long = 256L): DataFrame =
-    packEfficiency(packSequences(s, dir, budget), budget)
+                     budget: Long = 256L): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    packEfficiency(packManifestUnordered(t(s, dir, "documents"), "doc_id",
+      nTokens, budget), budget)
+  }
 
   /** The report over an already-built manifest (x10's columns:
     * id, n_tokens, start_tok, seq_first, n_seqs). */

@@ -1370,4 +1370,82 @@ class CorpusOpsSpec extends SparkSuite {
     val full = alloc(1.0)
     assert(full == Map("a" -> 200L, "b" -> 50L, "c" -> 1000L), full.toString)
   }
+
+  test("x22 pack efficiency: conservation, only the tail partial, planted manifest") {
+    val rep = Sampling.packEfficiency(spark, sf).collect()
+    val totalTokens = docs.map(_._2.trim.split("\\s+").length.toLong).sum
+    assert(rep.map(_.getLong(1)).sum == totalTokens,
+      "filled tokens must equal corpus tokens (nothing lost or invented)")
+    // every sequence but the last is exactly full
+    val last = rep.map(_.getLong(0)).max
+    rep.filter(_.getLong(0) < last).foreach { r =>
+      assert(r.getBoolean(4) && r.getLong(1) == 256L,
+        s"non-final seq ${r.getLong(0)} is partial")
+    }
+    assert(rep.last.getBoolean(4) == (totalTokens % 256 == 0))
+    // planted: budget 10, docs of 4/4/4 tokens — doc 3 straddles seqs 0/1
+    import spark.implicits._
+    val m = Sampling.packManifest(
+      Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"))
+        .toDF("doc_id", "text"),
+      "doc_id", size(split(trim(col("text")), "\\s+")).cast("long"), 10L)
+    val eff = Sampling.packEfficiency(m, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(eff.toSeq == Seq((0L, 10L, 3L, 1L, true), (1L, 2L, 1L, 1L, false)),
+      eff.mkString(", "))
+  }
+
+  test("v05 vocab divergence: identical sources score 0, drifted source is positive and <= ln 2") {
+    import spark.implicits._
+    val same = Seq(
+      ("a", "x y z x"), ("b", "x y z x"), ("c", "q r s t u v w")
+    ).toDF("source", "text")
+    val out = graft.operators.Checks.vocabDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // a and b have identical distributions — but the GLOBAL mix includes
+    // c, so they are equidistant from it and strictly positive
+    assert(out("a") == out("b"), "identical sources must score identically")
+    out.values.foreach { j =>
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"jsd $j out of [0, ln 2]")
+    }
+    assert(out("c") > out("a"), "the disjoint-vocab source must drift more")
+    // a single-source corpus IS the global distribution: jsd exactly 0
+    val solo = graft.operators.Checks.vocabDivergence(
+      Seq(("only", "x y z x y")).toDF("source", "text"), "source", "text")
+      .collect()
+    assert(solo.length == 1 && solo.head.getDouble(3) == 0.0)
+    // registered query: one row per source, all in range
+    val reg = graft.operators.Checks.vocabDivergence(spark, sf).collect()
+    assert(reg.length == spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count())
+    reg.foreach(r => assert(r.getDouble(3) >= 0.0
+      && r.getDouble(3) <= math.log(2.0) + 1e-9))
+  }
+
+  test("t31 memorization: verbatim copy scores 1000, novel text 0, partial in between") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 tokens
+    val novel = (1 to 40).map(i => s"new$i").mkString(" ")
+    val half = (1 to 20).map(i => s"tok$i").mkString(" ") + " " +
+      (1 to 20).map(i => s"odd$i").mkString(" ")
+    val train = Seq((1L, base)).toDF("doc_id", "text")
+    val eval = Seq((10L, base), (11L, novel), (12L, half))
+      .toDF("doc_id", "text")
+    val got = TextOps.memorization(train, eval, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(10L) == ((25L, 25L, 1000L)), got(10L).toString) // 40-16+1 windows
+    assert(got(11L)._2 == 0L && got(11L)._3 == 0L)
+    // half-copied doc: exactly the windows fully inside the copied
+    // 20-token prefix are memorized — positions 0..4 of 25
+    assert(got(12L) == ((25L, 5L, 200L)), got(12L).toString)
+    // registered query: eval rows only, memorized <= windows
+    val reg = TextOps.memorization(spark, sf).collect()
+    reg.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+    }
+  }
 }

@@ -361,4 +361,42 @@ class DedupSpec extends SparkSuite {
     assert(keys.sorted.sameElements(keys), "not ordered by (a_id, b_id)")
     assert(keys.distinct.length == keys.length, "duplicate pairs")
   }
+
+  test("d16 S-curve: exact dups always caught, mid bins measured on a " +
+       "planted corpus, high-bin recall carries d02's pairs") {
+    import spark.implicits._
+    // planted: 3 exact-dup pairs (J=1.0), mid-J pairs from prefix
+    // overlap, plus unrelated docs — exercises bins the synthetic
+    // corpus lacks
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(0, 30, "w")), (2L, words(0, 30, "w")),   // J = 1.0
+      (3L, words(0, 30, "u")), (4L, words(0, 20, "u") + " " + words(0, 10, "z")),
+      (5L, words(0, 40, "m")), (6L, words(0, 25, "m") + " " + words(0, 15, "k")),
+      (7L, words(0, 50, "q")), (8L, words(0, 50, "r"))
+    ).toDF("doc_id", "text")
+    val curve = Dedup.lshScurve(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the J=1.0 pair sits in bin 9 and MUST be caught (identical
+    // shingle sets → identical signatures → identical band keys)
+    assert(curve.contains(9) && curve(9)._1 >= 1L)
+    assert(curve(9)._2 == curve(9)._1 && curve(9)._3 == 1000L,
+      s"an exact duplicate escaped the bands: ${curve(9)}")
+    // mid bins exist on this corpus and report a valid recall
+    assert(curve.keys.exists(b => b >= 1 && b <= 8),
+      s"planted mid-Jaccard pairs missing: ${curve.keys}")
+    curve.values.foreach { case (n, c, milli) =>
+      assert(c <= n && milli >= 0L && milli <= 1000L)
+    }
+    // cross-operator law on the gate corpus: the caught pairs at
+    // J >= 0.7 ARE d02's output pairs
+    val caughtHigh = Dedup.lshScurve(spark, sf).collect()
+      .filter(_.getInt(0) >= 7).map(_.getLong(2)).sum
+    val d02Pairs = Dedup.minhashLsh(spark, sf).count()
+    assert(caughtHigh == d02Pairs,
+      s"S-curve high-bin caught $caughtHigh != d02's $d02Pairs pairs")
+  }
 }

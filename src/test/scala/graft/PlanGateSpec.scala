@@ -405,4 +405,27 @@ class PlanGateSpec extends SparkSuite {
       case _ => false
     }, "s27 shuffled the corpus for a query-set-sized join")
   }
+
+  test("t31 memorization: fingerprint equi-joins only — the corpus " +
+       "never meets the eval side as a product") {
+    val plan = finalPlan(graft.operators.TextOps.memorization(spark, sf))
+    assert(!plan.exists {
+      case _: CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "t31 degraded to a train×eval product")
+  }
+
+  test("d16 S-curve: the candidate side stays a band equi-join (the " +
+       "quadratic lives only in the documented truth side)") {
+    // truth IS the d03-contract shingle self-join (an equi-join on the
+    // shingle); the BAND side must also be an equi-join — a cartesian
+    // anywhere means a join key was lost
+    val plan = finalPlan(graft.operators.Dedup.lshScurve(spark, sf))
+    assert(!plan.exists {
+      case _: CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "d16 grew a true product node")
+  }
 }
