@@ -1586,16 +1586,36 @@ object TextOps {
   }
 
   def memorization(train: DataFrame, eval: DataFrame, idCol: String,
-                   textCol: String, w: Int = T26Width): DataFrame = {
-    val hash = graft.functions.Hashing
-    def wins(df: DataFrame): DataFrame = df
-      .filter(size(tokensOf(col(textCol))) >= w)
-      .select(col(idCol),
-        explode(hash.windowHashesCol(col(textCol), lit(w))).as("fp"))
-    val trainFps = wins(train).select("fp").distinct()
-      .withColumn("hit", lit(1L))
-    wins(eval)
-      .join(trainFps, Seq("fp"), "left")
+                   textCol: String, w: Int = T26Width): DataFrame =
+    memorizationFromFps(windowFpStore(train, idCol, textCol, w),
+      eval, idCol, textCol, w)
+
+  /** The per-doc window-fingerprint rows [[memorization]] composes. */
+  private def windowFps(df: DataFrame, idCol: String, textCol: String,
+                        w: Int): DataFrame = df
+    .filter(size(tokensOf(col(textCol))) >= w)
+    .select(col(idCol),
+      explode(graft.functions.Hashing.windowHashesCol(col(textCol), lit(w)))
+        .as("fp"))
+
+  /** The train side's persisted artifact: the DISTINCT fingerprint set
+    * (`fp BIGINT`) — what a continuous-ingestion memorization audit
+    * keeps instead of corpus text. Membership is idempotent under set
+    * union, so batch-keyed store PARTIALS of this frame compose
+    * exactly ([[graft.streaming.IncrementalJobs.startMemorizationStore]]). */
+  def windowFpStore(train: DataFrame, idCol: String, textCol: String,
+                    w: Int = T26Width): DataFrame =
+    windowFps(train, idCol, textCol, w).select("fp").distinct()
+
+  /** The probe half over an accumulated fingerprint store
+    * (re-distincted here so raw per-batch partials can be fed
+    * directly). */
+  def memorizationFromFps(trainFps: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          w: Int = T26Width): DataFrame = {
+    val hits = trainFps.select("fp").distinct().withColumn("hit", lit(1L))
+    windowFps(eval, idCol, textCol, w)
+      .join(hits, Seq("fp"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("hit"), lit(0L))).as("n_memorized"))

@@ -255,6 +255,41 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val winFpSchema = StructType.fromDDL("fp BIGINT")
+
+  /** Streaming memorization-store maintenance (t31's lifecycle): TRAIN
+    * document files land in `srcDir`; each micro-batch writes ONLY its
+    * own DISTINCT window-fingerprint partial
+    * ([[graft.operators.TextOps.windowFpStore]]),
+    * batchId-keyed/Overwrite. Set membership is idempotent under
+    * union, so [[memorizationLedger]]'s DISTINCT over the partials
+    * equals the one-pass fingerprint set over everything ingested —
+    * the x18 bit-OR argument, for sets: a replayed batch overwrites
+    * its own partial and the union is unchanged. The eval probe
+    * (`TextOps.memorizationFromFps`) consumes the ledger unchanged,
+    * so a contamination audit can run mid-ingestion at any batch
+    * boundary. */
+  def startMemorizationStore(spark: SparkSession, srcDir: String,
+                             docSchema: StructType, storeDir: String,
+                             checkpointDir: String,
+                             w: Int = TextOps.T26Width): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextOps.windowFpStore(batch, "doc_id", "text", w)
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The accumulated fingerprint set (exact under replay — see
+    * [[startMemorizationStore]]). */
+  def memorizationLedger(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir, winFpSchema)
+      .select("fp").distinct() // drop the batch=<id> partition column
+
   private val bloomStoreSchema =
     StructType.fromDDL("word_idx INT, word BIGINT")
 

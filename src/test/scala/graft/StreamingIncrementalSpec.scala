@@ -464,4 +464,68 @@ class StreamingIncrementalSpec extends SparkSuite {
     q3.stop()
     assert(admitted() == Set(10L, 11L, 12L, 22L))
   }
+
+  test("streaming memorization store: kill/restart; ledger probe == batch t31 over all ingested") {
+    val src = Files.createTempDirectory("graft_mem_src").toString
+    val store = Files.createTempDirectory("graft_mem_store").toString
+    val ckpt = Files.createTempDirectory("graft_mem_ckpt").toString
+
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    // wave A: two train docs (one long, one short-below-width)
+    val trainA = Seq((1L, words(0, 40, "w")), (2L, words(0, 8, "tiny")))
+      .toDF("doc_id", "text")
+    trainA.write.mode("append").parquet(src)
+    val schema = trainA.schema
+
+    def start() = IncrementalJobs.startMemorizationStore(
+      spark, src, schema, store, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while the job is down — overlaps wave A's fingerprints
+    // (idempotent-union exactness is load-bearing, not incidental)
+    val trainB = Seq((3L, words(0, 40, "w")), (4L, words(0, 30, "v")))
+      .toDF("doc_id", "text")
+    trainB.write.mode("append").parquet(src)
+
+    val q2 = start() // restart on the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    // eval probe: a verbatim copy, a half-copy of wave-B content, novel
+    val eval = Seq(
+      (10L, words(0, 40, "w")),
+      (11L, words(0, 20, "v") + " " + words(0, 20, "x")),
+      (12L, words(0, 40, "q"))).toDF("doc_id", "text")
+    val ledger = IncrementalJobs.memorizationLedger(spark, store)
+    val got = graft.operators.TextOps
+      .memorizationFromFps(ledger, eval, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // LAW: the streamed-ledger probe equals batch t31 over the union
+    val ref = graft.operators.TextOps
+      .memorization(trainA.unionByName(trainB), eval, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.exists(r => r._1 == 10L && r._4 == 1000L),
+      "the verbatim eval copy must score 1000")
+    assert(got.exists(r => r._1 == 12L && r._3 == 0L))
+
+    // LAW: ledger == one-pass fingerprint set (idempotent union — the
+    // duplicated wave-B doc added nothing)
+    val once = graft.operators.TextOps
+      .windowFpStore(trainA.unionByName(trainB), "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(ledger.as[Long].collect().toSet == once)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(IncrementalJobs.memorizationLedger(spark, store)
+      .as[Long].collect().toSet == once)
+  }
 }
