@@ -1179,8 +1179,112 @@ object SparkDialectTail {
        ORDER BY bin"""
   }
 
+  /** s29 Spark-dialect replay — the s04 bucket kernel reduced to cell
+    * occupancies; log₂ bin via `length(bin(c)) − 1` (exact integer on
+    * both engines). */
+  private lazy val s29Sql: String =
+    s"""WITH $embCte,
+       ${bucketsCte(nTables = 1, nPlanes = 4)},
+       cells AS (
+         SELECT bucket, count(*) AS c FROM buckets GROUP BY bucket
+       ), summ AS (
+         SELECT count(*) AS n_cells, sum(c) AS n_vectors,
+           max(c) AS max_cell, min(c) AS min_cell, sum(c * c) AS ss
+         FROM cells
+       ), hist AS (
+         SELECT 'cells_log2_' || lpad(CAST(length(bin(c)) - 1 AS STRING),
+             2, '0') AS metric,
+           count(*) AS value
+         FROM cells GROUP BY 1
+       ), mets AS (
+         SELECT 'n_cells' AS metric, n_cells AS value FROM summ
+         UNION ALL SELECT 'n_vectors', n_vectors FROM summ
+         UNION ALL SELECT 'max_cell', max_cell FROM summ
+         UNION ALL SELECT 'min_cell', min_cell FROM summ
+         UNION ALL SELECT 'imbalance_milli',
+           CAST(floor(CAST(n_cells AS DOUBLE) * CAST(ss AS DOUBLE)
+             / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE))
+             * 1000.0 + 0.5) AS BIGINT)
+         FROM summ)
+       SELECT metric, value FROM
+         (SELECT * FROM mets UNION ALL SELECT * FROM hist)
+       ORDER BY metric"""
+
+  /** v06 Spark-dialect replay — d01's fingerprint rule + the ccTail
+    * CC / keep-best machinery + t26's `graft_window_hashes` coverage,
+    * each stage a scalar aggregate (empty stages emit 0 rows — the
+    * q35 lesson). */
+  private lazy val v06Sql: String = {
+    val w = TextOps.T26Width
+    s"""WITH $docsCte,
+       ${jaccardPairsCte(0.7)},
+       ${ccTail(8)},
+       vbase AS (
+         SELECT doc_id, n_chars,
+           md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) AS fp,
+           CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens
+         FROM documents
+       ), exact AS (
+         SELECT 'exact_dedup' AS stage,
+           coalesce(sum(CASE WHEN rk > 1 THEN 1L ELSE 0L END), 0L)
+             AS docs_affected,
+           coalesce(sum(CASE WHEN rk > 1 THEN n_tokens ELSE 0L END), 0L)
+             AS tokens_removed
+         FROM (SELECT n_tokens, row_number() OVER (PARTITION BY fp
+                 ORDER BY doc_id) AS rk FROM vbase)
+       ), vkeep AS (
+         SELECT cluster, kept FROM (
+           SELECT c.cluster, d.doc_id AS kept,
+             row_number() OVER (PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+           FROM clusters c JOIN documents d ON c.id = d.doc_id)
+         WHERE rk = 1
+       ), near AS (
+         SELECT 'near_dedup' AS stage,
+           coalesce(sum(CASE WHEN c.id <> k.kept THEN 1L ELSE 0L END), 0L)
+             AS docs_affected,
+           coalesce(sum(CASE WHEN c.id <> k.kept THEN b.n_tokens
+             ELSE 0L END), 0L) AS tokens_removed
+         FROM clusters c JOIN vkeep k ON c.cluster = k.cluster
+         JOIN vbase b ON b.doc_id = c.id
+       ), wbase AS (
+         SELECT doc_id, size(split(trim(text), '\\\\s+')) AS n_tokens, text
+         FROM documents
+       ), wins AS (
+         SELECT doc_id, i, fp FROM (
+           SELECT doc_id, posexplode(graft_window_hashes(text, $w)) AS (i, fp)
+           FROM wbase WHERE n_tokens >= $w)
+       ), dup AS (
+         SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2
+       ), marked AS (
+         SELECT wi.doc_id, wi.i, wi.i + ${w - 1} AS e
+         FROM wins wi JOIN dup USING (fp)
+       ), visl AS (
+         SELECT doc_id,
+           greatest(0, e - greatest(i - 1,
+             coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)))
+             AS contrib
+         FROM marked
+       ), vcov AS (
+         SELECT doc_id, sum(contrib) AS covered FROM visl GROUP BY doc_id
+       ), vspan AS (
+         SELECT 'span_dedup' AS stage,
+           coalesce(sum(CASE WHEN covered > 0 THEN 1L ELSE 0L END), 0L)
+             AS docs_affected,
+           coalesce(sum(covered), 0L) AS tokens_removed
+         FROM vcov)
+       SELECT stage, docs_affected, tokens_removed FROM (
+         SELECT * FROM exact UNION ALL
+         SELECT * FROM near UNION ALL
+         SELECT * FROM vspan)
+       ORDER BY stage"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "s29_ann_index_stats" -> s29Sql,
+    "v06_dedup_impact" -> v06Sql,
     "x22_pack_efficiency" -> x22Sql,
     "v05_vocab_divergence" -> v05Sql,
     "t31_memorization" -> t31Sql,

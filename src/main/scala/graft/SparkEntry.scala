@@ -206,6 +206,8 @@ object SparkEntry {
     "s26_ann_binary"      -> ((s, dir) => Similarity.annBinarySign(s, dir)),
     "s27_matryoshka_eval" -> ((s, dir) => Similarity.matryoshkaEval(s, dir)),
     "s28_ann_tombstones"  -> ((s, dir) => Similarity.annIvfTombstoned(s, dir)),
+    "s29_ann_index_stats" -> ((s, dir) => Similarity.annIndexStats(s, dir)),
+    "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */
@@ -1834,6 +1836,8 @@ object SparkEntry {
     "s04_ann_ivf" -> s04OracleSql,
     "s27_matryoshka_eval" -> s27OracleSql,
     "s28_ann_tombstones" -> s28OracleSql,
+    "s29_ann_index_stats" -> s29OracleSql,
+    "v06_dedup_impact" -> v06OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
     // Pinned.pq), so cell assignment, PQ codes, ADC scores and the
@@ -2429,6 +2433,128 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** s29 replay — the s04 bucket assignment ([[lshBucketsCte]],
+    * nTables=1) reduced to cell occupancies; all-integer metrics plus
+    * one milli-floored float (the imbalance factor, identical op
+    * order); the log₂ bin is `length(bin(c)) − 1` on both engines
+    * (exact integer — floor(log2) would misbin at powers of two). */
+  private lazy val s29OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
+         cells AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS c
+           FROM buckets GROUP BY bucket
+         ), summ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(c) AS BIGINT) AS n_vectors,
+             CAST(max(c) AS BIGINT) AS max_cell,
+             CAST(min(c) AS BIGINT) AS min_cell,
+             CAST(sum(c * c) AS BIGINT) AS ss
+           FROM cells
+         ), hist AS (
+           SELECT 'cells_log2_' || lpad(CAST(length(bin(c)) - 1 AS VARCHAR),
+               2, '0') AS metric,
+             CAST(count(*) AS BIGINT) AS value
+           FROM cells GROUP BY 1
+         ), mets AS (
+           SELECT 'n_cells' AS metric, n_cells AS value FROM summ
+           UNION ALL SELECT 'n_vectors', n_vectors FROM summ
+           UNION ALL SELECT 'max_cell', max_cell FROM summ
+           UNION ALL SELECT 'min_cell', min_cell FROM summ
+           UNION ALL SELECT 'imbalance_milli',
+             CAST(floor(CAST(n_cells AS DOUBLE) * CAST(ss AS DOUBLE)
+               / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE))
+               * 1000.0 + 0.5) AS BIGINT)
+           FROM summ)
+         SELECT metric, value FROM
+           (SELECT * FROM mets UNION ALL SELECT * FROM hist)
+         ORDER BY metric"""
+
+  /** v06 replay — the three dedup lenses composed from their own
+    * oracle machinery: d01's fingerprint rule, d05's recursive-CTE CC
+    * + d08's keep-best window (string shingles, the documented hash
+    * equivalence), and t26's window-fingerprint coverage
+    * ([[t26MarkedCtes]], spliced to `WITH RECURSIVE` for the CC arm;
+    * its MATERIALIZED BMP guard is re-referenced in the final WHERE).
+    * Every stage is a scalar aggregate, so empty stages still emit
+    * their 0 row (the q35 lesson). */
+  private lazy val v06OracleSql: String = {
+    val prefix = t26MarkedCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$prefix, vbase AS (
+           SELECT doc_id, n_chars,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents
+         ), exact AS (
+           SELECT 'exact_dedup' AS stage,
+             CAST(coalesce(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS docs_affected,
+             CAST(coalesce(sum(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END), 0)
+               AS BIGINT) AS tokens_removed
+           FROM (SELECT n_tokens, row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id) AS rk FROM vbase)
+         ), vtoks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), vsh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM vtoks WHERE len(tk) >= 3
+         ), vpairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM vsh a
+           JOIN vsh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.7
+         ), vedges AS (
+           SELECT doc_a AS a, doc_b AS b FROM vpairs
+           UNION ALL SELECT doc_b, doc_a FROM vpairs
+         ), vnodes AS (SELECT DISTINCT a AS n FROM vedges),
+         reach(n, m) AS (
+           SELECT n, n FROM vnodes
+           UNION
+           SELECT r.n, e.b FROM reach r JOIN vedges e ON r.m = e.a
+         ), vclusters AS (
+           SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n
+         ), vkeep AS (
+           SELECT cluster, doc_id AS kept FROM (
+             SELECT c.cluster, d.doc_id,
+               row_number() OVER (PARTITION BY c.cluster
+                 ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+             FROM vclusters c JOIN documents d ON c.doc_id = d.doc_id)
+           WHERE rk = 1
+         ), near AS (
+           SELECT 'near_dedup' AS stage,
+             CAST(coalesce(sum(CASE WHEN c.doc_id <> k.kept
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_affected,
+             CAST(coalesce(sum(CASE WHEN c.doc_id <> k.kept
+               THEN b.n_tokens ELSE 0 END), 0) AS BIGINT) AS tokens_removed
+           FROM vclusters c JOIN vkeep k USING (cluster)
+           JOIN vbase b ON b.doc_id = c.doc_id
+         ), visl AS (
+           SELECT doc_id,
+             greatest(0, e - greatest(i - 1,
+               coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)))
+               AS contrib
+           FROM marked
+         ), vcov AS (
+           SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered
+           FROM visl GROUP BY doc_id
+         ), vspan AS (
+           SELECT 'span_dedup' AS stage,
+             CAST(coalesce(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS docs_affected,
+             CAST(coalesce(sum(covered), 0) AS BIGINT) AS tokens_removed
+           FROM vcov)
+         SELECT stage, docs_affected, tokens_removed FROM (
+           SELECT * FROM exact UNION ALL
+           SELECT * FROM near UNION ALL
+           SELECT * FROM vspan)
+         WHERE (SELECT ok FROM guard) = 1
+         ORDER BY stage"""
   }
 
   /** s27 replay — one s01-shaped brute-force CTE per truncation (the

@@ -180,4 +180,65 @@ object Curation {
         expr(s"((rk - 1) * $nBins) div n_total").as("bin"))
       .orderBy("doc_id")
   }
+
+  /** v06: dedup-impact report — the governance number a data lead
+    * reads before signing off a corpus release: for each dedup family
+    * the library ships, how many documents it would touch and how many
+    * tokens it would remove. One row per stage, independent accounting
+    * (the stages are alternative lenses on the same corpus, not a
+    * sequential pipeline):
+    *
+    *  - `exact_dedup` (d01's rule): the non-keeper copies per
+    *    content-fingerprint family; tokens = their full bodies;
+    *  - `near_dedup` (d03→d05→d08's rule at τ=0.7): cluster members
+    *    minus the keep-best keepers; tokens = the non-keepers' bodies;
+    *  - `span_dedup` (t26's rule): documents with any duplicated-span
+    *    coverage; tokens = total covered tokens (Lee et al.'s corpus
+    *    duplication number — every occurrence counts, the upper bound
+    *    a keep-first splice would approach).
+    *
+    * Every stage is a global aggregate (the q35 lesson: empty stages
+    * still emit their 0 row). Scale: exact/span are the d01/t26 shapes
+    * verbatim; near carries the documented d03 quadratic-oracle
+    * contract — at 100 TB it runs over d10's LSH-sourced clusters
+    * instead (same downstream accounting). */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame =
+    dedupImpact(t(s, dir, "documents"), "doc_id", "text")
+
+  def dedupImpact(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+        Sampling.contentFp(col(textCol)).as("fp"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .localCheckpoint() // feeds the exact stage AND the near join-back
+    def staged(name: String, affected: Column, removed: Column,
+               src: DataFrame): DataFrame =
+      src.agg(coalesce(affected, lit(0L)).as("docs_affected"),
+          coalesce(removed, lit(0L)).as("tokens_removed"))
+        .select(lit(name).as("stage"), col("docs_affected"),
+          col("tokens_removed"))
+    val exact = staged("exact_dedup",
+      sum(when(col("rk") > 1, 1L).otherwise(0L)),
+      sum(when(col("rk") > 1, col("n_tokens")).otherwise(0L)),
+      base.withColumn("rk", row_number().over(
+        Window.partitionBy("fp").orderBy(asc("doc_id")))))
+    // unordered pair frame: the CC checkpoint would materialize the
+    // presentation sort nothing reads (the d07/d09 lesson)
+    val clusters = Dedup.dupClusters(
+      Dedup.ngramJaccardUnordered(docs, idCol, textCol, 0.7))
+    val keepers = Dedup.keepBestFrom(clusters,
+      base.select(col("doc_id"), col("n_chars")))
+    val near = staged("near_dedup",
+      sum(when(col("doc_id") =!= col("kept_doc_id"), 1L).otherwise(0L)),
+      sum(when(col("doc_id") =!= col("kept_doc_id"), col("n_tokens"))
+        .otherwise(0L)),
+      clusters.join(keepers, "cluster").join(base, "doc_id"))
+    val span = staged("span_dedup",
+      sum(when(col("covered_tokens") > 0, 1L).otherwise(0L)),
+      sum(col("covered_tokens")),
+      TextOps.spanCoverage(docs, idCol, textCol))
+    exact.unionByName(near).unionByName(span).orderBy("stage")
+  }
 }

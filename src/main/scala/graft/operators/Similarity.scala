@@ -1663,6 +1663,50 @@ object Similarity {
   val S28TombMod: Int = 7
   val S28TombResidue: Int = 3
 
+  /** s29: IVF index-health report — cell-occupancy statistics over
+    * s04's bucket index BEFORE serving it: cell/vector counts,
+    * extremes, a log₂ occupancy histogram, and the imbalance factor
+    * (n_cells·Σc²/(Σc)², FAISS's `imbalance_factor`: 1.0 = perfectly
+    * balanced, and under uniform queries it IS the expected probe-cost
+    * multiplier vs balanced cells). s21/s25 grade the index's RECALL;
+    * this grades its COST — the other dial read before committing
+    * nPlanes/nprobe at scale.
+    *
+    * Scale shape: ONE bucket-key count shuffle (map-side combined) —
+    * the corpus contributes only its bucket key; everything downstream
+    * is cell-count-sized and the report is O(log) rows. The log₂ bin
+    * is `length(bin(c)) − 1` (exact integer, engine-portable) rather
+    * than floor(log2(c)), whose float form misbins at powers of two. */
+  def annIndexStats(s: SparkSession, dir: String,
+                    nPlanes: Int = 4): DataFrame = {
+    val cells = emb(s, dir)
+      .select(lshBucketInt(col("v"), nPlanes).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the summary AND the histogram
+    val hist = cells
+      .withColumn("b", length(bin(col("c"))) - 1)
+      .groupBy("b").agg(count(lit(1)).as("value"))
+      .select(concat(lit("cells_log2_"),
+        lpad(col("b").cast("string"), 2, "0")).as("metric"), col("value"))
+    val summ = cells.agg(
+        count(lit(1)).as("n_cells"),
+        sum("c").as("n_vectors"),
+        max("c").as("max_cell"),
+        min("c").as("min_cell"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(explode(map(
+        lit("n_cells"), col("n_cells"),
+        lit("n_vectors"), col("n_vectors"),
+        lit("max_cell"), col("max_cell"),
+        lit("min_cell"), col("min_cell"),
+        lit("imbalance_milli"),
+        floor(col("n_cells").cast("double") * col("ss").cast("double")
+          / (col("n_vectors").cast("double") * col("n_vectors").cast("double"))
+          * 1000.0 + 0.5).cast("long")
+      )).as(Seq("metric", "value")))
+    summ.unionByName(hist).orderBy("metric")
+  }
+
   /** s28: ANN serving under LOGICAL DELETES — the index-maintenance
     * half of the serve lifecycle (s11 covered fit-once/serve-many;
     * this covers delete-without-rebuild): the IVF bucket index is

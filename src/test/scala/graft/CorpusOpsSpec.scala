@@ -1448,4 +1448,46 @@ class CorpusOpsSpec extends SparkSuite {
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
     }
   }
+
+  test("v06 dedup impact: planted corpus hits every stage with exact accounting") {
+    import spark.implicits._
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val span = words(0, 16, "s") // a 16-token block repeated across docs
+    val docs = Seq(
+      // exact family: 3 identical docs (keeper 1; 2 copies removed)
+      (1L, words(0, 10, "e")), (2L, words(0, 10, "e")), (3L, words(0, 10, "e")),
+      // near family: J≈0.75 pair, doc 5 longer → keeper by n_chars
+      (4L, words(0, 30, "n")), (5L, words(0, 30, "n") + " extra tail here"),
+      // span family: the 16-token block inside two otherwise-unrelated docs
+      (6L, span + " " + words(0, 10, "x")),
+      (7L, words(0, 10, "y") + " " + span),
+      (8L, words(0, 12, "z"))) // untouched
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val got = Curation.dedupImpact(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact: docs 2,3 removed — 10 tokens each
+    assert(got("exact_dedup") == ((2L, 20L)), got("exact_dedup").toString)
+    // near: ALL of the exact family clusters too (J=1.0 ≥ 0.7) — docs
+    // {1,2,3} cluster (keeper = 1 by doc_id tiebreak on equal n_chars),
+    // docs {4,5} cluster (keeper = 5, longer): removed = 2,3 (10 tok
+    // each) + 4 (30 tok)
+    assert(got("near_dedup") == ((3L, 50L)), got("near_dedup").toString)
+    // span: the 16-token block covers 16 tokens in docs 6 AND 7, and
+    // the near pair's shared 30-token prefix is ALSO window-duplicated
+    // (30 covered in each of 4 and 5 — the lenses overlap by design);
+    // the exact triplet's 10-token bodies are below the window width
+    // so they contribute nothing
+    assert(got("span_dedup") == ((4L, 92L)), got("span_dedup").toString)
+    // cross-operator law on the gate corpus: the span row IS the t26
+    // coverage aggregate
+    val viaT26 = TextOps.spanCoverage(spark, sf)
+      .agg(sum(when(col("covered_tokens") > 0, 1L).otherwise(0L)),
+        sum(col("covered_tokens"))).as[(Long, Long)].head()
+    val reg = Curation.dedupImpact(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(reg("span_dedup") == viaT26,
+      s"v06 span row ${reg("span_dedup")} != t26 aggregate $viaT26")
+  }
 }

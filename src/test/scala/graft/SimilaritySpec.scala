@@ -896,4 +896,20 @@ class SimilaritySpec extends SparkSuite {
           s"survivor ($q,$n) rank worsened: $rk -> $newRk")
     }
   }
+
+  test("s29 index stats: conservation, imbalance >= 1000 with equality iff balanced") {
+    val rep = Similarity.annIndexStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rep("n_vectors") == n, "every vector must land in a cell")
+    assert(rep("min_cell") >= 1L && rep("max_cell") <= n)
+    // Cauchy–Schwarz: n_cells·Σc² >= (Σc)², so the milli factor >= 1000
+    assert(rep("imbalance_milli") >= 1000L)
+    // histogram counts sum to n_cells
+    val histSum = rep.collect {
+      case (k, v) if k.startsWith("cells_log2_") => v }.sum
+    assert(histSum == rep("n_cells"))
+    // max_cell must at least reach the ceiling average
+    assert(rep("max_cell") >= (n + rep("n_cells") - 1) / rep("n_cells"))
+  }
 }
