@@ -1281,8 +1281,31 @@ object SparkDialectTail {
        ORDER BY stage"""
   }
 
+  /** d17 Spark-dialect replay — the d04 `graft_simhash` signatures
+    * with the cross-split best-match tail (split from
+    * [[graft.operators.Dedup.D12SplitAt]]). */
+  private lazy val d17Sql: String = {
+    val split = graft.operators.Dedup.D12SplitAt
+    s"""WITH $docsCte,
+       sigs AS (SELECT doc_id, graft_simhash(sh) AS sig FROM docs),
+       m AS (
+         SELECT b.doc_id AS doc_id, a.doc_id AS store_id,
+           bit_count(a.sig ^ b.sig) AS hamming
+         FROM sigs a JOIN sigs b
+           ON a.doc_id < $split AND b.doc_id >= $split
+         WHERE bit_count(a.sig ^ b.sig) <= 3)
+       SELECT doc_id, best_match, hamming, n_matches FROM (
+         SELECT doc_id, store_id AS best_match, hamming,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY hamming ASC, store_id ASC) AS rk,
+           count(*) OVER (PARTITION BY doc_id) AS n_matches
+         FROM m)
+       WHERE rk = 1 ORDER BY doc_id"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "d17_incremental_simhash" -> d17Sql,
     "s29_ann_index_stats" -> s29Sql,
     "v06_dedup_impact" -> v06Sql,
     "x22_pack_efficiency" -> x22Sql,

@@ -108,6 +108,7 @@ object SparkEntry {
     "d13_fuzzy_pairs"     -> Dedup.fuzzyPairs,
     "d14_dup_spans"       -> ((s, dir) => TextOps.dupSpans(s, dir)),
     "d15_incremental_fuzzy" -> ((s, dir) => Dedup.incrementalFuzzy(s, dir)),
+    "d17_incremental_simhash" -> ((s, dir) => Dedup.incrementalSimhash(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -978,6 +979,7 @@ object SparkEntry {
     "v05_vocab_divergence" -> v05OracleSql,
     "t31_memorization" -> t31OracleSql,
     "d16_lsh_scurve" -> d16OracleSql,
+    "d17_incremental_simhash" -> d17OracleSql,
     "t30_kneser_ney" -> t30OracleSql,
     "d13_fuzzy_pairs" -> d13OracleSql,
     "d14_dup_spans" -> d14OracleSql,
@@ -1556,69 +1558,7 @@ object SparkEntry {
     // UTF-16 code units — identical for every BMP character, divergent
     // only for surrogate pairs (non-BMP, absent from the synthetic
     // corpus).
-    "d04_simhash" ->
-      """WITH
-         toks AS (
-           SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
-             tk -> list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(string_split(tk, ''), c -> ord(c)::HUGEINT)),
-               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
-                         % 18446744073709551616::HUGEINT)) AS th
-           FROM documents
-         ),
-         sh_pos AS (
-           SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i
-           FROM toks WHERE len(th) >= 3
-         ),
-         sh AS (
-           SELECT DISTINCT doc_id, a3 AS shingle FROM (
-             SELECT doc_id,
-               xor(11400714819323198485::HUGEINT, th[CAST(i AS INT)]) AS x1,
-               (x1 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p1,
-               xor(p1, p1 // 1073741824) AS t1,
-               ((t1 % 4294967296) * 13787848793156543929::HUGEINT + (((t1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q1,
-               xor(q1, q1 // 134217728) AS u1,
-               ((u1 % 4294967296) * 10723151780598845931::HUGEINT + (((u1 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r1,
-               xor(r1, r1 // 2147483648) AS a1,
-               xor(a1, th[CAST(i + 1 AS INT)]) AS x2,
-               (x2 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p2,
-               xor(p2, p2 // 1073741824) AS t2,
-               ((t2 % 4294967296) * 13787848793156543929::HUGEINT + (((t2 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q2,
-               xor(q2, q2 // 134217728) AS u2,
-               ((u2 % 4294967296) * 10723151780598845931::HUGEINT + (((u2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r2,
-               xor(r2, r2 // 2147483648) AS a2,
-               xor(a2, th[CAST(i + 2 AS INT)]) AS x3,
-               (x3 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p3,
-               xor(p3, p3 // 1073741824) AS t3,
-               ((t3 % 4294967296) * 13787848793156543929::HUGEINT + (((t3 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q3,
-               xor(q3, q3 // 134217728) AS u3,
-               ((u3 % 4294967296) * 10723151780598845931::HUGEINT + (((u3 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r3,
-               xor(r3, r3 // 2147483648) AS a3
-             FROM sh_pos)
-         ),
-         bits AS (
-           SELECT doc_id, b.i,
-             sum(CASE WHEN (shingle // (1::HUGEINT << CAST(b.i AS INT))) % 2 = 1
-                      THEN 1 ELSE -1 END) AS cnt
-           FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
-           GROUP BY doc_id, b.i
-         ),
-         sig AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN cnt >= 0 AND i < 32 THEN 1::BIGINT << CAST(i AS INT)
-                           ELSE 0 END) AS BIGINT) AS lo,
-             CAST(sum(CASE WHEN cnt >= 0 AND i >= 32 THEN 1::BIGINT << CAST(i - 32 AS INT)
-                           ELSE 0 END) AS BIGINT) AS hi
-           FROM bits GROUP BY doc_id
-         )
-         SELECT doc_a, doc_b, hamming FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
-               AS hamming
-           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-         WHERE hamming <= 3
-         ORDER BY doc_a, doc_b""",
+    "d04_simhash" -> d04OracleSql,
     "d05_dup_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
@@ -2433,6 +2373,100 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** The d04 HUGEINT simhash replay CTEs (FNV-1a token hashes,
+    * SplitMix64-mixed 3-gram shingles, per-bit majority → lo/hi sig
+    * halves) — shared by the d04 all-pairs oracle and the d17
+    * cross-split admission oracle. */
+  private lazy val d04SigCtes: String =
+    """WITH
+         toks AS (
+           SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+             tk -> list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(tk, ''), c -> ord(c)::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT)) AS th
+           FROM documents
+         ),
+         sh_pos AS (
+           SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i
+           FROM toks WHERE len(th) >= 3
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id, a3 AS shingle FROM (
+             SELECT doc_id,
+               xor(11400714819323198485::HUGEINT, th[CAST(i AS INT)]) AS x1,
+               (x1 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p1,
+               xor(p1, p1 // 1073741824) AS t1,
+               ((t1 % 4294967296) * 13787848793156543929::HUGEINT + (((t1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q1,
+               xor(q1, q1 // 134217728) AS u1,
+               ((u1 % 4294967296) * 10723151780598845931::HUGEINT + (((u1 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r1,
+               xor(r1, r1 // 2147483648) AS a1,
+               xor(a1, th[CAST(i + 1 AS INT)]) AS x2,
+               (x2 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p2,
+               xor(p2, p2 // 1073741824) AS t2,
+               ((t2 % 4294967296) * 13787848793156543929::HUGEINT + (((t2 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q2,
+               xor(q2, q2 // 134217728) AS u2,
+               ((u2 % 4294967296) * 10723151780598845931::HUGEINT + (((u2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r2,
+               xor(r2, r2 // 2147483648) AS a2,
+               xor(a2, th[CAST(i + 2 AS INT)]) AS x3,
+               (x3 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS p3,
+               xor(p3, p3 // 1073741824) AS t3,
+               ((t3 % 4294967296) * 13787848793156543929::HUGEINT + (((t3 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q3,
+               xor(q3, q3 // 134217728) AS u3,
+               ((u3 % 4294967296) * 10723151780598845931::HUGEINT + (((u3 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS r3,
+               xor(r3, r3 // 2147483648) AS a3
+             FROM sh_pos)
+         ),
+         bits AS (
+           SELECT doc_id, b.i,
+             sum(CASE WHEN (shingle // (1::HUGEINT << CAST(b.i AS INT))) % 2 = 1
+                      THEN 1 ELSE -1 END) AS cnt
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+           GROUP BY doc_id, b.i
+         ),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN cnt >= 0 AND i < 32 THEN 1::BIGINT << CAST(i AS INT)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN cnt >= 0 AND i >= 32 THEN 1::BIGINT << CAST(i - 32 AS INT)
+                           ELSE 0 END) AS BIGINT) AS hi
+           FROM bits GROUP BY doc_id
+         )"""
+
+  private lazy val d04OracleSql: String =
+    s"""$d04SigCtes
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+               AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3
+         ORDER BY doc_a, doc_b"""
+
+  /** d17 replay — [[d04SigCtes]] with the d12 cross-split tail: exact
+    * hamming over batch×store (the pigeonhole buckets carry it at
+    * recall 1.0 for hamming ≤ 3, so the brute force is equal), best
+    * match per batch doc. Split constant single-sourced from
+    * [[graft.operators.Dedup.D12SplitAt]]. */
+  private lazy val d17OracleSql: String = {
+    val split = graft.operators.Dedup.D12SplitAt
+    s"""$d04SigCtes, m AS (
+           SELECT b.doc_id AS doc_id, a.doc_id AS store_id,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+               AS INT) AS hamming
+           FROM sig a JOIN sig b
+             ON a.doc_id < $split AND b.doc_id >= $split
+           WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3)
+         SELECT doc_id, best_match, hamming, n_matches FROM (
+           SELECT doc_id, store_id AS best_match, hamming,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY hamming ASC, store_id ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches
+           FROM m)
+         WHERE rk = 1 ORDER BY doc_id"""
   }
 
   /** s29 replay — the s04 bucket assignment ([[lshBucketsCte]],

@@ -744,19 +744,15 @@ object Dedup {
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhash(t(s, dir, "documents"), "doc_id", "text", maxHamming)
 
-  def simhash(docsIn: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int): DataFrame = {
-    // 4 chunks pigeonhole-guarantee a shared chunk only for hamming <= 3;
-    // a larger radius needs more chunks or multi-chunk probing
-    require(maxHamming <= 3,
-      s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
-    // BMP-only oracle-equivalence precondition, ENFORCED (the
-    // lshBucketInt discipline): the engine's fnv64 iterates UTF-16
-    // code units while the SQL replay's ord() yields Unicode code
-    // points — identical for every BMP character, divergent exactly on
-    // surrogate pairs. A non-BMP code point anywhere in the corpus
-    // would silently desync the two hashes, so it fails loudly instead.
-    val guarded = docsIn.withColumn(textCol,
+  /** BMP-only oracle-equivalence precondition, ENFORCED (the
+    * lshBucketInt discipline): the engine's fnv64 iterates UTF-16
+    * code units while the SQL replay's ord() yields Unicode code
+    * points — identical for every BMP character, divergent exactly on
+    * surrogate pairs. A non-BMP code point anywhere in the corpus
+    * would silently desync the two hashes, so it fails loudly instead. */
+  private def bmpGuarded(docsIn: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docsIn.withColumn(textCol,
       when(col(textCol).rlike("[\\x{10000}-\\x{10FFFF}]"),
         raise_error(concat(
           lit("simhash oracle precondition violated: non-BMP code point " +
@@ -764,15 +760,35 @@ object Dedup {
           col(idCol).cast("string"),
           lit(" - UTF-16-unit vs code-point hashing diverge there"))))
         .otherwise(col(textCol)))
-    val docs = docShingles(guarded, idCol, textCol)
+
+  /** The persisted artifact of the simhash family: one 8-byte
+    * SIGNATURE per doc (the smallest store of the incremental family —
+    * cf. d11's 16-byte fingerprints, d12's banded sketches). */
+  def simhashStore(docsIn: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docShingles(bmpGuarded(docsIn, idCol, textCol), idCol, textCol)
       .select(col("doc_id"), Hashing.simhash(col("sh")).as("sig"))
-      .localCheckpoint() // read 3× in-plan; blocks auto-released (see minhashLsh)
-    // 4 chunks of 16 bits each; bit i of the signature = bit i of `sig`,
-    // so chunk j is just a shift+mask — no per-bit array materializes.
-    val chunkKeys = array((0 until 4).map { j =>
-      shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))
+
+  /** The 4×16-bit pigeonhole chunk keys of a signature column: a pair
+    * at hamming ≤ 3 MUST share at least one chunk, so chunk-key
+    * equality is a recall-1.0 candidate generator for that radius.
+    * Bit i of the signature = bit i of `sig`, so chunk j is just a
+    * shift+mask — no per-bit array materializes. */
+  private def chunkKeysOf(sig: Column): Column =
+    array((0 until 4).map { j =>
+      shiftrightunsigned(sig, j * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
-    val banded = docs.select(col("doc_id"), posexplode(chunkKeys).as(Seq("chunk", "key")))
+
+  def simhash(docsIn: DataFrame, idCol: String, textCol: String,
+              maxHamming: Int): DataFrame = {
+    // 4 chunks pigeonhole-guarantee a shared chunk only for hamming <= 3;
+    // a larger radius needs more chunks or multi-chunk probing
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
+    val docs = simhashStore(docsIn, idCol, textCol)
+      .localCheckpoint() // read 3× in-plan; blocks auto-released (see minhashLsh)
+    val banded = docs.select(col("doc_id"),
+      posexplode(chunkKeysOf(col("sig"))).as(Seq("chunk", "key")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -973,5 +989,63 @@ object Dedup {
       .withColumn("recall_milli",
         floor(col("n_caught") * 1000.0 / col("n_pairs") + 0.5).cast("long"))
       .orderBy("bin")
+  }
+
+  /** d17: incremental SIMHASH admission — the d11/d12/d15 store
+    * discipline for the hamming family, completing the incremental
+    * set: the accumulated store persists one 8-byte signature per
+    * admitted doc ([[simhashStore]]); a new batch probes it via the
+    * 16-bit-chunk pigeonhole buckets (shared chunk GUARANTEED for
+    * hamming ≤ 3 — recall 1.0 by construction, unlike d12's
+    * probabilistic bands), exact hamming verifies, and the report
+    * carries each matched batch doc's best store match (hamming ASC,
+    * id ASC) plus its match count. Batch docs with no verdict row are
+    * the admissions whose signatures extend the store.
+    *
+    * At 100 TB: per-batch work is batch-sized (batch chunks × the
+    * store-bucket lookups the equi-join prunes to); the store is the
+    * family's smallest at 8 bytes/doc. */
+  def incrementalSimhash(s: SparkSession, dir: String,
+                         splitAt: Long = D12SplitAt): DataFrame = {
+    val docs = t(s, dir, "documents")
+    incrementalSimhash(
+      simhashStore(docs.filter(col("doc_id") >= splitAt), "doc_id", "text"),
+      simhashStore(docs.filter(col("doc_id") < splitAt), "doc_id", "text"))
+  }
+
+  /** The probe half over pre-derived signature frames (doc_id, sig). */
+  def incrementalSimhash(batchSig: DataFrame, storeSig: DataFrame): DataFrame =
+    incrementalSimhash(batchSig, storeSig, 3)
+
+  def incrementalSimhash(batchSig: DataFrame, storeSig: DataFrame,
+                         maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
+    val b = batchSig.localCheckpoint() // chunk probe + sig fetch
+    val st = storeSig.localCheckpoint()
+    def chunks(df: DataFrame, as: String): DataFrame = df
+      .select(col("doc_id").as(as),
+        posexplode(chunkKeysOf(col("sig"))).as(Seq("chunk", "key")))
+    val cand = chunks(b, "batch_id")
+      .join(chunks(st, "store_id"), Seq("chunk", "key"))
+      .select("batch_id", "store_id").distinct()
+    val verified = cand
+      .join(b.select(col("doc_id").as("batch_id"), col("sig").as("sig_b")),
+        "batch_id")
+      .join(st.select(col("doc_id").as("store_id"), col("sig").as("sig_s")),
+        "store_id")
+      .withColumn("hamming",
+        bit_count(col("sig_b").bitwiseXOR(col("sig_s"))))
+      .filter(col("hamming") <= maxHamming)
+    val w = Window.partitionBy("batch_id")
+      .orderBy(asc("hamming"), asc("store_id"))
+    verified
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("batch_id")))
+      .filter(col("rk") === 1)
+      .select(col("batch_id").as("doc_id"),
+        col("store_id").as("best_match"), col("hamming"), col("n_matches"))
+      .orderBy("doc_id")
   }
 }

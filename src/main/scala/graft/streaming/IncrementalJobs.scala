@@ -219,6 +219,42 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val sigSchema = StructType.fromDDL("doc_id BIGINT, sig BIGINT")
+
+  /** Streaming incremental simhash admission (d17's lifecycle):
+    * document batches land in `srcDir`; each micro-batch's signatures
+    * probe the accumulated 8-byte-per-doc signature store
+    * ([[graft.operators.Dedup.incrementalSimhash]] — pigeonhole-chunk
+    * equi-join, exact-hamming verify), matched docs' verdict rows land
+    * batchId-keyed in `outDir`, and the ADMITTED docs' signatures
+    * extend the store. Store-only probe (the d12/d15 semantic): two
+    * near-identical docs inside one batch are both admitted — the
+    * batch is the ingestion atom. */
+  def startIncrementalSimhash(spark: SparkSession, srcDir: String,
+                              docSchema: StructType, storeDir: String,
+                              outDir: String,
+                              checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, sigSchema)
+        val bSig = Dedup.simhashStore(batch, "doc_id", "text")
+          .localCheckpoint()
+        val verdicts = Dedup
+          .incrementalSimhash(bSig, store.localCheckpoint())
+          .localCheckpoint() // read twice: the write + the admission anti-join
+        verdicts.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        bSig.join(verdicts.select("doc_id"), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
   private val fuzzyStoreSchema =
     StructType.fromDDL("id BIGINT, name STRING, variant STRING")
 

@@ -362,6 +362,39 @@ class DedupSpec extends SparkSuite {
     assert(keys.distinct.length == keys.length, "duplicate pairs")
   }
 
+  test("d17 incremental simhash: crafted waves — exact copy matches at " +
+       "hamming 0, small edit within radius, unrelated doc admitted") {
+    import spark.implicits._
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val store = Seq(
+      (1L, words(0, 40, "w")),
+      (2L, words(0, 40, "u"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, words(0, 40, "w")),                        // exact → hamming 0
+      (11L, words(0, 39, "u") + " zzz"),               // near u → small hamming
+      (12L, words(0, 40, "q"))).toDF("doc_id", "text") // unrelated → admitted
+    val got = Dedup.incrementalSimhash(
+        Dedup.simhashStore(batch, "doc_id", "text"),
+        Dedup.simhashStore(store, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got.contains(10L) && got(10L) == ((1L, 0)),
+      s"exact copy must match at hamming 0: ${got.get(10L)}")
+    got.get(11L).foreach { case (m, h) =>
+      assert(m == 2L && h >= 1 && h <= 3, s"near match off: ($m, $h)")
+    }
+    assert(!got.contains(12L), "unrelated doc must be admitted")
+    // chunk-probe ≡ brute force at radius 3 (the pigeonhole guarantee):
+    // every reported hamming verifies against a direct signature xor
+    val sigs = (Dedup.simhashStore(store, "doc_id", "text").collect() ++
+      Dedup.simhashStore(batch, "doc_id", "text").collect())
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (b, (m, h)) =>
+      assert(java.lang.Long.bitCount(sigs(b) ^ sigs(m)) == h)
+    }
+  }
+
   test("d16 S-curve: exact dups always caught, mid bins measured on a " +
        "planted corpus, high-bin recall carries d02's pairs") {
     import spark.implicits._

@@ -465,6 +465,67 @@ class StreamingIncrementalSpec extends SparkSuite {
     assert(admitted() == Set(10L, 11L, 12L, 22L))
   }
 
+  test("streaming incremental simhash: kill/restart; verdicts and store admission equal the batch composition") {
+    val src = Files.createTempDirectory("graft_sh_src").toString
+    val store = Files.createTempDirectory("graft_sh_store").toString
+    val out = Files.createTempDirectory("graft_sh_out").toString
+    val ckpt = Files.createTempDirectory("graft_sh_ckpt").toString
+
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val docsA = Seq(
+      (1L, words(0, 40, "w")),
+      (2L, words(0, 40, "u"))).toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalSimhash(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while down: an exact copy of wave-A content (store hit),
+    // a near copy, and a novel doc
+    val docsB = Seq(
+      (10L, words(0, 40, "w")),
+      (11L, words(0, 39, "u") + " zzz"),
+      (12L, words(0, 40, "q"))).toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // LAW: verdicts == the batch d17 probe of wave B against wave A
+    val verdicts = spark.read.parquet(out)
+      .select("doc_id", "best_match", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val ref = graft.operators.Dedup.incrementalSimhash(
+        graft.operators.Dedup.simhashStore(docsB, "doc_id", "text"),
+        graft.operators.Dedup.simhashStore(docsA, "doc_id", "text"))
+      .select("doc_id", "best_match", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(verdicts == ref)
+    assert(verdicts.exists(v => v._1 == 10L && v._2 == 1L && v._3 == 0),
+      "the exact copy must be rejected at hamming 0")
+    // LAW: store == wave-A signatures + wave-B ADMISSIONS (the batch
+    // docs without a verdict row); the novel doc is always admitted
+    val admittedB = Set(10L, 11L, 12L) -- ref.map(_._1)
+    val expected = Set(1L, 2L) ++ admittedB
+    def stored() = spark.read.parquet(store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedB.contains(12L) && stored() == expected,
+      stored().toString)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(stored() == expected)
+  }
+
   test("streaming memorization store: kill/restart; ledger probe == batch t31 over all ingested") {
     val src = Files.createTempDirectory("graft_mem_src").toString
     val store = Files.createTempDirectory("graft_mem_store").toString
