@@ -1303,8 +1303,31 @@ object SparkDialectTail {
        WHERE rk = 1 ORDER BY doc_id"""
   }
 
+  /** t32 Spark-dialect replay — t14's `graft_bpe_apply` kernel with
+    * the per-language fertility tail. */
+  private lazy val t32Sql: String = {
+    val (lefts, rights) = mergeArrays(TextOps.pinnedMerges)
+    s"""WITH words AS (
+           SELECT lang, word FROM documents
+           LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS word),
+         vocab AS (SELECT DISTINCT word FROM words),
+         encoded AS (
+           SELECT word,
+             CAST(size(graft_bpe_apply(word, $lefts, $rights)) AS BIGINT) AS n_sub
+           FROM vocab),
+         agg AS (
+           SELECT w.lang, count(1) AS n_words, sum(e.n_sub) AS n_bpe_tokens
+           FROM words w JOIN encoded e ON w.word = e.word
+           GROUP BY w.lang)
+         SELECT lang, n_words, n_bpe_tokens,
+           CAST(floor(CAST(n_bpe_tokens AS DOUBLE) * 1000.0
+             / CAST(n_words AS DOUBLE) + 0.5) AS BIGINT) AS fertility_milli
+         FROM agg ORDER BY lang"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "t32_bpe_fertility" -> t32Sql,
     "d17_incremental_simhash" -> d17Sql,
     "s29_ann_index_stats" -> s29Sql,
     "v06_dedup_impact" -> v06Sql,

@@ -135,6 +135,8 @@ object SparkEntry {
     "v04_drift_psi"       -> Checks.driftPsi,
     "x20_mixture_waterfill" -> ((s, dir) => Sampling.mixtureWaterfill(s, dir)),
     "j06_window_features" -> TemporalJoins.purchaseClickFeatures,
+    "j07_attribution"     -> ((s, dir) => TemporalJoins.purchaseAttribution(s, dir)),
+    "t32_bpe_fertility"   -> ((s, dir) => TextOps.bpeFertility(s, dir)),
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
     "x21_family_split"    -> Sampling.familySplit,
@@ -972,6 +974,8 @@ object SparkEntry {
     "v04_drift_psi" -> v04OracleSql,
     "x20_mixture_waterfill" -> x20OracleSql,
     "j06_window_features" -> j06OracleSql,
+    "j07_attribution" -> j07OracleSql,
+    "t32_bpe_fertility" -> t32OracleSql,
     "m10_aspect_buckets" -> m10OracleSql,
     "m11_batch_manifest" -> m11OracleSql,
     "x21_family_split" -> x21OracleSql,
@@ -3087,6 +3091,79 @@ object SparkEntry {
            AND c.ts >= p.ts - INTERVAL $mins MINUTE AND c.ts < p.ts
          GROUP BY p.event_id, p.user_id
          ORDER BY p.event_id"""
+  }
+
+  /** j07 replay — dialect-PORTABLE (runs verbatim in DuckDB and via
+    * spark.sql): the brute-force interval join the engine's bucketed
+    * equi-join is exactly equal to; last-touch rule ts DESC,
+    * click_id DESC (the engine's max-struct tiebreak); window minutes
+    * from [[graft.operators.TemporalJoins.J06WidthUs]]. */
+  private lazy val j07OracleSql: String = {
+    val mins = graft.operators.TemporalJoins.J06WidthUs / 60000000L
+    s"""WITH p AS (
+           SELECT event_id AS purchase_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'
+         ), c AS (
+           SELECT user_id, event_id AS click_id, ts FROM events
+           WHERE event_type = 'click'
+         ), m AS (
+           SELECT p.purchase_id, p.value, c.click_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY c.ts DESC, c.click_id DESC) AS rk,
+             CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+               AS n_touches
+           FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL $mins MINUTE AND c.ts < p.ts)
+         SELECT purchase_id, n_touches, click_id AS last_click_id,
+           CAST(floor(value * 100.0 / n_touches + 0.5) AS BIGINT)
+             AS credit_cents
+         FROM m WHERE rk = 1 ORDER BY purchase_id"""
+  }
+
+  /** t32 replay — the t14 recursive-CTE BPE encode (merge table
+    * generated from the SAME [[graft.operators.TextOps.pinnedMerges]]
+    * fixture) with the per-language fertility tail. */
+  private lazy val t32OracleSql: String = {
+    val merges = graft.operators.TextOps.pinnedMerges
+    val rows = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, ' $a $b ', ' $a$b ')"
+    }.mkString(",\n             ")
+    val k = merges.length + 1
+    s"""WITH RECURSIVE
+         words AS (
+           SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents
+         ), vocab AS (SELECT DISTINCT word FROM words
+         ), merges(k, pat, rep) AS (
+           SELECT * FROM (VALUES
+             $rows)
+         ), enc AS (
+           SELECT word,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS s,
+             1 AS k
+           FROM vocab
+           UNION ALL
+           SELECT e.word,
+             CASE WHEN strpos(e.s, m.pat) > 0
+               THEN substr(e.s, 1, strpos(e.s, m.pat) - 1) || m.rep ||
+                    substr(e.s, strpos(e.s, m.pat) + length(m.pat))
+               ELSE e.s END,
+             CASE WHEN strpos(e.s, m.pat) > 0 THEN e.k ELSE e.k + 1 END
+           FROM enc e JOIN merges m ON m.k = e.k
+         ), encoded AS (
+           SELECT word,
+             length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS n_sub
+           FROM enc WHERE k = $k
+         ), agg AS (
+           SELECT w.lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens
+           FROM words w JOIN encoded e USING (word)
+           GROUP BY w.lang)
+         SELECT lang, n_words, n_bpe_tokens,
+           CAST(floor(CAST(n_bpe_tokens AS DOUBLE) * 1000.0
+             / CAST(n_words AS DOUBLE) + 0.5) AS BIGINT) AS fertility_milli
+         FROM agg ORDER BY lang"""
   }
 
   /** m10 replay — dialect-portable: media dims re-derive from

@@ -263,4 +263,44 @@ object TemporalJoins {
         col("__max").as("max_click_value"))
       .orderBy("event_id")
   }
+
+  /** j07: windowed multi-touch attribution — the serving-side dual of
+    * j06's feature backfill: each purchase's VALUE is shared linearly
+    * across the same user's clicks in the preceding 30 minutes, and
+    * the last-touch click is named (the two standard attribution
+    * models in one report). Purchases with no in-window click are
+    * unattributed and drop out — attribution is a report over
+    * attributed conversions, not a left join.
+    *
+    * Same bucketed-interval equi-join as j02/j06 (probe side explodes
+    * to ≤2 width-sized buckets, exact range filter after the join) —
+    * shuffle O(input), never O(pairs). Credit is in CENTS, floored
+    * half-up: ONE float op chain, so the dialect-portable oracle
+    * replays it bit-for-bit. Last-touch ties (same microsecond) break
+    * to the larger click id via the max-struct, mirrored by the
+    * oracle's ORDER BY ts DESC, click_id DESC. */
+  def purchaseAttribution(s: SparkSession, dir: String,
+                          width: Long = J06WidthUs): DataFrame = {
+    val purchases = typed(s, dir, "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+    val clicks = typed(s, dir, "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val p = purchases.withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__bucket", explode(array(
+        floor(col("__us") / width) - 1, floor(col("__us") / width))))
+    val c = clicks.withColumn("__cus", unix_micros(col("cts")))
+      .withColumn("__bucket", floor(col("__cus") / width))
+    p.join(c, Seq("user_id", "__bucket"))
+      .where(col("__cus") >= col("__us") - width && col("__cus") < col("__us"))
+      .groupBy("purchase_id", "value")
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("__cus"), col("click_id"))).as("__last"))
+      .select(col("purchase_id"), col("n_touches"),
+        col("__last.click_id").as("last_click_id"),
+        floor(col("value") * 100.0 / col("n_touches") + 0.5).cast("long")
+          .as("credit_cents"))
+      .orderBy("purchase_id")
+  }
 }

@@ -953,6 +953,38 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** t32: tokenizer FERTILITY by language — BPE tokens per whitespace
+    * word under the pinned model, the multilingual tokenizer-quality
+    * dial (a language at fertility ≫ 1 is being fragmented: its
+    * documents cost proportionally more context budget — the
+    * BLOOM/Aya-style equity measurement run before committing a vocab
+    * to a 100 TB mix). Milli-floored on exact integer sums.
+    *
+    * Same shape as t14: the merge UDF runs on the DISTINCT word
+    * vocabulary only (vocab-sized, never corpus-sized), one
+    * (lang, word) join-back, one lang-keyed aggregate. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    bpeFertilityWith(t(s, dir, "documents"), "lang", "text", pinnedMerges)
+
+  def bpeFertilityWith(docs: DataFrame, groupCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val nSubUdf = udf { word: String =>
+      applyMergesLocal(word, merges).length
+    }
+    val words = docs
+      .select(col(groupCol), explode(tokensOf(col(textCol))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("n_sub", nSubUdf(col("word")).cast("long"))
+    words.join(vocab, "word")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_bpe_tokens"))
+      .withColumn("fertility_milli",
+        floor(col("n_bpe_tokens") * 1000.0 / col("n_words") + 0.5)
+          .cast("long"))
+      .orderBy(groupCol)
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowered
     * text — the exact-dedup key. Stable across engines. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

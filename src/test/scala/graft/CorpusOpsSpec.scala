@@ -1449,6 +1449,21 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t32 fertility: >= 1000 everywhere; lang sums == t14's doc sums") {
+    val rep = TextOps.bpeFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (_, nw, nb, milli) =>
+      assert(nb >= nw, "a word encodes to at least one token")
+      assert(milli >= 1000L)
+    }
+    // cross-operator conservation: Σ_lang == Σ_doc (t14)
+    val t14 = TextOps.bpeEncodePinned(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rep.map(_._2).sum == t14.map(_._1).sum, "word totals diverge")
+    assert(rep.map(_._3).sum == t14.map(_._2).sum, "token totals diverge")
+  }
+
   test("v06 dedup impact: planted corpus hits every stage with exact accounting") {
     import spark.implicits._
     def words(a: Int, b: Int, p: String) =

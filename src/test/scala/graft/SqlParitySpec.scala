@@ -52,8 +52,8 @@ class SqlParitySpec extends SparkSuite {
     "q31_topk_per_group", "q35_funnel", "v01_quality_checks",
     "v02_referential_integrity", "v03_profile", "v04_drift_psi",
     "x19_epoch_shuffle", "x20_mixture_waterfill", "j06_window_features",
-    "m10_aspect_buckets", "m11_batch_manifest", "d13_fuzzy_pairs",
-    "d15_incremental_fuzzy")
+    "j07_attribution", "m10_aspect_buckets", "m11_batch_manifest",
+    "d13_fuzzy_pairs", "d15_incremental_fuzzy")
 
   portable.foreach { name =>
     test(s"$name: oracle SQL runs verbatim via spark.sql and equals the DataFrame form") {

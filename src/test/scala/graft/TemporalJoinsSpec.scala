@@ -211,4 +211,38 @@ class TemporalJoinsSpec extends SparkSuite {
       assert(r.getAs[Long]("n_clicks") == naive(r.getAs[Long]("event_id")))
     }
   }
+
+  test("j07 attribution: linear credit splits, last-touch rule, " +
+       "unattributed purchases absent; touches == j06's click counts") {
+    val got = TemporalJoins.purchaseAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty, "no attributed purchase on the gate corpus")
+    // brute-force recomputation over the collected events
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val evTyped = graft.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val w = TemporalJoins.J06WidthUs
+    val clicks = evTyped.filter(_._3 == "click")
+    evTyped.filter(_._3 == "purchase").foreach {
+      case (pid, user, _, pus, value) =>
+        val touches = clicks.filter { case (_, u, _, cus, _) =>
+          u == user && cus >= pus - w && cus < pus }
+        if (touches.isEmpty) assert(!got.contains(pid), s"phantom $pid")
+        else {
+          val (n, lastId, credit) = got(pid)
+          assert(n == touches.length)
+          val expLast = touches.maxBy(t => (t._4, t._1))
+          assert(lastId == expLast._1,
+            s"last-touch off for $pid: $lastId vs ${expLast._1}")
+          assert(credit ==
+            math.floor(value * 100.0 / touches.length + 0.5).toLong)
+        }
+    }
+    assert(ev.count() > 0) // the raw read stays exercised
+  }
 }
