@@ -1325,8 +1325,74 @@ object SparkDialectTail {
          FROM agg ORDER BY lang"""
   }
 
+  /** s30 Spark-dialect replay — the s26 shortlist chain ranked once,
+    * one re-rank arm per depth from [[Similarity.S30Depths]],
+    * intersected with the exact top-3 truth. */
+  private lazy val s30Sql: String = {
+    val depths = Similarity.S30Depths
+    val nPossible = 5 * 3
+    val arms = depths.map { d =>
+      s"""SELECT $d AS depth, count(1) AS n_hits
+           FROM (
+             SELECT q_id, n_id FROM (
+               SELECT rr.q_id, rr.n_id,
+                 row_number() OVER (PARTITION BY rr.q_id
+                   ORDER BY rr.cos DESC, rr.n_id ASC) AS rk
+               FROM (
+                 SELECT c.q_id, c.n_id,
+                   round(graft_dot(qe.v, ae.v) / (qe.nrm * ae.nrm), 6) AS cos
+                 FROM (SELECT q_id, n_id FROM hamrk WHERE crk <= $d) c
+                 JOIN n qe ON qe.vec_id = c.q_id
+                 JOIN n ae ON ae.vec_id = c.n_id) rr)
+             WHERE rk <= 3) got
+           JOIN truth t ON got.q_id = t.q_id AND got.n_id = t.n_id"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), n AS (
+           SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e
+         ), sg AS (
+           SELECT vec_id,
+             aggregate(transform(sequence(0, 31),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS lo,
+             aggregate(transform(sequence(32, 63),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i - 32 AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS hi
+           FROM e
+         ), ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(a.lo ^ q.lo) + bit_count(a.hi ^ q.hi) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), hamrk AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, n_id ASC) AS crk
+           FROM ham
+         ), truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(graft_dot(q.v, a.v) / (q.nrm * a.nrm), 6)
+                   DESC, a.vec_id ASC) AS rk
+             FROM n q JOIN n a ON a.vec_id <> q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rk <= 3)
+         SELECT depth, n_hits, CAST($nPossible AS BIGINT) AS n_possible,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1000.0 / $nPossible.0 + 0.5)
+             AS BIGINT) AS recall_milli
+         FROM (
+           $arms)
+         ORDER BY depth"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "s30_rerank_depth" -> s30Sql,
     "t32_bpe_fertility" -> t32Sql,
     "d17_incremental_simhash" -> d17Sql,
     "s29_ann_index_stats" -> s29Sql,

@@ -210,6 +210,7 @@ object SparkEntry {
     "s27_matryoshka_eval" -> ((s, dir) => Similarity.matryoshkaEval(s, dir)),
     "s28_ann_tombstones"  -> ((s, dir) => Similarity.annIvfTombstoned(s, dir)),
     "s29_ann_index_stats" -> ((s, dir) => Similarity.annIndexStats(s, dir)),
+    "s30_rerank_depth"    -> ((s, dir) => Similarity.annRerankDepthEval(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 
@@ -1781,6 +1782,7 @@ object SparkEntry {
     "s27_matryoshka_eval" -> s27OracleSql,
     "s28_ann_tombstones" -> s28OracleSql,
     "s29_ann_index_stats" -> s29OracleSql,
+    "s30_rerank_depth" -> s30OracleSql,
     "v06_dedup_impact" -> v06OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
@@ -4172,6 +4174,66 @@ object SparkEntry {
                                 ORDER BY cos DESC, n_id ASC) AS rk
            FROM rr)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** s30 replay — the s26 Hamming-shortlist chain ranked ONCE (crk),
+    * one re-rank arm per swept depth from
+    * [[graft.operators.Similarity.S30Depths]], each intersected with
+    * the exact top-3 truth; milli recall on integer hit counts. */
+  private lazy val s30OracleSql: String = {
+    val depths = graft.operators.Similarity.S30Depths
+    val nPossible = 5 * 3
+    val arms = depths.map { d =>
+      s"""SELECT $d AS depth, CAST(count(*) AS BIGINT) AS n_hits
+           FROM (
+             SELECT q_id, n_id FROM (
+               SELECT rr.q_id, rr.n_id,
+                 row_number() OVER (PARTITION BY rr.q_id
+                   ORDER BY rr.cos DESC, rr.n_id ASC) AS rk
+               FROM (
+                 SELECT c.q_id, c.n_id,
+                   round(list_cosine_similarity(qe.v, ae.v), 6) AS cos
+                 FROM (SELECT q_id, n_id FROM hamrk WHERE crk <= $d) c
+                 JOIN e qe ON qe.vec_id = c.q_id
+                 JOIN e ae ON ae.vec_id = c.n_id) rr)
+             WHERE rk <= 3) got
+           JOIN truth t ON got.q_id = t.q_id AND got.n_id = t.n_id"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sg AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 33) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS hi
+           FROM e),
+         ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(xor(a.lo, q.lo)) + bit_count(xor(a.hi, q.hi)) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         hamrk AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, n_id ASC) AS crk
+           FROM ham),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, a.v), 6) DESC,
+                          a.vec_id ASC) AS rk
+             FROM e q JOIN e a ON a.vec_id <> q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rk <= 3)
+         SELECT depth, n_hits, CAST($nPossible AS BIGINT) AS n_possible,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1000.0 / $nPossible.0 + 0.5)
+             AS BIGINT) AS recall_milli
+         FROM (
+           $arms)
+         ORDER BY depth"""
   }
 
   /** s01 DuckDB replay — extracted to a val so [[s21OracleSql]] can

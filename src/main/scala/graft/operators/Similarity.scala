@@ -1245,6 +1245,39 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** s30's swept shortlist depths — single-sourced into the oracle. */
+  val S30Depths: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** s30: rerank-depth recall curve — for each shortlist depth d, the
+    * recall@k of s26's binary-sign pipeline (Hamming shortlist of d →
+    * exact re-rank → top-k) against exact ground truth. THE two-stage
+    * retrieval dial: s21/s25 grade one operating point, this sweeps
+    * the depth knob so the serving config ("re-rank 16 is enough,
+    * 4 is not") is measured, not guessed — at 64× compression the
+    * re-rank depth IS the serving cost.
+    *
+    * Each arm is s26's plan (map-side TopKPerGroup shortlist heap,
+    * broadcast re-rank fetch); the truth set is computed once and
+    * checkpointed (query-set-sized). Recall is milli-rounded on exact
+    * integer hit counts. */
+  def annRerankDepthEval(s: SparkSession, dir: String, nQueries: Int = 5,
+                         k: Int = 3,
+                         depths: Seq[Int] = S30Depths): DataFrame = {
+    val truth = annBruteForce(s, dir, nQueries, k)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val possible = (nQueries * k).toDouble
+    depths.map { d =>
+      annBinarySign(s, dir, nQueries, k, nCand = d)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("depth"), col("n_hits"),
+          lit(nQueries.toLong * k).as("n_possible"),
+          floor(col("n_hits") * 1000.0 / possible + 0.5).cast("long")
+            .as("recall_milli"))
+    }.reduce(_ unionByName _).orderBy("depth")
+  }
+
   /** Per-label embedding centroids via the typed
     * [[graft.functions.CentroidAggregator]] UDAF: one (sums, count)
     * buffer per label per partition, so the shuffle carries k×dim

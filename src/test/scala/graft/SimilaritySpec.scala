@@ -897,6 +897,21 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s30 rerank-depth curve: monotone in depth; exhaustive depth reaches 1000") {
+    // a true-top-k member caught by ANY shortlist always survives the
+    // exact re-rank (at most k-1 vectors outrank it globally), so
+    // n_hits = |truth ∩ shortlist| — monotone in depth by set inclusion
+    val rep = Similarity.annRerankDepthEval(spark, sf,
+        depths = Seq(4, 16, 64, 499))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(rep.map(_._1).toSeq == Seq(4, 16, 64, 499))
+    rep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall fell with depth: $a -> $b")
+    }
+    // depth = corpus-1: the shortlist is everything — exact recall
+    assert(rep.last._3 == 1000L, s"exhaustive depth not exact: ${rep.last}")
+  }
+
   test("s29 index stats: conservation, imbalance >= 1000 with equality iff balanced") {
     val rep = Similarity.annIndexStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
