@@ -333,5 +333,48 @@ package object api {
       * best fuzzy match, unmatched rows are the admissions. */
     def fuzzyAdmit(store: DataFrame): DataFrame =
       Dedup.incrementalFuzzy(df, store)
+
+    /** x22: per-sequence fill/fragment report over an x10-shaped
+      * packing manifest (this frame = the manifest). */
+    def packEfficiency(budget: Long): DataFrame =
+      Sampling.packEfficiency(df, budget)
+
+    /** v05: per-source Jensen–Shannon divergence of unigram
+      * distributions vs the whole-frame mix. */
+    def vocabDivergence(srcCol: String, textCol: String): DataFrame =
+      Checks.vocabDivergence(df, srcCol, textCol)
+
+    /** t31: fraction of each of this frame's docs' token windows
+      * appearing verbatim in `train` (memorization audit; this frame
+      * is the EVAL side). */
+    def memorizationAgainst(train: DataFrame, idCol: String,
+                            textCol: String,
+                            w: Int = TextOps.T26Width): DataFrame =
+      TextOps.memorization(train, df, idCol, textCol, w)
+
+    /** d16: realized LSH S-curve — per-Jaccard-bin recall of the
+      * minhash band candidates vs exact ground truth on this corpus. */
+    def lshScurve(idCol: String, textCol: String,
+                  minJaccard: Double = Dedup.D16MinJaccard): DataFrame =
+      Dedup.lshScurve(df, idCol, textCol, minJaccard)
+
+    /** d17: probe this batch's simhash signatures against an
+      * accumulated signature store (frames carry (doc_id, sig) —
+      * see `Dedup.simhashStore`). */
+    def simhashAdmit(store: DataFrame): DataFrame =
+      Dedup.incrementalSimhash(df, store)
+
+    /** v06: docs/tokens each dedup lens (exact / near / span) would
+      * remove from this corpus — the release sign-off report. Needs
+      * an `n_chars` column (the keep-best tiebreak). */
+    def dedupImpact(idCol: String, textCol: String): DataFrame =
+      Curation.dedupImpact(df, idCol, textCol)
+
+    /** t32: BPE tokens per whitespace word per group under a merge
+      * list (tokenizer fertility). */
+    def bpeFertility(groupCol: String, textCol: String,
+                     merges: Seq[(String, String)] = TextOps.pinnedMerges)
+        : DataFrame =
+      TextOps.bpeFertilityWith(df, groupCol, textCol, merges)
   }
 }

@@ -247,4 +247,46 @@ class ApiSpec extends SparkSuite {
     val binned = Seq((0, true), (0, false)).toDF("bin", "is_ref")
     assert(binned.psiReport().count() == graft.operators.Checks.V04NBins)
   }
+
+  test("round-12 tail facade: packEfficiency / vocabDivergence / " +
+       "memorizationAgainst / lshScurve / simhashAdmit / dedupImpact / " +
+       "bpeFertility compose on plain DataFrames") {
+    import org.apache.spark.sql.functions._
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words(0, 20, "a")), (2L, words(0, 20, "a")),
+      (3L, words(0, 24, "b"))).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+
+    val manifest = graft.operators.Sampling.packManifest(
+      corpus, "doc_id", size(split(trim(col("text")), "\\s+")).cast("long"),
+      16L)
+    assert(manifest.packEfficiency(16L).columns.contains("n_fragments"))
+
+    val src = corpus.withColumn("source",
+      when(col("doc_id") < 3L, "s1").otherwise("s2"))
+    assert(src.vocabDivergence("source", "text").count() == 2)
+
+    val evalSide = Seq((10L, words(0, 20, "a"))).toDF("doc_id", "text")
+    val mem = evalSide.memorizationAgainst(corpus, "doc_id", "text")
+      .collect()
+    assert(mem.length == 1 && mem.head.getLong(3) == 1000L)
+
+    assert(corpus.lshScurve("doc_id", "text").columns
+      .contains("recall_milli"))
+
+    val store = graft.operators.Dedup.simhashStore(corpus, "doc_id", "text")
+    val admit = evalSide
+      .transform(d => graft.operators.Dedup
+        .simhashStore(d, "doc_id", "text"))
+      .simhashAdmit(store).collect()
+    assert(admit.length == 1 && admit.head.getInt(2) == 0) // exact copy
+
+    val impact = corpus.dedupImpact("doc_id", "text").collect()
+    assert(impact.map(_.getString(0)).toSeq ==
+      Seq("exact_dedup", "near_dedup", "span_dedup"))
+
+    assert(corpus.bpeFertility("doc_id", "text").count() == 3)
+  }
 }
