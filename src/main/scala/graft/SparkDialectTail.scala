@@ -76,30 +76,32 @@ object SparkDialectTail {
     * converges to). This linear-depth unroll is a PARITY artifact for
     * the SQL-text surface — the engine path stays the O(log n)
     * star-contraction in Dedup.connectedComponents. */
-  private def ccTail(k: Int): String = {
+  private def ccTail(k: Int, sfx: String = "",
+                     pairsCte: String = "pairs"): String = {
     val rounds = (1 to k).map { r =>
-      s"""c$r AS (
+      s"""c$sfx$r AS (
            SELECT e.a AS n, min(y.m) AS m
-           FROM edges e JOIN c${r - 1} y ON e.b = y.n
+           FROM edges$sfx e JOIN c$sfx${r - 1} y ON e.b = y.n
            GROUP BY e.a)"""
     }.mkString(",\n         ")
-    s"""edges AS (
-           SELECT t.e.a AS a, t.e.b AS b FROM pairs
+    s"""edges$sfx AS (
+           SELECT t.e.a AS a, t.e.b AS b FROM $pairsCte
            LATERAL VIEW explode(array(
              struct(pa AS a, pb AS b), struct(pb AS a, pa AS b),
              struct(pa AS a, pa AS b), struct(pb AS a, pb AS b))) t AS e),
-         c0 AS (SELECT a AS n, a AS m FROM (SELECT DISTINCT a FROM edges)),
+         c${sfx}0 AS (SELECT a AS n, a AS m
+           FROM (SELECT DISTINCT a FROM edges$sfx)),
          $rounds,
-         ccguard AS (
+         ccguard$sfx AS (
            SELECT assert_true(count(1) = 0,
              'graft cc: min-label propagation not converged after $k rounds - raise K') AS ok
            FROM (SELECT e.a AS n, min(y.m) AS m2
-                 FROM edges e JOIN c$k y ON e.b = y.n
+                 FROM edges$sfx e JOIN c$sfx$k y ON e.b = y.n
                  GROUP BY e.a) nx
-           JOIN c$k cur ON nx.n = cur.n
+           JOIN c$sfx$k cur ON nx.n = cur.n
            WHERE nx.m2 <> cur.m),
-         clusters AS (
-           SELECT n AS id, m AS cluster FROM c$k CROSS JOIN ccguard)"""
+         clusters$sfx AS (
+           SELECT n AS id, m AS cluster FROM c$sfx$k CROSS JOIN ccguard$sfx)"""
   }
 
   /** keep-best tail over `clusters(id, cluster)` + documents. */
@@ -1390,8 +1392,39 @@ object SparkDialectTail {
          ORDER BY depth"""
   }
 
+  /** d18 Spark-dialect replay — one hashed-shingle Jaccard pair CTE
+    * at min(τ), one suffixed [[ccTail]] instance per swept threshold,
+    * counts per arm. */
+  private lazy val d18Sql: String = {
+    val taus = graft.operators.Dedup.D18Taus
+    def deci(t: Double) = math.floor(t * 10 + 0.5).toInt
+    val ccParts = taus.map { tau =>
+      val d = deci(tau)
+      s"""pairs$d AS (SELECT pa, pb FROM jpairs WHERE j >= $tau),
+         ${ccTail(8, s"t$d", s"pairs$d")}"""
+    }.mkString(",\n         ")
+    val arms = taus.map { tau =>
+      val d = deci(tau)
+      s"""SELECT $d AS tau_deci,
+             (SELECT count(1) FROM jpairs WHERE j >= $tau) AS n_pairs,
+             count(DISTINCT cluster) AS n_clusters,
+             count(1) - count(DISTINCT cluster) AS n_removed
+           FROM clusterst$d"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH $docsCte,
+         jpairs AS (
+           SELECT a.doc_id AS pa, b.doc_id AS pb, $jaccardExpr AS j
+           FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+           WHERE $jaccardExpr >= ${taus.min}),
+         $ccParts
+         SELECT tau_deci, n_pairs, n_clusters, n_removed FROM (
+           $arms)
+         ORDER BY tau_deci"""
+  }
+
   /** The kernel-bound forms; appended to SparkEntry.sparkSql. */
   lazy val forms: Map[String, String] = Map(
+    "d18_threshold_curve" -> d18Sql,
     "s30_rerank_depth" -> s30Sql,
     "t32_bpe_fertility" -> t32Sql,
     "d17_incremental_simhash" -> d17Sql,

@@ -109,6 +109,7 @@ object SparkEntry {
     "d14_dup_spans"       -> ((s, dir) => TextOps.dupSpans(s, dir)),
     "d15_incremental_fuzzy" -> ((s, dir) => Dedup.incrementalFuzzy(s, dir)),
     "d17_incremental_simhash" -> ((s, dir) => Dedup.incrementalSimhash(s, dir)),
+    "d18_threshold_curve" -> ((s, dir) => Dedup.thresholdCurve(s, dir)),
     // deterministic sampling / splitting
     "x01_split_counts"    -> Sampling.splitCounts,
     "x02_stratified_sample" -> Sampling.stratifiedSampleDocs,
@@ -985,6 +986,7 @@ object SparkEntry {
     "t31_memorization" -> t31OracleSql,
     "d16_lsh_scurve" -> d16OracleSql,
     "d17_incremental_simhash" -> d17OracleSql,
+    "d18_threshold_curve" -> d18OracleSql,
     "t30_kneser_ney" -> t30OracleSql,
     "d13_fuzzy_pairs" -> d13OracleSql,
     "d14_dup_spans" -> d14OracleSql,
@@ -4073,6 +4075,55 @@ object SparkEntry {
              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
            GROUP BY 1)
          ORDER BY bin"""
+  }
+
+  /** d18 replay — ONE shared string-shingle Jaccard pair CTE at
+    * min(τ), then one recursive-CC arm per swept threshold from
+    * [[graft.operators.Dedup.D18Taus]] (the d05 reach CTE, suffixed
+    * per arm); counts per arm. */
+  private lazy val d18OracleSql: String = {
+    val taus = graft.operators.Dedup.D18Taus
+    def deci(t: Double) = math.floor(t * 10 + 0.5).toInt
+    val parts = taus.map { tau =>
+      val d = deci(tau)
+      s"""e$d AS (
+           SELECT doc_a AS a, doc_b AS b FROM jp WHERE j >= $tau
+           UNION ALL SELECT doc_b, doc_a FROM jp WHERE j >= $tau
+         ), nd$d AS (SELECT DISTINCT a AS n FROM e$d),
+         r$d(n, m) AS (
+           SELECT n, n FROM nd$d
+           UNION
+           SELECT r.n, e.b FROM r$d r JOIN e$d e ON r.m = e.a
+         ), cl$d AS (SELECT n, min(m) AS cluster FROM r$d GROUP BY n)"""
+    }.mkString(",\n         ")
+    val arms = taus.map { tau =>
+      val d = deci(tau)
+      s"""SELECT $d AS tau_deci,
+             (SELECT CAST(count(*) AS BIGINT) FROM jp WHERE j >= $tau)
+               AS n_pairs,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             CAST(count(*) - count(DISTINCT cluster) AS BIGINT) AS n_removed
+           FROM cl$d"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH RECURSIVE vtoks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), vsh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM vtoks WHERE len(tk) >= 3
+         ), jp AS (
+           SELECT doc_a, doc_b, j FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 4) AS j
+             FROM vsh a JOIN vsh b ON a.doc_id < b.doc_id)
+           WHERE j >= ${taus.min}
+         ), $parts
+         SELECT tau_deci, n_pairs, n_clusters, n_removed FROM (
+           $arms)
+         ORDER BY tau_deci"""
   }
 
   /** t25 DuckDB replay — the CMS cell counts ARE per-(row, cell)

@@ -991,6 +991,42 @@ object Dedup {
       .orderBy("bin")
   }
 
+  /** d18's swept thresholds — single-sourced into the oracle (deci
+    * units so the report key is an exact integer). */
+  val D18Taus: Seq[Double] = Seq(0.5, 0.7, 0.9)
+
+  /** d18: dedup-threshold sensitivity curve — for each Jaccard
+    * threshold τ, how many pairs fire, how many clusters form, and how
+    * many documents a keep-one pass would remove. The third leg of the
+    * dedup-governance triad (d16 measures the CANDIDATE recall curve,
+    * v06 the impact at the committed τ; this sweeps τ itself — "0.9
+    * barely dedups, 0.5 eats 30% of the corpus" is measured before the
+    * threshold is frozen).
+    *
+    * The pair frame is computed ONCE at min(τ) with its Jaccard kept
+    * and checkpointed; each arm filters it and runs CC (the documented
+    * d03/d05 eval contract — at 100 TB this runs on a sample, or over
+    * d10's banded pairs with the same downstream accounting). */
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame =
+    thresholdCurve(t(s, dir, "documents"), "doc_id", "text", D18Taus)
+
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+                     taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty)
+    val pairs = ngramJaccardUnordered(docs, idCol, textCol, taus.min)
+      .localCheckpoint() // every arm filters this one frame
+    taus.map { tau =>
+      val p = pairs.filter(col("jaccard") >= tau)
+      val stats = dupClusters(p).agg(
+        count(lit(1)).as("n_members"),
+        count_distinct(col("cluster")).as("n_clusters"))
+      p.agg(count(lit(1)).as("n_pairs")).crossJoin(stats)
+        .select(lit(math.floor(tau * 10 + 0.5).toInt).as("tau_deci"),
+          col("n_pairs"), col("n_clusters"),
+          (col("n_members") - col("n_clusters")).as("n_removed"))
+    }.reduce(_ unionByName _).orderBy("tau_deci")
+  }
+
   /** d17: incremental SIMHASH admission — the d11/d12/d15 store
     * discipline for the hamming family, completing the incremental
     * set: the accumulated store persists one 8-byte signature per

@@ -395,6 +395,39 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("d18 threshold curve: monotone in tau on a planted mid-J corpus; " +
+       "the committed-tau arm matches d05/d08's counts") {
+    import spark.implicits._
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    // pairs at J≈1.0 (exact family), ≈0.75 and ≈0.55 — each extra
+    // tau notch should drop pairs and removals
+    val docs = Seq(
+      (1L, words(0, 30, "w")), (2L, words(0, 30, "w")),
+      (3L, words(0, 40, "n")), (4L, words(0, 35, "n") + " " + words(0, 5, "x")),
+      (5L, words(0, 40, "m")), (6L, words(0, 28, "m") + " " + words(0, 12, "y")),
+      (7L, words(0, 20, "q"))).toDF("doc_id", "text")
+    val got = Dedup.thresholdCurve(docs, "doc_id", "text",
+        Seq(0.5, 0.7, 0.9))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(5)._1 > got(7)._1 && got(7)._1 > got(9)._1,
+      s"pair counts must strictly fall across the planted notches: $got")
+    assert(got(9) == ((1L, 1L, 1L)), s"tau .9 keeps only the exact pair: $got")
+    Seq(5, 7, 9).map(got).sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._3 >= hi._3, "removals must be monotone non-increasing")
+    }
+    // cross-operator law on the gate corpus: the .7 arm IS d05/d08
+    val reg = Dedup.thresholdCurve(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val d05 = Dedup.dupClusters(spark, sf)
+    val members = d05.count()
+    val clusters = d05.select("cluster").distinct().count()
+    assert(reg(7) == ((Dedup.ngramJaccard(spark, sf).count(),
+      clusters, members - clusters)), s"tau .7 arm diverges: ${reg(7)}")
+  }
+
   test("d16 S-curve: exact dups always caught, mid bins measured on a " +
        "planted corpus, high-bin recall carries d02's pairs") {
     import spark.implicits._
