@@ -140,6 +140,7 @@ object SparkEntry {
     "t32_bpe_fertility"   -> ((s, dir) => TextOps.bpeFertility(s, dir)),
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
+    "m12_incremental_media" -> ((s, dir) => Multimodal.incrementalMediaDedup(s, dir)),
     "x21_family_split"    -> Sampling.familySplit,
     "x22_pack_efficiency" -> ((s, dir) => Sampling.packEfficiency(s, dir)),
     "v05_vocab_divergence" -> ((s, dir) => Checks.vocabDivergence(s, dir)),
@@ -639,6 +640,20 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS keeper,
            count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    // m12: the d11 cross-split replay over payload fingerprints
+    // (md5(text) ≡ md5 of the UTF-8 payload bytes — the m06
+    // equivalence); split from Dedup.D12SplitAt.
+    "m12_incremental_media" ->
+      s"""WITH f AS (
+           SELECT doc_id, md5(text) AS fp FROM documents
+         ), store AS (SELECT DISTINCT fp FROM f
+                      WHERE doc_id < ${graft.operators.Dedup.D12SplitAt}),
+         batch AS (SELECT * FROM f
+                   WHERE doc_id >= ${graft.operators.Dedup.D12SplitAt})
+         SELECT b.fp, min(b.doc_id) AS keeper, count(*) AS n_copies
+         FROM batch b LEFT JOIN store s ON b.fp = s.fp
+         WHERE s.fp IS NULL
+         GROUP BY b.fp ORDER BY keeper""",
     // m07: the m04 hex-nibble trick vectorized — odd hex chars of the
     // payload are the high nibbles; 16 replace-and-count bins form the
     // feature vector, then the s01 cosine/top-k replay.
@@ -5445,6 +5460,17 @@ object SparkEntry {
       """SELECT md5(CAST(text AS BINARY)) AS fp, min(doc_id) AS keeper,
            count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "m12_incremental_media" ->
+      s"""WITH f AS (
+           SELECT doc_id, md5(CAST(text AS BINARY)) AS fp FROM documents
+         ), store AS (SELECT DISTINCT fp FROM f
+                      WHERE doc_id < ${graft.operators.Dedup.D12SplitAt}),
+         batch AS (SELECT * FROM f
+                   WHERE doc_id >= ${graft.operators.Dedup.D12SplitAt})
+         SELECT b.fp, min(b.doc_id) AS keeper, count(*) AS n_copies
+         FROM batch b LEFT JOIN store s ON b.fp = s.fp
+         WHERE s.fp IS NULL
+         GROUP BY b.fp ORDER BY keeper""",
     "m07_media_similar" ->
       """WITH h AS (
            SELECT doc_id AS media_id,

@@ -238,6 +238,37 @@ object Multimodal {
       .select("fp", "keeper", "n_copies")
       .orderBy("keeper")
 
+  /** The m06 store artifact: one 16-byte content fingerprint per
+    * payload — what continuous media ingestion persists instead of
+    * payload bytes (the d11 store discipline for binary; payloads
+    * never leave their scan partitions). */
+  def mediaFps(df: DataFrame, idCol: String,
+               payloadCol: String): DataFrame =
+    df.select(col(idCol).as("media_id"), md5(col(payloadCol)).as("fp"))
+
+  /** m12: INCREMENTAL media dedup — m06 under continuous ingestion
+    * (the d11/d12/d15/d17 store family's binary member): a new
+    * payload batch fingerprints map-side, anti-joins the accumulated
+    * 16-byte store, and the survivors are the admitted families
+    * (keeper = smallest id). Per-batch work is batch-sized; the store
+    * grows one slim row per admitted DISTINCT payload. */
+  def incrementalMediaDedup(s: SparkSession, dir: String,
+                            splitAt: Long = Dedup.D12SplitAt): DataFrame = {
+    val m = media(s, dir).toDF()
+    incrementalMediaDedup(
+      mediaFps(m.filter(col("media_id") >= splitAt), "media_id", "payload"),
+      mediaFps(m.filter(col("media_id") < splitAt), "media_id", "payload"))
+  }
+
+  /** The probe half over pre-fingerprinted (media_id, fp) frames. */
+  def incrementalMediaDedup(batchFps: DataFrame,
+                            storeFps: DataFrame): DataFrame =
+    batchFps
+      .join(storeFps.select("fp").distinct(), Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
   /** m08: perceptual-BUCKET near-dup clusters — the pHash primitive
     * between m06's byte-exact dedup and m07's top-k search: each
     * payload's 16-bin nibble histogram is quantized to eighths of the

@@ -219,6 +219,43 @@ object IncrementalJobs {
       .trigger(Trigger.ProcessingTime(0L))
       .start()
 
+  private val mediaFpSchema =
+    StructType.fromDDL("media_id BIGINT, fp STRING")
+
+  /** Streaming incremental MEDIA dedup (m12's lifecycle): payload
+    * batches land in `srcDir`; each micro-batch fingerprints its
+    * payloads MAP-SIDE (16-byte md5 — payload bytes never enter the
+    * store or the shuffle), anti-joins the accumulated fingerprint
+    * store, admitted families land batchId-keyed in `outDir`, and
+    * their fingerprints extend the store — the d11 consumer, binary
+    * member. */
+  def startIncrementalMediaDedup(spark: SparkSession, srcDir: String,
+                                 mediaSchema: StructType, storeDir: String,
+                                 outDir: String,
+                                 checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(mediaSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, mediaFpSchema).select("fp")
+        val admitted = graft.operators.Multimodal
+          .incrementalMediaDedup(
+            graft.operators.Multimodal
+              .mediaFps(batch, "media_id", "payload"),
+            store)
+          .localCheckpoint() // read twice: families out + store extend
+        admitted.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        admitted.select(col("keeper").as("media_id"), col("fp"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
   private val sigSchema = StructType.fromDDL("doc_id BIGINT, sig BIGINT")
 
   /** Streaming incremental simhash admission (d17's lifecycle):

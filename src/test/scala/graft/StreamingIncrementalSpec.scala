@@ -465,6 +465,60 @@ class StreamingIncrementalSpec extends SparkSuite {
     assert(admitted() == Set(10L, 11L, 12L, 22L))
   }
 
+  test("streaming incremental media dedup: kill/restart; families and store equal the batch composition") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_md_src").toString
+    val store = Files.createTempDirectory("graft_md_store").toString
+    val out = Files.createTempDirectory("graft_md_out").toString
+    val ckpt = Files.createTempDirectory("graft_md_ckpt").toString
+
+    def mediaOf(rows: Seq[(Long, String)]) = rows.toDF("media_id", "body")
+      .select(col("media_id"), col("body").cast("binary").as("payload"))
+    val waveA = mediaOf(Seq((1L, "JPEGDATA-A"), (2L, "JPEGDATA-A"),
+      (3L, "WAVDATA-B")))
+    waveA.write.mode("append").parquet(src)
+    val schema = waveA.schema
+
+    def start() = IncrementalJobs.startIncrementalMediaDedup(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while down: a store duplicate, an in-batch pair, a novel
+    val waveB = mediaOf(Seq((10L, "JPEGDATA-A"), (11L, "MP4DATA-C"),
+      (12L, "MP4DATA-C"), (13L, "PNGDATA-D")))
+    waveB.write.mode("append").parquet(src)
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // LAW: admitted families across batches == d11-style composition:
+    // wave A admits {A(keeper 1, 2 copies), B}; wave B admits
+    // {C(keeper 11, 2 copies), D} — 10's payload is store-rejected
+    val families = spark.read.parquet(out)
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
+    assert(families == Set((1L, 2L), (3L, 1L), (11L, 2L), (13L, 1L)),
+      families.toString)
+    // store = one fp per admitted family; wave-B probe against it
+    // equals the batch primitive
+    val ledger = spark.read.parquet(store).select("fp")
+    val ref = graft.operators.Multimodal.incrementalMediaDedup(
+        graft.operators.Multimodal.mediaFps(waveB, "media_id", "payload"),
+        graft.operators.Multimodal.mediaFps(waveA, "media_id", "payload"))
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
+    assert(ref == Set((11L, 2L), (13L, 1L)))
+    assert(ledger.distinct().count() == 4)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(store).select("fp").distinct().count() == 4)
+  }
+
   test("streaming incremental simhash: kill/restart; verdicts and store admission equal the batch composition") {
     val src = Files.createTempDirectory("graft_sh_src").toString
     val store = Files.createTempDirectory("graft_sh_store").toString
