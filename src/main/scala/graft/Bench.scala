@@ -21,13 +21,16 @@ import org.apache.spark.sql.SparkSession
   * s09 9.8 vs 2.5 local; r5 x03 4.1 vs 0.83 local) at the cost of one
   * extra pass. The JSON carries `repeat` so rounds stay comparable.
   *
-  * Contention self-diagnosis (4 of 8 rounds burned time on phantom
+  * Contention self-diagnosis (5 of 12 rounds burned time on phantom
   * regressions): each query records the 1-min /proc/loadavg at its
-  * start (`load` map), and any query measuring >2× its timing in the
-  * LAST history line at the same SF (bench_history.jsonl) is re-run
-  * once more; the `outliers` map carries a one-line verdict per such
-  * query ("transient contention" if the re-run recovered, "persistent"
-  * if not) so a regression reads its own diagnosis.
+  * start (`load` map), and any query measuring over
+  * max(2× its MEDIAN across every same-SF history line, 0.3 s) is
+  * re-run once more; the `outliers` map carries a one-line verdict per
+  * such query ("transient contention" if the re-run recovered,
+  * "persistent" if not) so a regression reads its own diagnosis. The
+  * base was the single last same-SF line until r13 — the r12 driver
+  * window shipped 5.8× deltas with n_outliers=0 because that line was
+  * a one-query spot run that carried no base for the other 163.
   *
   * Quiet-window adjudication (r10, after the r9 d10 episode shipped an
   * unresolved "investigate" that a quiet min-of-3 later measured at
@@ -92,20 +95,38 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    // Previous timings at the SAME SF from the history file — the
-    // comparison base for the >2× outlier re-run. Jackson ships with
+    // Per-query MEDIAN timing at the SAME SF across the whole history
+    // file — the comparison base for the outlier re-run. The r12 driver
+    // run carried 5.8×/5.4× regressions with n_outliers=0 because the
+    // old base was the single LAST same-SF line, which happened to be a
+    // one-query SPARK_GRAFT_ONLY spot run: 163 of 164 queries had no
+    // base at all. The median over every same-SF line that mentions the
+    // query is immune to that (spot runs and full runs both contribute,
+    // a single contaminated line can't move it). Jackson ships with
     // Spark; a parse failure just disables the diagnosis.
     val prevTimes: Map[String, Double] =
       try {
         import scala.jdk.CollectionConverters._
         val lines = java.nio.file.Files.readAllLines(histPath).asScala
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        lines.reverseIterator.map(l => mapper.readTree(l))
-          .find(n => n.path("sf").asText() == sfDir)
-          .map { n =>
+        val acc = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+        lines.iterator.map(l => mapper.readTree(l))
+          .filter(n => n.path("sf").asText() == sfDir)
+          .foreach { n =>
             val q = n.path("queries")
-            q.fieldNames().asScala.map(f => f -> q.get(f).asDouble()).toMap
-          }.getOrElse(Map.empty)
+            q.fieldNames().asScala.foreach { f =>
+              val v = q.get(f).asDouble()
+              if (v >= 0)
+                acc.getOrElseUpdate(f,
+                  scala.collection.mutable.ArrayBuffer.empty) += v
+            }
+          }
+        acc.map { case (k, vs) =>
+          val s = vs.sorted
+          k -> (if (s.size % 2 == 1) s(s.size / 2)
+                else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+        }.toMap
       } catch { case _: Throwable => Map.empty }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -159,31 +180,38 @@ object Bench {
       val times = (1 to repeat).map(_ => timeOnce(name, fn))
       val best = if (times.contains(-1.0)) -1.0 else times.min
       prevTimes.get(name) match {
-        case Some(prev) if prev > 0 && best > 2 * prev =>
-          // >2× the last same-SF run: re-measure once more before
-          // reporting — the recurring host-contention pattern
-          // (r1/r5/r7) recovers on immediate replay, a real
-          // regression does not.
+        // Trip at max(2× history median, 0.3 s): the ratio catches real
+        // regressions on queries of any size; the absolute floor keeps
+        // scheduler jitter on ~0.1 s queries from spamming re-runs
+        // while still tripping on the sub-second 4–6× contention
+        // cluster the r12 driver window shipped unadjudicated.
+        case Some(prev) if prev > 0 && best > math.max(2 * prev, 0.3) =>
+          // Over threshold vs the history median: re-measure once more
+          // before reporting — the recurring host-contention pattern
+          // (r1/r5/r7/r12) recovers on immediate replay, a real
+          // regression does not. Recovery uses the SAME threshold.
+          val thr = math.max(2 * prev, 0.3)
           val extra = timeOnce(name, fn)
           val fin = if (extra < 0) best else math.min(best, extra)
-          if (fin <= 2 * prev) {
+          if (fin <= thr) {
             outliers(name) =
-              f"transient contention (min-of-$repeat%d $best%.2fs vs prev $prev%.2fs; rerun $extra%.2fs recovered)"
+              f"transient contention (min-of-$repeat%d $best%.2fs vs median $prev%.2fs; rerun $extra%.2fs recovered)"
             fin
           } else quietRemeasure(name, fn) match {
-            // Still >2× after the immediate rerun: adjudicate in a
-            // quiet window before shipping a "persistent" verdict.
-            case Some((q, ql)) if q >= 0 && q <= 2 * prev =>
+            // Still over threshold after the immediate rerun:
+            // adjudicate in a quiet window before shipping a
+            // "persistent" verdict.
+            case Some((q, ql)) if q >= 0 && q <= thr =>
               outliers(name) =
                 f"contention (driver-window min $fin%.2fs at load ${loads(name)}%.1f; quiet re-measure $q%.2fs at load $ql%.1f recovered)"
               math.min(fin, q)
             case Some((q, ql)) if q >= 0 =>
               outliers(name) =
-                f"persistent: $q%.2fs vs prev $prev%.2fs confirmed quiet (load $ql%.1f) - real regression"
+                f"persistent: $q%.2fs vs median $prev%.2fs confirmed quiet (load $ql%.1f) - real regression"
               math.min(fin, q)
             case _ =>
               outliers(name) =
-                f"unadjudicated: $fin%.2fs vs prev $prev%.2fs (load ${loads(name)}%.1f; host never quiet within budget)"
+                f"unadjudicated: $fin%.2fs vs median $prev%.2fs (load ${loads(name)}%.1f; host never quiet within budget)"
               fin
           }
         case _ => best

@@ -1040,8 +1040,11 @@ object SparkDialectTail {
   /** x22 Spark-dialect replay — x10's offsets chain exploded to the
     * occupied sequences (Spark's `sequence` is inclusive), then one
     * (seq_id) aggregate. All-integer math. */
-  private lazy val x22Sql: String =
-    """WITH n AS (
+  private lazy val x22Sql: String = {
+    val B = Sampling.X22Budget
+    // raw interpolator: the s-interpolator would process the \\ escape
+    // and halve the regex's backslashes
+    raw"""WITH n AS (
          SELECT doc_id, CAST(size(split(trim(text), '\\s+')) AS BIGINT)
            AS n_tokens
          FROM documents
@@ -1053,25 +1056,26 @@ object SparkDialectTail {
          FROM n
        ), m AS (
          SELECT n_tokens, start_tok,
-           ((start_tok + n_tokens - 1) DIV 256) - (start_tok DIV 256) + 1
+           ((start_tok + n_tokens - 1) DIV $B) - (start_tok DIV $B) + 1
              AS n_seqs
          FROM c WHERE n_tokens >= 1
        ), ex AS (
          SELECT n_tokens, start_tok, n_seqs,
-           explode(sequence(start_tok DIV 256,
-             start_tok DIV 256 + n_seqs - 1)) AS seq_id
+           explode(sequence(start_tok DIV $B,
+             start_tok DIV $B + n_seqs - 1)) AS seq_id
          FROM m)
        SELECT seq_id, n_tokens_filled, n_docs, n_fragments,
-         n_tokens_filled = 256 AS full
+         n_tokens_filled = $B AS full
        FROM (
          SELECT seq_id,
-           CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 256)
-             - greatest(start_tok, seq_id * 256)) AS BIGINT)
+           CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * $B)
+             - greatest(start_tok, seq_id * $B)) AS BIGINT)
              AS n_tokens_filled,
            count(*) AS n_docs,
            sum(CASE WHEN n_seqs > 1 THEN 1L ELSE 0L END) AS n_fragments
          FROM ex GROUP BY seq_id)
        ORDER BY seq_id"""
+  }
 
   /** v05 Spark-dialect replay — identical statement shape to the
     * DuckDB oracle (floor-then-sum nano KL terms, closed-form absent

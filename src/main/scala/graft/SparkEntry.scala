@@ -1118,7 +1118,7 @@ object SparkEntry {
     // bucket-splice (no single-task window) — integer-exact, so the
     // hashes agree on any partitioning.
     "x10_pack_sequences" ->
-      """WITH n AS (
+      raw"""WITH n AS (
            SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
                AS n_tokens
@@ -1130,10 +1130,10 @@ object SparkEntry {
                AS BIGINT) AS start_tok
            FROM n)
          SELECT doc_id, n_tokens, start_tok,
-           start_tok // 256 AS seq_first,
-           ((start_tok + n_tokens - 1) // 256) - (start_tok // 256) + 1
-             AS n_seqs,
-           start_tok % 256 AS pos_in_seq
+           start_tok // ${Sampling.X22Budget} AS seq_first,
+           ((start_tok + n_tokens - 1) // ${Sampling.X22Budget})
+             - (start_tok // ${Sampling.X22Budget}) + 1 AS n_seqs,
+           start_tok % ${Sampling.X22Budget} AS pos_in_seq
          FROM c ORDER BY doc_id""",
     "x11_dsir_weights" ->
       """WITH w AS (
@@ -3274,8 +3274,11 @@ object SparkEntry {
     * occupied sequences via range() (DuckDB range is half-open; the
     * engine's `sequence` is inclusive, hence the +n_seqs bound), then
     * one (seq_id) aggregate. All-integer math. */
-  private lazy val x22OracleSql: String =
-    """WITH n AS (
+  private lazy val x22OracleSql: String = {
+    val B = Sampling.X22Budget
+    // raw interpolator: the s-interpolator would escape-process the
+    // regex backslash
+    raw"""WITH n AS (
            SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
                AS n_tokens
@@ -3288,26 +3291,27 @@ object SparkEntry {
            FROM n
          ), m AS (
            SELECT n_tokens, start_tok,
-             ((start_tok + n_tokens - 1) // 256) - (start_tok // 256) + 1
+             ((start_tok + n_tokens - 1) // $B) - (start_tok // $B) + 1
                AS n_seqs
            FROM c WHERE n_tokens >= 1
          ), ex AS (
            SELECT n_tokens, start_tok, n_seqs,
-             unnest(range(start_tok // 256, start_tok // 256 + n_seqs))
+             unnest(range(start_tok // $B, start_tok // $B + n_seqs))
                AS seq_id
            FROM m)
          SELECT seq_id, n_tokens_filled, n_docs, n_fragments,
-           n_tokens_filled = 256 AS full
+           n_tokens_filled = $B AS full
          FROM (
            SELECT seq_id,
-             CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 256)
-               - greatest(start_tok, seq_id * 256)) AS BIGINT)
+             CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * $B)
+               - greatest(start_tok, seq_id * $B)) AS BIGINT)
                AS n_tokens_filled,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_fragments
            FROM ex GROUP BY seq_id)
          ORDER BY seq_id"""
+  }
 
   /** v05 replay — the floor-then-sum KL terms re-derived per
     * (source, word): nano-floored doubles summed as BIGINTs (the x11
@@ -4934,7 +4938,7 @@ object SparkEntry {
            FROM documents)
          WHERE rk <= 20 ORDER BY source, doc_id""",
     "x10_pack_sequences" ->
-      """WITH n AS (
+      raw"""WITH n AS (
            SELECT doc_id,
              CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
            FROM documents
@@ -4945,10 +4949,11 @@ object SparkEntry {
                AS start_tok
            FROM n)
          SELECT doc_id, n_tokens, start_tok,
-           start_tok div 256 AS seq_first,
-           ((start_tok + n_tokens - 1) div 256) - (start_tok div 256)
+           start_tok div ${Sampling.X22Budget} AS seq_first,
+           ((start_tok + n_tokens - 1) div ${Sampling.X22Budget})
+             - (start_tok div ${Sampling.X22Budget})
              + CAST(1 AS BIGINT) AS n_seqs,
-           start_tok % 256 AS pos_in_seq
+           start_tok % ${Sampling.X22Budget} AS pos_in_seq
          FROM c ORDER BY doc_id""",
     "x11_dsir_weights" ->
       """WITH w AS (

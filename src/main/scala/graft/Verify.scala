@@ -23,10 +23,12 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
     }
+    var nFailed = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -46,5 +48,33 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Self-checking gate (round-12 lesson: CORRECTNESS_r12.json shipped
+    // as {} with no complaint from this side — a partial or empty
+    // outDir must now fail LOUDLY instead of letting the driver's
+    // compare silently record nothing). n_dumped counts committed
+    // parquet result dirs (a _SUCCESS marker — a dir that exists but
+    // whose write died midway doesn't count); the oracle file must be
+    // non-trivial JSON. On a full (unfiltered) run the dump count must
+    // equal the registry size exactly. The one-line summary goes to
+    // stdout LAST so the driver's tail capture can't miss it.
+    val nDumped = selected.keys.count { name =>
+      Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
+    }
+    val nOracles = SparkEntry.oracleSql.size
+    val oracleBytes = Files.size(Paths.get(s"$outDir/oracle_sql.json"))
+    val fullRun = only.isEmpty
+    val ok = nFailed == 0 && oracleBytes > 2 &&
+      nDumped == selected.size &&
+      (!fullRun || nDumped == SparkEntry.queries.size)
+    println(s"""{"verify_gate":"${if (ok) "ok" else "FAIL"}",""" +
+      s""""n_selected":${selected.size},"n_dumped":$nDumped,""" +
+      s""""n_failed":$nFailed,"n_oracles":$nOracles,""" +
+      s""""oracle_bytes":$oracleBytes,"full_run":$fullRun}""")
+    if (!ok) {
+      System.err.println(s"[verify] GATE FAILED: dumped $nDumped of " +
+        s"${selected.size} selected (registry ${SparkEntry.queries.size}, " +
+        s"failed $nFailed, oracle_sql.json $oracleBytes bytes)")
+      sys.exit(1)
+    }
   }
 }

@@ -320,8 +320,9 @@ package object api {
       Sampling.mixtureWaterfill(df, stratumCol, mass, budgetFrac)
 
     /** v04: PSI drift report over an already-binned population frame
-      * (`bin: int`, `is_ref: boolean`). */
-    def psiReport(): DataFrame = Checks.psiReport(df)
+      * (`bin: int` in [0, nBins), `is_ref: boolean`). */
+    def psiReport(nBins: Int = Checks.V04NBins): DataFrame =
+      Checks.psiReport(df, nBins)
 
     /** x21: leakage-safe split report — membership decided per content
       * family so no duplicate family straddles train/val/test. */

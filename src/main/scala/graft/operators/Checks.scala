@@ -240,20 +240,25 @@ object Checks {
   }
 
   /** The PSI report over an already-binned population frame
-    * (`bin: int` in [0, [[V04NBins]]), `is_ref: boolean`) — the form
-    * the laws test directly (identical populations ⇒ every term 0). */
-  def psiReport(binned: DataFrame): DataFrame = {
+    * (`bin: int` in [0, `nBins`), `is_ref: boolean`) — the form
+    * the laws test directly (identical populations ⇒ every term 0).
+    * `nBins` defaults to the v04 fixture's [[V04NBins]] but is a
+    * parameter (r13, advisor): the bins frame is the LEFT side of the
+    * join, so a caller whose binning uses more bins would otherwise
+    * have those rows counted in the totals but silently dropped from
+    * the report. */
+  def psiReport(binned: DataFrame, nBins: Int = V04NBins): DataFrame = {
     val s = binned.sparkSession
     val counts = binned.groupBy("bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
-    val bins = s.range(V04NBins).select(col("id").cast("int").as("bin"))
+    val bins = s.range(nBins).select(col("id").cast("int").as("bin"))
     val totals = binned.agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)).as("t_ref"),
       sum(when(!col("is_ref"), 1L).otherwise(0L)).as("t_cur"))
     val half = lit(0.5)
-    val p = (col("n_ref") + half) / (col("t_ref") + lit(0.5 * V04NBins))
-    val q = (col("n_cur") + half) / (col("t_cur") + lit(0.5 * V04NBins))
+    val p = (col("n_ref") + half) / (col("t_ref") + lit(0.5 * nBins))
+    val q = (col("n_cur") + half) / (col("t_cur") + lit(0.5 * nBins))
     val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
     bins.join(counts, Seq("bin"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))

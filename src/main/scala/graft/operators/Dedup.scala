@@ -850,8 +850,13 @@ object Dedup {
     // the variant shuffle carries ONLY (8-ish-byte id, variant key) —
     // never the name payload twice per side: candidate ids dedup
     // first (a pair can share up to L variants), and the names are
-    // fetched AFTER the distinct via two slim hash joins (broadcast
-    // at dimension scale; the join keys are unique ids either way)
+    // fetched AFTER the distinct via two slim hash joins. No broadcast
+    // HINT on the name fetches (r13, advisor): a mandated broadcast of
+    // the full names frame hits Spark's broadcast limit / driver OOM
+    // at large entity-table scale instead of degrading — AQE picks
+    // broadcast when the side is actually small and falls back to a
+    // co-partitioned hash join when it isn't (the join keys are
+    // unique ids either way, so the shuffle is slim).
     val variants = nameVariants(names).drop("name")
     val a = variants.select(col("variant"), col("id").as("a_id"))
     val b = variants.select(col("variant"), col("id").as("b_id"))
@@ -860,10 +865,10 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct() // verify each candidate pair once
     cand
-      .join(broadcast(names.select(col("id").as("a_id"),
-        col("name").as("a_name"))), Seq("a_id"))
-      .join(broadcast(names.select(col("id").as("b_id"),
-        col("name").as("b_name"))), Seq("b_id"))
+      .join(names.select(col("id").as("a_id"),
+        col("name").as("a_name")), Seq("a_id"))
+      .join(names.select(col("id").as("b_id"),
+        col("name").as("b_name")), Seq("b_id"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .where(col("dist") <= D13MaxDist)
       .select("a_id", "b_id", "a_name", "b_name", "dist")

@@ -351,30 +351,68 @@ object Sampling {
     * numbering. Integer arithmetic end-to-end (`div`/`%`, no doubles),
     * so the result is exact and partitioning-independent at any scale;
     * token totals stay inside int64 (100 TB ≈ 2·10¹³ tokens ≪ 2⁶³).
-    * The caller sizes `bucketWidth` so the offset table stays
-    * broadcastable (N/bucketWidth rows); for corpora where even that
-    * table is large, the same splice cascades (buckets of buckets) —
-    * the per-level shape is unchanged. */
-  def packSequences(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    * `bucketWidth` is AUTO-dialed from the id range (r13) so the
+    * offset table stays ~[[AutoOffsetRows]] broadcastable rows at any
+    * corpus scale; for corpora where even that table is large, the
+    * same splice cascades (buckets of buckets) — the per-level shape
+    * is unchanged. */
+  /** The x10/x22 sequence budget — single-sourced into the
+    * registration defaults, the Spark-dialect replay, and the DuckDB
+    * oracle (the D16MinJaccard/S28TombMod discipline) so the three
+    * copies can't drift. */
+  val X22Budget: Long = 256L
+
+  def packSequences(s: SparkSession, dir: String,
+                    budget: Long = X22Budget): DataFrame = {
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
     packManifest(t(s, dir, "documents"), "doc_id", nTokens, budget)
   }
 
+  /** Offsets-table size target for the AUTO bucket width: the
+    * broadcast splice table stays ~this many rows at any corpus
+    * scale. */
+  private[graft] val AutoOffsetRows = 1024L
+
+  /** AUTO bucket width from the id range: ceil(range / AutoOffsetRows),
+    * so the offsets table is ≤ AutoOffsetRows + 1 rows whether the
+    * corpus has 10⁴ ids or 10¹² (the autoNPlanes occupancy
+    * discipline). */
+  private[graft] def autoBucketWidth(minId: Long, maxId: Long): Long =
+    math.max(1L,
+      ((maxId - minId + 1) + AutoOffsetRows - 1) / AutoOffsetRows)
+
   def packManifest(df: DataFrame, idCol: String, nTokensCol: Column,
-                   budget: Long, bucketWidth: Long = 64L): DataFrame =
+                   budget: Long, bucketWidth: Long = 0L): DataFrame =
     packManifestUnordered(df, idCol, nTokensCol, budget, bucketWidth)
       .orderBy(idCol)
 
   /** [[packManifest]] without the presentation sort — x22's
     * per-sequence aggregate re-shuffles on seq_id anyway, so the
-    * manifest's global range exchange would be pure waste there. */
+    * manifest's global range exchange would be pure waste there.
+    *
+    * `bucketWidth <= 0` (the default) means AUTO: at a FIXED width the
+    * offsets table is range/width rows — linear in corpus size, which
+    * quietly outgrows the broadcast at 100 TB (the r12 verdict's x10
+    * dial). AUTO derives the width from the id range so the table
+    * stays ~[[AutoOffsetRows]] rows at any scale; the manifest itself
+    * is bucket-width INVARIANT (the spec law — start_tok is a global
+    * prefix sum in id order no matter where the bucket boundaries
+    * fall), so the dial only moves the plan shape. The range probe is
+    * one narrow min/max aggregate the parquet footer stats all but
+    * answer. */
   private[graft] def packManifestUnordered(
       df: DataFrame, idCol: String, nTokensCol: Column,
-      budget: Long, bucketWidth: Long = 64L): DataFrame = {
-    require(budget >= 1 && bucketWidth >= 1,
-      s"budget ($budget) and bucketWidth ($bucketWidth) must be >= 1")
+      budget: Long, bucketWidth: Long = 0L): DataFrame = {
+    require(budget >= 1, s"budget ($budget) must be >= 1")
+    val width =
+      if (bucketWidth >= 1) bucketWidth
+      else {
+        val r = df.agg(min(col(idCol)).cast("long").as("lo"),
+          max(col(idCol)).cast("long").as("hi")).head()
+        if (r.isNullAt(0)) 64L else autoBucketWidth(r.getLong(0), r.getLong(1))
+      }
     val narrow = df.select(col(idCol), nTokensCol.as("n_tokens"))
-      .withColumn("bucket", expr(s"$idCol div $bucketWidth"))
+      .withColumn("bucket", expr(s"$idCol div $width"))
     val offsets = narrow
       .groupBy("bucket").agg(sum("n_tokens").as("part_sum"))
       .withColumn("offset", coalesce(
@@ -562,7 +600,7 @@ object Sampling {
     * (seq_id, overlap, fragment) rows. The offsets-table broadcast
     * inside [[packManifest]] carries over unchanged. */
   def packEfficiency(s: SparkSession, dir: String,
-                     budget: Long = 256L): DataFrame = {
+                     budget: Long = X22Budget): DataFrame = {
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
     packEfficiency(packManifestUnordered(t(s, dir, "documents"), "doc_id",
       nTokens, budget), budget)

@@ -580,6 +580,110 @@ class StreamingIncrementalSpec extends SparkSuite {
     assert(stored() == expected)
   }
 
+  test("two interleaved store families (d15 fuzzy + d17 simhash) under " +
+       "one checkpoint root: concurrent batches don't cross-contaminate " +
+       "ledgers") {
+    // the r12 verdict's task 7: each per-family law is proven above in
+    // isolation — this is the missing composition law. Both consumers
+    // run CONCURRENTLY, their stores/outputs/checkpoints laid out as a
+    // user would lay them: family subtrees under ONE root. Waves land
+    // interleaved, both jobs are killed and restarted mid-stream, and
+    // each family's final store and verdicts must equal its OWN
+    // single-family batch composition — no row of either ledger may
+    // derive from the other family's inputs.
+    val root = Files.createTempDirectory("graft_xfam_root").toString
+    def sub(p: String): String = {
+      val d = java.nio.file.Paths.get(root, p)
+      Files.createDirectories(d); d.toString
+    }
+    val (fzSrc, fzStore, fzOut, fzCkpt) =
+      (sub("d15/src"), sub("d15/store"), sub("d15/out"), sub("d15/ckpt"))
+    val (shSrc, shStore, shOut, shCkpt) =
+      (sub("d17/src"), sub("d17/store"), sub("d17/out"), sub("d17/ckpt"))
+
+    val namesA = Seq((10L, "spark"), (11L, "duck"), (12L, "quartz"))
+      .toDF("id", "name")
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val docsA = Seq((1L, words(0, 40, "w")), (2L, words(0, 40, "u")))
+      .toDF("doc_id", "text")
+    namesA.write.mode("append").parquet(fzSrc)
+    docsA.write.mode("append").parquet(shSrc)
+
+    def startFz() = IncrementalJobs.startIncrementalFuzzy(
+      spark, fzSrc, namesA.schema, fzStore, fzOut, fzCkpt)
+    def startSh() = IncrementalJobs.startIncrementalSimhash(
+      spark, shSrc, docsA.schema, shStore, shOut, shCkpt)
+
+    // wave A drains through BOTH families concurrently, then both die
+    val (f1, s1) = (startFz(), startSh())
+    f1.processAllAvailable(); s1.processAllAvailable()
+    f1.stop(); s1.stop()
+
+    // wave B lands in both sources while both jobs are down
+    val namesB = Seq((20L, "snark"), (21L, "duc"), (22L, "onyx"))
+      .toDF("id", "name")
+    val docsB = Seq((100L, words(0, 40, "w")),
+      (101L, words(0, 39, "u") + " zzz"),
+      (102L, words(0, 40, "q"))).toDF("doc_id", "text")
+    namesB.write.mode("append").parquet(fzSrc)
+    docsB.write.mode("append").parquet(shSrc)
+
+    val (f2, s2) = (startFz(), startSh())
+    f2.processAllAvailable(); s2.processAllAvailable()
+    f2.stop(); s2.stop()
+
+    // family laws hold EXACTLY as in the single-family runs above
+    val fzVerdicts = spark.read.parquet(fzOut)
+      .select("id", "best_match", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fzVerdicts == Set((20L, 10L, 1), (21L, 11L, 1)),
+      fzVerdicts.toString)
+    val fzAdmitted = spark.read.parquet(fzStore)
+      .select("id").as[Long].collect().toSet
+    assert(fzAdmitted == Set(10L, 11L, 12L, 22L))
+
+    val shVerdicts = spark.read.parquet(shOut)
+      .select("doc_id", "best_match", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val shRef = Dedup.incrementalSimhash(
+        Dedup.simhashStore(docsB, "doc_id", "text"),
+        Dedup.simhashStore(docsA, "doc_id", "text"))
+      .select("doc_id", "best_match", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(shVerdicts == shRef)
+    val shStored = spark.read.parquet(shStore)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shStored == Set(1L, 2L) ++ (Set(100L, 101L, 102L) -- shRef.map(_._1)))
+
+    // NO cross-contamination: the exact-set asserts above already pin
+    // every ledger row to its own family's id space; additionally,
+    // neither checkpoint tree may have leaked into the other (each
+    // family's offsets log records only its own source)
+    def ckptMentions(dir: String, needle: String): Boolean = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .exists(f => new String(java.nio.file.Files.readAllBytes(f),
+            "UTF-8").contains(needle))
+      } finally s.close()
+    }
+    assert(ckptMentions(fzCkpt, "d15/src") && !ckptMentions(fzCkpt, "d17/src"),
+      "fuzzy checkpoint must track only the fuzzy source")
+    assert(ckptMentions(shCkpt, "d17/src") && !ckptMentions(shCkpt, "d15/src"),
+      "simhash checkpoint must track only the simhash source")
+
+    // no-op concurrent restart law: nothing moves in either family
+    val (f3, s3) = (startFz(), startSh())
+    f3.processAllAvailable(); s3.processAllAvailable()
+    f3.stop(); s3.stop()
+    assert(spark.read.parquet(fzStore)
+      .select("id").as[Long].collect().toSet == fzAdmitted)
+    assert(spark.read.parquet(shStore)
+      .select("doc_id").as[Long].collect().toSet == shStored)
+  }
+
   test("streaming memorization store: kill/restart; ledger probe == batch t31 over all ingested") {
     val src = Files.createTempDirectory("graft_mem_src").toString
     val store = Files.createTempDirectory("graft_mem_store").toString
