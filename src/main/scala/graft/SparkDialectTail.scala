@@ -1396,6 +1396,77 @@ object SparkDialectTail {
          ORDER BY depth"""
   }
 
+  /** s31 Spark-dialect replay — the s26 shortlist chain ranked once,
+    * every candidate scored ONCE by the pinned diagonal reranker
+    * (query tower pre-weighted via an indexed transform, then one
+    * graft_dot — the engine's exact grouping), arms filter the
+    * scored frame, truth is the scorer-exact top-3. */
+  private lazy val s31Sql: String = {
+    val depths = Similarity.S30Depths
+    val dMax = depths.max
+    val nPossible = 5 * 3
+    val arms = depths.map { d =>
+      s"""SELECT $d AS depth, count(1) AS n_hits
+           FROM (
+             SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, n_id ASC) AS rk
+               FROM sc WHERE crk <= $d)
+             WHERE rk <= 3) got
+           JOIN truth t ON got.q_id = t.q_id AND got.n_id = t.n_id"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), qw AS (
+           SELECT vec_id AS q_id,
+             transform(v, (x, i) ->
+               x * (1.0D + CAST(i % 5 AS DOUBLE) / 10.0D)) AS wq
+           FROM e WHERE vec_id < 5
+         ), sg AS (
+           SELECT vec_id,
+             aggregate(transform(sequence(0, 31),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS lo,
+             aggregate(transform(sequence(32, 63),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i - 32 AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS hi
+           FROM e
+         ), ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(a.lo ^ q.lo) + bit_count(a.hi ^ q.hi) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), hamrk AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, n_id ASC) AS crk
+           FROM ham
+         ), sc AS (
+           SELECT c.q_id, c.n_id, c.crk,
+             round(graft_dot(qt.wq, ae.v), 6) AS score
+           FROM (SELECT q_id, n_id, crk FROM hamrk WHERE crk <= $dMax) c
+           JOIN qw qt ON qt.q_id = c.q_id
+           JOIN e ae ON ae.vec_id = c.n_id
+         ), truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT qt.q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY qt.q_id
+                 ORDER BY round(graft_dot(qt.wq, a.v), 6) DESC,
+                          a.vec_id ASC) AS rk
+             FROM qw qt JOIN e a ON a.vec_id <> qt.q_id)
+           WHERE rk <= 3)
+         SELECT depth, n_hits, CAST($nPossible AS BIGINT) AS n_possible,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1000.0 / $nPossible.0 + 0.5)
+             AS BIGINT) AS recall_milli
+         FROM (
+           $arms)
+         ORDER BY depth"""
+  }
+
   /** d18 Spark-dialect replay — one hashed-shingle Jaccard pair CTE
     * at min(τ), one suffixed [[ccTail]] instance per swept threshold,
     * counts per arm. */
@@ -1430,6 +1501,7 @@ object SparkDialectTail {
   lazy val forms: Map[String, String] = Map(
     "d18_threshold_curve" -> d18Sql,
     "s30_rerank_depth" -> s30Sql,
+    "s31_two_tower_rerank" -> s31Sql,
     "t32_bpe_fertility" -> t32Sql,
     "d17_incremental_simhash" -> d17Sql,
     "s29_ann_index_stats" -> s29Sql,

@@ -213,6 +213,7 @@ object SparkEntry {
     "s28_ann_tombstones"  -> ((s, dir) => Similarity.annIvfTombstoned(s, dir)),
     "s29_ann_index_stats" -> ((s, dir) => Similarity.annIndexStats(s, dir)),
     "s30_rerank_depth"    -> ((s, dir) => Similarity.annRerankDepthEval(s, dir)),
+    "s31_two_tower_rerank" -> ((s, dir) => Similarity.twoTowerRerankEval(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 
@@ -1800,6 +1801,7 @@ object SparkEntry {
     "s28_ann_tombstones" -> s28OracleSql,
     "s29_ann_index_stats" -> s29OracleSql,
     "s30_rerank_depth" -> s30OracleSql,
+    "s31_two_tower_rerank" -> s31OracleSql,
     "v06_dedup_impact" -> v06OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
@@ -4294,6 +4296,75 @@ object SparkEntry {
              SELECT q.vec_id AS q_id, a.vec_id AS n_id,
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY round(list_cosine_similarity(q.v, a.v), 6) DESC,
+                          a.vec_id ASC) AS rk
+             FROM e q JOIN e a ON a.vec_id <> q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rk <= 3)
+         SELECT depth, n_hits, CAST($nPossible AS BIGINT) AS n_possible,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1000.0 / $nPossible.0 + 0.5)
+             AS BIGINT) AS recall_milli
+         FROM (
+           $arms)
+         ORDER BY depth"""
+  }
+
+  /** s31 replay — the s26 Hamming-shortlist chain ranked once (crk),
+    * each shortlist candidate scored ONCE by the pinned diagonal
+    * reranker w_i = 1 + (i mod 5)/10 (0-based; range(1,65) is
+    * 1-based, hence (i-1)), arms filter the scored frame; truth is
+    * the scorer-exact top-3. Multiplication grouping (q·w)·d and
+    * sequential list_sum order match the engine's pre-weighted
+    * query-tower dot; 6-dp rounding absorbs the tail. */
+  private lazy val s31OracleSql: String = {
+    val depths = graft.operators.Similarity.S30Depths
+    val dMax = depths.max
+    val nPossible = 5 * 3
+    val score = (q: String, a: String) =>
+      s"""round(list_sum(list_transform(range(1, 65),
+             i -> ($q.v[i] * (1.0 + CAST((i - 1) % 5 AS DOUBLE) / 10.0))
+                  * $a.v[i])), 6)"""
+    val arms = depths.map { d =>
+      s"""SELECT $d AS depth, CAST(count(*) AS BIGINT) AS n_hits
+           FROM (
+             SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, n_id ASC) AS rk
+               FROM sc WHERE crk <= $d)
+             WHERE rk <= 3) got
+           JOIN truth t ON got.q_id = t.q_id AND got.n_id = t.n_id"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sg AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 33) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS hi
+           FROM e),
+         ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(xor(a.lo, q.lo)) + bit_count(xor(a.hi, q.hi)) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         hamrk AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, n_id ASC) AS crk
+           FROM ham),
+         sc AS (
+           SELECT c.q_id, c.n_id, c.crk,
+             ${score("qe", "ae")} AS score
+           FROM (SELECT q_id, n_id, crk FROM hamrk WHERE crk <= $dMax) c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ae ON ae.vec_id = c.n_id),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${score("q", "a")} DESC,
                           a.vec_id ASC) AS rk
              FROM e q JOIN e a ON a.vec_id <> q.vec_id
              WHERE q.vec_id < 5)

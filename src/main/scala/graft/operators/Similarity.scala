@@ -1278,6 +1278,116 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy("depth")
   }
 
+  /** s31's pinned diagonal-scorer weight for dimension `i` (0-based):
+    * 1 + (i mod 5)/10 — a deterministic closed form both engines
+    * replay verbatim, standing in for learned reranker weights the
+    * same way the [[graft.operators.Pinned]] fixtures stand in for
+    * fitted models. */
+  val S31WeightPeriod: Int = 5
+
+  private[operators] def s31WeightAt(i: Column): Column =
+    lit(1.0) + (i % S31WeightPeriod).cast("double") / 10.0
+
+  /** s31: two-tower rerank eval — completes the two-stage retrieval
+    * story s30 opened: there the candidate generator and the re-rank
+    * scorer shared the same geometry (cosine); here the SCORER is a
+    * DIFFERENT model — a pinned diagonal bilinear reranker
+    * score(q, d) = Σ_i w_i·q_i·d_i (a cross-encoder-style joint
+    * scorer restricted to its diagonal interaction matrix, the
+    * simplest form that still disagrees with raw cosine). The curve
+    * answers the production question s30 can't: when the reranker
+    * disagrees with the retrieval geometry, how deep must the binary
+    * shortlist be before scorer-top-k survives candidate generation?
+    *
+    * 100 TB shape: ONE linear corpus stream over 16-byte signatures
+    * ranked by the map-side TopKPerGroup heap at the DEEPEST swept
+    * depth (the arms are filters over the checkpointed shortlist,
+    * not re-scans — tighter than s30's arm-per-scan), one broadcast
+    * fetch of the shortlist's full-precision vectors, and one more
+    * linear stream for the scorer-exact truth (eval-only — a serving
+    * deployment never runs it). Every frame after the streams is
+    * query-set-sized. Deterministic: scores are 6-dp-rounded with id
+    * tie-breaks (the s01 discipline), so the DuckDB oracle replays
+    * the whole eval exactly. */
+  /** s31's query tower: each query vector pre-multiplied by the
+    * pinned diagonal weights, so every per-pair score downstream is
+    * one codegen'd dot. Query-set-sized. */
+  private[graft] def twoTowerQueries(s: SparkSession, dir: String,
+                                     nQueries: Int): DataFrame =
+    emb(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("v"), (x, i) => x * s31WeightAt(i)).as("wq"))
+
+  /** s31's scorer-exact truth stream (eval-only): one linear corpus
+    * pass against the broadcast query tower, map-side TopKPerGroup
+    * heaps. Exposed un-checkpointed so PlanGateSpec can assert the
+    * shape. */
+  private[graft] def twoTowerTruth(s: SparkSession, dir: String,
+                                   nQueries: Int, k: Int): DataFrame = {
+    val qw = twoTowerQueries(s, dir, nQueries)
+    val truthScores = emb(s, dir)
+      .join(broadcast(qw), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("wq"), col("v")), 6).as("score"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+        truthScores, Seq("q_id"), Seq(("score", false), ("n_id", true)), k)
+      .select("q_id", "n_id")
+  }
+
+  /** s31's scored shortlist: s26's Hamming candidate stream ranked
+    * ONCE at the deepest swept depth (crk), each candidate scored
+    * ONCE by the reranker via two broadcast fetches. The arms are
+    * FILTERS over this frame. Exposed un-checkpointed for the gate. */
+  private[graft] def twoTowerScored(s: SparkSession, dir: String,
+                                    nQueries: Int, dMax: Int): DataFrame = {
+    val all = emb(s, dir)
+    val sigs = all.select(col("vec_id"),
+      signPack(col("v"), 0, 32).as("lo"), signPack(col("v"), 32, 64).as("hi"))
+    val qsig = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"),
+        col("hi").as("q_hi"))
+    val ham = sigs.join(broadcast(qsig), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("int")
+          .as("hamming"))
+    val short = graft.plans.TopKPerGroup.topKPerGroup(
+      ham, Seq("q_id"), Seq(("hamming", true), ("n_id", true)), dMax)
+    // ranking the ≤ nQueries·dMax survivors is the documented tiny
+    // post-TopK window (the TextOps.scala:320 family)
+    val crk = Window.partitionBy("q_id")
+      .orderBy(asc("hamming"), asc("n_id"))
+    all.join(broadcast(short.withColumn("crk", row_number().over(crk))),
+        col("vec_id") === col("n_id"))
+      .join(broadcast(twoTowerQueries(s, dir, nQueries)), "q_id")
+      .select(col("q_id"), col("n_id"), col("crk"),
+        round(dot(col("wq"), col("v")), 6).as("score"))
+  }
+
+  def twoTowerRerankEval(s: SparkSession, dir: String, nQueries: Int = 5,
+                         k: Int = 3,
+                         depths: Seq[Int] = S30Depths): DataFrame = {
+    val dMax = depths.max
+    // both streams materialize ONCE; the arms are filters over the
+    // checkpointed query-set-sized frames
+    val truth = twoTowerTruth(s, dir, nQueries, k).localCheckpoint()
+    val scored = twoTowerScored(s, dir, nQueries, dMax).localCheckpoint()
+    val possible = (nQueries * k).toDouble
+    depths.map { d =>
+      val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
+      scored.filter(col("crk") <= d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("q_id", "n_id")
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("depth"), col("n_hits"),
+          lit(nQueries.toLong * k).as("n_possible"),
+          floor(col("n_hits") * 1000.0 / possible + 0.5).cast("long")
+            .as("recall_milli"))
+    }.reduce(_ unionByName _).orderBy("depth")
+  }
+
   /** Per-label embedding centroids via the typed
     * [[graft.functions.CentroidAggregator]] UDAF: one (sums, count)
     * buffer per label per partition, so the shuffle carries k×dim

@@ -121,6 +121,24 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "s26 degraded to sort-merge/cartesian")
   }
 
+  test("s31 two-tower rerank: map-side heaps on both streams, " +
+       "broadcast scorer fetches, no corpus product") {
+    // the two corpus streams (scorer-exact truth, Hamming shortlist +
+    // scored fetch) are asserted UN-checkpointed — in the registered
+    // query they materialize once behind localCheckpoints and the
+    // arms only filter them
+    val truth = Similarity.twoTowerTruth(spark, sf, 5, 3)
+    assertPartialTopK(truth, "s31-truth")
+    val scored = Similarity.twoTowerScored(spark, sf, 5, 32)
+    assertPartialTopK(scored, "s31-shortlist")
+    val plan = finalPlan(scored)
+    assert(broadcastJoins(plan) >= 2,
+      s"scorer fetches not broadcast, saw ${broadcastJoins(plan)}")
+    assert(noQuadraticJoins(plan), "s31 degraded to sort-merge/cartesian")
+    assert(noQuadraticJoins(finalPlan(truth)),
+      "s31 truth degraded to sort-merge/cartesian")
+  }
+
   // ---- t17 positional phrase search ---------------------------------
 
   test("t17 phrase search: postings pruned by BROADCAST phrase joins") {

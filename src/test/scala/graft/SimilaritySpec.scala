@@ -912,6 +912,69 @@ class SimilaritySpec extends SparkSuite {
     assert(rep.last._3 == 1000L, s"exhaustive depth not exact: ${rep.last}")
   }
 
+  test("s31 two-tower rerank: curve ≡ Scala recomputation; monotone; " +
+       "exhaustive depth exact; scorer genuinely disagrees with cosine") {
+    val (nq, k) = (5, 3)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = emb.toMap
+    val w = Array.tabulate(64)(i => 1.0 + (i % 5) / 10.0)
+    def score(q: Array[Double], d: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 64) { acc += (q(i) * w(i)) * d(i); i += 1 }
+      new java.math.BigDecimal(acc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 64) {
+        if (v(i) > 0) { if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32)) }
+        i += 1
+      }
+      (lo, hi)
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val qids = emb.map(_._1).filter(_ < nq).sorted
+    val truth: Map[Long, Set[Long]] = qids.map { q =>
+      q -> emb.filter(_._1 != q)
+        .map { case (id, v) => (id, score(vecs(q), v)) }
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+    }.toMap
+    def hits(depth: Int): Long = qids.map { q =>
+      val (qlo, qhi) = sigs(q)
+      val shortlist = emb.filter(_._1 != q).map { case (id, _) =>
+        val (lo, hi) = sigs(id)
+        (id, java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi))
+      }.sortBy(t => (t._2, t._1)).take(depth).map(_._1)
+      val topk = shortlist.map(id => (id, score(vecs(q), vecs(id))))
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+      (topk & truth(q)).size.toLong
+    }.sum
+    val expected = Similarity.S30Depths.map { d =>
+      val h = hits(d)
+      (d, h, (nq * k).toLong, math.floor(h * 1000.0 / (nq * k) + 0.5).toLong)
+    }
+    val got = Similarity.twoTowerRerankEval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // monotone in depth (truth members lost only by shortlist misses)
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2, s"recall fell with depth: $a -> $b")
+    case _ => () }
+    // exhaustive depth: shortlist == corpus ⇒ scorer-exact ⇒ 1000
+    val exhaustive = Similarity.twoTowerRerankEval(spark, sf,
+      depths = Seq(emb.length - 1)).collect().head
+    assert(exhaustive.getLong(3) == 1000L,
+      s"exhaustive depth not exact: $exhaustive")
+    // the scorer is a DIFFERENT model: its truth must differ from the
+    // cosine truth somewhere on this corpus (else the eval is vacuous)
+    val cosTruth = Similarity.annBruteForce(spark, sf, nq, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val scorerTruth = truth.flatMap { case (q, ids) => ids.map(q -> _) }.toSet
+    assert(scorerTruth != cosTruth,
+      "pinned diagonal scorer coincides with cosine — eval is vacuous")
+  }
+
   test("s29 index stats: conservation, imbalance >= 1000 with equality iff balanced") {
     val rep = Similarity.annIndexStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
