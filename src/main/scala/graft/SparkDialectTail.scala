@@ -1396,6 +1396,69 @@ object SparkDialectTail {
          ORDER BY depth"""
   }
 
+  /** t33 Spark-dialect replay — 0-based array indexing and
+    * explode(sequence(...)) in place of DuckDB's 1-based
+    * list_slice/range; same md5 of the space-joined trigram. */
+  private lazy val t33Sql: String =
+    raw"""WITH tk AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents
+         ), tri AS (
+           SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i + 1], t[i + 2])) AS fp
+           FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS i
+                 FROM tk WHERE size(t) >= 3)
+         ), fo AS (
+           SELECT fp, min(doc_id) AS first_doc FROM tri GROUP BY fp
+         ), pd AS (
+           SELECT doc_id, count(1) AS n_ngrams,
+             sum(CASE WHEN first_doc = doc_id THEN 1L ELSE 0L END)
+               AS n_novel
+           FROM tri JOIN fo USING (fp) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n_ngrams, 0L) AS n_ngrams,
+           coalesce(n_novel, 0L) AS n_novel,
+           CASE WHEN coalesce(n_ngrams, 0L) = 0L THEN 1000L
+                ELSE CAST(floor(n_novel * 1000.0 / n_ngrams + 0.5) AS BIGINT)
+           END AS novelty_milli
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id"""
+
+  /** v07 Spark-dialect replay — the same 1-row exact aggregate
+    * unpivoted. */
+  private lazy val v07Sql: String =
+    raw"""WITH d AS (
+           SELECT CAST(size(split(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(n_chars AS BIGINT) AS n_chars, lang, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+           FROM documents
+         ), a AS (
+           SELECT count(1) AS n_docs,
+             sum(n_tokens) AS n_tokens,
+             sum(n_chars) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_content,
+             min(n_tokens) AS tokens_min,
+             max(n_tokens) AS tokens_max
+           FROM d)
+         SELECT stat, value FROM (
+           SELECT 'n_docs' AS stat, n_docs AS value FROM a
+           UNION ALL SELECT 'n_tokens', n_tokens FROM a
+           UNION ALL SELECT 'n_chars', n_chars FROM a
+           UNION ALL SELECT 'n_langs', n_langs FROM a
+           UNION ALL SELECT 'n_sources', n_sources FROM a
+           UNION ALL SELECT 'n_distinct_content', n_distinct_content FROM a
+           UNION ALL SELECT 'tokens_min', tokens_min FROM a
+           UNION ALL SELECT 'tokens_max', tokens_max FROM a
+           UNION ALL SELECT 'dup_docs', n_docs - n_distinct_content FROM a
+           UNION ALL SELECT 'dup_milli',
+             CAST(floor((n_docs - n_distinct_content) * 1000.0 / n_docs
+               + 0.5) AS BIGINT) FROM a
+           UNION ALL SELECT 'tokens_avg_milli',
+             CAST(floor(n_tokens * 1000.0 / n_docs + 0.5) AS BIGINT) FROM a)
+         ORDER BY stat"""
+
   /** s31 Spark-dialect replay — the s26 shortlist chain ranked once,
     * every candidate scored ONCE by the pinned diagonal reranker
     * (query tower pre-weighted via an indexed transform, then one
@@ -1502,6 +1565,8 @@ object SparkDialectTail {
     "d18_threshold_curve" -> d18Sql,
     "s30_rerank_depth" -> s30Sql,
     "s31_two_tower_rerank" -> s31Sql,
+    "t33_ngram_novelty" -> t33Sql,
+    "v07_corpus_datasheet" -> v07Sql,
     "t32_bpe_fertility" -> t32Sql,
     "d17_incremental_simhash" -> d17Sql,
     "s29_ann_index_stats" -> s29Sql,

@@ -138,6 +138,8 @@ object SparkEntry {
     "j06_window_features" -> TemporalJoins.purchaseClickFeatures,
     "j07_attribution"     -> ((s, dir) => TemporalJoins.purchaseAttribution(s, dir)),
     "t32_bpe_fertility"   -> ((s, dir) => TextOps.bpeFertility(s, dir)),
+    "t33_ngram_novelty"   -> ((s, dir) => TextOps.ngramNovelty(s, dir)),
+    "v07_corpus_datasheet" -> ((s, dir) => Checks.corpusDatasheet(s, dir)),
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
     "m12_incremental_media" -> ((s, dir) => Multimodal.incrementalMediaDedup(s, dir)),
@@ -994,6 +996,8 @@ object SparkEntry {
     "j06_window_features" -> j06OracleSql,
     "j07_attribution" -> j07OracleSql,
     "t32_bpe_fertility" -> t32OracleSql,
+    "t33_ngram_novelty" -> t33OracleSql,
+    "v07_corpus_datasheet" -> v07OracleSql,
     "m10_aspect_buckets" -> m10OracleSql,
     "m11_batch_manifest" -> m11OracleSql,
     "x21_family_split" -> x21OracleSql,
@@ -3144,6 +3148,73 @@ object SparkEntry {
   /** t32 replay — the t14 recursive-CTE BPE encode (merge table
     * generated from the SAME [[graft.operators.TextOps.pinnedMerges]]
     * fixture) with the per-language fertility tail. */
+  /** t33 replay — DISTINCT per-doc trigram md5s (1-based list_slice,
+    * space-joined — byte-identical to the engine's concat_ws), min
+    * doc_id first-occurrence, LEFT join back so trigram-less docs
+    * report the 1000 convention. All-integer. */
+  private lazy val t33OracleSql: String =
+    raw"""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+         ), tri AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS fp
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                 FROM tk WHERE len(t) >= 3)
+         ), fo AS (
+           SELECT fp, min(doc_id) AS first_doc FROM tri GROUP BY fp
+         ), pd AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM tri JOIN fo USING (fp) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(n_ngrams, 0) = 0 THEN CAST(1000 AS BIGINT)
+                ELSE CAST(floor(n_novel * 1000.0 / n_ngrams + 0.5) AS BIGINT)
+           END AS novelty_milli
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id"""
+
+  /** v07 replay — the 1-row exact aggregate (three COUNT DISTINCTs —
+    * a datasheet can't ship approximations) unpivoted to (stat,
+    * value) rows. All-integer/milli. */
+  private lazy val v07OracleSql: String =
+    raw"""WITH d AS (
+           SELECT
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(n_chars AS BIGINT) AS n_chars, lang, source,
+             md5(lower(regexp_replace(trim(text), '\s+', ' '))) AS fp
+           FROM documents
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_content,
+             CAST(min(n_tokens) AS BIGINT) AS tokens_min,
+             CAST(max(n_tokens) AS BIGINT) AS tokens_max
+           FROM d)
+         SELECT stat, value FROM (
+           SELECT 'n_docs' AS stat, n_docs AS value FROM a
+           UNION ALL SELECT 'n_tokens', n_tokens FROM a
+           UNION ALL SELECT 'n_chars', n_chars FROM a
+           UNION ALL SELECT 'n_langs', n_langs FROM a
+           UNION ALL SELECT 'n_sources', n_sources FROM a
+           UNION ALL SELECT 'n_distinct_content', n_distinct_content FROM a
+           UNION ALL SELECT 'tokens_min', tokens_min FROM a
+           UNION ALL SELECT 'tokens_max', tokens_max FROM a
+           UNION ALL SELECT 'dup_docs', n_docs - n_distinct_content FROM a
+           UNION ALL SELECT 'dup_milli',
+             CAST(floor((n_docs - n_distinct_content) * 1000.0 / n_docs + 0.5)
+               AS BIGINT) FROM a
+           UNION ALL SELECT 'tokens_avg_milli',
+             CAST(floor(n_tokens * 1000.0 / n_docs + 0.5) AS BIGINT) FROM a)
+         ORDER BY stat"""
+
   private lazy val t32OracleSql: String = {
     val merges = graft.operators.TextOps.pinnedMerges
     val rows = merges.zipWithIndex.map { case ((a, b), i) =>

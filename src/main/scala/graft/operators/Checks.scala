@@ -333,4 +333,55 @@ object Checks {
              + absentMass * math.log(2.0)) * 0.5).as("jsd"))
       .orderBy("source")
   }
+
+  /** v07: corpus datasheet — the one-page release artifact
+    * ("Datasheets for Datasets", Gebru et al., CACM 2021) a 100 TB
+    * corpus ships with: volume (docs/tokens/chars), composition
+    * (languages/sources), duplication (d01's content-fingerprint
+    * rule), and token-length spread, as (stat, value) rows.
+    *
+    * Scale shape: ONE corpus pass over a narrow per-doc projection
+    * (token count, fp, lang, source — computed in the scan
+    * projection; text never shuffles). The three exact
+    * count-distincts plan as ONE aggregate via Catalyst's expand
+    * (3× the NARROW rows, map-side combined — the price of exact
+    * distincts in a single pass; a release artifact can't ship
+    * approx_count_distinct). The report is unpivoted from the 1-row
+    * aggregate — all integers/milli, engine-exact. */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    corpusDatasheet(t(s, dir, "documents"))
+
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val d = docs.select(
+      size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+      col("n_chars").cast("bigint").as("n_chars"),
+      col("lang"), col("source"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    val a = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("fp").as("n_distinct_content"),
+      min("n_tokens").as("tokens_min"),
+      max("n_tokens").as("tokens_max"))
+    a.select(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        col("n_sources"), col("n_distinct_content"), col("tokens_min"),
+        col("tokens_max"),
+        (col("n_docs") - col("n_distinct_content")).as("dup_docs"),
+        floor((col("n_docs") - col("n_distinct_content")) * 1000.0
+          / col("n_docs") + 0.5).cast("long").as("dup_milli"),
+        floor(col("n_tokens") * 1000.0 / col("n_docs") + 0.5).cast("long")
+          .as("tokens_avg_milli"))
+      .selectExpr("""stack(11,
+        'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars,
+        'n_langs', n_langs, 'n_sources', n_sources,
+        'n_distinct_content', n_distinct_content,
+        'tokens_min', tokens_min, 'tokens_max', tokens_max,
+        'dup_docs', dup_docs, 'dup_milli', dup_milli,
+        'tokens_avg_milli', tokens_avg_milli) AS (stat, value)""")
+      .orderBy("stat")
+  }
 }

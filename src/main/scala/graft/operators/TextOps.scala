@@ -1639,6 +1639,54 @@ object TextOps {
                     w: Int = T26Width): DataFrame =
     windowFps(train, idCol, textCol, w).select("fp").distinct()
 
+  /** t33: n-gram novelty — per document, the share of its DISTINCT
+    * word trigrams whose FIRST corpus occurrence (min doc_id) is this
+    * document. The marginal-value dial of incremental corpus growth:
+    * a crawl batch whose docs score near 0 re-states what the corpus
+    * already contains (even when no d01/d02 rule fires — novelty
+    * measures n-gram-level redundancy, not document-level
+    * duplication); sorting acquisition sources by mean novelty is the
+    * standard data-valuation heuristic.
+    *
+    * Scale shape: one trigram explode (the t19/v05 cost class) cut
+    * immediately to DISTINCT (doc_id, fp) md5 rows — text never
+    * shuffles; the first-occurrence frame is a min-aggregate of the
+    * SAME fp-keyed frame, so the distinct → min-agg → join chain
+    * hash-partitions on fp once (AQE co-partitions); the final
+    * doc-keyed aggregate carries 3 slim columns. Docs with fewer than
+    * 3 tokens have no trigrams and report novelty 1000 by convention
+    * (they add nothing and collide with nothing). */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
+
+  def ngramNovelty(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    // the size >= 3 filter guards sequence()'s descending edge (the
+    // x22 lesson: sequence(0, -1) DESCENDS instead of being empty)
+    val tri = docs.select(col(idCol), toks.as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("tk")) - 3),
+          i => md5(concat_ws(" ",
+            get(col("tk"), i), get(col("tk"), i + 1),
+            get(col("tk"), i + 2))))).as("fp"))
+      .distinct()
+    val firstOcc = tri.groupBy("fp").agg(min(idCol).as("first_doc"))
+    val perDoc = tri.join(firstOcc, Seq("fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_novel"))
+      .withColumn("novelty_milli",
+        when(col("n_ngrams") === 0L, 1000L)
+          .otherwise(floor(col("n_novel") * 1000.0 / col("n_ngrams") + 0.5)
+            .cast("long")))
+      .orderBy(idCol)
+  }
+
   /** The probe half over an accumulated fingerprint store
     * (re-distincted here so raw per-batch partials can be fed
     * directly). */

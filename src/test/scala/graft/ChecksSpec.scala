@@ -156,6 +156,40 @@ class ChecksSpec extends SparkSuite {
       p("s").getString(6) == "a" && p("s").getString(7) == "b")
   }
 
+  test("v07 corpus datasheet matches a Scala recomputation; " +
+       "nBins-parameterized psi covers wider binnings") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    val toks = rows.map(_.getString(1).trim.split("\\s+").length.toLong)
+    val fps = rows.map(r =>
+      r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase).distinct
+    val nDocs = rows.length.toLong
+    val nTokens = toks.sum
+    val expected = Map(
+      "n_docs" -> nDocs,
+      "n_tokens" -> nTokens,
+      "n_chars" -> rows.map(r => r.getAs[Number]("n_chars").longValue).sum,
+      "n_langs" -> rows.map(_.getString(2)).distinct.length.toLong,
+      "n_sources" -> rows.map(_.getString(3)).distinct.length.toLong,
+      "n_distinct_content" -> fps.length.toLong,
+      "tokens_min" -> toks.min,
+      "tokens_max" -> toks.max,
+      "dup_docs" -> (nDocs - fps.length),
+      "dup_milli" ->
+        math.floor((nDocs - fps.length) * 1000.0 / nDocs + 0.5).toLong,
+      "tokens_avg_milli" ->
+        math.floor(nTokens * 1000.0 / nDocs + 0.5).toLong)
+    val got = Checks.corpusDatasheet(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the r13 advisor fix: a caller binning wider than the v04 fixture
+    // gets every bin reported, not silently dropped
+    val wide = Seq((0, true), (15, false), (15, true)).toDF("bin", "is_ref")
+    val rep = Checks.psiReport(wide, nBins = 16).collect()
+    assert(rep.map(_.getInt(0)).toSeq == (0 until 16) &&
+      rep.map(r => r.getLong(1) + r.getLong(2)).sum == 3L)
+  }
+
   test("v04 psi: identical populations score exactly zero in every bin") {
     // every value appears once as ref and once as cur → p == q bin-wise
     val vals = Seq(0, 0, 3, 5, 5, 5, 9)

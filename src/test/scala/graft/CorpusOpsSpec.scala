@@ -554,6 +554,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t33 ngram novelty matches a per-doc Scala recomputation; " +
+       "totals obey the first-occurrence partition law") {
+    val tri: Seq[(Long, Set[String])] = docs.map { case (id, text) =>
+      val tk = text.trim.split("\\s+").toSeq
+      (id, if (tk.size < 3) Set.empty[String]
+           else tk.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val firstOcc = tri.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = tri.sortBy(_._1).map { case (id, s) =>
+      val n = s.size.toLong
+      val novel = s.count(g => firstOcc(g) == id).toLong
+      (id, n, novel,
+        if (n == 0) 1000L else math.floor(novel * 1000.0 / n + 0.5).toLong)
+    }
+    val got = TextOps.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // every distinct corpus trigram is novel in EXACTLY one doc
+    assert(got.map(_._3).sum == firstOcc.size.toLong)
+    // the min-doc_id doc with trigrams is fully novel by construction
+    got.find(_._2 > 0).foreach(first => assert(first._4 == 1000L))
+  }
+
   test("t19 tfidf top terms match a per-doc Scala recomputation") {
     val n = docs.size
     val tf: Seq[(Long, String, Long)] = docs.flatMap { case (id, text) =>
