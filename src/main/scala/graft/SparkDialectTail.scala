@@ -1423,6 +1423,88 @@ object SparkDialectTail {
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id"""
 
+  /** t34 Spark-dialect replay — the t33 trigram CTE split at the
+    * fixture cut; batch docs LEFT-join the store per distinct
+    * trigram. */
+  private lazy val t34Sql: String = {
+    val frac = TextOps.T34SplitFrac
+    raw"""WITH cut AS (
+           SELECT CAST(floor(max(doc_id) * $frac) AS BIGINT) AS c
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents
+         ), tri AS (
+           SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i + 1], t[i + 2])) AS fp
+           FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS i
+                 FROM tk WHERE size(t) >= 3)
+         ), store AS (
+           SELECT DISTINCT fp FROM tri, cut WHERE doc_id < c
+         ), batch AS (
+           SELECT doc_id FROM documents, cut WHERE doc_id >= c
+         ), pd AS (
+           SELECT tri.doc_id, count(1) AS n_ngrams,
+             sum(CASE WHEN s.fp IS NULL THEN 1L ELSE 0L END) AS n_novel
+           FROM tri JOIN cut ON tri.doc_id >= cut.c
+           LEFT JOIN store s ON s.fp = tri.fp
+           GROUP BY tri.doc_id)
+         SELECT b.doc_id,
+           coalesce(n_ngrams, 0L) AS n_ngrams,
+           coalesce(n_novel, 0L) AS n_novel,
+           CASE WHEN coalesce(n_ngrams, 0L) = 0L THEN 1000L
+                ELSE CAST(floor(n_novel * 1000.0 / n_ngrams + 0.5) AS BIGINT)
+           END AS novelty_milli
+         FROM batch b LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id"""
+  }
+
+  /** v08 Spark-dialect replay — x21's assignment CTE + t33's trigram
+    * CTE keyed by split, val/test totalized via a VALUES frame. */
+  private lazy val v08Sql: String =
+    raw"""WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+           FROM documents
+         ), asg AS (
+           SELECT doc_id, fp,
+             CASE WHEN substring(md5(fp), 1, 2) < '0d' THEN 'test'
+                  WHEN substring(md5(fp), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+           FROM f
+         ), multi AS (
+           SELECT count(1) AS v FROM (
+             SELECT fp FROM (SELECT DISTINCT fp, split FROM asg)
+             GROUP BY fp HAVING count(1) > 1)
+         ), tk AS (
+           SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents
+         ), tri AS (
+           SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i + 1], t[i + 2])) AS fp3
+           FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS i
+                 FROM tk WHERE size(t) >= 3)
+         ), sfp AS (
+           SELECT DISTINCT asg.split, tri.fp3
+           FROM tri JOIN asg ON tri.doc_id = asg.doc_id
+         ), tr AS (SELECT fp3 FROM sfp WHERE split = 'train'
+         ), lk AS (
+           SELECT split, count(1) AS n,
+             sum(CASE WHEN t.fp3 IS NOT NULL THEN 1L ELSE 0L END) AS h
+           FROM sfp LEFT JOIN tr t USING (fp3)
+           WHERE split IN ('val', 'test') GROUP BY split
+         ), lk2 AS (
+           SELECT s.split, coalesce(n, 0L) AS n, coalesce(h, 0L) AS h
+           FROM (VALUES ('val'), ('test')) AS s(split)
+           LEFT JOIN lk ON lk.split = s.split)
+         SELECT metric, value FROM (
+           SELECT 'content_fps_multi_split' AS metric, v AS value FROM multi
+           UNION ALL SELECT concat(split, '_ngrams'), n FROM lk2
+           UNION ALL SELECT concat(split, '_ngrams_in_train'), h FROM lk2
+           UNION ALL SELECT concat(split, '_leak_milli'),
+             CASE WHEN n = 0L THEN 0L
+                  ELSE CAST(floor(h * 1000.0 / n + 0.5) AS BIGINT) END
+           FROM lk2)
+         ORDER BY metric"""
+
   /** v07 Spark-dialect replay — the same 1-row exact aggregate
     * unpivoted. */
   private lazy val v07Sql: String =
@@ -1566,7 +1648,9 @@ object SparkDialectTail {
     "s30_rerank_depth" -> s30Sql,
     "s31_two_tower_rerank" -> s31Sql,
     "t33_ngram_novelty" -> t33Sql,
+    "t34_incremental_novelty" -> t34Sql,
     "v07_corpus_datasheet" -> v07Sql,
+    "v08_split_leakage" -> v08Sql,
     "t32_bpe_fertility" -> t32Sql,
     "d17_incremental_simhash" -> d17Sql,
     "s29_ann_index_stats" -> s29Sql,

@@ -139,7 +139,9 @@ object SparkEntry {
     "j07_attribution"     -> ((s, dir) => TemporalJoins.purchaseAttribution(s, dir)),
     "t32_bpe_fertility"   -> ((s, dir) => TextOps.bpeFertility(s, dir)),
     "t33_ngram_novelty"   -> ((s, dir) => TextOps.ngramNovelty(s, dir)),
+    "t34_incremental_novelty" -> ((s, dir) => TextOps.incrementalNovelty(s, dir)),
     "v07_corpus_datasheet" -> ((s, dir) => Checks.corpusDatasheet(s, dir)),
+    "v08_split_leakage"   -> ((s, dir) => Checks.splitLeakage(s, dir)),
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
     "m12_incremental_media" -> ((s, dir) => Multimodal.incrementalMediaDedup(s, dir)),
@@ -997,7 +999,9 @@ object SparkEntry {
     "j07_attribution" -> j07OracleSql,
     "t32_bpe_fertility" -> t32OracleSql,
     "t33_ngram_novelty" -> t33OracleSql,
+    "t34_incremental_novelty" -> t34OracleSql,
     "v07_corpus_datasheet" -> v07OracleSql,
+    "v08_split_leakage" -> v08OracleSql,
     "m10_aspect_buckets" -> m10OracleSql,
     "m11_batch_manifest" -> m11OracleSql,
     "x21_family_split" -> x21OracleSql,
@@ -3176,6 +3180,94 @@ object SparkEntry {
            END AS novelty_milli
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id"""
+
+  /** t34 replay — the d15 fixture split (floor on both sides), store
+    * = distinct trigram fps below the cut, batch docs LEFT-join the
+    * store per distinct trigram. All-integer. */
+  private lazy val t34OracleSql: String = {
+    val frac = graft.operators.TextOps.T34SplitFrac
+    raw"""WITH cut AS (
+           SELECT CAST(floor(max(doc_id) * $frac) AS BIGINT) AS c
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+         ), tri AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS fp
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                 FROM tk WHERE len(t) >= 3)
+         ), store AS (
+           SELECT DISTINCT fp FROM tri, cut WHERE doc_id < c
+         ), batch AS (
+           SELECT doc_id FROM documents, cut WHERE doc_id >= c
+         ), pd AS (
+           SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(sum(CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+           FROM tri JOIN cut ON tri.doc_id >= cut.c
+           LEFT JOIN store s ON s.fp = tri.fp
+           GROUP BY tri.doc_id)
+         SELECT b.doc_id,
+           CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(n_ngrams, 0) = 0 THEN CAST(1000 AS BIGINT)
+                ELSE CAST(floor(n_novel * 1000.0 / n_ngrams + 0.5) AS BIGINT)
+           END AS novelty_milli
+         FROM batch b LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id"""
+  }
+
+  /** v08 replay — the x21 assignment CTE + t33's trigram CTE keyed by
+    * split; val/test totalized via a VALUES frame so an empty split
+    * still reports (the engine's ungrouped aggregate is total). */
+  private lazy val v08OracleSql: String =
+    raw"""WITH f AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents
+         ), asg AS (
+           SELECT doc_id, fp,
+             CASE WHEN substring(md5(fp), 1, 2) < '0d' THEN 'test'
+                  WHEN substring(md5(fp), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+           FROM f
+         ), multi AS (
+           SELECT CAST(count(*) AS BIGINT) AS v FROM (
+             SELECT fp FROM (SELECT DISTINCT fp, split FROM asg)
+             GROUP BY fp HAVING count(*) > 1)
+         ), tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+         ), tri AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS fp3
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                 FROM tk WHERE len(t) >= 3)
+         ), sfp AS (
+           SELECT DISTINCT asg.split, tri.fp3
+           FROM tri JOIN asg ON tri.doc_id = asg.doc_id
+         ), tr AS (SELECT fp3 FROM sfp WHERE split = 'train'
+         ), lk AS (
+           SELECT split, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN t.fp3 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS h
+           FROM sfp LEFT JOIN tr t USING (fp3)
+           WHERE split IN ('val', 'test') GROUP BY split
+         ), lk2 AS (
+           SELECT s.split, CAST(coalesce(n, 0) AS BIGINT) AS n,
+             CAST(coalesce(h, 0) AS BIGINT) AS h
+           FROM (VALUES ('val'), ('test')) AS s(split)
+           LEFT JOIN lk ON lk.split = s.split)
+         SELECT metric, value FROM (
+           SELECT 'content_fps_multi_split' AS metric, v AS value FROM multi
+           UNION ALL SELECT split || '_ngrams', n FROM lk2
+           UNION ALL SELECT split || '_ngrams_in_train', h FROM lk2
+           UNION ALL SELECT split || '_leak_milli',
+             CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(h * 1000.0 / n + 0.5) AS BIGINT) END
+           FROM lk2)
+         ORDER BY metric"""
 
   /** v07 replay — the 1-row exact aggregate (three COUNT DISTINCTs —
     * a datasheet can't ship approximations) unpivoted to (stat,

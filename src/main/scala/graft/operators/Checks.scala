@@ -334,6 +334,55 @@ object Checks {
       .orderBy("source")
   }
 
+  /** v08: split-leakage audit — the audit that PROVES x21's
+    * leakage-safety claim with numbers instead of asserting it: (a)
+    * content-level — how many d01 content fingerprints appear in
+    * more than one split (0 by construction of the family split; the
+    * audit guards the MATERIALIZED assignment against a future
+    * per-doc-hash regression), and (b) n-gram-level — for val and
+    * test, what share of their distinct word trigrams also occurs in
+    * train (expected nonzero; the number a contamination-aware eval
+    * (t31/x05) needs before trusting held-out perplexity).
+    *
+    * Scale shape: one narrow assignment pass (id, fp, split — the
+    * x21 frame), one trigram explode (the t33 cost class) cut to
+    * DISTINCT (split, fp) slim rows and localCheckpoint'd (three
+    * consumers: train set, val probe, test probe); each probe is an
+    * fp-keyed LEFT join + 1-row aggregate. Report is 7 (metric,
+    * value) rows, all-integer/milli. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(t(s, dir, "documents"), "doc_id", "text")
+
+  def splitLeakage(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val assign = Sampling.familySplitAssignments(docs, idCol, textCol)
+    val multi = assign.select("fp", "split").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("content_fps_multi_split").as("metric"), col("value"))
+    val sfp = TextOps.trigramFps(docs, idCol, textCol)
+      .join(assign.select(col(idCol), col("split")), Seq(idCol))
+      .select("split", "fp").distinct()
+      .localCheckpoint()
+    val train = sfp.filter(col("split") === "train")
+      .select("fp").withColumn("hit", lit(1L))
+    def probe(which: String): DataFrame =
+      sfp.filter(col("split") === which).select("fp")
+        .join(train, Seq("fp"), "left")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("h"))
+        .selectExpr(s"""stack(3,
+          '${which}_ngrams', n,
+          '${which}_ngrams_in_train', h,
+          '${which}_leak_milli',
+            CASE WHEN n = 0L THEN 0L
+                 ELSE CAST(floor(h * 1000.0 / n + 0.5) AS BIGINT)
+            END) AS (metric, value)""")
+    multi.unionByName(probe("val")).unionByName(probe("test"))
+      .orderBy("metric")
+  }
+
   /** v07: corpus datasheet — the one-page release artifact
     * ("Datasheets for Datasets", Gebru et al., CACM 2021) a 100 TB
     * corpus ships with: volume (docs/tokens/chars), composition

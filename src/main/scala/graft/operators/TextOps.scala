@@ -1659,12 +1659,14 @@ object TextOps {
   def ngramNovelty(s: SparkSession, dir: String): DataFrame =
     ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
 
-  def ngramNovelty(docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
+  /** The t33/t34 trigram fingerprint frame: DISTINCT (id, md5) rows
+    * over word trigrams. The size >= 3 filter guards sequence()'s
+    * descending edge (the x22 lesson: sequence(0, -1) DESCENDS
+    * instead of being empty). */
+  private[graft] def trigramFps(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    // the size >= 3 filter guards sequence()'s descending edge (the
-    // x22 lesson: sequence(0, -1) DESCENDS instead of being empty)
-    val tri = docs.select(col(idCol), toks.as("tk"))
+    docs.select(col(idCol), toks.as("tk"))
       .where(size(col("tk")) >= 3)
       .select(col(idCol),
         explode(transform(sequence(lit(0), size(col("tk")) - 3),
@@ -1672,6 +1674,19 @@ object TextOps {
             get(col("tk"), i), get(col("tk"), i + 1),
             get(col("tk"), i + 2))))).as("fp"))
       .distinct()
+  }
+
+  /** t34's persisted store artifact: the DISTINCT trigram fingerprint
+    * set (`fp STRING`). Set membership is idempotent under union, so
+    * batch-keyed store PARTIALS compose exactly (the t31/x18
+    * argument; [[graft.streaming.IncrementalJobs.startIncrementalNovelty]]). */
+  def noveltyStore(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    trigramFps(docs, idCol, textCol).select("fp").distinct()
+
+  def ngramNovelty(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tri = trigramFps(docs, idCol, textCol)
     val firstOcc = tri.groupBy("fp").agg(min(idCol).as("first_doc"))
     val perDoc = tri.join(firstOcc, Seq("fp"))
       .groupBy(idCol)
@@ -1679,6 +1694,60 @@ object TextOps {
         sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
           .as("n_novel"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_novel"))
+      .withColumn("novelty_milli",
+        when(col("n_ngrams") === 0L, 1000L)
+          .otherwise(floor(col("n_novel") * 1000.0 / col("n_ngrams") + 0.5)
+            .cast("long")))
+      .orderBy(idCol)
+  }
+
+  /** t34's batch/store split fraction — single-sourced into the
+    * oracle (the d15 fixture discipline). */
+  val T34SplitFrac: Double = 0.8
+
+  /** t34: INCREMENTAL novelty — t33's marginal-value dial under
+    * continuous ingestion (the d11/d12 store discipline applied to
+    * the novelty family): the accumulated store holds the DISTINCT
+    * trigram fingerprints of everything ingested; a new batch is
+    * scored against it — per batch doc, how many of its distinct
+    * trigrams the store has never seen. The acquisition decision a
+    * crawl pipeline actually makes ("is this source still adding
+    * anything?") is made against the CORPUS SO FAR, not by
+    * re-ranking history — t33 is the backfill, this is the daily
+    * job. Store-only probe (the d12 semantic): two batch docs
+    * sharing a new trigram both count it novel — the batch is the
+    * ingestion atom.
+    *
+    * At 100 TB: per-batch work is batch-sized (the batch's trigram
+    * frame probes the store with one fp-keyed LEFT join — the store
+    * side prunes to the batch's keys; x18's Bloom bits are the
+    * pre-filter at extreme scale); the store grows by the batch's
+    * distinct fps, never re-scans text. */
+  def incrementalNovelty(s: SparkSession, dir: String,
+                         splitFrac: Double = T34SplitFrac): DataFrame = {
+    val d = t(s, dir, "documents")
+    // floor() on BOTH sides (oracle replays the same scalar) — the
+    // d15 edge-rounding discipline
+    val cut = math.floor(
+      d.agg(max("doc_id")).head.getLong(0) * splitFrac).toLong
+    incrementalNovelty(d.filter(col("doc_id") >= cut),
+      noveltyStore(d.filter(col("doc_id") < cut), "doc_id", "text"),
+      "doc_id", "text")
+  }
+
+  /** The t34 probe half over an accumulated trigram-fp store
+    * (re-distincted here so raw per-batch partials can be fed
+    * directly). */
+  def incrementalNovelty(batch: DataFrame, storeFps: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val hits = storeFps.select("fp").distinct().withColumn("hit", lit(1L))
+    val perDoc = trigramFps(batch, idCol, textCol)
+      .join(hits, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("n_ngrams", "n_novel"))
       .withColumn("novelty_milli",
         when(col("n_ngrams") === 0L, 1000L)

@@ -363,6 +363,41 @@ object IncrementalJobs {
     readStore(spark, storeDir, winFpSchema)
       .select("fp").distinct() // drop the batch=<id> partition column
 
+  private val triFpSchema = StructType.fromDDL("fp STRING")
+
+  /** Streaming incremental novelty (t34's lifecycle): document files
+    * land in `srcDir`; each micro-batch is SCORED against the
+    * accumulated trigram-fp ledger (t34's store-only probe —
+    * novelty is a metric, not a filter, so every batch doc's fps
+    * extend the store), verdicts land batchId-keyed in `outDir`, and
+    * the batch's DISTINCT fp partial extends the store. Set
+    * membership is idempotent under union (the t31/x18 argument), so
+    * a replayed batch overwrites its own partial and the ledger is
+    * unchanged. */
+  def startIncrementalNovelty(spark: SparkSession, srcDir: String,
+                              docSchema: StructType, storeDir: String,
+                              outDir: String,
+                              checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, triFpSchema)
+        val b = batch.localCheckpoint()
+        TextOps.incrementalNovelty(b, store, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        TextOps.noveltyStore(b, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The accumulated trigram-fp set (exact under replay). */
+  def noveltyLedger(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir, triFpSchema).select("fp").distinct()
+
   private val bloomStoreSchema =
     StructType.fromDDL("word_idx INT, word BIGINT")
 

@@ -190,6 +190,49 @@ class ChecksSpec extends SparkSuite {
       rep.map(r => r.getLong(1) + r.getLong(2)).sum == 3L)
   }
 
+  test("v08 split leakage: content row provably 0, n-gram leakage " +
+       "matches a Scala recomputation, planted dup family stays together") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(fp: String): String = {
+      val b = md5hex(fp).substring(0, 2)
+      if (b < "0d") "test" else if (b < "1a") "val" else "train"
+    }
+    def tris(text: String): Set[String] = {
+      val tk = text.trim.split("\\s+").toSeq
+      if (tk.size < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySplit = rows.groupBy { case (_, text) =>
+      splitOf(md5hex(text.trim.replaceAll("\\s+", " ").toLowerCase))
+    }
+    val triSets = bySplit.map { case (s, ds) =>
+      s -> ds.flatMap(d => tris(d._2)).toSet
+    }.withDefaultValue(Set.empty[String])
+    def exp(which: String): Seq[(String, Long)] = {
+      val n = triSets(which).size.toLong
+      val h = (triSets(which) & triSets("train")).size.toLong
+      Seq(s"${which}_ngrams" -> n, s"${which}_ngrams_in_train" -> h,
+        s"${which}_leak_milli" ->
+          (if (n == 0) 0L else math.floor(h * 1000.0 / n + 0.5).toLong))
+    }
+    val expected = (Seq("content_fps_multi_split" -> 0L)
+      ++ exp("val") ++ exp("test")).sortBy(_._1)
+    val got = Checks.splitLeakage(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+    // planted dup family: identical texts land in ONE split, so the
+    // content row stays 0 even when duplicates exist
+    val planted = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val p = Checks.splitLeakage(planted, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p("content_fps_multi_split") == 0L && p.size == 7)
+  }
+
   test("v04 psi: identical populations score exactly zero in every bin") {
     // every value appears once as ref and once as cur → p == q bin-wise
     val vals = Seq(0, 0, 3, 5, 5, 5, 9)

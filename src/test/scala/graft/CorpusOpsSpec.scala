@@ -579,6 +579,29 @@ class CorpusOpsSpec extends SparkSuite {
     got.find(_._2 > 0).foreach(first => assert(first._4 == 1000L))
   }
 
+  test("t34 incremental novelty matches a Scala recomputation of the " +
+       "fixture split; store-probe ≡ first-occurrence restricted to the cut") {
+    val frac = TextOps.T34SplitFrac
+    val cut = math.floor(docs.map(_._1).max * frac).toLong
+    def tris(text: String): Set[String] = {
+      val tk = text.trim.split("\\s+").toSeq
+      if (tk.size < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val storeSet = docs.filter(_._1 < cut).flatMap(d => tris(d._2)).toSet
+    val expected = docs.filter(_._1 >= cut).sortBy(_._1).map { case (id, text) =>
+      val t = tris(text)
+      val n = t.size.toLong
+      val novel = t.count(!storeSet.contains(_)).toLong
+      (id, n, novel,
+        if (n == 0) 1000L else math.floor(novel * 1000.0 / n + 0.5).toLong)
+    }
+    val got = TextOps.incrementalNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture batch is empty — the cut is degenerate")
+  }
+
   test("t19 tfidf top terms match a per-doc Scala recomputation") {
     val n = docs.size
     val tf: Seq[(Long, String, Long)] = docs.flatMap { case (id, text) =>

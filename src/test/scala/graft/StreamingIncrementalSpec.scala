@@ -684,6 +684,69 @@ class StreamingIncrementalSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == shStored)
   }
 
+  test("streaming incremental novelty: kill/restart; verdicts and " +
+       "ledger equal the batch composition") {
+    val src = Files.createTempDirectory("graft_nv_src").toString
+    val store = Files.createTempDirectory("graft_nv_store").toString
+    val out = Files.createTempDirectory("graft_nv_out").toString
+    val ckpt = Files.createTempDirectory("graft_nv_ckpt").toString
+
+    val docsA = Seq((10L, "a b c d"), (11L, "c d e"))
+      .toDF("doc_id", "text")
+    docsA.write.mode("append").parquet(src)
+    val schema = docsA.schema
+
+    def start() = IncrementalJobs.startIncrementalNovelty(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // wave B while down: 20 shares "a b c" with stored 10, 21 is all
+    // new, 22 is too short for any trigram (the 1000 convention)
+    val docsB = Seq((20L, "a b c x"), (21L, "p q r s"), (22L, "z z"))
+      .toDF("doc_id", "text")
+    docsB.write.mode("append").parquet(src)
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    def rows(ids: Set[Long]) = spark.read.parquet(out)
+      .select("doc_id", "n_ngrams", "n_novel", "novelty_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .filter(r => ids.contains(r._1)).sortBy(_._1)
+    // wave A scored against the EMPTY store: everything novel
+    rows(Set(10L, 11L)).foreach { r =>
+      assert(r._2 > 0 && r._3 == r._2 && r._4 == 1000L, r.toString)
+    }
+    // wave B verdicts == the batch t34 primitive against wave A's store
+    val ref = graft.operators.TextOps.incrementalNovelty(docsB,
+        graft.operators.TextOps.noveltyStore(docsA, "doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows(Set(20L, 21L, 22L)) == ref)
+    // planted checks: 20 has "a b c" stored + "b c x" new; 22 empty
+    val byId = ref.map(r => r._1 -> r).toMap
+    assert(byId(20L) == ((20L, 2L, 1L, 500L)) &&
+      byId(21L)._3 == byId(21L)._2 && byId(22L) == ((22L, 0L, 0L, 1000L)))
+    // ledger == the one-pass store over everything ingested
+    val ledger = IncrementalJobs.noveltyLedger(spark, store)
+      .as[String].collect().toSet
+    val refLedger = graft.operators.TextOps.noveltyStore(
+        docsA.unionByName(docsB), "doc_id", "text")
+      .as[String].collect().toSet
+    assert(ledger == refLedger)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(IncrementalJobs.noveltyLedger(spark, store)
+      .as[String].collect().toSet == refLedger)
+  }
+
   test("streaming memorization store: kill/restart; ledger probe == batch t31 over all ingested") {
     val src = Files.createTempDirectory("graft_mem_src").toString
     val store = Files.createTempDirectory("graft_mem_store").toString
