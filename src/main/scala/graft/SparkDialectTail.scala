@@ -537,6 +537,40 @@ object SparkDialectTail {
          $rankTail"""
   }
 
+  /** s32 Spark-dialect replay — the s05 assignment arithmetic feeding
+    * v04's PSI tail at nBins = the quantizer's cell count. */
+  private lazy val s32Sql: String = {
+    val cents = Pinned.ivfCentroids
+    val dts = centroidDotsArr("sv", cents)
+    val n = cents.length
+    val frac = Similarity.S32SplitFrac
+    val binVals = (0 until n).map(i => s"($i)").mkString(", ")
+    val half = n / 2.0
+    s"""WITH $normCte,
+         cutv AS (SELECT CAST(floor(max(vec_id) * $frac) AS BIGINT) AS c
+                  FROM embeddings),
+         b AS (SELECT CAST(array_position(dts, array_max(dts)) - 1 AS INT)
+                 AS bin,
+                 CASE WHEN vec_id < cutv.c THEN 1 ELSE 0 END AS is_ref
+               FROM (SELECT vec_id, sv, $dts AS dts FROM n), cutv
+         ), c AS (
+           SELECT bin, sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+           FROM b GROUP BY bin
+         ), t AS (
+           SELECT sum(is_ref) AS t_ref, sum(1 - is_ref) AS t_cur FROM b
+         ), bins AS (SELECT * FROM VALUES $binVals AS v(bin)
+         ), f AS (
+           SELECT bins.bin,
+             coalesce(c.n_ref, 0L) AS n_ref, coalesce(c.n_cur, 0L) AS n_cur,
+             (coalesce(c.n_ref, 0L) + 0.5) / (t.t_ref + $half) AS p,
+             (coalesce(c.n_cur, 0L) + 0.5) / (t.t_cur + $half) AS q
+           FROM bins LEFT JOIN c ON bins.bin = c.bin CROSS JOIN t)
+         SELECT bin, n_ref, n_cur,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 < 0.01 AS stable
+         FROM f ORDER BY bin"""
+  }
+
   private lazy val s09Sql: String = {
     val books = Pinned.pq.books
     val sub = Pinned.pq.sub
@@ -1647,6 +1681,7 @@ object SparkDialectTail {
     "d18_threshold_curve" -> d18Sql,
     "s30_rerank_depth" -> s30Sql,
     "s31_two_tower_rerank" -> s31Sql,
+    "s32_embedding_drift" -> s32Sql,
     "t33_ngram_novelty" -> t33Sql,
     "t34_incremental_novelty" -> t34Sql,
     "v07_corpus_datasheet" -> v07Sql,

@@ -218,6 +218,7 @@ object SparkEntry {
     "s29_ann_index_stats" -> ((s, dir) => Similarity.annIndexStats(s, dir)),
     "s30_rerank_depth"    -> ((s, dir) => Similarity.annRerankDepthEval(s, dir)),
     "s31_two_tower_rerank" -> ((s, dir) => Similarity.twoTowerRerankEval(s, dir)),
+    "s32_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 
@@ -1810,6 +1811,7 @@ object SparkEntry {
     "s29_ann_index_stats" -> s29OracleSql,
     "s30_rerank_depth" -> s30OracleSql,
     "s31_two_tower_rerank" -> s31OracleSql,
+    "s32_embedding_drift" -> s32OracleSql,
     "v06_dedup_impact" -> v06OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
@@ -4538,6 +4540,46 @@ object SparkEntry {
          FROM (
            $arms)
          ORDER BY depth"""
+  }
+
+  /** s32 replay — the s05 pinned-centroid assignment CTE feeding
+    * v04's PSI tail with nBins = the quantizer's cell count; the cut
+    * is floor(max(vec_id)·frac) on both sides. */
+  private lazy val s32OracleSql: String = {
+    val cents = graft.operators.Pinned.ivfCentroids
+    val dts = centroidDotsList(cents)
+    val n = cents.length
+    val frac = graft.operators.Similarity.S32SplitFrac
+    val binVals = (0 until n).map(i => s"($i)").mkString(",")
+    val half = n / 2.0
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n0 AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         cutv AS (SELECT CAST(floor(max(vec_id) * $frac) AS BIGINT) AS c
+                  FROM embeddings),
+         b AS (SELECT CAST(list_position(dts, list_max(dts)) - 1 AS INT)
+                 AS bin,
+                 CASE WHEN vec_id < cutv.c THEN 1 ELSE 0 END AS is_ref
+               FROM (SELECT vec_id, sv, $dts AS dts FROM n0), cutv
+         ), c AS (
+           SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+           FROM b GROUP BY bin
+         ), t AS (
+           SELECT CAST(sum(is_ref) AS BIGINT) AS t_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS t_cur
+           FROM b
+         ), bins AS (SELECT * FROM (VALUES $binVals) AS v(bin)
+         ), f AS (
+           SELECT bins.bin,
+             coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+             (coalesce(c.n_ref, 0) + 0.5) / (t.t_ref + $half) AS p,
+             (coalesce(c.n_cur, 0) + 0.5) / (t.t_cur + $half) AS q
+           FROM bins LEFT JOIN c ON bins.bin = c.bin CROSS JOIN t)
+         SELECT bin, n_ref, n_cur,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 < 0.01 AS stable
+         FROM f ORDER BY bin"""
   }
 
   /** s01 DuckDB replay — extracted to a val so [[s21OracleSql]] can

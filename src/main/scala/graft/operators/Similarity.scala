@@ -1388,6 +1388,58 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy("depth")
   }
 
+  /** s32's already-ingested/incoming split — single-sourced into the
+    * oracle (the d15 fixture discipline). */
+  val S32SplitFrac: Double = 0.8
+
+  /** The (vec_id, cell) index frame against the PINNED coarse
+    * quantizer — a pure per-row map (k codegen dots vs plan-literal
+    * centroids), which is why the IVF index is trivially maintainable
+    * under continuous ingestion: batch partials ARE index rows
+    * ([[graft.streaming.IncrementalJobs.startIncrementalAnnIndex]]),
+    * and s29's health stats, s32's drift dial, and the s04/s05
+    * cell-probe serve path all read the same frame. */
+  def indexAssignments(vecs: DataFrame): DataFrame = {
+    val normed = vecs.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+    assignToCentroid(normed, Pinned.ivfCentroids)
+      .select(col("vec_id"), col("c").as("cell"))
+  }
+
+  /** s32: embedding-drift monitor — v04's PSI applied to the serving
+    * index's OWN geometry: every vector is assigned to its pinned
+    * coarse cell (the s05 quantizer) and the incoming batch's
+    * cell-occupancy histogram is compared against the
+    * already-ingested corpus. THE index-maintenance dial: cell-level
+    * PSI tells the serving side when the coarse quantizer no longer
+    * fits the data (re-train / split cells) BEFORE recall degrades —
+    * and it detects that from k integers per side, with no eval
+    * queries. Completes the index-ops suite: s29 measures cost
+    * skew, s21/s25/s30 measure recall, s32 measures WHEN to re-fit.
+    *
+    * Scale shape: ONE corpus pass (k codegen'd dots per row against
+    * the plan-literal centroids — the s05 assignment map), one
+    * k-row aggregate: the v04 shape on the quantizer's bins. The
+    * report IS [[Checks.psiReport]] with nBins = k (the r13
+    * nBins dial made load-bearing); `bin` is the cell id. */
+  def embeddingDrift(s: SparkSession, dir: String,
+                     splitFrac: Double = S32SplitFrac): DataFrame = {
+    val all = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+    // floor() on BOTH sides (oracle replays the same scalar)
+    val cut = math.floor(
+      all.agg(max("vec_id")).head.getLong(0) * splitFrac).toLong
+    val cents = Pinned.ivfCentroids
+    Checks.psiReport(
+      assignToCentroid(all, cents)
+        .select(col("c").as("bin"), (col("vec_id") < cut).as("is_ref")),
+      nBins = cents.length)
+  }
+
   /** Per-label embedding centroids via the typed
     * [[graft.functions.CentroidAggregator]] UDAF: one (sums, count)
     * buffer per label per partition, so the shuffle carries k×dim

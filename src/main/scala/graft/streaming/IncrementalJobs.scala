@@ -363,6 +363,35 @@ object IncrementalJobs {
     readStore(spark, storeDir, winFpSchema)
       .select("fp").distinct() // drop the batch=<id> partition column
 
+  private val annIdxSchema = StructType.fromDDL("vec_id BIGINT, cell INT")
+
+  /** Streaming ANN index maintenance (s32's lifecycle): vector files
+    * land in `srcDir`; each micro-batch assigns its vectors to the
+    * PINNED coarse cells and writes ONLY its own (vec_id, cell)
+    * partial, batchId-keyed/Overwrite. Assignment is a pure per-row
+    * map against plan-literal centroids, so the ledger — the union of
+    * partials — IS the IVF index frame a batch build would produce
+    * over everything ingested, exactly; a replayed batch overwrites
+    * its own partial. s29's health stats, s32's drift dial, and the
+    * s04/s05 cell-probe serve path consume the ledger unchanged. */
+  def startIncrementalAnnIndex(spark: SparkSession, srcDir: String,
+                               vecSchema: StructType, storeDir: String,
+                               checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.indexAssignments(batch)
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The accumulated IVF index frame (exact under replay). */
+  def annIndexLedger(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir, annIdxSchema).select("vec_id", "cell")
+
   private val triFpSchema = StructType.fromDDL("fp STRING")
 
   /** Streaming incremental novelty (t34's lifecycle): document files

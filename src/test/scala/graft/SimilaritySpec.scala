@@ -975,6 +975,45 @@ class SimilaritySpec extends SparkSuite {
       "pinned diagonal scorer coincides with cosine — eval is vacuous")
   }
 
+  test("s32 embedding drift: assignment matches a Scala argmax " +
+       "recomputation; report conserves counts; identical halves are stable") {
+    import graft.operators.Pinned
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cut = math.floor(
+      emb.map(_._1).max * Similarity.S32SplitFrac).toLong
+    // Scala recomputation of the pinned-cell assignment (argmax dot
+    // over normalized vectors, first max wins) → expected (bin, ref)
+    // histogram
+    val binned = emb.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      val nv = v.map(_ / nrm)
+      val dots = Pinned.ivfCentroids.map(c => dot(nv, c))
+      (dots.indexOf(dots.max), id < cut)
+    }
+    val nBins = Pinned.ivfCentroids.length
+    import spark.implicits._
+    val expected = graft.operators.Checks.psiReport(
+        binned.toSeq.toDF("bin", "is_ref"), nBins = nBins)
+      .collect().map(_.toSeq).toSeq
+    val got = Similarity.embeddingDrift(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == expected)
+    // conservation: every vector lands in exactly one cell
+    assert(got.map(r => r.getLong(1) + r.getLong(2)).sum == emb.length)
+    assert(got.length == nBins)
+    // and the streaming ledger IS the batch index frame
+    val batchIdx = Similarity.indexAssignments(
+        spark.read.parquet(s"$sf/embeddings.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scalaIdx = binned.zip(emb.map(_._1)).map { case ((b, _), id) => id -> b }
+    assert(scalaIdx.forall { case (id, b) => batchIdx(id) == b })
+  }
+
   test("s29 index stats: conservation, imbalance >= 1000 with equality iff balanced") {
     val rep = Similarity.annIndexStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

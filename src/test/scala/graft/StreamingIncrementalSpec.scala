@@ -747,6 +747,47 @@ class StreamingIncrementalSpec extends SparkSuite {
       .as[String].collect().toSet == refLedger)
   }
 
+  test("streaming ANN index: kill/restart; ledger == batch index " +
+       "frame over all ingested") {
+    val src = Files.createTempDirectory("graft_ix_src").toString
+    val store = Files.createTempDirectory("graft_ix_store").toString
+    val ckpt = Files.createTempDirectory("graft_ix_ckpt").toString
+
+    // real embedding rows so the pinned-centroid assignment is
+    // exercised on authentic geometry; waves split by vec_id
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val waveA = all.filter(col("vec_id") < 50)
+    val waveB = all.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    waveA.write.mode("append").parquet(src)
+    val schema = waveA.schema
+
+    def start() = IncrementalJobs.startIncrementalAnnIndex(
+      spark, src, schema, store, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    waveB.write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    def ledger(): Map[Long, Int] = IncrementalJobs
+      .annIndexLedger(spark, store)
+      .as[(Long, Int)].collect().toMap
+    val ref = Similarity.indexAssignments(waveA.unionByName(waveB))
+      .as[(Long, Int)].collect().toMap
+    assert(ledger() == ref && ref.size == 100)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(ledger() == ref)
+  }
+
   test("streaming memorization store: kill/restart; ledger probe == batch t31 over all ingested") {
     val src = Files.createTempDirectory("graft_mem_src").toString
     val store = Files.createTempDirectory("graft_mem_store").toString
