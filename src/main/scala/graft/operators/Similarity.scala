@@ -1263,12 +1263,50 @@ object Similarity {
   def annRerankDepthEval(s: SparkSession, dir: String, nQueries: Int = 5,
                          k: Int = 3,
                          depths: Seq[Int] = S30Depths): DataFrame = {
+    // r13 rewrite to the s31 shape (arms were full annBinarySign
+    // re-scans — 4 corpus passes): the Hamming shortlist is ranked
+    // ONCE at the deepest swept depth and cosine-scored ONCE (two
+    // broadcast fetches), both behind localCheckpoints; each arm is a
+    // filter + a tiny window over the ≤ nQueries·dMax rows. Results
+    // are bit-identical to the arm-per-scan form (same ordering, same
+    // tie-breaks — the oracle already ranks once), at ~2 scans
+    // instead of 4·2.
+    val dMax = depths.max
+    val all = emb(s, dir)
+    val sigs = all.select(col("vec_id"),
+      signPack(col("v"), 0, 32).as("lo"), signPack(col("v"), 32, 64).as("hi"))
+    val qsig = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"),
+        col("hi").as("q_hi"))
+    val ham = sigs.join(broadcast(qsig), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("int")
+          .as("hamming"))
+    val short = graft.plans.TopKPerGroup.topKPerGroup(
+      ham, Seq("q_id"), Seq(("hamming", true), ("n_id", true)), dMax)
+    val crkW = Window.partitionBy("q_id")
+      .orderBy(asc("hamming"), asc("n_id"))
+    val qv = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"))
+    val scored = all
+      .join(broadcast(short.withColumn("crk", row_number().over(crkW))),
+        col("vec_id") === col("n_id"))
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"), col("crk"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+      .localCheckpoint()
     val truth = annBruteForce(s, dir, nQueries, k)
       .select(col("q_id"), col("n_id")).localCheckpoint()
     val possible = (nQueries * k).toDouble
     depths.map { d =>
-      annBinarySign(s, dir, nQueries, k, nCand = d)
-        .select(col("q_id"), col("n_id"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      scored.filter(col("crk") <= d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("q_id", "n_id")
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(d).as("depth"), col("n_hits"),
