@@ -471,6 +471,30 @@ object SparkDialectTail {
            WHERE q.vec_id < 5)
          $rankTail"""
 
+  /** s33 Spark-dialect replay — s04's form with the label equality
+    * folded into the candidate join. */
+  private lazy val s33Sql: String =
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 1, nPlanes = 4)},
+         lab AS (SELECT vec_id, label FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, ql.label, a.vec_id AS n_id,
+             round(graft_dot(qe.v, ae.v) / (qe.nrm * ae.nrm), 6) AS cos
+           FROM buckets q
+           JOIN lab ql ON ql.vec_id = q.vec_id
+           JOIN buckets a
+             ON a.tb = q.tb AND a.bucket = q.bucket AND a.vec_id <> q.vec_id
+           JOIN lab al ON al.vec_id = a.vec_id AND al.label = ql.label
+           JOIN en qe ON qe.vec_id = q.vec_id
+           JOIN en ae ON ae.vec_id = a.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, label, rk, n_id, cos FROM (
+           SELECT q_id, label, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+
   /** s28 Spark-dialect replay — s04's form with the tombstone
     * predicate on the candidate side. */
   private lazy val s28Sql: String = {
@@ -1682,6 +1706,7 @@ object SparkDialectTail {
     "s30_rerank_depth" -> s30Sql,
     "s31_two_tower_rerank" -> s31Sql,
     "s32_embedding_drift" -> s32Sql,
+    "s33_ann_filtered" -> s33Sql,
     "t33_ngram_novelty" -> t33Sql,
     "t34_incremental_novelty" -> t34Sql,
     "v07_corpus_datasheet" -> v07Sql,

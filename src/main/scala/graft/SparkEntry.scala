@@ -219,6 +219,7 @@ object SparkEntry {
     "s30_rerank_depth"    -> ((s, dir) => Similarity.annRerankDepthEval(s, dir)),
     "s31_two_tower_rerank" -> ((s, dir) => Similarity.twoTowerRerankEval(s, dir)),
     "s32_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
+    "s33_ann_filtered"    -> ((s, dir) => Similarity.annFiltered(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 
@@ -1812,6 +1813,7 @@ object SparkEntry {
     "s30_rerank_depth" -> s30OracleSql,
     "s31_two_tower_rerank" -> s31OracleSql,
     "s32_embedding_drift" -> s32OracleSql,
+    "s33_ann_filtered" -> s33OracleSql,
     "v06_dedup_impact" -> v06OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
@@ -2381,6 +2383,28 @@ object SparkEntry {
            WHERE q.vec_id < 5)
          SELECT q_id, rk, n_id, cos FROM (
            SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s33 replay — [[s04OracleSql]] with the label equality folded
+    * into the candidate join (the pre-filter rides the index key). */
+  private lazy val s33OracleSql: String =
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
+         lab AS (SELECT vec_id, label FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, ql.label, a.vec_id AS n_id,
+             round(list_cosine_similarity(qe.v, ae.v), 6) AS cos
+           FROM buckets q
+           JOIN lab ql ON ql.vec_id = q.vec_id
+           JOIN buckets a
+             ON a.tb = q.tb AND a.bucket = q.bucket AND a.vec_id <> q.vec_id
+           JOIN lab al ON al.vec_id = a.vec_id AND al.label = ql.label
+           JOIN e qe ON qe.vec_id = q.vec_id
+           JOIN e ae ON ae.vec_id = a.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, label, rk, n_id, cos FROM (
+           SELECT q_id, label, n_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""

@@ -1891,6 +1891,42 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** s33: FILTERED ANN — attribute-constrained vector search, the
+    * vector-DB feature every RAG deployment asks for first ("top-k
+    * neighbors WHERE label = X"). The filter rides the INDEX KEY,
+    * not a post-scoring WHERE: candidates equi-join the queries on
+    * (label, bucket), so a query never touches another label's
+    * postings — the payload-partitioned index design (FAISS
+    * IDSelector's pre-filter mode, Qdrant/Weaviate payload-keyed
+    * HNSW) expressed as a declarative join-key choice. Post-filtering
+    * (score everything, drop mismatches after) silently decays
+    * recall@k whenever the top-k is filter-sparse; key-level
+    * pre-filtering keeps recall AND prunes work. Each query searches
+    * its OWN label (the self-retrieval eval fixture).
+    *
+    * At 100 TB: co-partition the corpus by (label, bucket) and each
+    * query's probe touches one cell of one label shard — the filter
+    * multiplies selectivity INTO the index instead of after it. */
+  def annFiltered(s: SparkSession, dir: String, nQueries: Int = 5,
+                  k: Int = 3, nPlanes: Int = 4): DataFrame = {
+    val all = emb(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        lshBucketInt(col("v"), nPlanes).as("bucket"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"), col("label"), col("bucket"))
+    val scored = all.join(broadcast(queries), Seq("label", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id").as("n_id"),
+        round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "label", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** s28's tombstone rule — single-sourced into the oracle predicate:
     * vec_id ≡ [[S28TombResidue]] (mod [[S28TombMod]]) is deleted. */
   val S28TombMod: Int = 7

@@ -975,6 +975,44 @@ class SimilaritySpec extends SparkSuite {
       "pinned diagonal scorer coincides with cosine — eval is vacuous")
   }
 
+  test("s33 filtered ANN: constraint holds on every row; result ≡ a " +
+       "Scala re-rank over the engine's (label, bucket) postings") {
+    val (nq, k) = (5, 3)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.lshBucketInt(col("v"), 4))
+    val rows = base.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Double](2).toArray, r.get(3)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nrm = rows.map { case (id, _, v, _) => id -> math.sqrt(dot(v, v)) }.toMap
+    val expected = rows.filter(_._1 < nq).sortBy(_._1).flatMap {
+      case (q, ql, qv, qb) =>
+        rows.filter(r => r._1 != q && r._2 == ql && r._4 == qb)
+          .map { case (id, _, v, _) =>
+            (id, r6(dot(qv, v) / (nrm(q) * nrm(id)))) }
+          .sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
+          .map { case ((id, cos), i) => (q, ql, i + 1, id, cos) }
+    }.toSeq
+    val got = Similarity.annFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the constraint is structural: every neighbor carries its
+    // query's label
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (q, l, _, n, _) =>
+      assert(labels(q) == l && labels(n) == l, s"label leak: q=$q n=$n")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("s32 embedding drift: assignment matches a Scala argmax " +
        "recomputation; report conserves counts; identical halves are stable") {
     import graft.operators.Pinned
