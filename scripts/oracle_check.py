@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Dev-side replica of the driver's t2 correctness gate.
 
-Usage: oracle_check.py <sfDir> <outDir>
+Usage: oracle_check.py <sfDir> <outDir> [--json <path>]
   <outDir> is what graft.Verify wrote: one parquet dir per query name +
   oracle_sql.json. Runs each oracle SQL in DuckDB over views named after
   the parquet tables in <sfDir>, sorts columns by name, and compares
   values row-by-row (in result order) against the Spark parquet.
+
+  --json <path>: additionally write a driver-shaped per-query map
+  {name: {rows_match, schema_match, hash_match, err}} so each round close
+  can commit a CORRECTNESS_dev_r{N}.json even when the driver pipeline
+  records nothing (VERDICT r13 task 1).
 """
 import json, sys, glob, os
 import duckdb
@@ -18,7 +23,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -27,6 +32,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    report = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
@@ -34,22 +40,38 @@ def main(sf_dir: str, out_dir: str) -> int:
         spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)])
                         if files else pd.DataFrame())
         if name not in oracles:
+            nonempty = len(spark_df) > 0
             print(f"[rows-only] {name}: {len(spark_df)} rows "
-                  f"{'OK' if len(spark_df) > 0 else 'EMPTY (suspicious?)'}")
+                  f"{'OK' if nonempty else 'EMPTY (suspicious?)'}")
+            report[name] = {"rows_match": nonempty, "schema_match": None,
+                            "hash_match": None,
+                            "err": None if nonempty else "rows-only check: empty result"}
             continue
         try:
             duck_df = norm(con.execute(oracles[name]).fetchdf())
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"oracle SQL error: {e}"}
             continue
         ok, why = compare(spark_df, duck_df)
         if ok:
             print(f"[ok]   {name}: {len(spark_df)} rows, "
                   f"{len(spark_df.columns)} cols")
+            report[name] = {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None}
         else:
             print(f"[FAIL] {name}: {why}")
             failures += 1
+            report[name] = {
+                "rows_match": len(spark_df) == len(duck_df),
+                "schema_match": list(spark_df.columns) == list(duck_df.columns),
+                "hash_match": False, "err": why}
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"[json] wrote {len(report)} entries to {json_path}")
     return failures
 
 def compare(a: pd.DataFrame, b: pd.DataFrame):
@@ -78,4 +100,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame):
     return True, ""
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    jp = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jp))

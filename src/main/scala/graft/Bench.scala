@@ -44,6 +44,23 @@ import org.apache.spark.sql.SparkSession
   * whole run) runs out first. The reported timing is the min over all
   * attempts including the quiet one.
   *
+  * r14 rework, after the r13 driver window shipped SIX false
+  * "persistent ... confirmed quiet" verdicts (q16-x20, all later
+  * measured in-band isolated): same-window loadavg cannot see
+  * hypervisor-steal contention (the "quiet" re-measures ran at load
+  * 1.7-1.9 inside the same contention wave). Adjudication now runs as
+  * a POST-PASS after the whole suite, and before any quiet re-measure
+  * it voids the verdict as contention when either (a) the most recent
+  * same-SF same-git-HEAD full-suite history row has the query in-band
+  * (the 14:08Z row alone would have voided all six r13 verdicts), or
+  * (b) the query's suite-order neighbors also sit over ~1.8x their
+  * own medians — contention arrives as a wave (8 ADJACENT queries
+  * spiked together in r13); a real single-query regression does not
+  * drag its alphabetical neighbors with it. Only an outlier that
+  * survives both checks gets the quiet re-measure and can be labeled
+  * "persistent". History lines now carry the git HEAD (`head` field)
+  * to power check (a).
+  *
   * Serve-mode attribution: queries serving PINNED model fixtures
   * (s05/s09/s10/s11/s13/s12/s14 — fit left the timed path in r8) are
   * listed under `pinned_serve`, and their FIT-INCLUSIVE variants are
@@ -51,6 +68,41 @@ import org.apache.spark.sql.SparkSession
   * cross-round deltas stay attributable to serve vs fit.
   */
 object Bench {
+
+  /** Pure pre-quiet adjudication for a pending outlier (r14): returns
+    * `Some(verdict)` when the spike is PROVEN environmental without
+    * re-running — (a) the most recent same-SF same-HEAD full-suite row
+    * has the query in-band, or (b) >=2 suite-order neighbors also ran
+    * >=1.8x their medians (contention wave) — and `None` when neither
+    * alibi holds, i.e. a quiet re-measure is still required before any
+    * "persistent" label. Pulled out of main() so BenchSpec can replay
+    * the r13 false-positive conditions and a synthetic real regression.
+    */
+  def adjudicatePreQuiet(name: String, fin: Double, thr: Double, prev: Double,
+                         sameHeadRow: Option[Map[String, Double]],
+                         selectedNames: Seq[String],
+                         values: Map[String, Double],
+                         medians: Map[String, Double]): Option[String] = {
+    val priorVal = sameHeadRow.flatMap(_.get(name))
+    if (priorVal.exists(_ <= thr)) {
+      val pv = priorVal.get
+      return Some(
+        f"contention ($fin%.2fs vs median $prev%.2fs; same-HEAD prior full-suite row had $pv%.2fs in-band)")
+    }
+    val idx = selectedNames.indexOf(name)
+    val neighbors = ((idx - 2) to (idx + 2)).filter(i =>
+      i >= 0 && i < selectedNames.size && i != idx).map(selectedNames)
+    val neighborRatios = neighbors.flatMap { n =>
+      for (p <- medians.get(n); v <- values.get(n) if p > 0 && v >= 0)
+        yield (n, v / p)
+    }
+    val waving = neighborRatios.filter(_._2 >= 1.8)
+    if (waving.size >= 2)
+      Some(
+        f"contention wave ($fin%.2fs vs median $prev%.2fs; ${waving.size}/${neighborRatios.size} suite-order neighbors also >=1.8x median: ${waving.map(w => f"${w._1}=${w._2}%.1fx").mkString(",")})")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,34 +156,59 @@ object Bench {
     // query is immune to that (spot runs and full runs both contribute,
     // a single contaminated line can't move it). Jackson ships with
     // Spark; a parse failure just disables the diagnosis.
-    val prevTimes: Map[String, Double] =
+    // Raw same-SF history rows (oldest-first), each with its recorded
+    // git HEAD ("" for pre-r14 lines that predate the field). Powers
+    // both the per-query medians and the same-HEAD prior-row check in
+    // the outlier post-pass.
+    val histRows: Seq[(String, Map[String, Double])] =
       try {
         import scala.jdk.CollectionConverters._
         val lines = java.nio.file.Files.readAllLines(histPath).asScala
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val acc = scala.collection.mutable.Map
-          .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
         lines.iterator.map(l => mapper.readTree(l))
           .filter(n => n.path("sf").asText() == sfDir)
-          .foreach { n =>
+          .map { n =>
             val q = n.path("queries")
-            q.fieldNames().asScala.foreach { f =>
-              val v = q.get(f).asDouble()
-              if (v >= 0)
-                acc.getOrElseUpdate(f,
-                  scala.collection.mutable.ArrayBuffer.empty) += v
-            }
-          }
-        acc.map { case (k, vs) =>
-          val s = vs.sorted
-          k -> (if (s.size % 2 == 1) s(s.size / 2)
-                else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
-        }.toMap
-      } catch { case _: Throwable => Map.empty }
+            val m = q.fieldNames().asScala.map { f =>
+              f -> q.get(f).asDouble()
+            }.filter(_._2 >= 0).toMap
+            n.path("head").asText("") -> m
+          }.toSeq
+      } catch { case _: Throwable => Seq.empty }
+    val prevTimes: Map[String, Double] = {
+      val acc = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+      histRows.foreach { case (_, m) =>
+        m.foreach { case (f, v) =>
+          acc.getOrElseUpdate(f,
+            scala.collection.mutable.ArrayBuffer.empty) += v
+        }
+      }
+      acc.map { case (k, vs) =>
+        val s = vs.sorted
+        k -> (if (s.size % 2 == 1) s(s.size / 2)
+              else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+      }.toMap
+    }
+    // Current git HEAD, stamped into the history line and used by the
+    // same-HEAD prior-row check. "" (check disabled) if git is absent.
+    val gitHead: String =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
+      } catch { case _: Throwable => "" }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val outliers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Queries over 2x median but under the 0.3s re-run floor: logged
+    // (no re-run) so small-query drifts stay visible in the artifact.
+    val drifts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Outliers that survived the immediate re-run, held for the
+    // end-of-suite adjudication post-pass: name -> (min-so-far, thr).
+    val pending = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
 
     def timeOnce(name: String,
@@ -196,31 +273,64 @@ object Bench {
           if (fin <= thr) {
             outliers(name) =
               f"transient contention (min-of-$repeat%d $best%.2fs vs median $prev%.2fs; rerun $extra%.2fs recovered)"
-            fin
-          } else quietRemeasure(name, fn) match {
-            // Still over threshold after the immediate rerun:
-            // adjudicate in a quiet window before shipping a
-            // "persistent" verdict.
-            case Some((q, ql)) if q >= 0 && q <= thr =>
-              outliers(name) =
-                f"contention (driver-window min $fin%.2fs at load ${loads(name)}%.1f; quiet re-measure $q%.2fs at load $ql%.1f recovered)"
-              math.min(fin, q)
-            case Some((q, ql)) if q >= 0 =>
-              outliers(name) =
-                f"persistent: $q%.2fs vs median $prev%.2fs confirmed quiet (load $ql%.1f) - real regression"
-              math.min(fin, q)
-            case _ =>
-              outliers(name) =
-                f"unadjudicated: $fin%.2fs vs median $prev%.2fs (load ${loads(name)}%.1f; host never quiet within budget)"
-              fin
+          } else {
+            // Still over after the immediate re-run: HOLD for the
+            // end-of-suite post-pass (same-HEAD prior row, neighbor
+            // wave, then quiet re-measure) — adjudicating here proved
+            // blind to suite-wide contention waves (r13).
+            pending(name) = (fin, thr)
           }
+          fin
+        case Some(prev) if prev > 0 && best > 2 * prev && best <= 0.3 =>
+          drifts(name) =
+            f"$best%.2fs vs median $prev%.2fs (${best / prev}%.1fx, under 0.3s floor - logged, not re-run)"
+          best
         case _ => best
       }
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) => name -> timeQuery(name, fn) }
+    val resultsM = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (name, fn) => name -> timeQuery(name, fn) }: _*)
+
+    // ---- Outlier adjudication post-pass (r14) ----
+    // Most recent same-SF full-suite row at the SAME git HEAD: a query
+    // in-band there proves the code at this HEAD is fast and the spike
+    // is environmental. "Full-suite" = the row covers >=80% of the
+    // current selection (spot runs can't vouch for the suite).
+    val sameHeadRow: Option[Map[String, Double]] =
+      if (gitHead.isEmpty) None
+      else histRows.reverse.find { case (h, m) =>
+        h == gitHead && m.size >= (selected.size * 0.8).toInt
+      }.map(_._2)
+    val selectedNames = selected.map(_._1)
+    pending.foreach { case (name, (fin, thr)) =>
+      val prev = prevTimes(name)
+      adjudicatePreQuiet(name, fin, thr, prev, sameHeadRow, selectedNames,
+          resultsM.toMap, prevTimes) match {
+        case Some(verdict) =>
+          outliers(name) = verdict
+          resultsM(name) = fin
+        case None =>
+        val fn = SparkEntry.queries(name)
+        quietRemeasure(name, fn) match {
+          case Some((q, ql)) if q >= 0 && q <= thr =>
+            outliers(name) =
+              f"contention (driver-window min $fin%.2fs at load ${loads(name)}%.1f; quiet re-measure $q%.2fs at load $ql%.1f recovered)"
+            resultsM(name) = math.min(fin, q)
+          case Some((q, ql)) if q >= 0 =>
+            outliers(name) =
+              f"persistent: $q%.2fs vs median $prev%.2fs confirmed quiet (load $ql%.1f), no same-HEAD alibi, no neighbor wave - real regression"
+            resultsM(name) = math.min(fin, q)
+          case _ =>
+            outliers(name) =
+              f"unadjudicated: $fin%.2fs vs median $prev%.2fs (load ${loads(name)}%.1f; host never quiet within budget)"
+            resultsM(name) = fin
+        }
+      }
+    }
+    val results = resultsM.toSeq
 
     // Fit-INCLUSIVE variants of the pinned-serve ANN queries: the
     // registered forms serve sf0.01-pinned fixtures (fit left the
@@ -258,7 +368,7 @@ object Bench {
     def strMap(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","repeat":$repeat,"queries":${numMap(results)},"fit_queries":${numMap(fitResults)},"pinned_serve":${pinnedServe.map("\"" + _ + "\"").mkString("[", ",", "]")},"load":${numMap(loads.toSeq)},"outliers":${strMap(outliers)},"errors":${strMap(errors)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","repeat":$repeat,"queries":${numMap(results)},"fit_queries":${numMap(fitResults)},"pinned_serve":${pinnedServe.map("\"" + _ + "\"").mkString("[", ",", "]")},"load":${numMap(loads.toSeq)},"outliers":${strMap(outliers)},"drifts":${strMap(drifts)},"errors":${strMap(errors)},"head":"$gitHead","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))

@@ -1608,6 +1608,8 @@ object SparkDialectTail {
     val depths = Similarity.S30Depths
     val dMax = depths.max
     val nPossible = 5 * 3
+    val wPeriod = Similarity.S31WeightPeriod
+    val wDiv = Similarity.S31WeightDivisor
     val arms = depths.map { d =>
       s"""SELECT $d AS depth, count(1) AS n_hits
            FROM (
@@ -1624,7 +1626,7 @@ object SparkDialectTail {
          ), qw AS (
            SELECT vec_id AS q_id,
              transform(v, (x, i) ->
-               x * (1.0D + CAST(i % 5 AS DOUBLE) / 10.0D)) AS wq
+               x * (1.0D + CAST(i % $wPeriod AS DOUBLE) / ${wDiv}D)) AS wq
            FROM e WHERE vec_id < 5
          ), sg AS (
            SELECT vec_id,

@@ -4508,9 +4508,11 @@ object SparkEntry {
     val depths = graft.operators.Similarity.S30Depths
     val dMax = depths.max
     val nPossible = 5 * 3
+    val wPeriod = graft.operators.Similarity.S31WeightPeriod
+    val wDiv = graft.operators.Similarity.S31WeightDivisor
     val score = (q: String, a: String) =>
       s"""round(list_sum(list_transform(range(1, 65),
-             i -> ($q.v[i] * (1.0 + CAST((i - 1) % 5 AS DOUBLE) / 10.0))
+             i -> ($q.v[i] * (1.0 + CAST((i - 1) % $wPeriod AS DOUBLE) / $wDiv))
                   * $a.v[i])), 6)"""
     val arms = depths.map { d =>
       s"""SELECT $d AS depth, CAST(count(*) AS BIGINT) AS n_hits

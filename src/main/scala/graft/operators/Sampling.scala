@@ -381,6 +381,13 @@ object Sampling {
     math.max(1L,
       ((maxId - minId + 1) + AutoOffsetRows - 1) / AutoOffsetRows)
 
+  /** NOTE: with the default `bucketWidth <= 0` (AUTO), this runs an
+    * EAGER min/max Spark action over `idCol` at plan-CONSTRUCTION time
+    * (one narrow aggregate the parquet footer stats all but answer) to
+    * derive the bucket width — callers composing plans lazily should
+    * pass an explicit width if that eager probe is unwelcome. Empty
+    * input falls back to width 64. Same applies to [[packSequences]] /
+    * [[packEfficiency]], which call through here. */
   def packManifest(df: DataFrame, idCol: String, nTokensCol: Column,
                    budget: Long, bucketWidth: Long = 0L): DataFrame =
     packManifestUnordered(df, idCol, nTokensCol, budget, bucketWidth)

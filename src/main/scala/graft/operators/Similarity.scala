@@ -1322,9 +1322,13 @@ object Similarity {
     * same way the [[graft.operators.Pinned]] fixtures stand in for
     * fitted models. */
   val S31WeightPeriod: Int = 5
+  /** Divisor of the s31 reranker weight formula; interpolated into the
+    * generated oracle/dialect SQL alongside [[S31WeightPeriod]] so the
+    * three copies of the formula cannot drift. */
+  val S31WeightDivisor: Double = 10.0
 
   private[operators] def s31WeightAt(i: Column): Column =
-    lit(1.0) + (i % S31WeightPeriod).cast("double") / 10.0
+    lit(1.0) + (i % S31WeightPeriod).cast("double") / S31WeightDivisor
 
   /** s31: two-tower rerank eval — completes the two-stage retrieval
     * story s30 opened: there the candidate generator and the re-rank
@@ -1468,9 +1472,13 @@ object Similarity {
     val all = emb(s, dir)
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv").as("v"))
-    // floor() on BOTH sides (oracle replays the same scalar)
-    val cut = math.floor(
-      all.agg(max("vec_id")).head.getLong(0) * splitFrac).toLong
+    // floor() on BOTH sides (oracle replays the same scalar); max()
+    // over an empty table is NULL — fail with a clear message instead
+    // of an opaque NPE
+    val mx = all.agg(max("vec_id")).head
+    require(!mx.isNullAt(0),
+      s"embeddingDrift: embeddings table at $dir is empty (no vec_id to split on)")
+    val cut = math.floor(mx.getLong(0) * splitFrac).toLong
     val cents = Pinned.ivfCentroids
     Checks.psiReport(
       assignToCentroid(all, cents)

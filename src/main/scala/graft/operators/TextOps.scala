@@ -1686,7 +1686,12 @@ object TextOps {
 
   def ngramNovelty(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val tri = trigramFps(docs, idCol, textCol)
+    // localCheckpoint so the trigram explode+distinct over the full
+    // corpus runs ONCE — the frame feeds both the first-occurrence
+    // aggregate and the join back (the splitLeakage discipline,
+    // Checks.scala:300); without it Spark re-executes the whole
+    // explode pass for each consumer
+    val tri = trigramFps(docs, idCol, textCol).localCheckpoint()
     val firstOcc = tri.groupBy("fp").agg(min(idCol).as("first_doc"))
     val perDoc = tri.join(firstOcc, Seq("fp"))
       .groupBy(idCol)
@@ -1728,9 +1733,12 @@ object TextOps {
                          splitFrac: Double = T34SplitFrac): DataFrame = {
     val d = t(s, dir, "documents")
     // floor() on BOTH sides (oracle replays the same scalar) — the
-    // d15 edge-rounding discipline
-    val cut = math.floor(
-      d.agg(max("doc_id")).head.getLong(0) * splitFrac).toLong
+    // d15 edge-rounding discipline; max() over an empty table is NULL
+    // — fail with a clear message instead of an opaque NPE
+    val mx = d.agg(max("doc_id")).head
+    require(!mx.isNullAt(0),
+      s"incrementalNovelty: documents table at $dir is empty (no doc_id to split on)")
+    val cut = math.floor(mx.getLong(0) * splitFrac).toLong
     incrementalNovelty(d.filter(col("doc_id") >= cut),
       noveltyStore(d.filter(col("doc_id") < cut), "doc_id", "text"),
       "doc_id", "text")
