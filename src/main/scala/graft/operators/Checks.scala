@@ -249,13 +249,20 @@ object Checks {
     * the report. */
   def psiReport(binned: DataFrame, nBins: Int = V04NBins): DataFrame = {
     val s = binned.sparkSession
-    val counts = binned.groupBy("bin")
+    // ONE corpus pass: totals reduce the bin-count frame (nBins rows)
+    // instead of re-aggregating `binned` — the corpus contributes its
+    // bin key once, and AQE reuses the shared aggregate stage between
+    // the two consumers (gated by PlanGateSpec s32). The explicit
+    // isNotNull matches the filter Catalyst infers on the join-build
+    // side; without it the two subtrees are canonically unequal and
+    // the reuse never fires (bin is never null, so it's a no-op).
+    val counts = binned.filter(col("bin").isNotNull).groupBy("bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
     val bins = s.range(nBins).select(col("id").cast("int").as("bin"))
-    val totals = binned.agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).as("t_ref"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("t_cur"))
+    val totals = counts.agg(
+      sum("n_ref").as("t_ref"),
+      sum("n_cur").as("t_cur"))
     val half = lit(0.5)
     val p = (col("n_ref") + half) / (col("t_ref") + lit(0.5 * nBins))
     val q = (col("n_cur") + half) / (col("t_cur") + lit(0.5 * nBins))

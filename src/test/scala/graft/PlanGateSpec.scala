@@ -446,4 +446,119 @@ class PlanGateSpec extends SparkSuite {
       case _ => false
     }, "d16 grew a true product node")
   }
+
+  // ---- r13-tail gates (r14): s32/s33/t33/t34/v07/v08 ----------------
+
+  private def noProducts(plan: Seq[SparkPlan], what: String): Unit =
+    assert(!plan.exists {
+      case _: CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, s"$what grew a true product node")
+
+  /** A BroadcastNestedLoopJoin is benign ONLY when its broadcast side
+    * is a global (groupless) aggregate — provably 1 row, so the join
+    * output stays linear in the streamed side (psiReport's
+    * crossJoin(broadcast(totals)) shape). Any other BNLJ is a product. */
+  private def onlyOneRowBnlj(plan: Seq[SparkPlan], what: String): Unit = {
+    def isGlobalAgg(p: SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case q: QueryStageExec => isGlobalAgg(q.plan)
+      case a: AdaptiveSparkPlanExec => isGlobalAgg(a.executedPlan)
+      case _ => p.children.exists(isGlobalAgg)
+    }
+    plan.foreach {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        val bcast = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        assert(isGlobalAgg(bcast),
+          s"$what has a BNLJ whose broadcast side is NOT a 1-row global aggregate")
+      case _ => ()
+    }
+  }
+
+  test("s32 embedding drift: ONE corpus pass (shared aggregate reused), " +
+       "no corpus-sized joins") {
+    // execute the frame ITSELF (not a derived count) so AQE finalizes
+    // this plan and runtime stage reuse is visible
+    val df = Similarity.embeddingDrift(spark, sf)
+    df.collect()
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+      case q: QueryStageExec => p +: flat(q.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val plan = flat(df.queryExecution.executedPlan)
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "s32 grew a cartesian")
+    onlyOneRowBnlj(plan, "s32")
+    assert(!plan.exists { case _: SortMergeJoinExec => true; case _ => false },
+      "s32 shuffled a corpus-sized frame into a sort-merge join " +
+        "(every join here is bin-count-sized)")
+    // the corpus must contribute its cell assignment ONCE: the bin
+    // totals reduce the count frame and AQE stage-reuses the shared
+    // aggregate (the totals side reads a ReusedExchange) — a second
+    // embeddings scan means psiReport regressed to re-aggregating the
+    // corpus for the totals
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.getOrElse("Location", "").contains("embeddings"))
+    assert(scans.size == 1,
+      s"s32 scans the embeddings corpus ${scans.size}x in the report plan")
+  }
+
+  test("s33 filtered ANN: candidates stay a (label,bucket) equi-join " +
+       "with the query side BROADCAST") {
+    val plan = finalPlan(Similarity.annFiltered(spark, sf))
+    noProducts(plan, "s33")
+    assert(!plan.exists { case _: SortMergeJoinExec => true; case _ => false },
+      "s33 corpus side shuffled for the query join (queries must broadcast)")
+    assert(broadcastJoins(plan) >= 1, "s33 lost the broadcast query join")
+    // the label constraint must live in the JOIN KEY (pre-filter at
+    // the index), not in a post-join Filter over scored rows
+    val bhjKeys = plan.collect {
+      case b: BroadcastHashJoinExec => b.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(bhjKeys.exists(k => k.contains("label") && k.contains("bucket")),
+      s"s33 join keys lost the label pre-filter: $bhjKeys")
+  }
+
+  test("t33 ngram novelty: fp-keyed equi-joins only — no corpus product") {
+    val plan = finalPlan(graft.operators.TextOps.ngramNovelty(spark, sf))
+    noProducts(plan, "t33")
+  }
+
+  test("t34 incremental novelty: the store probe is an fp equi-join, " +
+       "never a batch×store product") {
+    val plan = finalPlan(graft.operators.TextOps.incrementalNovelty(spark, sf))
+    noProducts(plan, "t34")
+  }
+
+  test("v07 corpus datasheet: a single aggregate pass — no joins, one " +
+       "corpus scan (countDistinct rides the Expand)") {
+    val plan = finalPlan(graft.operators.Checks.corpusDatasheet(spark, sf))
+    assert(!plan.exists {
+      case _: SortMergeJoinExec | _: CartesianProductExec => true
+      case _: BroadcastHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "v07 grew a join — the datasheet is one aggregation pass")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"v07 scans the corpus ${scans.size}x")
+    assert(plan.exists {
+      case _: org.apache.spark.sql.execution.ExpandExec => true
+      case _ => false
+    }, "v07 lost the multi-countDistinct Expand (plan shape changed)")
+  }
+
+  test("v08 split leakage: fp-keyed probes only — no train x probe product") {
+    val plan = finalPlan(graft.operators.Checks.splitLeakage(spark, sf))
+    noProducts(plan, "v08")
+  }
 }
