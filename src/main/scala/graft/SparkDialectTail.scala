@@ -595,6 +595,43 @@ object SparkDialectTail {
          FROM f ORDER BY bin"""
   }
 
+  /** s34 Spark-dialect replay — the s05 pinned-cell assignment on both
+    * splits (s32's floor(max·frac) cut), batch LEFT-joined onto its
+    * rk=1 in-cell blocking match at the s34 threshold. */
+  private lazy val s34Sql: String = {
+    val dts = centroidDotsArr("sv", Pinned.ivfCentroids)
+    val frac = Similarity.S34SplitFrac
+    val thr = Similarity.S34Threshold
+    s"""WITH $normCte,
+         cutv AS (SELECT CAST(floor(max(vec_id) * $frac) AS BIGINT) AS c
+                  FROM embeddings),
+         asg AS (SELECT vec_id, sv,
+                 CAST(array_position(dts, array_max(dts)) - 1 AS INT) AS cell
+               FROM (SELECT vec_id, sv, $dts AS dts FROM n)),
+         b AS (SELECT a.* FROM asg a, cutv WHERE a.vec_id >= cutv.c),
+         st AS (SELECT a.* FROM asg a, cutv WHERE a.vec_id < cutv.c),
+         matched AS (
+           SELECT * FROM (
+             SELECT b.vec_id AS vec_id, st.vec_id AS store_id,
+               round(${pairDot("b.sv", "st.sv")}, 6) AS cos
+             FROM b JOIN st ON b.cell = st.cell)
+           WHERE cos >= $thr),
+         best AS (
+           SELECT vec_id, store_id, cos, n_near FROM (
+             SELECT vec_id, store_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, store_id ASC) AS rk,
+               count(*) OVER (PARTITION BY vec_id) AS n_near
+             FROM matched) WHERE rk = 1)
+       SELECT b.vec_id,
+         best.vec_id IS NULL AS admit,
+         coalesce(best.store_id, -1L) AS best_match,
+         coalesce(best.cos, -1.0D) AS cos,
+         coalesce(best.n_near, 0L) AS n_near
+       FROM b LEFT JOIN best ON b.vec_id = best.vec_id
+       ORDER BY b.vec_id"""
+  }
+
   private lazy val s09Sql: String = {
     val books = Pinned.pq.books
     val sub = Pinned.pq.sub
@@ -1709,6 +1746,7 @@ object SparkDialectTail {
     "s31_two_tower_rerank" -> s31Sql,
     "s32_embedding_drift" -> s32Sql,
     "s33_ann_filtered" -> s33Sql,
+    "s34_semantic_admission" -> s34Sql,
     "t33_ngram_novelty" -> t33Sql,
     "t34_incremental_novelty" -> t34Sql,
     "v07_corpus_datasheet" -> v07Sql,

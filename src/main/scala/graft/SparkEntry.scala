@@ -220,6 +220,8 @@ object SparkEntry {
     "s31_two_tower_rerank" -> ((s, dir) => Similarity.twoTowerRerankEval(s, dir)),
     "s32_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
     "s33_ann_filtered"    -> ((s, dir) => Similarity.annFiltered(s, dir)),
+    "s34_semantic_admission" -> ((s, dir) =>
+      Similarity.incrementalSemanticAdmission(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 
@@ -1814,6 +1816,7 @@ object SparkEntry {
     "s31_two_tower_rerank" -> s31OracleSql,
     "s32_embedding_drift" -> s32OracleSql,
     "s33_ann_filtered" -> s33OracleSql,
+    "s34_semantic_admission" -> s34OracleSql,
     "v06_dedup_impact" -> v06OracleSql,
     "d09_embedding_clusters_lsh" -> d09OracleSql,
     // s05/s09 serve PINNED model fixtures (Pinned.ivfCentroids /
@@ -2408,6 +2411,47 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  /** s34 replay — the s05 pinned-cell assignment on BOTH splits (s32's
+    * floor(max·frac) cut replayed as a scalar CTE), batch probes only
+    * its own cell's stored rows, cosine is the s05 normalized-sum
+    * discipline at 6 dp, verdict = LEFT join of batch ids onto the
+    * rk=1 blocking match (admitted rows coalesce to -1/-1.0/0). */
+  private lazy val s34OracleSql: String = {
+    val dts = centroidDotsList(Pinned.ivfCentroids)
+    val frac = graft.operators.Similarity.S34SplitFrac
+    val thr = graft.operators.Similarity.S34Threshold
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n0 AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         cutv AS (SELECT CAST(floor(max(vec_id) * $frac) AS BIGINT) AS c
+                  FROM embeddings),
+         asg AS (SELECT vec_id, sv,
+                 CAST(list_position(dts, list_max(dts)) - 1 AS INT) AS cell
+               FROM (SELECT vec_id, sv, $dts AS dts FROM n0)),
+         b AS (SELECT a.* FROM asg a, cutv WHERE a.vec_id >= cutv.c),
+         st AS (SELECT a.* FROM asg a, cutv WHERE a.vec_id < cutv.c),
+         matched AS (
+           SELECT * FROM (
+             SELECT b.vec_id AS vec_id, st.vec_id AS store_id,
+               round(${(1 to 64).map(d => s"b.sv[$d]*st.sv[$d]").mkString(" + ")}, 6) AS cos
+             FROM b JOIN st ON b.cell = st.cell)
+           WHERE cos >= $thr),
+         best AS (
+           SELECT vec_id, store_id, cos, n_near FROM (
+             SELECT vec_id, store_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, store_id ASC) AS rk,
+               CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_near
+             FROM matched) WHERE rk = 1)
+       SELECT b.vec_id,
+         best.vec_id IS NULL AS admit,
+         coalesce(best.store_id, -1) AS best_match,
+         coalesce(best.cos, -1.0) AS cos,
+         coalesce(best.n_near, 0) AS n_near
+       FROM b LEFT JOIN best ON b.vec_id = best.vec_id
+       ORDER BY b.vec_id"""
+  }
 
   /** s28 replay — [[s04OracleSql]] with the serve-time tombstone
     * predicate on the CANDIDATE side of the bucket join (queries stay

@@ -1441,14 +1441,108 @@ object Similarity {
     * ([[graft.streaming.IncrementalJobs.startIncrementalAnnIndex]]),
     * and s29's health stats, s32's drift dial, and the s04/s05
     * cell-probe serve path all read the same frame. */
-  def indexAssignments(vecs: DataFrame): DataFrame = {
+  def indexAssignments(vecs: DataFrame): DataFrame =
+    semanticStore(vecs).select("vec_id", "cell")
+
+  /** s34's store artifact: [[indexAssignments]] plus the L2-normalized
+    * vector — (vec_id, cell, sv), what a continuous-ingestion semantic
+    * admission keeps on disk instead of raw corpus rows (the d11/d12
+    * store discipline applied to the embedding family). Cell rows are
+    * idempotent under replay (assignment is a pure function of the
+    * vector and the pinned centroids), so batchId-keyed store PARTIALS
+    * compose exactly
+    * ([[graft.streaming.IncrementalJobs.startSemanticAdmission]]). */
+  def semanticStore(vecs: DataFrame): DataFrame = {
     val normed = vecs.select(col("vec_id"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("v"))
     assignToCentroid(normed, Pinned.ivfCentroids)
-      .select(col("vec_id"), col("c").as("cell"))
+      .select(col("vec_id"), col("c").as("cell"), col("v").as("sv"))
+  }
+
+  /** s34's registered store/batch split fraction and admission
+    * threshold — single-sourced into the generated replays (the
+    * d15/s18 fixture discipline). 0.4 is the s14 semantic-dup regime
+    * on this corpus's cosine scale. */
+  val S34SplitFrac: Double = 0.8
+  val S34Threshold: Double = 0.4
+
+  /** s34: INCREMENTAL SEMANTIC ADMISSION — the embedding member of the
+    * incremental-admission store family (d11 exact, d12 minhash, d15
+    * fuzzy, d17 simhash, m12 media, t24 spans, t34 novelty): should
+    * this new vector even enter the corpus, given what the corpus
+    * already contains SEMANTICALLY? The ingested corpus persists as
+    * its [[semanticStore]] (cell + normalized vector — s14's cells,
+    * the s05 pinned coarse quantizer); an incoming batch assigns to
+    * the SAME pinned cells, probes only its own cell's stored rows
+    * (nprobe=1, the s05 serve semantic), exact-cosine re-ranks, and
+    * each batch vector gets an admission verdict: admit iff no stored
+    * vector in its cell reaches the threshold, else the best blocking
+    * match and how many stored near-dups it collides with. SemDeDup
+    * (s14) is the backfill over a static corpus; this is the daily
+    * job at the ingestion gate.
+    *
+    * Store-only probe (the d12 semantic): two batch vectors that are
+    * near-dups of each other but of nothing stored are BOTH admitted —
+    * the batch is the ingestion atom; intra-batch dedup is s14's job
+    * on the admitted set.
+    *
+    * At 100 TB: the store is cell-partitioned on disk and never
+    * shuffles — the batch side (day-sized) BROADCASTS into the cell
+    * equi-join, so per-batch cost is |batch| × cell-occupancy codegen
+    * dots, and the store grows only by admitted (vec_id, cell, sv)
+    * rows. The occupancy dial is s29's report; WHEN to re-fit the
+    * cells is s32's. */
+  def incrementalSemanticAdmission(s: SparkSession, dir: String,
+                                   splitFrac: Double = S34SplitFrac,
+                                   threshold: Double = S34Threshold): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val mx = e.agg(max("vec_id")).head
+    require(!mx.isNullAt(0),
+      s"incrementalSemanticAdmission: embeddings table at $dir is empty")
+    // floor() on BOTH sides (oracle replays the same scalar)
+    val cut = math.floor(mx.getLong(0) * splitFrac).toLong
+    // materialize the assignment ONCE for the two split reads (the
+    // d12 sketch discipline); in production the store half is read
+    // from its persisted parquet instead
+    val assigned = semanticStore(e).localCheckpoint()
+    incrementalSemanticAdmission(
+      assigned.filter(col("vec_id") >= cut),
+      assigned.filter(col("vec_id") < cut), threshold)
+  }
+
+  /** The probe half of s34 over pre-assigned [[semanticStore]] frames:
+    * cell-bucketed candidates (batch side broadcast — the store never
+    * shuffles), exact-cosine re-rank, one verdict row per BATCH vector
+    * (admitted or not, with the best blocking match). */
+  def incrementalSemanticAdmission(batch: DataFrame, store: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val b = batch.select(col("vec_id").as("batch_id"), col("cell"),
+      col("sv").as("bv"))
+    val st = store.select(col("vec_id").as("store_id"), col("cell"),
+      col("sv").as("stv"))
+    val hits = st.join(broadcast(b), Seq("cell"))
+      .select(col("batch_id"), col("store_id"),
+        round(dot(col("bv"), col("stv")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy("batch_id").orderBy(desc("cos"), asc("store_id"))
+    val best = hits.withColumn("rk", row_number().over(w))
+      .withColumn("n_near",
+        count(lit(1)).over(Window.partitionBy("batch_id")))
+      .filter(col("rk") === 1)
+      .select(col("batch_id").as("vec_id"), col("store_id"), col("cos"),
+        col("n_near"))
+    // best is at most batch-sized — broadcast it so the verdict join
+    // never sorts/shuffles either side (PlanGateSpec s34)
+    batch.select("vec_id").join(broadcast(best), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("n_near").isNull.as("admit"),
+        coalesce(col("store_id"), lit(-1L)).as("best_match"),
+        coalesce(col("cos"), lit(-1.0)).as("cos"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
   }
 
   /** s32: embedding-drift monitor — v04's PSI applied to the serving

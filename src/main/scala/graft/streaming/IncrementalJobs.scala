@@ -34,16 +34,32 @@ object IncrementalJobs {
 
   /** Read a batch-partitioned store dir, tolerating the empty/first
     * run (no committed batch yet → empty frame with the right
-    * schema). */
+    * schema). `excludeBatch` drops that batch's own partial from the
+    * read (r14): foreachBatch is at-least-once, so a replay that
+    * crashed AFTER its store write would otherwise probe a store
+    * already containing the batch's own rows — self-matches in the
+    * admission consumers, and in the anti-join consumers (d11) every
+    * batch doc matching its own fingerprint, i.e. an empty survivor
+    * overwrite. Excluding the own partial makes the replay see
+    * exactly the store state of the first attempt. */
   private def readStore(spark: SparkSession, dir: String,
-                        schema: StructType): DataFrame = {
+                        schema: StructType,
+                        excludeBatch: Option[Long] = None): DataFrame = {
     val p = java.nio.file.Paths.get(dir)
-    val hasBatch = java.nio.file.Files.isDirectory(p) && {
-      val s = java.nio.file.Files.list(p)
-      try s.anyMatch(q => q.getFileName.toString.startsWith("batch="))
-      finally s.close()
-    }
-    if (hasBatch) spark.read.schema(schema).parquet(dir)
+    val batchDirs: Seq[String] =
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("batch=")).toSeq
+        } finally s.close()
+      }
+    val kept = batchDirs
+      .filterNot(b => excludeBatch.exists(id => b == s"batch=$id"))
+    if (kept.nonEmpty)
+      spark.read.schema(schema).parquet(kept.map(b => s"$dir/$b"): _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -63,7 +79,8 @@ object IncrementalJobs {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, storeDir, fpSchema)
+        val store = readStore(s, storeDir, fpSchema,
+          excludeBatch = Some(batchId))
         // materialize ONCE: the two writes below would otherwise each
         // recompute the plan, and the second would anti-join against a
         // store that already contains this batch's own fingerprints
@@ -103,7 +120,8 @@ object IncrementalJobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import org.apache.spark.sql.functions.sum
-        val ledger = readStore(s, storeDir, boilerStoreSchema)
+        val ledger = readStore(s, storeDir, boilerStoreSchema,
+            excludeBatch = Some(batchId))
           .groupBy("fp").agg(sum("n_occ").as("n_occ"))
         TextOps.incrementalBoilerplate(batch, ledger,
             "doc_id", "text", width, minDf)
@@ -201,7 +219,8 @@ object IncrementalJobs {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, storeDir, sketchSchema)
+        val store = readStore(s, storeDir, sketchSchema,
+          excludeBatch = Some(batchId))
         val bSketch = Dedup.sketchDocs(batch, "doc_id", "text")
           .localCheckpoint()
         val verdicts = Dedup
@@ -238,7 +257,8 @@ object IncrementalJobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.col
         val s = batch.sparkSession
-        val store = readStore(s, storeDir, mediaFpSchema).select("fp")
+        val store = readStore(s, storeDir, mediaFpSchema,
+          excludeBatch = Some(batchId)).select("fp")
         val admitted = graft.operators.Multimodal
           .incrementalMediaDedup(
             graft.operators.Multimodal
@@ -275,7 +295,8 @@ object IncrementalJobs {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, storeDir, sigSchema)
+        val store = readStore(s, storeDir, sigSchema,
+          excludeBatch = Some(batchId))
         val bSig = Dedup.simhashStore(batch, "doc_id", "text")
           .localCheckpoint()
         val verdicts = Dedup
@@ -311,7 +332,8 @@ object IncrementalJobs {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, storeDir, fuzzyStoreSchema)
+        val store = readStore(s, storeDir, fuzzyStoreSchema,
+          excludeBatch = Some(batchId))
           .localCheckpoint()
         val b = batch.localCheckpoint()
         val verdicts = Dedup.incrementalFuzzy(b, store)
@@ -392,6 +414,55 @@ object IncrementalJobs {
   def annIndexLedger(spark: SparkSession, storeDir: String): DataFrame =
     readStore(spark, storeDir, annIdxSchema).select("vec_id", "cell")
 
+  private val semStoreSchema =
+    StructType.fromDDL("vec_id BIGINT, cell INT, sv ARRAY<DOUBLE>")
+
+  /** Streaming incremental SEMANTIC admission (s34's lifecycle):
+    * vector files land in `srcDir`; each micro-batch is assigned to
+    * the pinned cells, probed against the accumulated semantic store
+    * (s34's cell-bucketed exact-cosine re-rank, batch-sized work),
+    * verdicts land batchId-keyed in `outDir`, and the ADMITTED
+    * vectors' (vec_id, cell, sv) rows extend the store — admission is
+    * the point: rejected near-dups never enter the corpus (d11's
+    * survivors-extend-the-store discipline, unlike t34's metric-only
+    * novelty where every doc's fps extend it). Both writes
+    * batchId-keyed/Overwrite for replay idempotency; the store read
+    * EXCLUDES this batch's own partial so a post-crash replay probes
+    * the same store state the first attempt saw. */
+  def startSemanticAdmission(spark: SparkSession, srcDir: String,
+                             vecSchema: StructType, storeDir: String,
+                             outDir: String,
+                             checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, semStoreSchema,
+          excludeBatch = Some(batchId))
+        // materialize ONCE: the verdict and the store partial both
+        // read the probe result, and the store write must not see a
+        // store that already contains this batch's own rows
+        val assigned = Similarity.semanticStore(batch).localCheckpoint()
+        val verdicts = Similarity
+          .incrementalSemanticAdmission(assigned, store,
+            Similarity.S34Threshold)
+          .localCheckpoint()
+        verdicts.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        assigned.join(verdicts.filter(col("admit")).select("vec_id"),
+            Seq("vec_id"))
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The accumulated admitted-corpus frame (exact under replay). */
+  def semanticStoreLedger(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir, semStoreSchema)
+
   private val triFpSchema = StructType.fromDDL("fp STRING")
 
   /** Streaming incremental novelty (t34's lifecycle): document files
@@ -411,7 +482,8 @@ object IncrementalJobs {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, storeDir, triFpSchema)
+        val store = readStore(s, storeDir, triFpSchema,
+          excludeBatch = Some(batchId))
         val b = batch.localCheckpoint()
         TextOps.incrementalNovelty(b, store, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

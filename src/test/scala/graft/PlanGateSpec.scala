@@ -529,6 +529,15 @@ class PlanGateSpec extends SparkSuite {
       s"s33 join keys lost the label pre-filter: $bhjKeys")
   }
 
+  test("s34 semantic admission: cell equi-join with the BATCH side " +
+       "broadcast — the store never shuffles, no batch x store product") {
+    val plan = finalPlan(Similarity.incrementalSemanticAdmission(spark, sf))
+    noProducts(plan, "s34")
+    assert(!plan.exists { case _: SortMergeJoinExec => true; case _ => false },
+      "s34 shuffled the store for the probe (the batch side must broadcast)")
+    assert(broadcastJoins(plan) >= 1, "s34 lost the broadcast probe join")
+  }
+
   test("t33 ngram novelty: fp-keyed equi-joins only — no corpus product") {
     val plan = finalPlan(graft.operators.TextOps.ngramNovelty(spark, sf))
     noProducts(plan, "t33")

@@ -1052,6 +1052,68 @@ class SimilaritySpec extends SparkSuite {
     assert(scalaIdx.forall { case (id, b) => batchIdx(id) == b })
   }
 
+  test("s34 semantic admission: verdict ≡ a Scala in-cell recomputation; " +
+       "admit partitions the batch; store-only probe is batch-atomic") {
+    import graft.operators.Pinned
+    val thr = Similarity.S34Threshold
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val cut = math.floor(emb.map(_._1).max * Similarity.S34SplitFrac).toLong
+    val assigned = emb.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      val nv = v.map(_ / nrm)
+      val dots = Pinned.ivfCentroids.map(c => dot(nv, c))
+      (id, dots.indexOf(dots.max), nv)
+    }
+    val batch = assigned.filter(_._1 >= cut)
+    val store = assigned.filter(_._1 < cut)
+    // Scala recomputation: per batch vec, the in-cell stored matches
+    // at the threshold, best first (ties to the lower store id)
+    val expected = batch.sortBy(_._1).map { case (id, cell, nv) =>
+      val near = store.filter(s => s._2 == cell)
+        .map(s => (s._1, r6(dot(nv, s._3))))
+        .filter(_._2 >= thr)
+        .sortBy(t => (-t._2, t._1))
+      if (near.isEmpty) (id, true, -1L, -1.0, 0L)
+      else (id, false, near.head._1, near.head._2, near.length.toLong)
+    }.toSeq
+    val got = Similarity.incrementalSemanticAdmission(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // partition law: one verdict per batch vec; admit XOR blocked
+    assert(got.map(_._1) == batch.map(_._1).sorted.toSeq)
+    got.foreach { case (id, admit, bm, c, n) =>
+      assert(admit == (n == 0L), s"admit flag inconsistent for $id")
+      if (admit) assert(bm == -1L && c == -1.0)
+      else assert(bm >= 0L && c >= thr)
+    }
+    // the fixture must exercise BOTH outcomes
+    assert(got.exists(_._2) && got.exists(!_._2))
+    // batch atomicity (the d12 store-only semantic): probing the two
+    // halves of the batch separately against the SAME store composes
+    // to the whole-batch verdicts — batch vectors never see each other
+    val eDf = spark.read.parquet(s"$sf/embeddings.parquet")
+    val asgDf = Similarity.semanticStore(eDf).localCheckpoint()
+    val storeDf = asgDf.filter(col("vec_id") < cut)
+    val mid = (cut + emb.map(_._1).max) / 2
+    val h1 = Similarity.incrementalSemanticAdmission(
+      asgDf.filter(col("vec_id") >= cut && col("vec_id") < mid), storeDf, thr)
+    val h2 = Similarity.incrementalSemanticAdmission(
+      asgDf.filter(col("vec_id") >= mid), storeDf, thr)
+    val composed = h1.unionByName(h2).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(composed == expected)
+  }
+
   test("s29 index stats: conservation, imbalance >= 1000 with equality iff balanced") {
     val rep = Similarity.annIndexStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

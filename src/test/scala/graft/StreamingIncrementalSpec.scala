@@ -788,6 +788,74 @@ class StreamingIncrementalSpec extends SparkSuite {
     assert(ledger() == ref)
   }
 
+  test("streaming semantic admission: kill/restart; verdicts and " +
+       "admitted-only store equal the batch composition") {
+    val src = Files.createTempDirectory("graft_sem_src").toString
+    val store = Files.createTempDirectory("graft_sem_store").toString
+    val out = Files.createTempDirectory("graft_sem_out").toString
+    val ckpt = Files.createTempDirectory("graft_sem_ckpt").toString
+
+    // real embedding rows; wave B carries a PLANTED near-dup of wave
+    // A's vec 10 (vec_id 999, identical vector → same cell, cos 1.0)
+    // so the cross-restart rejection path is exercised
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val waveA = all.filter(col("vec_id") < 50)
+    val waveB = all.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .unionByName(all.filter(col("vec_id") === 10)
+        .select(lit(999L).as("vec_id"), col("embedding")))
+    waveA.write.mode("append").parquet(src)
+    val schema = waveA.schema
+
+    def start() = IncrementalJobs.startSemanticAdmission(
+      spark, src, schema, store, out, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    waveB.write.mode("append").parquet(src)
+    val q2 = start() // restart on the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    def verdicts(): Seq[(Long, Boolean, Long, Double, Long)] =
+      spark.read.parquet(out)
+        .select("vec_id", "admit", "best_match", "cos", "n_near")
+        .as[(Long, Boolean, Long, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+    // batch-composition reference: wave A against the empty store
+    // (all admitted), wave B against A's admitted rows
+    val aStore = Similarity.semanticStore(waveA).localCheckpoint()
+    val emptyStore = aStore.filter(lit(false))
+    val refA = Similarity.incrementalSemanticAdmission(
+      Similarity.semanticStore(waveA), emptyStore, Similarity.S34Threshold)
+    val refB = Similarity.incrementalSemanticAdmission(
+      Similarity.semanticStore(waveB), aStore, Similarity.S34Threshold)
+    val ref = refA.unionByName(refB)
+      .select("vec_id", "admit", "best_match", "cos", "n_near")
+      .as[(Long, Boolean, Long, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(verdicts() == ref)
+    // the planted near-dup was REJECTED against the restarted store,
+    // blocked by its clone source
+    val planted = verdicts().find(_._1 == 999L).get
+    assert(!planted._2 && planted._3 == 10L && planted._4 == 1.0)
+    // store law: admitted rows only — 999 never entered the corpus
+    val storeIds = IncrementalJobs.semanticStoreLedger(spark, store)
+      .select("vec_id").as[Long].collect().toSet
+    val refAdmitted = ref.filter(_._2).map(_._1).toSet
+    assert(storeIds == refAdmitted && !storeIds.contains(999L))
+
+    // a third restart with no new input is a no-op on observed state
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(verdicts() == ref)
+    assert(IncrementalJobs.semanticStoreLedger(spark, store)
+      .select("vec_id").as[Long].collect().toSet == refAdmitted)
+  }
+
   test("streaming memorization store: kill/restart; ledger probe == batch t31 over all ingested") {
     val src = Files.createTempDirectory("graft_mem_src").toString
     val store = Files.createTempDirectory("graft_mem_store").toString
