@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *    the source corpus are faithfully replicated per copy;
   *  - embeddings.embedding: component d of copy c>0 is shifted by a
   *    hash-derived uniform in [-0.15, 0.15) — cosine to the source
-  *    vector ≈ 0.8: "related corpus", not a dup blob.
+  *    vector ≈ 0.8: "related corpus", not a dup blob;
+  *  - customer.c_name: regenerated from the remapped key in the TPC-H
+  *    format (`Customer#%09d`), so the fuzzy families (d13/d15) see
+  *    factor× DISTINCT entities, not verbatim 10-copy name blobs.
   *
   * Usage: runMain graft.tools.ScaleUpTool [srcDir] [dstDir] [factor]
   * Defaults: /root/testdata/sf0.1 → ./testdata-sf1 ×10 (gitignored).
@@ -64,7 +67,17 @@ object ScaleUpTool {
 
     copyThrough("region")
     copyThrough("nation")
-    rep("customer", Seq("c_custkey"))()
+    rep("customer", Seq("c_custkey")) { df =>
+      // regenerate the TPC-H-format name from the REMAPPED key so the
+      // derived corpus has factor× DISTINCT entities: replicating
+      // c_name verbatim gave every source name a 10-copy distance-0
+      // family and the fuzzy/near-dup queries (d13/d15) measured that
+      // dup-blob artifact (~14× output at 10× data) instead of the
+      // engine (FuzzyScaleProbe measured the honest variant at ~2.7×)
+      df.withColumn("c_name",
+        concat(lit("Customer#"),
+          lpad(col("c_custkey").cast("string"), 9, "0")))
+    }
     rep("supplier", Seq("s_suppkey"))()
     rep("part", Seq("p_partkey"))()
     rep("orders", Seq("o_orderkey", "o_custkey"))()
