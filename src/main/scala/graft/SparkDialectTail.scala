@@ -831,7 +831,7 @@ object SparkDialectTail {
   /** s17: the LSH-built graph ANN — candidate edges from the SAME
     * `graft_lsh_bucket` multi-table buckets as s03's form (6 tables ×
     * 6 planes), then the shared beam tail
-    * ([[SparkEntry.graphBeamTail]], the single unroller both dialects
+    * ([[OracleSqlHelpers.graphBeamTail]], the single unroller both dialects
     * and both graph sources go through). */
   private lazy val s17Sql: String =
     s"""WITH $embCte,
@@ -843,17 +843,17 @@ object SparkDialectTail {
              ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            CROSS JOIN guard),
          cs AS (
-           SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
+           SELECT id_a, id_b, ${OracleSqlHelpers.sparkCos("ea", "eb")} AS cos
            FROM cp JOIN en ea ON ea.vec_id = cp.id_a
            JOIN en eb ON eb.vec_id = cp.id_b),
          sc AS (
            SELECT id_a AS src, id_b AS dst, cos FROM cs
            UNION ALL SELECT id_b, id_a, cos FROM cs),
-         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+         ${OracleSqlHelpers.graphBeamTail(OracleSqlHelpers.sparkCos, "en",
            "vec_id AS q_id, v, nrm")}"""
 
   /** s19: the refined-graph form — s17's bucket candidates as `cs0`,
-    * the unrolled NN-descent rounds (SparkEntry.nnDescentCtes, the
+    * the unrolled NN-descent rounds (OracleSqlHelpers.nnDescentCtes, the
     * same generator as the DuckDB replay), then the shared beam
     * tail. */
   private lazy val s19Sql: String =
@@ -866,17 +866,17 @@ object SparkDialectTail {
              ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            CROSS JOIN guard),
          cs0 AS (
-           SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
+           SELECT id_a, id_b, ${OracleSqlHelpers.sparkCos("ea", "eb")} AS cos
            FROM cp JOIN en ea ON ea.vec_id = cp.id_a
            JOIN en eb ON eb.vec_id = cp.id_b),
-         ${SparkEntry.nnDescentCtes(SparkEntry.sparkCos, "en",
+         ${OracleSqlHelpers.nnDescentCtes(OracleSqlHelpers.sparkCos, "en",
            operators.Similarity.S19Rounds)},
          sc AS (
            SELECT id_a AS src, id_b AS dst, cos
            FROM cs${operators.Similarity.S19Rounds}
            UNION ALL SELECT id_b, id_a, cos
            FROM cs${operators.Similarity.S19Rounds}),
-         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+         ${OracleSqlHelpers.graphBeamTail(OracleSqlHelpers.sparkCos, "en",
            "vec_id AS q_id, v, nrm")}"""
 
   /** s18: the incremental-insert form — s17's bucket CTEs restricted
@@ -884,7 +884,7 @@ object SparkDialectTail {
     * literals derive from the Similarity.S18* / GraphM constants, same
     * single-sourcing as the DuckDB replay. */
   /** The s18 candidate chain, Spark dialect — shared by s18/s20 the
-    * same way SparkEntry.s18DuckChain serves the DuckDB replays (no
+    * same way OracleSqlHelpers.s18DuckChain serves the DuckDB replays (no
     * MATERIALIZED keyword here; Catalyst handles CTE reuse). */
   private def s18SparkChain(guardName: String): String = {
     val split = operators.Similarity.S18SplitId
@@ -899,7 +899,7 @@ object SparkDialectTail {
            CROSS JOIN guard
            WHERE a.vec_id >= $split AND b.vec_id >= $split),
          cs AS (
-           SELECT id_a, id_b, ${SparkEntry.sparkCos("ea", "eb")} AS cos
+           SELECT id_a, id_b, ${OracleSqlHelpers.sparkCos("ea", "eb")} AS cos
            FROM cp JOIN en ea ON ea.vec_id = cp.id_a
            JOIN en eb ON eb.vec_id = cp.id_b),
          sc AS (
@@ -912,7 +912,7 @@ object SparkDialectTail {
     val entries = (split until split + operators.Similarity.S18NEntries)
       .mkString(", ")
     s"""WITH ${s18SparkChain("s18")},
-         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+         ${OracleSqlHelpers.graphBeamTail(OracleSqlHelpers.sparkCos, "en",
            "vec_id AS q_id, v, nrm", k = operators.Similarity.GraphM,
            qPred = s"vec_id < $split", entriesIn = entries)}"""
   }
@@ -926,7 +926,7 @@ object SparkDialectTail {
       .mkString(", ")
     val m = operators.Similarity.GraphM
     s"""WITH ${s18SparkChain("s20")},
-         ${SparkEntry.graphBeamTail(SparkEntry.sparkCos, "en",
+         ${OracleSqlHelpers.graphBeamTail(OracleSqlHelpers.sparkCos, "en",
            "vec_id AS q_id, v, nrm", k = m,
            qPred = s"vec_id < $split", entriesIn = entries,
            finalCteHeader = "res AS")},
@@ -1878,12 +1878,12 @@ object SparkDialectTail {
   }
 
   /** s25: the rank-eval tail over the Spark-dialect member replays —
-    * mirrors SparkEntry.s25OracleSql via the shared generator. */
+    * mirrors OracleSqlSim.s25OracleSql via the shared generator. */
   private lazy val s25Sql: String =
-    SparkEntry.rankEvalTailSql(SparkEntry.s01SparkSql, s04Sql)
+    OracleSqlHelpers.rankEvalTailSql(OracleSqlSim.s01SparkSql, s04Sql)
 
   /** x15: the Spark-dialect replay — the same pinned weight literal
-    * via `element_at`. Mirrors SparkEntry.x15OracleSql. */
+    * via `element_at`. Mirrors OracleSqlDx.x15OracleSql. */
   private lazy val x15Sql: String = {
     val ws = graft.operators.Curation.qualityModelMicro
       .mkString("array(", ", ", ")")
@@ -1909,7 +1909,7 @@ object SparkDialectTail {
 
   /** s24: the MMR replay — s01-shape candidates + pair sims via
     * `graft_dot`, then the shared unrolled selection tail
-    * ([[SparkEntry.mmrTailSql]]). */
+    * ([[OracleSqlHelpers.mmrTailSql]]). */
   private lazy val s24Sql: String =
     s"""WITH $embCte,
          sc AS (
@@ -1929,12 +1929,12 @@ object SparkDialectTail {
              ON y.q_id = x.q_id AND y.n_id <> x.n_id
            JOIN en ex ON ex.vec_id = x.n_id
            JOIN en ey ON ey.vec_id = y.n_id),
-         ${SparkEntry.mmrTailSql(k = Similarity.MmrK, lambda = Similarity.MmrLambda)}"""
+         ${OracleSqlHelpers.mmrTailSql(k = Similarity.MmrK, lambda = Similarity.MmrLambda)}"""
 
   /** s22/s23: the bitext-mining replays — cross-side micro-cosine
     * pairs (exact product for s22, the d09-regime bucket candidates
     * for s23) into the dialect-portable margin tail shared with the
-    * DuckDB oracles ([[SparkEntry.bitextTailSql]]). */
+    * DuckDB oracles ([[OracleSqlHelpers.bitextTailSql]]). */
   private lazy val s22Sql: String =
     s"""WITH $embCte,
          lab AS (SELECT vec_id, label % 2 AS par FROM embeddings),
@@ -1945,7 +1945,7 @@ object SparkDialectTail {
            FROM lab s JOIN lab t ON s.par = 0 AND t.par = 1
            JOIN en es ON es.vec_id = s.vec_id
            JOIN en et ON et.vec_id = t.vec_id),
-         ${SparkEntry.bitextTailSql(k = Similarity.BitextK)}"""
+         ${OracleSqlHelpers.bitextTailSql(k = Similarity.BitextK)}"""
 
   private lazy val s23Sql: String =
     s"""WITH $embCte,
@@ -1967,10 +1967,10 @@ object SparkDialectTail {
            FROM cand JOIN lab la ON la.vec_id = cand.id_a
              JOIN lab lb ON lb.vec_id = cand.id_b
            WHERE la.par <> lb.par),
-         ${SparkEntry.bitextTailSql(k = Similarity.BitextK)}"""
+         ${OracleSqlHelpers.bitextTailSql(k = Similarity.BitextK)}"""
 
   /** x14: the s05 argmax cell assignment + per-cell md5-pick ranking.
-    * Mirrors SparkEntry.x14OracleSql. */
+    * Mirrors OracleSqlDx.x14OracleSql. */
   private lazy val x14Sql: String = {
     val dts = centroidDotsArr("sv", Pinned.ivfCentroids)
     s"""WITH $normCte,
@@ -1987,17 +1987,17 @@ object SparkDialectTail {
   }
 
   /** s21: the recall replay composes the two member replays verbatim —
-    * [[SparkEntry.s01SparkSql]] (exact ground truth) and [[s04Sql]]
+    * [[OracleSqlSim.s01SparkSql]] (exact ground truth) and [[s04Sql]]
     * (IVF serve) as derived tables — joined on (query, neighbor) and
-    * reduced to hits per query. Mirrors SparkEntry.s21OracleSql. */
+    * reduced to hits per query. Mirrors OracleSqlSim.s21OracleSql. */
   private lazy val s21Sql: String =
     s"""WITH hits AS (
            SELECT bf.q_id, count(*) AS n_hits
-           FROM (${SparkEntry.s01SparkSql}) bf
+           FROM (${OracleSqlSim.s01SparkSql}) bf
            JOIN ($s04Sql) iv
              ON iv.q_id = bf.q_id AND iv.n_id = bf.n_id
            GROUP BY bf.q_id
-         ), qs AS (SELECT DISTINCT q_id FROM (${SparkEntry.s01SparkSql}))
+         ), qs AS (SELECT DISTINCT q_id FROM (${OracleSqlSim.s01SparkSql}))
          SELECT q_id,
            CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
            floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / 3.0)*1e4 + 0.5)/1e4

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -420,5 +420,102 @@ object Multimodal {
         (rW - col("bw")).cast("int").as("crop_x"),
         (rH - col("bh")).cast("int").as("crop_y"))
       .orderBy("media_id")
+  }
+
+  /** s35's dials — single-sourced into the generated replays (the
+    * d15/s18 fixture discipline). */
+  val S35NQueries: Int = 3
+  val S35NCand: Int = 20
+  val S35K: Int = 3
+
+  /** The pinned 16×16 text→media projection — the learned CLIP
+    * alignment's stand-in, a deterministic closed form both engines
+    * replay verbatim (the s31-weights / [[Pinned]] fixture
+    * discipline). Entries are exact multiples of 1/8, so every
+    * projected component is exact in binary floating point and the
+    * sign/mean comparisons below are engine-portable. */
+  lazy val s35Projection: Array[Array[Double]] =
+    Array.tabulate(16, 16)((i, j) => (((5 * i + 11 * j + 3) % 17) - 8) / 8.0)
+
+  /** The centered sign signature for a 16-dim feature vector: bit i is
+    * set iff v[i] exceeds the vector's own mean. Raw histograms are
+    * non-negative, so s26's sign-of-component packing would emit
+    * near-all-ones signatures (Hamming-useless); centering splits the
+    * bits ~evenly. Mean = sum/16 is an exact binary division, so the
+    * comparison replays exactly in both engines. */
+  private def centeredSig(vc: Column): Column = {
+    val mean = aggregate(vc, lit(0.0), (acc, x) => acc + x) / lit(16.0)
+    aggregate(
+      transform(sequence(lit(0), lit(15)),
+        i => when(get(vc, i) > mean,
+          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** s35: CROSS-MODAL retrieval — a TEXT query finds its nearest MEDIA
+    * objects, the CLIP-shaped serve path every multimodal training
+    * pipeline ends at ("which images match this caption?"), with the
+    * learned towers stood in by deterministic fixtures and every piece
+    * of the Spark serving plumbing real:
+    *
+    *  - media tower: m07's 16-bin nibble histogram over the payload
+    *    bytes (the codegen'd scan kernel — payloads never shuffle);
+    *  - text tower: a 16-bin token-hash histogram (bucket = first md5
+    *    hex digit), projected into the media feature space by the
+    *    pinned [[s35Projection]] matrix — the alignment a trained
+    *    two-tower model would provide;
+    *  - serve: s26's two-stage machinery — centered-sign signatures,
+    *    Hamming shortlist of [[S35NCand]] via the map-side
+    *    TopKPerGroup heap, exact cosine re-rank of the shortlist only.
+    *
+    * Self-retrieval is kept (text finding its own document's payload
+    * is the ground-truth pair, as in CLIP eval). At 100 TB: the media
+    * corpus contributes one 8-byte signature per object to the
+    * shortlist pass (the histogram/signature is computed in the scan),
+    * queries broadcast, and only [[S35NCand]] payload-feature rows per
+    * query are fetched for the re-rank — corpus cost is one linear
+    * signature stream, exactly s26's serving economics. */
+  def crossModalRetrieve(s: SparkSession, dir: String,
+                         nQueries: Int = S35NQueries, k: Int = S35K,
+                         nCand: Int = S35NCand): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.{dot, nibbleHistogram}
+    val m = media(s, dir).toDF()
+      .select(col("media_id"),
+        transform(nibbleHistogram(col("payload")), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // text tower over the query docs: 16-bin token-hash histogram,
+    // then the pinned projection (16 codegen dots against plan-literal
+    // matrix columns - the s05 centroid-assignment shape)
+    val toks = split(trim(col("text")), "\\s+")
+    val tq = transform(sequence(lit(0), lit(15)),
+      b => size(filter(toks,
+        tk => conv(substring(md5(tk), 1, 1), 16, 10).cast("int") === b))
+        .cast("double"))
+    val wCols = s35Projection.transpose
+    val pj = array(wCols.map(cj => dot(col("tq"), typedlit(cj.toSeq))): _*)
+    val q = t(s, dir, "documents").filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), tq.as("tq"))
+      .select(col("q_id"), pj.as("pj"))
+      .withColumn("q_nrm", sqrt(dot(col("pj"), col("pj"))))
+      .localCheckpoint() // nQueries rows; feeds the sig AND re-rank fetches
+    val ham = m.select(col("media_id"), centeredSig(col("v")).as("sig"))
+      .crossJoin(broadcast(
+        q.select(col("q_id"), centeredSig(col("pj")).as("q_sig"))))
+      .select(col("q_id"), col("media_id"),
+        bit_count(col("sig").bitwiseXOR(col("q_sig"))).cast("int")
+          .as("hamming"))
+    val cands = graft.plans.TopKPerGroup.topKPerGroup(
+      ham, Seq("q_id"), Seq(("hamming", true), ("media_id", true)), nCand)
+    val rer = m.join(broadcast(cands), "media_id")
+      .join(broadcast(q.select(col("q_id"), col("pj"), col("q_nrm"))), "q_id")
+      .select(col("q_id"), col("media_id"), col("hamming"),
+        round(dot(col("pj"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("media_id"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "media_id", "hamming", "cos")
+      .orderBy("q_id", "rk")
   }
 }

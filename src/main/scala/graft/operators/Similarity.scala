@@ -26,7 +26,7 @@ object Similarity {
 
   /** Default hot-bucket/cell cap for the anchor-star pair generators
     * (lshPairs / lshPairsMulti / semDedupPairs). Single-sourced: the
-    * oracle-side cap guards (SparkEntry.capGuardCte) read the SAME
+    * oracle-side cap guards (OracleSqlHelpers.capGuardCte) read the SAME
     * constant, so the engine can never engage the cap at a different
     * threshold than the oracle asserts. */
   val DefaultBucketCap: Int = 1000
@@ -35,7 +35,7 @@ object Similarity {
     * [[DefaultBucketCap]]: the ingested/batch split id, the entry-set
     * size, and the per-node edge count (k = m in the insert) appear in
     * [[annGraphInsert]]'s defaults AND in both dialects' generated SQL
-    * (SparkEntry.s18OracleSql, SparkDialectTail.s18Sql); deriving all
+    * (OracleSqlSim.s18OracleSql, SparkDialectTail.s18Sql); deriving all
     * three sites from here means changing a default can never desync
     * the engine from its oracle replay. */
   val S18SplitId: Long = 100
@@ -798,7 +798,7 @@ object Similarity {
     * evaluated in one fixed expression order and r4-floored before
     * ranking. */
   /** k-NN denominator width for s22/s23 — single-sourced into both
-    * replay SQL forms via [[graft.SparkEntry.bitextTailSql]]. */
+    * replay SQL forms via [[graft.OracleSqlHelpers.bitextTailSql]]. */
   val BitextK: Int = 4
 
   def bitextMine(s: SparkSession, dir: String, k: Int = BitextK): DataFrame = {
@@ -1193,7 +1193,7 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
 
   /** s26 shortlist size — single-sourced into both generated replays
-    * (SparkEntry.s26OracleSql / sparkSql) like [[S18NEntries]]. */
+    * (OracleSqlSim.s26OracleSql / sparkSql) like [[S18NEntries]]. */
   val S26NCand: Int = 20
 
   /** s26: binary (1-bit-per-dimension) sign-quantized ANN — Hamming

@@ -258,4 +258,63 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+  test("s35 cross-modal: result ≡ a Scala recomputation of both towers, " +
+       "projection, shortlist and re-rank; self-pair retrievable") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    // media tower: high-nibble histogram of the UTF-8 payload bytes
+    def mediaHist(text: String): Array[Double] = {
+      val h = new Array[Double](16)
+      text.getBytes("UTF-8").foreach(b => h((b & 0xF0) >>> 4) += 1.0)
+      h
+    }
+    // text tower: first-md5-hex-digit token histogram
+    def textHist(text: String): Array[Double] = {
+      val h = new Array[Double](16)
+      text.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        h(Integer.parseInt(md5hex(t).substring(0, 1), 16)) += 1.0
+      }
+      h
+    }
+    val W = Multimodal.s35Projection
+    def project(tq: Array[Double]): Array[Double] =
+      Array.tabulate(16)(j => (0 until 16).map(i => tq(i) * W(i)(j)).sum)
+    def sig(v: Array[Double]): Long = {
+      val mean = v.sum / 16.0
+      (0 until 16).map(i => if (v(i) > mean) 1L << i else 0L).sum
+    }
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val media = docs.map { case (id, t) =>
+      val v = mediaHist(t); (id, v, sig(v), nrm(v)) }
+    val expected = docs.filter(_._1 < Multimodal.S35NQueries).sortBy(_._1)
+      .flatMap { case (qid, text) =>
+        val pj = project(textHist(text))
+        val qs = sig(pj); val qn = nrm(pj)
+        val shortlist = media
+          .map { case (id, _, s2, _) =>
+            (id, java.lang.Long.bitCount(s2 ^ qs)) }
+          .sortBy(t => (t._2, t._1)).take(Multimodal.S35NCand).toMap
+        media.filter(m => shortlist.contains(m._1))
+          .map { case (id, v, _, n) =>
+            (id, shortlist(id),
+              r6((0 until 16).map(i => pj(i) * v(i)).sum / (qn * n))) }
+          .sortBy(t => (-t._3, t._1)).take(Multimodal.S35K).zipWithIndex
+          .map { case ((id, ham, cos), i) => (qid, i + 1, id, ham, cos) }
+      }.toSeq
+    val got = Multimodal.crossModalRetrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._1).distinct.size ==
+      Multimodal.S35NQueries)
+  }
 }

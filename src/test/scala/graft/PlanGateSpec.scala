@@ -121,6 +121,20 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "s26 degraded to sort-merge/cartesian")
   }
 
+  test("s35 cross-modal: map-side Hamming-shortlist heap, broadcast " +
+       "re-rank fetches, no media-corpus shuffle join") {
+    // s26's serving economics on the cross-modal path: the media
+    // corpus contributes one signature per row to a map-side
+    // TopKPerGroup heap (queries broadcast), and the re-rank fetch
+    // rides broadcast equi-joins on the nCand shortlist
+    val df = graft.operators.Multimodal.crossModalRetrieve(spark, sf)
+    assertPartialTopK(df, "s35")
+    val plan = finalPlan(df)
+    assert(broadcastJoins(plan) >= 2,
+      s"expected candidate-fetch + query joins broadcast, saw ${broadcastJoins(plan)}")
+    assert(noQuadraticJoins(plan), "s35 degraded to sort-merge/cartesian")
+  }
+
   test("s31 two-tower rerank: map-side heaps on both streams, " +
        "broadcast scorer fetches, no corpus product") {
     // the two corpus streams (scorer-exact truth, Hamming shortlist +
