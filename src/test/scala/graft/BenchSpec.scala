@@ -72,6 +72,39 @@ class BenchSpec extends AnyFunSuite {
     assert(v.isEmpty, "a single hot neighbor (could be a shared-cause real regression) must not void")
   }
 
+  test("an already-adjudicated cost level does not re-flag (established-level check)") {
+    // the r14 s32/t33 case: an intentional plan change raised the cost;
+    // the most recent full-suite row (any HEAD) already measured it
+    // there; the median lags. Must be voided as "established level".
+    val values: Map[String, Double] =
+      names.map(n => n -> (if (n == "q16") 0.70 else 0.31)).toMap
+    val latest = Some(names.map(n => n -> (if (n == "q16") 0.68 else 0.30)).toMap)
+    val v = Bench.adjudicatePreQuiet("q16", fin = 0.70, thr = 0.60,
+      prev = 0.30, sameHeadRow = None, selectedNames = names,
+      values = values, medians = medians, latestRow = latest)
+    assert(v.isDefined)
+    assert(v.get.startsWith("established level"))
+  }
+
+  test("a regression ABOVE the latest full-suite row still trips") {
+    // latest row had q16 at its normal level -> a new spike is NOT
+    // established; and a spike far above an elevated prior level is
+    // a fresh regression on top of it
+    val values: Map[String, Double] =
+      names.map(n => n -> (if (n == "q16") 0.95 else 0.31)).toMap
+    val inBandPrior = Some(names.map(_ -> 0.28).toMap)
+    val v1 = Bench.adjudicatePreQuiet("q16", fin = 0.95, thr = 0.60,
+      prev = 0.30, sameHeadRow = None, selectedNames = names,
+      values = values, medians = medians, latestRow = inBandPrior)
+    assert(v1.isEmpty, "an in-band latest row is no establishment alibi")
+    val elevatedPrior = Some(names.map(n =>
+      n -> (if (n == "q16") 0.65 else 0.28)).toMap)
+    val v2 = Bench.adjudicatePreQuiet("q16", fin = 1.50, thr = 0.60,
+      prev = 0.30, sameHeadRow = None, selectedNames = names,
+      values = values, medians = medians, latestRow = elevatedPrior)
+    assert(v2.isEmpty, "1.5s is far above the established 0.65s level - must still trip")
+  }
+
   test("suite-edge queries adjudicate with truncated neighbor windows") {
     val values: Map[String, Double] = names.map(_ -> 0.95).toMap
     val v = Bench.adjudicatePreQuiet("q14", fin = 0.95, thr = 0.60,
