@@ -408,7 +408,119 @@ object OracleSqlMv {
   }
 
 
+  /** v09 DuckDB replay — the t29 pinned-unigram serve machinery
+    * (model VALUES, [[OracleSqlHelpers.viterbiSegSql]] in serve mode)
+    * split ref/cur by the s32-style floor(max·frac) cut, aggregated
+    * per split with whole-piece membership and the cur-side new-word
+    * anti-join. All-integer/milli outputs. */
+  private[graft] lazy val v09OracleSql: String = {
+    val T = graft.operators.TextOps
+    val unk = s"CAST(${T.T29UnkScore} AS DOUBLE)"
+    val vals = T.pinnedUnigram
+      .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    val frac = T.V09SplitFrac
+    s"""WITH cutv AS (SELECT CAST(floor(max(doc_id) * $frac) AS BIGINT) AS c
+                  FROM documents),
+         tok AS MATERIALIZED (
+           SELECT CASE WHEN doc_id < cutv.c THEN '1_ref' ELSE '2_cur' END
+               AS split,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents, cutv
+         ), words AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
+         ), guard AS MATERIALIZED (
+           SELECT CASE WHEN max(length(w)) > 8
+             THEN CAST(error('v09 unroll bound: word longer than 8') AS INT)
+             ELSE 1 END AS ok FROM words
+         ), scp AS MATERIALIZED (
+           SELECT piece,
+             ln(CAST(c + 1 AS DOUBLE) /
+                CAST(${T.pinnedUnigramDenom} AS DOUBLE)) AS s
+           FROM (VALUES $vals) AS t(piece, c)
+         ), seg AS MATERIALIZED (
+           ${OracleSqlHelpers.viterbiSegSql("scp", Some(unk))}
+         ), pw AS (
+           SELECT seg.w, seg.n_sub,
+             CASE WHEN sp.piece IS NULL THEN 0 ELSE 1 END AS in_vocab
+           FROM seg LEFT JOIN scp sp ON sp.piece = seg.w
+         ), stats AS (
+           SELECT split, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(pw.n_sub) AS BIGINT) AS n_pieces,
+             CAST(sum(pw.in_vocab) AS BIGINT) AS n_whole
+           FROM tok JOIN pw ON tok.w = pw.w
+           GROUP BY split
+         ), refw AS (SELECT DISTINCT w FROM tok WHERE split = '1_ref'
+         ), curw AS (SELECT DISTINCT w FROM tok WHERE split = '2_cur'
+         ), newr AS (
+           SELECT '2_cur' AS split,
+             CAST(floor(
+               CAST((SELECT count(*) FROM curw
+                     WHERE w NOT IN (SELECT w FROM refw)) AS DOUBLE)
+               * 1000.0 / (SELECT count(*) FROM curw) + 0.5) AS BIGINT)
+               AS new_word_milli)
+       SELECT s.split, s.n_words,
+         CAST(floor(CAST(s.n_pieces AS DOUBLE) * 1000.0
+           / CAST(s.n_words AS DOUBLE) + 0.5) AS BIGINT) AS fertility_milli,
+         CAST(floor(CAST(s.n_whole AS DOUBLE) * 1000.0
+           / CAST(s.n_words AS DOUBLE) + 0.5) AS BIGINT) AS whole_piece_milli,
+         coalesce(n.new_word_milli, 0) AS new_word_milli
+       FROM stats s LEFT JOIN newr n ON s.split = n.split
+       WHERE (SELECT ok FROM guard) = 1
+       ORDER BY s.split"""
+  }
+
+  /** v09 Spark-dialect replay — the t29 serve kernel
+    * (`graft_unigram_segment_unk`, model as array literals) under the
+    * same split/aggregate statement. */
+  private[graft] lazy val v09SparkSql: String = {
+    val T = graft.operators.TextOps
+    val pcs = T.pinnedUnigramPieces
+      .map(p => s"'$p'").mkString("array(", ", ", ")")
+    val cts = T.pinnedUnigram
+      .map(_._2.toString + "L").mkString("array(", ", ", ")")
+    val frac = T.V09SplitFrac
+    s"""WITH cutv AS (SELECT CAST(floor(max(doc_id) * $frac) AS BIGINT) AS c
+                  FROM documents),
+         tok AS (
+           SELECT CASE WHEN doc_id < (SELECT c FROM cutv) THEN '1_ref'
+                       ELSE '2_cur' END AS split,
+             explode(split(trim(text), '\\\\s+')) AS w
+           FROM documents
+         ), seg AS (
+           SELECT w,
+             CAST(size(graft_unigram_segment_unk(w, $pcs,
+               transform($cts, c -> ln(CAST(c + 1 AS DOUBLE) /
+                 CAST(${T.pinnedUnigramDenom}L AS DOUBLE))),
+               CAST(${T.T29UnkScore} AS DOUBLE))) AS BIGINT) AS n_sub,
+             CAST(CASE WHEN w IN (${T.pinnedUnigramPieces
+               .map(p => s"'$p'").mkString(", ")})
+               THEN 1 ELSE 0 END AS BIGINT) AS in_vocab
+           FROM (SELECT DISTINCT w FROM tok)
+         ), stats AS (
+           SELECT split, count(1) AS n_words, sum(n_sub) AS n_pieces,
+             sum(in_vocab) AS n_whole
+           FROM tok JOIN seg USING (w) GROUP BY split
+         ), refw AS (SELECT DISTINCT w FROM tok WHERE split = '1_ref'
+         ), curw AS (SELECT DISTINCT w FROM tok WHERE split = '2_cur'
+         ), newr AS (
+           SELECT '2_cur' AS split,
+             CAST(floor(CAST(n_new AS DOUBLE) * 1000.0
+               / CAST(n_cur AS DOUBLE) + 0.5) AS BIGINT) AS new_word_milli
+           FROM (SELECT count(1) AS n_new
+                 FROM curw LEFT ANTI JOIN refw USING (w))
+           CROSS JOIN (SELECT count(1) AS n_cur FROM curw))
+       SELECT s.split, s.n_words,
+         CAST(floor(CAST(s.n_pieces AS DOUBLE) * 1000.0
+           / CAST(s.n_words AS DOUBLE) + 0.5) AS BIGINT) AS fertility_milli,
+         CAST(floor(CAST(s.n_whole AS DOUBLE) * 1000.0
+           / CAST(s.n_words AS DOUBLE) + 0.5) AS BIGINT) AS whole_piece_milli,
+         coalesce(n.new_word_milli, 0L) AS new_word_milli
+       FROM stats s LEFT JOIN newr n ON s.split = n.split
+       ORDER BY s.split"""
+  }
+
   private[graft] val oracles: Map[String, String] = Map(
+    "v09_tokenizer_drift" -> v09OracleSql,
     "m01_media_stats" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -548,6 +660,7 @@ object OracleSqlMv {
   )
 
   private[graft] val spark: Map[String, String] = Map(
+    "v09_tokenizer_drift" -> v09SparkSql,
     "m09_cdc_chunks" -> m09SparkSqlText,
     "m01_media_stats" ->
       """SELECT doc_id AS media_id,

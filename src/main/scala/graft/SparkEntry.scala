@@ -224,6 +224,7 @@ object SparkEntry {
       Similarity.incrementalSemanticAdmission(s, dir)),
     "s35_cross_modal"     -> ((s, dir) =>
       Multimodal.crossModalRetrieve(s, dir)),
+    "v09_tokenizer_drift" -> ((s, dir) => TextOps.tokenizerDrift(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
   )
 

@@ -545,6 +545,85 @@ object TextOps {
       unigramViterbiLocal(w, pieces, scores, unk)
     }
 
+  /** v09's registered ref/cur split fraction — single-sourced into the
+    * generated replays (the d15/s32 discipline). */
+  val V09SplitFrac: Double = 0.8
+
+  /** v09: TOKENIZER-DRIFT monitor — the tokenizer member of the drift
+    * family (v04 numeric PSI, v05 vocab JSD, s32 embedding cells):
+    * under the PINNED production tokenizer ([[pinnedUnigram]], the
+    * fit-once/serve-many model t29 serves), how differently does the
+    * incoming split tokenize vs the corpus the model was fit for? The
+    * retrain dial: fertility (pieces per word) creeping up and the
+    * whole-word hit rate creeping down are THE standard signals that a
+    * tokenizer no longer fits its corpus (fertility inflation directly
+    * multiplies training cost per document); new-word rate says why.
+    * Per split: token occurrences, fertility_milli, whole_piece_milli
+    * (share of occurrences that are themselves a single vocab piece),
+    * and for `cur` the new_word_milli (distinct words absent from
+    * ref's vocabulary — 0 for ref by convention).
+    *
+    * Scale shape: ONE token explode over both splits (the t29 cost
+    * class), the Viterbi kernel runs once per DISTINCT word
+    * (vocab-sized frame, model as broadcast literals), occurrence
+    * stats join back word-keyed; the new-word probe is a left-anti
+    * join between the two distinct-word frames. Report is 2 rows of
+    * exact integers/millis. */
+  def tokenizerDrift(s: SparkSession, dir: String,
+                     splitFrac: Double = V09SplitFrac): DataFrame = {
+    val d = t(s, dir, "documents")
+    val mx = d.agg(max("doc_id")).head
+    require(!mx.isNullAt(0),
+      s"tokenizerDrift: documents table at $dir is empty")
+    // floor() on BOTH sides (oracle replays the same scalar)
+    val cut = math.floor(mx.getLong(0) * splitFrac).toLong
+    tokenizerDrift(d.filter(col("doc_id") < cut),
+      d.filter(col("doc_id") >= cut), "text",
+      pinnedUnigramPieces, pinnedUnigramScores, T29UnkScore)
+  }
+
+  def tokenizerDrift(ref: DataFrame, cur: DataFrame, textCol: String,
+                     pieces: Seq[String], scores: Seq[Double],
+                     unk: Double): DataFrame = {
+    def words(split: String, df: DataFrame): DataFrame =
+      df.select(lit(split).as("split"),
+        explode(tokensOf(col(textCol))).as("word"))
+    val all = words("1_ref", ref).unionByName(words("2_cur", cur))
+      .localCheckpoint() // one corpus explode for the three consumers
+    val nUdf = udf { w: String =>
+      unigramViterbiLocal(w, pieces, scores, unk).length.toLong
+    }
+    // Viterbi once per DISTINCT word; whole-word membership is a
+    // plan-literal isin over the 48-piece vocab
+    val perWord = all.select("word").distinct()
+      .withColumn("n_sub", nUdf(col("word")))
+      .withColumn("in_vocab",
+        col("word").isInCollection(pieces).cast("long"))
+    val milli = (num: Column, den: Column) =>
+      floor(num * 1000.0 / den + 0.5).cast("long")
+    val stats = all.join(perWord, "word")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_pieces"),
+        sum("in_vocab").as("n_whole"))
+      .select(col("split"), col("n_words"),
+        milli(col("n_pieces"), col("n_words")).as("fertility_milli"),
+        milli(col("n_whole"), col("n_words")).as("whole_piece_milli"))
+    // vocabulary growth: distinct cur words absent from ref
+    val refW = all.filter(col("split") === "1_ref")
+      .select("word").distinct()
+    val curW = all.filter(col("split") === "2_cur")
+      .select("word").distinct().localCheckpoint()
+    val newRate = curW.join(refW, Seq("word"), "left_anti")
+      .agg(count(lit(1)).as("n_new"))
+      .crossJoin(broadcast(curW.agg(count(lit(1)).as("n_cur"))))
+      .select(lit("2_cur").as("split"),
+        milli(col("n_new"), col("n_cur")).as("new_word_milli"))
+    stats.join(broadcast(newRate), Seq("split"), "left")
+      .na.fill(0L, Seq("new_word_milli"))
+      .orderBy("split")
+  }
+
   /** t29 registered form: encode with the [[pinnedUnigram]] model. */
   def unigramEncodePinned(s: SparkSession, dir: String): DataFrame =
     unigramEncodeWith(t(s, dir, "documents"), "doc_id", "text",

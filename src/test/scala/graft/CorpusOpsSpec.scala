@@ -1592,4 +1592,62 @@ class CorpusOpsSpec extends SparkSuite {
     assert(reg("span_dedup") == viaT26,
       s"v06 span row ${reg("span_dedup")} != t26 aggregate $viaT26")
   }
+  test("v09 tokenizer drift: registered form ≡ Scala recomputation; " +
+       "constructed corpus exercises new-word and OOV-fertility signals") {
+    import spark.implicits._
+    // registered form vs a full Scala recomputation at the spec SF
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cut = math.floor(docs.map(_._1).max * TextOps.V09SplitFrac).toLong
+    val pieces = TextOps.pinnedUnigramPieces
+    val scores = TextOps.pinnedUnigramScores
+    def wordsOf(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    def milli(num: Long, den: Long): Long =
+      math.floor(num * 1000.0 / den + 0.5).toLong
+    def statsOf(split: Seq[(Long, String)]): (Long, Long, Long) = {
+      val ws = split.flatMap(d => wordsOf(d._2))
+      val nSub = ws.map(w => TextOps
+        .unigramViterbiLocal(w, pieces, scores, TextOps.T29UnkScore)
+        .length.toLong).sum
+      val whole = ws.count(pieces.toSet).toLong
+      (ws.size.toLong, nSub, whole)
+    }
+    val ref = docs.filter(_._1 < cut).toSeq
+    val cur = docs.filter(_._1 >= cut).toSeq
+    val refW = ref.flatMap(d => wordsOf(d._2)).toSet
+    val curW = cur.flatMap(d => wordsOf(d._2)).toSet
+    val (rn, rp, rw) = statsOf(ref)
+    val (cn, cp, cw) = statsOf(cur)
+    val expected = Seq(
+      ("1_ref", rn, milli(rp, rn), milli(rw, rn), 0L),
+      ("2_cur", cn, milli(cp, cn), milli(cw, cn),
+        milli((curW -- refW).size.toLong, curW.size.toLong)))
+    val got = TextOps.tokenizerDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+
+    // constructed corpus: cur introduces NEW words and an OOV-char
+    // word (every char outside the vocab alphabet -> one unk piece per
+    // char, fertility = word length) - the drift signals must fire
+    val refDf = Seq((0L, "a at join a"), (1L, "at a")).toDF("doc_id", "text")
+    val curDf = Seq((10L, "zzz a"), (11L, "zzz qqq")).toDF("doc_id", "text")
+    val rep = TextOps.tokenizerDrift(refDf, curDf, "text", pieces, scores,
+        TextOps.T29UnkScore)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ref: 6 words, all whole pieces (a/at/join in vocab), fertility 1000
+    assert(rep("1_ref") == ((6L, 1000L, 1000L, 0L)))
+    // cur: 4 words; zzz/qqq are 3-char all-OOV -> 3 pieces each (z and
+    // q: q IS in vocab as a piece; z is not). zzz -> 3 unk singles;
+    // qqq -> 3 q pieces. fertility = (3+1+3+3)/4 = 2500
+    assert(rep("2_cur")._1 == 4L)
+    assert(rep("2_cur")._2 == 2500L)
+    // whole-piece: only 'a' of the 4 occurrences = 250
+    assert(rep("2_cur")._3 == 250L)
+    // new words: {zzz, qqq} of distinct {zzz, a, qqq} = 667
+    assert(rep("2_cur")._4 == 667L)
+  }
 }
+

@@ -580,6 +580,14 @@ class PlanGateSpec extends SparkSuite {
     }, "v07 lost the multi-countDistinct Expand (plan shape changed)")
   }
 
+  test("v09 tokenizer drift: word-keyed equi-joins only (kernel runs " +
+       "per DISTINCT word); the lone BNLJ is the 1-row total") {
+    val plan = finalPlan(graft.operators.TextOps.tokenizerDrift(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "v09 grew a cartesian")
+    onlyOneRowBnlj(plan, "v09")
+  }
+
   test("v08 split leakage: fp-keyed probes only — no train x probe product") {
     val plan = finalPlan(graft.operators.Checks.splitLeakage(spark, sf))
     noProducts(plan, "v08")
