@@ -180,6 +180,65 @@ object OracleSqlDx {
   private[graft] lazy val x18OracleSql: String =
     x18Sql(h => s"CAST(('0x' || $h) AS BIGINT)", ", 'g'", "\\s+")
 
+  /** x05 replay — named (not inline in the map) so v10's composed
+    * contamination report replays it verbatim as a CTE
+    * ([[OracleSqlMv.v10OracleSql]]). */
+  private[graft] lazy val x05OracleSql: String =
+    """WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+               for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), test_sh AS (
+           SELECT DISTINCT unnest(shingles) AS shingle
+           FROM sh WHERE bucket < '0d'
+         ), train AS (
+           SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+             unnest(shingles) AS shingle
+           FROM sh WHERE bucket >= '1a')
+         SELECT t.doc_id,
+           count(*) AS n_contaminated,
+           n_shingles,
+           floor((count(*) / CAST(n_shingles AS DOUBLE))*1e4 + 0.5)/1e4
+             AS contamination
+         FROM train t JOIN test_sh USING (shingle)
+         GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id"""
+
+  /** x16 replay — named for the same v10 composition reason. */
+  private[graft] lazy val x16OracleSql: String =
+    s"""WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+               for i in range(1, len(tk)-1)]) AS shingles
+           FROM toks WHERE len(tk) >= 3
+         ), m AS (
+           SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+             round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+               / (len(t.shingles) + len(b.shingles)
+                  - len(list_intersect(t.shingles, b.shingles))), 4) AS jaccard
+           FROM sh t JOIN sh b ON t.bucket >= '1a' AND b.bucket < '0d'
+           WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+               / (len(t.shingles) + len(b.shingles)
+                  - len(list_intersect(t.shingles, b.shingles))), 4)
+             >= ${graft.operators.Dedup.X16Threshold})
+         SELECT doc_id, bench_id, jaccard, n_matches FROM (
+           SELECT doc_id, bench_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, bench_id ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches
+           FROM m)
+         WHERE rk = 1 ORDER BY doc_id"""
+
   /** x19 replay — dialect-PORTABLE (runs verbatim in DuckDB AND via
     * spark.sql): per-epoch md5-salted sort keys ranked by one window;
     * the engine's bucket-splice produces the same total order. Epochs
@@ -695,63 +754,12 @@ object OracleSqlDx {
     // the r4-floored fraction so the boundary is engine-exact. Terms
     // and threshold are single-sourced from TextOps (the s18/capGuard
     // discipline).,
-    "x05_decontaminate" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-             regexp_split_to_array(trim(text), '\s+') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id, bucket,
-             list_distinct([array_to_string(tk[i:i+2], ' ')
-               for i in range(1, len(tk)-1)]) AS shingles
-           FROM toks WHERE len(tk) >= 3
-         ), test_sh AS (
-           SELECT DISTINCT unnest(shingles) AS shingle
-           FROM sh WHERE bucket < '0d'
-         ), train AS (
-           SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
-             unnest(shingles) AS shingle
-           FROM sh WHERE bucket >= '1a')
-         SELECT t.doc_id,
-           count(*) AS n_contaminated,
-           n_shingles,
-           floor((count(*) / CAST(n_shingles AS DOUBLE))*1e4 + 0.5)/1e4
-             AS contamination
-         FROM train t JOIN test_sh USING (shingle)
-         GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id""",
+    "x05_decontaminate" -> x05OracleSql,
     // x16: exact cross-split Jaccard verdicts (string shingles replay
     // the engine's hashed sets — sizes/intersections identical modulo
     // 64-bit collisions, the documented docShingles equivalence);
     // threshold interpolated from Dedup.X16Threshold.,
-    "x16_fuzzy_decontaminate" ->
-      s"""WITH toks AS (
-           SELECT doc_id,
-             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-             regexp_split_to_array(trim(text), '\\s+') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id, bucket,
-             list_distinct([array_to_string(tk[i:i+2], ' ')
-               for i in range(1, len(tk)-1)]) AS shingles
-           FROM toks WHERE len(tk) >= 3
-         ), m AS (
-           SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
-             round(len(list_intersect(t.shingles, b.shingles)) * 1.0
-               / (len(t.shingles) + len(b.shingles)
-                  - len(list_intersect(t.shingles, b.shingles))), 4) AS jaccard
-           FROM sh t JOIN sh b ON t.bucket >= '1a' AND b.bucket < '0d'
-           WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
-               / (len(t.shingles) + len(b.shingles)
-                  - len(list_intersect(t.shingles, b.shingles))), 4)
-             >= ${graft.operators.Dedup.X16Threshold})
-         SELECT doc_id, bench_id, jaccard, n_matches FROM (
-           SELECT doc_id, bench_id, jaccard,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY jaccard DESC, bench_id ASC) AS rk,
-             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches
-           FROM m)
-         WHERE rk = 1 ORDER BY doc_id""",
+    "x16_fuzzy_decontaminate" -> x16OracleSql,
     "x06_range_shards" ->
       """WITH o AS (
            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
@@ -1003,6 +1011,64 @@ object OracleSqlDx {
     // bit-identical doubles.
   )
 
+  /** x05/x16 Spark-dialect forms — named so v10's composed Spark form
+    * replays them verbatim as CTEs ([[OracleSqlMv]]). */
+  private[graft] lazy val x05SparkSql: String =
+    """WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket,
+             split(trim(text), '\\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             array_distinct(transform(sequence(1, size(tk) - 2),
+               i -> array_join(slice(tk, i, 3), ' '))) AS shingles
+           FROM toks WHERE size(tk) >= 3
+         ), test_sh AS (
+           SELECT DISTINCT explode(shingles) AS shingle
+           FROM sh WHERE bucket < '0d'
+         ), train AS (
+           SELECT doc_id, CAST(size(shingles) AS BIGINT) AS n_shingles,
+             explode(shingles) AS shingle
+           FROM sh WHERE bucket >= '1a')
+         SELECT t.doc_id,
+           count(*) AS n_contaminated,
+           n_shingles,
+           floor((count(*) / CAST(n_shingles AS DOUBLE))*1e4 + 0.5)/1e4
+             AS contamination
+         FROM train t JOIN test_sh USING (shingle)
+         GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id"""
+
+  private[graft] lazy val x16SparkSql: String =
+    s"""WITH toks AS (
+           SELECT doc_id,
+             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket,
+             split(trim(text), '\\\\s+') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, bucket,
+             array_distinct(transform(sequence(1, size(tk) - 2),
+               i -> array_join(slice(tk, i, 3), ' '))) AS shingles
+           FROM toks WHERE size(tk) >= 3
+         ), m AS (
+           SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+             round(size(array_intersect(t.shingles, b.shingles)) * 1.0
+               / (size(t.shingles) + size(b.shingles)
+                  - size(array_intersect(t.shingles, b.shingles))), 4)
+               AS jaccard
+           FROM sh t JOIN sh b ON t.bucket >= '1a' AND b.bucket < '0d'
+         ), f AS (
+           SELECT * FROM m
+           WHERE jaccard >= ${graft.operators.Dedup.X16Threshold}
+         )
+         SELECT doc_id, bench_id, jaccard, n_matches FROM (
+           SELECT doc_id, bench_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, bench_id ASC) AS rk,
+             count(*) OVER (PARTITION BY doc_id) AS n_matches
+           FROM f)
+         WHERE rk = 1 ORDER BY doc_id"""
+
   private[graft] val spark: Map[String, String] = Map(
     "x01_split_counts" ->
       """SELECT lang,
@@ -1032,60 +1098,8 @@ object OracleSqlDx {
          SELECT lang, (cum - n_tokens) div 2000 AS shard,
            count(*) AS n_docs, sum(n_tokens) AS shard_tokens
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
-    "x05_decontaminate" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket,
-             split(trim(text), '\\s+') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id, bucket,
-             array_distinct(transform(sequence(1, size(tk) - 2),
-               i -> array_join(slice(tk, i, 3), ' '))) AS shingles
-           FROM toks WHERE size(tk) >= 3
-         ), test_sh AS (
-           SELECT DISTINCT explode(shingles) AS shingle
-           FROM sh WHERE bucket < '0d'
-         ), train AS (
-           SELECT doc_id, CAST(size(shingles) AS BIGINT) AS n_shingles,
-             explode(shingles) AS shingle
-           FROM sh WHERE bucket >= '1a')
-         SELECT t.doc_id,
-           count(*) AS n_contaminated,
-           n_shingles,
-           floor((count(*) / CAST(n_shingles AS DOUBLE))*1e4 + 0.5)/1e4
-             AS contamination
-         FROM train t JOIN test_sh USING (shingle)
-         GROUP BY t.doc_id, n_shingles ORDER BY t.doc_id""",
-    "x16_fuzzy_decontaminate" ->
-      s"""WITH toks AS (
-           SELECT doc_id,
-             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket,
-             split(trim(text), '\\\\s+') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id, bucket,
-             array_distinct(transform(sequence(1, size(tk) - 2),
-               i -> array_join(slice(tk, i, 3), ' '))) AS shingles
-           FROM toks WHERE size(tk) >= 3
-         ), m AS (
-           SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
-             round(size(array_intersect(t.shingles, b.shingles)) * 1.0
-               / (size(t.shingles) + size(b.shingles)
-                  - size(array_intersect(t.shingles, b.shingles))), 4)
-               AS jaccard
-           FROM sh t JOIN sh b ON t.bucket >= '1a' AND b.bucket < '0d'
-         ), f AS (
-           SELECT * FROM m
-           WHERE jaccard >= ${graft.operators.Dedup.X16Threshold}
-         )
-         SELECT doc_id, bench_id, jaccard, n_matches FROM (
-           SELECT doc_id, bench_id, jaccard,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY jaccard DESC, bench_id ASC) AS rk,
-             count(*) OVER (PARTITION BY doc_id) AS n_matches
-           FROM f)
-         WHERE rk = 1 ORDER BY doc_id""",
+    "x05_decontaminate" -> x05SparkSql,
+    "x16_fuzzy_decontaminate" -> x16SparkSql,
     "x06_range_shards" ->
       """WITH o AS (
            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

@@ -99,6 +99,88 @@ object OracleSqlMv {
   }
 
 
+  /** v10 replay — the five member contamination oracles replayed
+    * VERBATIM as nested CTEs (x05/x16 from [[OracleSqlDx]], x18 from
+    * the shared [[OracleSqlHelpers.x18Sql]] geometry, t31 from
+    * [[OracleSqlText]], v08 from this object) — the oracle can never
+    * score a lens the members don't; plus three denominator CTEs
+    * (shingled train docs for x05/x16, the corpus count for x18,
+    * distinct content fps for v08's content row). `rate_milli` is the
+    * uniform floor(flagged*1000/probed + 0.5) both engines compute on
+    * exact integers. */
+  private def v10Sql(x05: String, x16: String, x18: String, t31: String,
+                     v08: String, den: String, fpd: String): String =
+    s"""WITH x05r AS (
+           $x05
+         ), x16r AS (
+           $x16
+         ), x18r AS (
+           $x18
+         ), t31r AS (
+           $t31
+         ), v08r AS (
+           $v08
+         ), den AS (
+           $den
+         ), corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         ), fpd AS (
+           $fpd)
+         SELECT lens, docs_flagged, docs_probed,
+           CASE WHEN docs_probed = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(docs_flagged * 1000.0 / docs_probed + 0.5)
+                  AS BIGINT) END AS rate_milli
+         FROM (
+           SELECT 'exact_overlap' AS lens,
+             (SELECT CAST(count(*) AS BIGINT) FROM x05r) AS docs_flagged,
+             (SELECT n_train_shingled FROM den) AS docs_probed
+           UNION ALL SELECT 'fuzzy_overlap',
+             (SELECT CAST(count(*) AS BIGINT) FROM x16r),
+             (SELECT n_train_shingled FROM den)
+           UNION ALL SELECT 'bloom_exact',
+             (SELECT CAST(coalesce(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END),
+               0) AS BIGINT) FROM x18r),
+             (SELECT n_docs FROM corp)
+           UNION ALL SELECT 'bloom_prefilter',
+             (SELECT CAST(coalesce(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END),
+               0) AS BIGINT) FROM x18r),
+             (SELECT n_docs FROM corp)
+           UNION ALL SELECT 'memorization',
+             (SELECT CAST(coalesce(sum(CASE WHEN n_memorized > 0
+               THEN 1 ELSE 0 END), 0) AS BIGINT) FROM t31r),
+             (SELECT CAST(count(*) AS BIGINT) FROM t31r)
+           UNION ALL SELECT 'split_content',
+             (SELECT value FROM v08r WHERE metric = 'content_fps_multi_split'),
+             (SELECT n_fps FROM fpd)
+           UNION ALL SELECT 'split_ngrams',
+             (SELECT value FROM v08r WHERE metric = 'test_ngrams_in_train'),
+             (SELECT value FROM v08r WHERE metric = 'test_ngrams'))
+         ORDER BY lens"""
+
+  private[graft] lazy val v10OracleSql: String = v10Sql(
+    OracleSqlDx.x05OracleSql, OracleSqlDx.x16OracleSql,
+    OracleSqlDx.x18OracleSql, OracleSqlText.t31OracleSql, v08OracleSql,
+    raw"""SELECT CAST(count(*) AS BIGINT) AS n_train_shingled
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+             AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '1a'""",
+    raw"""SELECT CAST(count(DISTINCT
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+             AS BIGINT) AS n_fps
+           FROM documents""")
+
+  private[graft] lazy val v10SparkSql: String = v10Sql(
+    OracleSqlDx.x05SparkSql, OracleSqlDx.x16SparkSql,
+    OracleSqlHelpers.x18SparkSqlText, SparkDialectTail.t31Sql,
+    SparkDialectTail.v08Sql,
+    """SELECT CAST(count(*) AS BIGINT) AS n_train_shingled
+           FROM documents
+           WHERE size(split(trim(text), '\\s+')) >= 3
+             AND substring(md5(CAST(doc_id AS STRING)), 1, 2) >= '1a'""",
+    """SELECT CAST(count(DISTINCT
+             md5(lower(regexp_replace(trim(text), '\\s+', ' '))))
+             AS BIGINT) AS n_fps
+           FROM documents""")
+
   /** v02 replay — dialect-PORTABLE (runs verbatim in DuckDB AND via
     * spark.sql): one slim-key LEFT JOIN per FK edge, arms generated
     * from the SAME [[graft.operators.Checks.warehouseEdges]] list the
@@ -656,10 +738,12 @@ object OracleSqlMv {
            UNION ALL SELECT 'max_bound(o_totalprice)', mx, mx <= 100000 FROM m
            UNION ALL SELECT 'in_set(o_orderstatus)', st, st = 0 FROM m)
          ORDER BY chk""",
-    "v06_dedup_impact" -> v06OracleSql
+    "v06_dedup_impact" -> v06OracleSql,
+    "v10_contamination_report" -> v10OracleSql
   )
 
   private[graft] val spark: Map[String, String] = Map(
+    "v10_contamination_report" -> v10SparkSql,
     "v09_tokenizer_drift" -> v09SparkSql,
     "m09_cdc_chunks" -> m09SparkSqlText,
     "m01_media_stats" ->

@@ -1205,7 +1205,7 @@ object SparkDialectTail {
   /** t31 Spark-dialect replay — t26's `graft_window_hashes` kernel
     * (the SAME JVM loop the engine folds with) + the x01 md5 split
     * rule; train fingerprints DISTINCT, eval windows LEFT-JOIN. */
-  private lazy val t31Sql: String = {
+  private[graft] lazy val t31Sql: String = {
     val w = TextOps.T26Width
     s"""WITH base AS (
          SELECT doc_id, size(split(trim(text), '\\\\s+')) AS n_tokens, text
@@ -1555,7 +1555,7 @@ object SparkDialectTail {
 
   /** v08 Spark-dialect replay — x21's assignment CTE + t33's trigram
     * CTE keyed by split, val/test totalized via a VALUES frame. */
-  private lazy val v08Sql: String =
+  private[graft] lazy val v08Sql: String =
     raw"""WITH f AS (
            SELECT doc_id,
              md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp

@@ -226,6 +226,8 @@ object SparkEntry {
       Multimodal.crossModalRetrieve(s, dir)),
     "v09_tokenizer_drift" -> ((s, dir) => TextOps.tokenizerDrift(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
+    "v10_contamination_report" -> ((s, dir) =>
+      Checks.contaminationReport(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

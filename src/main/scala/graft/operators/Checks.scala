@@ -390,6 +390,114 @@ object Checks {
       .orderBy("metric")
   }
 
+  /** v10: contamination-governance datasheet — the five contamination
+    * lenses the engine ships (x05 exact shingle overlap, x16 fuzzy
+    * Jaccard overlap, x18 Bloom pre-filter + exact membership, t31
+    * window memorization, v08 split leakage) composed into ONE
+    * release-gate report (the v06 pattern applied to contamination):
+    * per lens, how many documents it flags, how many it probed, and
+    * the milli rate — the page a data-release review reads instead of
+    * five separate artifacts. Each lens answers a different question
+    * (is the eval doc in the corpus / nearly in it / possibly in it /
+    * how much of it is memorized / do the splits leak); a gate needs
+    * all five with consistent denominators.
+    *
+    * Rows (ordered by lens): `bloom_exact` / `bloom_prefilter` over
+    * the whole corpus (x18's scenario — the benchmark was scraped
+    * from the same web), `exact_overlap` / `fuzzy_overlap` over
+    * shingled train docs (x05/x16's corpus side), `memorization`
+    * over eval docs with >= T26Width tokens (t31's probe set),
+    * `split_content` / `split_ngrams` from v08's audit.
+    * `rate_milli = floor(flagged*1000/probed + 0.5)` uniformly
+    * (0 when probed = 0) — all-integer, hash-stable.
+    *
+    * Scale shape: every lens is already corpus-linear with a
+    * broadcast benchmark side (their own scaladocs carry the 100 TB
+    * argument; no train×eval product anywhere — gated); this report
+    * adds only 1-row aggregates on top, shares the shingled-split
+    * frame between x05 and x16 via localCheckpoint (one shingle
+    * kernel pass, two consumers), and the v08 member result (7 rows)
+    * is checkpointed for its two readers. Empty stages still report
+    * their 0 row (the q35/v06 law). */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    contaminationReport(t(s, dir, "documents"), "doc_id", "text")
+
+  def contaminationReport(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    // x05/x16 share one shingled+split frame (the hashed-shingle
+    // kernel is the expensive half of both lenses)
+    val sh = Sampling.deterministicSplit(
+      Dedup.docShingles(docs, idCol, textCol), "doc_id").localCheckpoint()
+    val shTrain = sh.filter(col("split") === "train")
+    val shTest = sh.filter(col("split") === "test")
+    val x05 = Dedup.decontaminate(shTrain, shTest)
+    val x16 = Dedup.fuzzyDecontaminate(shTrain, shTest, Dedup.X16Threshold)
+    // x18 probes the WHOLE corpus against the test-split benchmark
+    // (its registered composition, Dedup.scala)
+    val fps = Sampling.deterministicSplit(
+      docs.select(col(idCol).as("doc_id"),
+        Sampling.contentFp(col(textCol)).as("fp")), "doc_id")
+      .localCheckpoint() // corpus side + benchmark side
+    val x18 = Dedup.bloomDecontaminate(
+      fps.select("doc_id", "fp"),
+      fps.filter(col("split") === "test").select("doc_id", "fp"))
+    val sp = Sampling.deterministicSplit(docs, idCol)
+    val t31 = TextOps.memorization(sp.filter(col("split") === "train"),
+      sp.filter(col("split") === "test"), idCol, textCol)
+    val v08 = splitLeakage(docs, idCol, textCol).localCheckpoint()
+
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as(name))
+    def two(lens: String, flagged: DataFrame, probed: DataFrame): DataFrame =
+      flagged.crossJoin(probed) // two 1-row frames (the gated BNLJ case)
+        .select(lit(lens).as("lens"), col("docs_flagged"), col("docs_probed"))
+    val trainProbed = cnt(shTrain, "docs_probed")
+    val exact = two("exact_overlap",
+      cnt(x05, "docs_flagged"), trainProbed)
+    val fuzzy = two("fuzzy_overlap",
+      cnt(x16, "docs_flagged"), trainProbed)
+    // both bloom rows from ONE aggregate pass over the x18 frame
+    val bloom = x18.agg(
+        coalesce(sum(when(col("exact_hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_exact"),
+        coalesce(sum(when(col("bloom_hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_bloom"),
+        count(lit(1)).cast("long").as("n"))
+      .selectExpr("""stack(2,
+        'bloom_exact', n_exact, n,
+        'bloom_prefilter', n_bloom, n) AS (lens, docs_flagged, docs_probed)""")
+    val memo = t31.agg(
+        coalesce(sum(when(col("n_memorized") > 0L, 1L).otherwise(0L)),
+          lit(0L)).as("docs_flagged"),
+        count(lit(1)).cast("long").as("docs_probed"))
+      .select(lit("memorization").as("lens"),
+        col("docs_flagged"), col("docs_probed"))
+    // one aggregate over the 7-row v08 report extracts all three
+    // member values; distinct-content denominator is its own 1-row agg
+    val v08vals = v08.agg(
+      max(when(col("metric") === "content_fps_multi_split", col("value")))
+        .as("n_multi"),
+      max(when(col("metric") === "test_ngrams_in_train", col("value")))
+        .as("n_leak"),
+      max(when(col("metric") === "test_ngrams", col("value"))).as("n_test"))
+    val nFps = docs.agg(
+      countDistinct(Sampling.contentFp(col(textCol))).as("n_fps"))
+    val splitRows = v08vals.crossJoin(nFps)
+      .selectExpr("""stack(2,
+        'split_content', n_multi, n_fps,
+        'split_ngrams', n_leak, n_test) AS (lens, docs_flagged, docs_probed)""")
+    exact.unionByName(fuzzy).unionByName(bloom).unionByName(memo)
+      .unionByName(splitRows)
+      .select(col("lens"),
+        coalesce(col("docs_flagged"), lit(0L)).as("docs_flagged"),
+        coalesce(col("docs_probed"), lit(0L)).as("docs_probed"))
+      .withColumn("rate_milli",
+        when(col("docs_probed") === 0L, 0L)
+          .otherwise(floor(col("docs_flagged") * 1000.0
+            / col("docs_probed") + 0.5).cast("long")))
+      .orderBy("lens")
+  }
+
   /** v07: corpus datasheet — the one-page release artifact
     * ("Datasheets for Datasets", Gebru et al., CACM 2021) a 100 TB
     * corpus ships with: volume (docs/tokens/chars), composition

@@ -112,4 +112,64 @@ class BenchSpec extends AnyFunSuite {
       values = values, medians = medians)
     assert(v.isDefined) // q15+q16 both waving
   }
+
+  // ---- driftNote (r14 verdict item 6: under-floor drift must be
+  // logged, not silent, and must never trigger a re-run) ----
+
+  test("under-floor drift is logged") {
+    val n = Bench.driftNote(best = 0.25, prev = 0.10)
+    assert(n.isDefined)
+    assert(n.get.contains("not re-run"))
+  }
+
+  test("in-band small queries and over-floor spikes produce no drift note") {
+    assert(Bench.driftNote(best = 0.15, prev = 0.10).isEmpty,
+      "1.5x is in-band")
+    assert(Bench.driftNote(best = 0.95, prev = 0.10).isEmpty,
+      "over the floor -> the outlier path owns it, not the drift log")
+    assert(Bench.driftNote(best = 0.25, prev = 0.0).isEmpty,
+      "no usable median -> nothing to compare")
+  }
+}
+
+/** Proves the r15 bench drive is non-prunable: `.count()` lets
+  * Catalyst drop a left-join branch (the row count can't change), so
+  * join-shaped reports benched at near-zero; `Bench.drive` (noop-sink
+  * write) must keep the branch in the executed plan. VERDICT r14
+  * task 1's "Done" criterion as an executable law.
+  */
+class BenchDriveSpec extends SparkSuite {
+
+  test("drive materializes left-join branches that count() prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("probe")
+    // spark.range sources (not LocalRelations) so the optimizer can't
+    // evaluate the probe udf eagerly on the driver.
+    val left = spark.range(100).toDF("k")
+    val right = spark.range(100).toDF("k")
+      .withColumn("v", $"k".cast("string"))
+      .filter(udf((i: Long) => { acc.add(1); true }).apply($"k"))
+    val joined = left.join(right, Seq("k"), "left")
+    Bench.drive(joined)
+    assert(acc.value >= 100,
+      s"noop drive must evaluate the joined branch (saw ${acc.value} udf calls)")
+  }
+
+  test("count() prunes expensive output columns; drive computes them (the r14 underpricing)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("probe2")
+    val costly = udf((i: Long) => { acc.add(1); i * 2 })
+    // spark.range, not a LocalRelation: ConvertToLocalRelation would
+    // otherwise evaluate the projection eagerly at optimization time
+    // and the accumulator would count driver-side optimizer calls.
+    val df = spark.range(50).toDF("k").withColumn("expensive", costly($"k"))
+    df.count()
+    assert(acc.value == 0,
+      s"count() must prune the projected column (saw ${acc.value} calls) - if this changed, the drive rationale needs re-auditing")
+    Bench.drive(df)
+    assert(acc.value >= 50,
+      s"drive must pay for every output column (saw ${acc.value} calls)")
+  }
 }

@@ -262,4 +262,65 @@ class ChecksSpec extends SparkSuite {
     assert(got.length == Checks.V04NBins)
     assert(got.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0))
   }
+
+  private val v10Lenses = Set("bloom_exact", "bloom_prefilter",
+    "exact_overlap", "fuzzy_overlap", "memorization", "split_content",
+    "split_ngrams")
+
+  test("v10 contamination report: every row equals its member lens " +
+       "recomputation (cross-laws vs x05/x16/x18/t31/v08)") {
+    import graft.operators.{Dedup, Sampling, TextOps}
+    val rep = Checks.contaminationReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rep.keySet == v10Lenses, s"lens set: ${rep.keySet}")
+    // uniform rate law on every row
+    rep.foreach { case (lens, (f, p, rate)) =>
+      val want = if (p == 0L) 0L else math.floor(f * 1000.0 / p + 0.5).toLong
+      assert(rate == want, s"$lens rate_milli $rate != $want")
+    }
+    // member recomputations — each lens must restate its member's
+    // numbers, not a near-miss of them
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rep("exact_overlap")._1 == Dedup.decontaminate(spark, sf).count())
+    assert(rep("fuzzy_overlap")._1 ==
+      Dedup.fuzzyDecontaminate(spark, sf).count())
+    val x18 = Dedup.bloomDecontaminate(spark, sf).collect()
+    assert(rep("bloom_exact")._1 ==
+      x18.count(_.getAs[Boolean]("exact_hit")).toLong)
+    assert(rep("bloom_prefilter")._1 ==
+      x18.count(_.getAs[Boolean]("bloom_hit")).toLong)
+    assert(rep("bloom_exact")._2 == nDocs && rep("bloom_prefilter")._2 == nDocs)
+    // bloom pre-filter admits a superset of the exact verdict (no
+    // false negatives by construction)
+    assert(rep("bloom_prefilter")._1 >= rep("bloom_exact")._1)
+    val t31 = TextOps.memorization(spark, sf).collect()
+    assert(rep("memorization")._1 ==
+      t31.count(_.getAs[Long]("n_memorized") > 0L).toLong)
+    assert(rep("memorization")._2 == t31.length.toLong)
+    val v08 = Checks.splitLeakage(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("split_content")._1 == v08("content_fps_multi_split"))
+    assert(rep("split_ngrams")._1 == v08("test_ngrams_in_train"))
+    assert(rep("split_ngrams")._2 == v08("test_ngrams"))
+    // exact/fuzzy probe the same denominator: shingled TRAIN docs
+    val shTrain = Sampling.deterministicSplit(
+        Tables.t(spark, sf, "documents"), "doc_id")
+      .filter($"split" === "train")
+      .filter(org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim($"text"), "\\s+")) >= 3)
+      .count()
+    assert(rep("exact_overlap")._2 == shTrain)
+    assert(rep("fuzzy_overlap")._2 == shTrain)
+  }
+
+  test("v10 contamination report: an EMPTY corpus still reports all " +
+       "seven lenses with zero rows-affected (the q35/v06 law)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val rep = Checks.contaminationReport(empty, "doc_id", "text").collect()
+    assert(rep.map(_.getString(0)).toSet == v10Lenses)
+    assert(rep.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L), rep.mkString(","))
+  }
 }

@@ -592,4 +592,16 @@ class PlanGateSpec extends SparkSuite {
     val plan = finalPlan(graft.operators.Checks.splitLeakage(spark, sf))
     noProducts(plan, "v08")
   }
+
+  test("v10 contamination report: no train×eval product anywhere in the " +
+       "composed plan; every BNLJ is a 1-row-aggregate splice") {
+    // the five member lenses keep their own gated shapes (broadcast
+    // benchmark sides, fp/shingle equi-joins); composing them must not
+    // introduce a product — the only BNLJs allowed are the 1-row
+    // report splices (the v09/s32 discipline)
+    val plan = finalPlan(graft.operators.Checks.contaminationReport(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "v10 grew a cartesian")
+    onlyOneRowBnlj(plan, "v10")
+  }
 }
