@@ -618,6 +618,62 @@ object OracleSqlSim {
   }
 
 
+  /** s36 replay — the s31 sign-signature/Hamming shortlist CTEs at
+    * depth [[graft.operators.Similarity.S36NCand]], then the MaxSim
+    * late interaction UNROLLED: S36Tokens² per-token dots (pinned
+    * diagonal token weights interpolated from the same Similarity
+    * constants the engine reads), max per query token via greatest,
+    * token sums left-associated, 6-dp rounded — op-for-op the
+    * engine's fold. */
+  private[graft] lazy val s36OracleSql: String = {
+    val S = graft.operators.Similarity
+    val T = S.S36Tokens
+    val per = S.S36TokPeriod
+    val st = S.S36TokStride
+    val dv = S.S36TokDivisor
+    val nCand = S.S36NCand
+    def w(t: Int) =
+      s"(1.0 + CAST(((i - 1) + ${st * t}) % $per AS DOUBLE) / $dv)"
+    def dotTU(t: Int, u: Int) =
+      s"""list_sum(list_transform(range(1, 65),
+             i -> (qe.v[i] * ${w(t)}) * (ae.v[i] * ${w(u)})))"""
+    val sumT = (0 until T).map { t =>
+      "greatest(" + (0 until T).map(u => dotTU(t, u)).mkString(",\n             ") + ")"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sg AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 33) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS hi
+           FROM e),
+         ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(xor(a.lo, q.lo)) + bit_count(xor(a.hi, q.hi)) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         hamrk AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, n_id ASC) AS crk
+           FROM ham),
+         sc AS (
+           SELECT c.q_id, c.n_id,
+             round($sumT, 6) AS maxsim
+           FROM (SELECT q_id, n_id FROM hamrk WHERE crk <= $nCand) c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ae ON ae.vec_id = c.n_id)
+         SELECT q_id, rk, n_id, maxsim FROM (
+           SELECT q_id, n_id, maxsim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY maxsim DESC, n_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   /** s32 replay — the s05 pinned-centroid assignment CTE feeding
     * v04's PSI tail with nBins = the quantizer's cell count; the cut
     * is floor(max(vec_id)·frac) on both sides. */
@@ -1061,6 +1117,7 @@ object OracleSqlSim {
     "s29_ann_index_stats" -> s29OracleSql,
     "s30_rerank_depth" -> s30OracleSql,
     "s31_two_tower_rerank" -> s31OracleSql,
+    "s36_maxsim_rerank" -> s36OracleSql,
     "s32_embedding_drift" -> s32OracleSql,
     "s33_ann_filtered" -> s33OracleSql,
     "s34_semantic_admission" -> s34OracleSql,

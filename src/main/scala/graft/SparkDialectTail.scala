@@ -1641,6 +1641,63 @@ object SparkDialectTail {
     * (query tower pre-weighted via an indexed transform, then one
     * graft_dot — the engine's exact grouping), arms filter the
     * scored frame, truth is the scorer-exact top-3. */
+  /** s36 MaxSim re-rank — the s31 signature/Hamming shortlist CTEs at
+    * depth S36NCand, then the late interaction unrolled: S36Tokens²
+    * graft_dot calls over per-token transform() reweightings (the same
+    * pinned diagonal constants the engine interpolates), greatest per
+    * query token, left-associated token sum, 6-dp round. */
+  private lazy val s36Sql: String = {
+    val T = Similarity.S36Tokens
+    val per = Similarity.S36TokPeriod
+    val st = Similarity.S36TokStride
+    val dv = Similarity.S36TokDivisor
+    val nCand = Similarity.S36NCand
+    def tok(e: String, t: Int) =
+      s"""transform($e.v, (x, i) ->
+             x * (1.0D + CAST((i + ${st * t}) % $per AS DOUBLE) / ${dv}D))"""
+    val sumT = (0 until T).map { t =>
+      "greatest(" +
+        (0 until T).map(u => s"graft_dot(${tok("qe", t)}, ${tok("ae", u)})")
+          .mkString(",\n             ") + ")"
+    }.mkString(" + ")
+    s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+         ), sg AS (
+           SELECT vec_id,
+             aggregate(transform(sequence(0, 31),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS lo,
+             aggregate(transform(sequence(32, 63),
+               i -> IF(v[i] > 0D,
+                 CAST(pow(2.0D, CAST(i - 32 AS DOUBLE)) AS BIGINT), 0L)),
+               0L, (acc, x) -> acc + x) AS hi
+           FROM e
+         ), ham AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             CAST(bit_count(a.lo ^ q.lo) + bit_count(a.hi ^ q.hi) AS INT)
+               AS hamming
+           FROM sg q JOIN sg a ON a.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), hamrk AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, n_id ASC) AS crk
+           FROM ham
+         ), sc AS (
+           SELECT c.q_id, c.n_id,
+             round($sumT, 6) AS maxsim
+           FROM (SELECT q_id, n_id FROM hamrk WHERE crk <= $nCand) c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ae ON ae.vec_id = c.n_id)
+         SELECT q_id, rk, n_id, maxsim FROM (
+           SELECT q_id, n_id, maxsim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY maxsim DESC, n_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   private lazy val s31Sql: String = {
     val depths = Similarity.S30Depths
     val dMax = depths.max
@@ -1744,6 +1801,7 @@ object SparkDialectTail {
     "d18_threshold_curve" -> d18Sql,
     "s30_rerank_depth" -> s30Sql,
     "s31_two_tower_rerank" -> s31Sql,
+    "s36_maxsim_rerank" -> s36Sql,
     "s32_embedding_drift" -> s32Sql,
     "s33_ann_filtered" -> s33Sql,
     "s34_semantic_admission" -> s34Sql,

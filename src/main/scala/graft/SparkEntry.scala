@@ -228,6 +228,7 @@ object SparkEntry {
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
     "v10_contamination_report" -> ((s, dir) =>
       Checks.contaminationReport(s, dir)),
+    "s36_maxsim_rerank"   -> ((s, dir) => Similarity.maxSimRerank(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

@@ -1430,6 +1430,86 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy("depth")
   }
 
+  /** s36 dials — single-sourced into the generated oracle/dialect SQL
+    * (the s31/s35 fixture discipline). [[S36Tokens]] per-token vectors
+    * stand in for a ColBERT-style multi-vector encoder: token `t` of a
+    * document is its base vector under the pinned per-token diagonal
+    * `1 + ((i + S36TokStride·t) mod S36TokPeriod)/S36TokDivisor` — a
+    * deterministic closed form both engines replay verbatim, chosen
+    * coprime to s31's period-5 scorer so token directions genuinely
+    * differ per token. All weights are exact multiples of 1/8, so the
+    * per-token reweighting stays engine-portable. */
+  val S36Tokens: Int = 4
+  val S36TokPeriod: Int = 7
+  val S36TokStride: Int = 3
+  val S36TokDivisor: Double = 8.0
+  val S36NCand: Int = 20
+
+  private[operators] def s36TokenWeight(tk: Int, i: Column): Column =
+    lit(1.0) + ((i + lit(S36TokStride * tk)) % S36TokPeriod).cast("double") /
+      S36TokDivisor
+
+  /** s36: late-interaction MaxSim re-rank (ColBERT-shaped; Khattab &
+    * Zaharia, SIGIR 2020) — the missing rung of the retrieval-serving
+    * ladder between s30/s31's single-vector re-rankers and a full
+    * cross-encoder: queries and documents are MULTI-vector
+    * ([[S36Tokens]] per-token embeddings, stood in by the pinned
+    * diagonal family above), and the re-rank score is the late
+    * interaction `MaxSim(q, d) = Σ_t max_u (q_t · d_u)` — every query
+    * token finds its best-matching document token, no token-level
+    * join key needed.
+    *
+    * Two-stage serve economics (the s26/s31 shape): the corpus
+    * contributes ONE 16-byte sign signature per row to a linear
+    * Hamming stream ranked by the map-side TopKPerGroup heap at depth
+    * `nCand`; only the shortlist's nQueries·nCand full-precision rows
+    * are fetched (broadcast equi-joins), and the S36Tokens² token
+    * interaction matrix is expanded ONLY on those rows — token
+    * expansion never touches the corpus at large, which is exactly
+    * why ColBERT serving is tractable: the multi-vector blow-up is
+    * confined to the re-rank set. Deterministic: MaxSim is 6-dp
+    * rounded with id tie-breaks (the s01 discipline); the per-token
+    * dots unroll as S36Tokens² codegen'd [[graft.functions.VectorExprs.dot]]
+    * expressions over plan-literal weight forms — no UDF anywhere. */
+  def maxSimRerank(s: SparkSession, dir: String, nQueries: Int = 5,
+                   k: Int = 3, nCand: Int = S36NCand): DataFrame = {
+    val all = emb(s, dir)
+    val sigs = all.select(col("vec_id"),
+      signPack(col("v"), 0, 32).as("lo"), signPack(col("v"), 32, 64).as("hi"))
+    val qsig = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"),
+        col("hi").as("q_hi"))
+    val ham = sigs.join(broadcast(qsig), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("int")
+          .as("hamming"))
+    val short = graft.plans.TopKPerGroup.topKPerGroup(
+      ham, Seq("q_id"), Seq(("hamming", true), ("n_id", true)), nCand)
+    val qv = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // Σ_t max_u (q_t · d_u), unrolled: S36Tokens² dots, each a codegen
+    // fold; evaluated per fetched pair only. Op order is the oracle's:
+    // (qv[i]·w_t(i)) · (v[i]·w_u(i)) summed in index order, maxes per
+    // t via greatest, t-sums left-associated.
+    val maxsim = round(
+      (0 until S36Tokens).map { tk =>
+        val qTok = transform(col("qv"), (x, i) => x * s36TokenWeight(tk, i))
+        greatest((0 until S36Tokens).map { u =>
+          val dTok = transform(col("v"), (x, i) => x * s36TokenWeight(u, i))
+          dot(qTok, dTok)
+        }: _*)
+      }.reduce(_ + _), 6)
+    val scored = all.join(broadcast(short), col("vec_id") === col("n_id"))
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"), col("hamming"), maxsim.as("maxsim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("maxsim"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "maxsim")
+      .orderBy("q_id", "rk")
+  }
+
   /** s32's already-ingested/incoming split — single-sourced into the
     * oracle (the d15 fixture discipline). */
   val S32SplitFrac: Double = 0.8

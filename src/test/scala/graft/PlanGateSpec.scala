@@ -153,6 +153,20 @@ class PlanGateSpec extends SparkSuite {
       "s31 truth degraded to sort-merge/cartesian")
   }
 
+  test("s36 MaxSim rerank: map-side Hamming-shortlist heap, broadcast " +
+       "re-rank fetches — the token blow-up touches only nCand rows/query") {
+    // the corpus contributes signatures only (one linear stream into
+    // the TopKPerGroup heap); the S36Tokens² late-interaction
+    // expressions ride the broadcast fetch joins, never a corpus-wide
+    // projection — ColBERT serving's whole tractability argument
+    val df = Similarity.maxSimRerank(spark, sf)
+    assertPartialTopK(df, "s36")
+    val plan = finalPlan(df)
+    assert(broadcastJoins(plan) >= 2,
+      s"expected candidate-fetch + query joins broadcast, saw ${broadcastJoins(plan)}")
+    assert(noQuadraticJoins(plan), "s36 degraded to sort-merge/cartesian")
+  }
+
   // ---- t17 positional phrase search ---------------------------------
 
   test("t17 phrase search: postings pruned by BROADCAST phrase joins") {

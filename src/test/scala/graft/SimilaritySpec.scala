@@ -975,6 +975,74 @@ class SimilaritySpec extends SparkSuite {
       "pinned diagonal scorer coincides with cosine — eval is vacuous")
   }
 
+  test("s36 MaxSim rerank: ≡ Scala late-interaction recomputation; " +
+       "shortlist-deepening is rank-wise monotone; interaction non-vacuous") {
+    val (nq, k) = (5, 3)
+    val T = Similarity.S36Tokens
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = emb.toMap
+    val wTok = Array.tabulate(T, 64)((t, i) =>
+      1.0 + ((i + Similarity.S36TokStride * t) % Similarity.S36TokPeriod) /
+        Similarity.S36TokDivisor)
+    def tokDot(q: Array[Double], d: Array[Double], t: Int, u: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 64) {
+        acc += (q(i) * wTok(t)(i)) * (d(i) * wTok(u)(i)); i += 1
+      }
+      acc
+    }
+    def maxsim(q: Array[Double], d: Array[Double]): Double = {
+      val s = (0 until T).map(t => (0 until T).map(u => tokDot(q, d, t, u)).max).sum
+      new java.math.BigDecimal(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 64) {
+        if (v(i) > 0) { if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32)) }
+        i += 1
+      }
+      (lo, hi)
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val qids = emb.map(_._1).filter(_ < nq).sorted
+    def shortlist(q: Long, depth: Int): Seq[Long] = {
+      val (qlo, qhi) = sigs(q)
+      emb.filter(_._1 != q).map { case (id, _) =>
+        val (lo, hi) = sigs(id)
+        (id, java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi))
+      }.sortBy(t => (t._2, t._1)).take(depth).map(_._1).toSeq
+    }
+    def expected(depth: Int): Seq[(Long, Int, Long, Double)] =
+      qids.flatMap { q =>
+        shortlist(q, depth).map(id => (id, maxsim(vecs(q), vecs(id))))
+          .sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
+          .map { case ((id, s), r) => (q, r + 1, id, s) }
+      }
+    val got = Similarity.maxSimRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected(Similarity.S36NCand))
+    // shortlist-deepening monotonicity: a deeper shortlist ranks over a
+    // SUPERSET, so the rank-r MaxSim can only rise (or hold) per query
+    val shallow = Similarity.maxSimRerank(spark, sf, nCand = 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    got.foreach { case (q, r, _, s) =>
+      shallow.get((q, r)).foreach(sh =>
+        assert(s >= sh, s"q=$q rk=$r: deep $s < shallow $sh"))
+    }
+    // late interaction is non-vacuous: some query token must route to a
+    // DIFFERENT document token than another (argmax_u varies with t on
+    // at least one shortlisted pair) — else MaxSim degenerates to a
+    // single-vector scorer and the operator is mislabeled
+    val routes = for {
+      q <- qids; id <- shortlist(q, Similarity.S36NCand)
+    } yield (0 until T).map(t =>
+      (0 until T).maxBy(u => tokDot(vecs(q), vecs(id), t, u))).distinct.size
+    assert(routes.exists(_ > 1),
+      "every query token routed to the same doc token on every pair")
+  }
+
   test("s33 filtered ANN: constraint holds on every row; result ≡ a " +
        "Scala re-rank over the engine's (label, bucket) postings") {
     val (nq, k) = (5, 3)
