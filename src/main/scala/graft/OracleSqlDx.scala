@@ -77,12 +77,14 @@ object OracleSqlDx {
     * [[graft.operators.Sampling.mixtureWaterfill]]) is two window
     * cumsums and one scalar max; every count is an exact integer and
     * every divide is the same IEEE double op the engine runs. */
-  private[graft] lazy val x20OracleSql: String = {
-    val frac = graft.operators.Sampling.X20BudgetFrac
-    s"""WITH a AS (
-           SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
-           FROM documents GROUP BY source
-         ), w AS (
+  /** The x20 water-filling level-problem CTE tail (dialect-PORTABLE —
+    * runs verbatim in DuckDB AND Spark) over a preceding CTE
+    * `a(source, avail)` — shared by x20 (char mass) and x23
+    * (model-token mass), so the closed-form level problem cannot
+    * drift between the two allocations. Append after "WITH a AS
+    * (...), ". */
+  private[graft] def waterfillTailSql(frac: Double): String =
+    s"""w AS (
            SELECT source, avail,
              CAST(count(*) OVER () + 1 - row_number() OVER (ORDER BY source)
                AS BIGINT) AS weight
@@ -112,6 +114,50 @@ object OracleSqlDx {
            least(avail, CAST(floor(lam * weight) AS BIGINT)) = avail
              AS saturated
          FROM f ORDER BY source"""
+
+  private[graft] lazy val x20OracleSql: String = {
+    val frac = graft.operators.Sampling.X20BudgetFrac
+    s"""WITH a AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+           FROM documents GROUP BY source
+         ), ${waterfillTailSql(frac)}"""
+  }
+
+  /** x23 replay — per-source model-token availability via the
+    * [[OracleSqlHelpers.viterbiSegSql]] serve emitter (the t29/v09
+    * unrolled Viterbi, pieces/scores interpolated from the SAME
+    * pinned model the engine broadcasts), then [[waterfillTailSql]]
+    * verbatim — the oracle can neither tokenize with a different
+    * model nor allocate with a different level problem. */
+  private[graft] lazy val x23OracleSql: String = {
+    val T = graft.operators.TextOps
+    val unk = s"CAST(${T.T29UnkScore} AS DOUBLE)"
+    val vals = T.pinnedUnigram
+      .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    val frac = graft.operators.Sampling.X20BudgetFrac
+    s"""WITH tok AS MATERIALIZED (
+           SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+'))
+             AS w
+           FROM documents
+         ), words AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
+         ), guard AS MATERIALIZED (
+           SELECT CASE WHEN max(length(w)) > 8
+             THEN CAST(error('x23 unroll bound: word longer than 8') AS INT)
+             ELSE 1 END AS ok FROM words
+         ), scp AS MATERIALIZED (
+           SELECT piece,
+             ln(CAST(c + 1 AS DOUBLE) /
+                CAST(${T.pinnedUnigramDenom} AS DOUBLE)) AS s
+           FROM (VALUES $vals) AS t(piece, c)
+         ), seg AS MATERIALIZED (
+           ${OracleSqlHelpers.viterbiSegSql("scp", Some(unk))}
+         ), a AS (
+           SELECT source, CAST(sum(seg.n_sub) AS BIGINT) AS avail
+           FROM tok JOIN seg ON tok.w = seg.w
+           WHERE (SELECT ok FROM guard) = 1
+           GROUP BY source
+         ), ${waterfillTailSql(frac)}"""
   }
 
 
@@ -549,6 +595,7 @@ object OracleSqlDx {
 
   private[graft] val oracles: Map[String, String] = Map(
     "x20_mixture_waterfill" -> x20OracleSql,
+    "x23_token_budget_mix" -> x23OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
     "d16_lsh_scurve" -> d16OracleSql,
@@ -1069,7 +1116,34 @@ object OracleSqlDx {
            FROM f)
          WHERE rk = 1 ORDER BY doc_id"""
 
+  /** x23 Spark-dialect form: the t29 `graft_unigram_segment_unk`
+    * kernel face for the per-word fertility, then the SAME portable
+    * [[waterfillTailSql]] the DuckDB replay appends. */
+  private[graft] lazy val x23SparkSql: String = {
+    val T = graft.operators.TextOps
+    val pcs = T.pinnedUnigramPieces
+      .map(p => s"'$p'").mkString("array(", ", ", ")")
+    val cts = T.pinnedUnigram
+      .map(_._2.toString + "L").mkString("array(", ", ", ")")
+    val frac = graft.operators.Sampling.X20BudgetFrac
+    s"""WITH tok AS (
+           SELECT source, explode(split(trim(text), '\\\\s+')) AS w
+           FROM documents
+         ), v AS (
+           SELECT w,
+             CAST(size(graft_unigram_segment_unk(w, $pcs,
+               transform($cts, c -> ln(CAST(c + 1 AS DOUBLE) /
+                 CAST(${T.pinnedUnigramDenom}L AS DOUBLE))),
+               CAST(${T.T29UnkScore} AS DOUBLE))) AS BIGINT) AS n_sub
+           FROM (SELECT DISTINCT w FROM tok)
+         ), a AS (
+           SELECT source, CAST(sum(v.n_sub) AS BIGINT) AS avail
+           FROM tok JOIN v USING (w) GROUP BY source
+         ), ${waterfillTailSql(frac)}"""
+  }
+
   private[graft] val spark: Map[String, String] = Map(
+    "x23_token_budget_mix" -> x23SparkSql,
     "x01_split_counts" ->
       """SELECT lang,
            CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'

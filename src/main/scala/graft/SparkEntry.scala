@@ -229,6 +229,8 @@ object SparkEntry {
     "v10_contamination_report" -> ((s, dir) =>
       Checks.contaminationReport(s, dir)),
     "s36_maxsim_rerank"   -> ((s, dir) => Similarity.maxSimRerank(s, dir)),
+    "x23_token_budget_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMixture(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

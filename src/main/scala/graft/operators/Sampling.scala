@@ -640,6 +640,32 @@ object Sampling {
     mixtureWaterfill(t(s, dir, "documents"), "source", col("n_chars"),
       budgetFrac)
 
+  /** x23: fertility-corrected token-budget mixture — x20's closed-form
+    * water-filling level problem run in MODEL tokens under the pinned
+    * production tokenizer instead of raw word/char mass. A data plan's
+    * budget is model tokens (what the trainer consumes); sources with
+    * different fertility (v09's dial: pieces per word under the
+    * tokenizer) contribute differently per word, so a word-mass
+    * allocation misbudgets exactly the sources whose fertility
+    * diverges. Availability = per-source Σ n_sub over the corpus
+    * ([[TextOps.modelTokenMass]], the t29 Viterbi-per-distinct-word
+    * serve shape); the level problem and output contract are x20's
+    * verbatim — (source, avail, weight, alloc, saturated) with avail
+    * and alloc in pinned-tokenizer tokens.
+    *
+    * Scale shape: ONE corpus explode to (source, word) slim rows (the
+    * v09 cost class), the Viterbi kernel once per DISTINCT word, one
+    * n_sources-row aggregate — everything after (the waterfill
+    * windows) operates on the tiny frame, never on corpus rows. */
+  def tokenBudgetMixture(s: SparkSession, dir: String,
+                         budgetFrac: Double = X20BudgetFrac): DataFrame =
+    tokenBudgetMixture(t(s, dir, "documents"), "source", "text", budgetFrac)
+
+  def tokenBudgetMixture(docs: DataFrame, stratumCol: String,
+                         textCol: String, budgetFrac: Double): DataFrame =
+    mixtureWaterfill(TextOps.modelTokenMass(docs, stratumCol, textCol),
+      stratumCol, col("model_tokens"), budgetFrac)
+
   def mixtureWaterfill(df: DataFrame, stratumCol: String, massCol: Column,
                        budgetFrac: Double): DataFrame = {
     val avail = df.groupBy(stratumCol)

@@ -624,6 +624,29 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Per-stratum MODEL-token mass under the pinned unigram tokenizer —
+    * the denominator x23's budget problem allocates in. One corpus
+    * explode cut to (stratum, word); the Viterbi kernel runs once per
+    * DISTINCT word with the model as broadcast literals (the t29/v09
+    * serve discipline), joins back word-keyed, and reduces to an
+    * n_strata-row frame. At 100 TB this is the same one-pass shape as
+    * v09's fertility stats — corpus text never shuffles, only (stratum,
+    * word) slim rows move. */
+  def modelTokenMass(docs: DataFrame, stratumCol: String,
+                     textCol: String): DataFrame = {
+    val nUdf = udf { w: String =>
+      unigramViterbiLocal(w, pinnedUnigramPieces, pinnedUnigramScores,
+        T29UnkScore).length.toLong
+    }
+    val words = docs.select(col(stratumCol),
+      explode(tokensOf(col(textCol))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("n_sub", nUdf(col("word")))
+    words.join(vocab, "word")
+      .groupBy(stratumCol)
+      .agg(sum("n_sub").cast("long").as("model_tokens"))
+  }
+
   /** t29 registered form: encode with the [[pinnedUnigram]] model. */
   def unigramEncodePinned(s: SparkSession, dir: String): DataFrame =
     unigramEncodeWith(t(s, dir, "documents"), "doc_id", "text",

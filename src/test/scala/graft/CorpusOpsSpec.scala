@@ -1458,6 +1458,60 @@ class CorpusOpsSpec extends SparkSuite {
     assert(full == Map("a" -> 200L, "b" -> 50L, "c" -> 1000L), full.toString)
   }
 
+  test("x23 token-budget mixture: availability ≡ the pinned-tokenizer " +
+       "fertility recomputation; budget and monotone laws hold; " +
+       "fertility genuinely re-ranks vs word mass") {
+    import spark.implicits._
+    val got = Sampling.tokenBudgetMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // availability cross-law: per-source Σ n_pieces under the SAME
+    // pinned unigram model, via the independently-oracled t29 encode
+    val docs = Tables.t(spark, sf, "documents")
+    val massWant = TextOps.unigramEncodeWith(docs, "doc_id", "text",
+        TextOps.pinnedUnigramPieces, TextOps.pinnedUnigramScores)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_pieces").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (src, avail, _, _, _) =>
+      assert(avail == massWant(src), s"$src avail $avail != t29 mass ${massWant(src)}")
+    }
+    // x20's budget law in model tokens
+    val budget = math.floor(got.map(_._2).sum * Sampling.X20BudgetFrac).toLong
+    val alloc = got.map(_._4).sum
+    assert(alloc <= budget && budget - alloc <= got.length,
+      s"alloc $alloc vs budget $budget (flooring slack ${got.length})")
+    got.foreach { case (src, avail, _, a, sat) =>
+      assert(a <= avail && sat == (a == avail), s"$src contract broken")
+    }
+    // monotone in the budget
+    def allocAt(frac: Double): Map[String, Long] =
+      Sampling.tokenBudgetMixture(docs, "source", "text", frac)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val lo = allocAt(0.3)
+    got.foreach { case (src, _, _, a, _) =>
+      assert(lo(src) <= a, s"$src shrank as the budget grew") }
+    // the CORRECTION is non-vacuous: on a corpus where fertility
+    // differs by source, the token allocation must differ from the
+    // word-mass allocation (else x23 restates x20)
+    val skew = Seq(
+      ("a", 1L, "aa bb aa bb aa bb aa bb"),    // short in-vocab-ish words
+      ("b", 2L, "zzzzzzzq zzzzzzzq zzzzzzzq"), // long high-fertility words
+      ("c", 3L, "aa bb cc dd")
+    ).toDF("source", "doc_id", "text").withColumn("n_chars",
+      org.apache.spark.sql.functions.length($"text").cast("long"))
+    val words = Sampling.mixtureWaterfill(skew, "source",
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+        .split(org.apache.spark.sql.functions.trim($"text"), "\\s+"))
+        .cast("long"), 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val toks = Sampling.tokenBudgetMixture(skew, "source", "text", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(words != toks,
+      s"fertility correction changed nothing: words=$words tokens=$toks")
+  }
+
   test("x22 pack efficiency: conservation, only the tail partial, planted manifest") {
     val rep = Sampling.packEfficiency(spark, sf).collect()
     val totalTokens = docs.map(_._2.trim.split("\\s+").length.toLong).sum

@@ -607,6 +607,18 @@ class PlanGateSpec extends SparkSuite {
     noProducts(plan, "v08")
   }
 
+  test("x23 token-budget mixture: one corpus pass to an n_sources-row " +
+       "frame; the waterfill windows never touch corpus rows") {
+    // the corpus contributes one (source, word) explode reduced by a
+    // word-keyed join + n_sources aggregate (the v09 cost class); the
+    // level-problem windows and 1-row splices run on the tiny frame —
+    // no product may appear anywhere
+    val plan = finalPlan(graft.operators.Sampling.tokenBudgetMixture(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "x23 grew a cartesian")
+    onlyOneRowBnlj(plan, "x23")
+  }
+
   test("v10 contamination report: no train×eval product anywhere in the " +
        "composed plan; every BNLJ is a 1-row-aggregate splice") {
     // the five member lenses keep their own gated shapes (broadcast
