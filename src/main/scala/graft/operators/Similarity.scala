@@ -2090,14 +2090,34 @@ object Similarity {
     * query's probe touches one cell of one label shard — the filter
     * multiplies selectivity INTO the index instead of after it. */
   def annFiltered(s: SparkSession, dir: String, nQueries: Int = 5,
-                  k: Int = 3, nPlanes: Int = 4): DataFrame = {
-    val all = emb(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
-        lshBucketInt(col("v"), nPlanes).as("bucket"))
-    val queries = all.filter(col("vec_id") < nQueries)
+                  k: Int = 3, nPlanes: Int = 4): DataFrame =
+    annFilteredFrom(
+      filteredIndex(t(s, dir, "embeddings"), nPlanes), nQueries, k)
+
+  /** s33's index ARTIFACT over a raw embeddings-schema frame: one
+    * (label, bucket)-keyed posting row per vector, norms precomputed.
+    * A pure per-row map (the bucket is [[lshBucketInt]] of the vector
+    * alone), so batch PARTIALS of this frame ARE index rows and
+    * batchId-keyed replays overwrite idempotently — which is what
+    * makes the filtered index maintainable under continuous ingestion
+    * ([[graft.streaming.IncrementalJobs.startFilteredIndex]]); the
+    * serve half consumes the accumulated ledger unchanged. */
+  def filteredIndex(vecs: DataFrame, nPlanes: Int = 4): DataFrame =
+    vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"),
+        lshBucketInt(col("v"), nPlanes).as("bucket"), col("v"), col("nrm"))
+
+  /** The serve half over an index frame (fresh-built or the streaming
+    * ledger): candidates equi-join the broadcast queries on
+    * (label, bucket) — the pre-filtered probe s33's plan gate pins. */
+  def annFilteredFrom(index: DataFrame, nQueries: Int = 5,
+                      k: Int = 3): DataFrame = {
+    val queries = index.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("q_nrm"), col("label"), col("bucket"))
-    val scored = all.join(broadcast(queries), Seq("label", "bucket"))
+    val scored = index.join(broadcast(queries), Seq("label", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("label"), col("vec_id").as("n_id"),
         round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)

@@ -414,6 +414,37 @@ object IncrementalJobs {
   def annIndexLedger(spark: SparkSession, storeDir: String): DataFrame =
     readStore(spark, storeDir, annIdxSchema).select("vec_id", "cell")
 
+  private val filteredIdxSchema = StructType.fromDDL(
+    "vec_id BIGINT, label INT, bucket STRING, v ARRAY<DOUBLE>, nrm DOUBLE")
+
+  /** Streaming FILTERED-ANN index maintenance (s33's lifecycle —
+    * completes the continuous-ingestion serving trio: admission s34,
+    * drift s32, filtered serve s33): vector files land in `srcDir`;
+    * each micro-batch maps to (label, bucket)-keyed posting rows
+    * ([[graft.operators.Similarity.filteredIndex]] — a pure per-row
+    * map, so partials ARE index rows and the ledger equals the batch
+    * build exactly), batchId-keyed/Overwrite for replay idempotency.
+    * The serve half ([[graft.operators.Similarity.annFilteredFrom]])
+    * reads the ledger unchanged — same broadcast-query
+    * (label, bucket) equi-join plan the s33 gate pins. */
+  def startFilteredIndex(spark: SparkSession, srcDir: String,
+                         vecSchema: StructType, storeDir: String,
+                         checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.filteredIndex(batch)
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+  /** The accumulated filtered-serve index (exact under replay). */
+  def filteredIndexLedger(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, storeDir, filteredIdxSchema)
+
   private val semStoreSchema =
     StructType.fromDDL("vec_id BIGINT, cell INT, sv ARRAY<DOUBLE>")
 

@@ -788,6 +788,71 @@ class StreamingIncrementalSpec extends SparkSuite {
     assert(ledger() == ref)
   }
 
+  test("streaming filtered-ANN index: kill/restart; serve from the " +
+       "ledger == batch s33 over all ingested; serve plan keeps the " +
+       "(label,bucket) broadcast pre-filter") {
+    val src = Files.createTempDirectory("graft_fix_src").toString
+    val store = Files.createTempDirectory("graft_fix_store").toString
+    val ckpt = Files.createTempDirectory("graft_fix_ckpt").toString
+
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    val waveA = all.filter(col("vec_id") < 60)
+    val waveB = all.filter(col("vec_id") >= 60 && col("vec_id") < 120)
+    waveA.write.mode("append").parquet(src)
+    val schema = waveA.schema
+
+    def start() = IncrementalJobs.startFilteredIndex(
+      spark, src, schema, store, ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    waveB.write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    def served(): Seq[(Long, Int, Int, Long, Double)] =
+      Similarity.annFilteredFrom(
+          IncrementalJobs.filteredIndexLedger(spark, store))
+        .as[(Long, Int, Int, Long, Double)].collect().toSeq
+    val ref = Similarity.annFilteredFrom(
+        Similarity.filteredIndex(waveA.unionByName(waveB)))
+      .as[(Long, Int, Int, Long, Double)].collect().toSeq
+    assert(served() == ref && ref.nonEmpty)
+
+    // no-op restart law
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(served() == ref)
+
+    // the ledger-served plan keeps s33's shape: queries BROADCAST into
+    // a (label, bucket) equi-join — continuous ingestion must not
+    // degrade the serve to a shuffle or a post-filter
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = Similarity.annFilteredFrom(
+      IncrementalJobs.filteredIndexLedger(spark, store))
+    df.count()
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+      case q: QueryStageExec => p +: flat(q.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val plan = flat(df.queryExecution.executedPlan)
+    assert(!plan.exists { case _: SortMergeJoinExec => true; case _ => false },
+      "ledger serve shuffled the index for the query join")
+    val bhjKeys = plan.collect {
+      case b: BroadcastHashJoinExec => b.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(bhjKeys.exists(kk => kk.contains("label") && kk.contains("bucket")),
+      s"ledger serve lost the (label,bucket) pre-filter keys: $bhjKeys")
+  }
+
   test("streaming semantic admission: kill/restart; verdicts and " +
        "admitted-only store equal the batch composition") {
     val src = Files.createTempDirectory("graft_sem_src").toString
