@@ -280,6 +280,69 @@ object OracleSqlSim {
          WHERE rk <= 3 ORDER BY q_id, rk"""
 
 
+  /** s38 replay — the s05 pinned-centroid machinery swept over probe
+    * widths: per-query cell ranks from the SAME unrolled centroid-dot
+    * list (dot DESC, cell ASC — topCells' struct sort), corpus scored
+    * once at full width, arms as crank filters, truth as the
+    * exhaustive normalized-dot top-k. Probes/centroids interpolated
+    * from Similarity/Pinned — the oracle cannot sweep a grid the
+    * engine doesn't. */
+  private[graft] lazy val s38OracleSql: String = {
+    val cents = Pinned.ivfCentroids
+    val dts = centroidDotsList(cents)
+    val probes = graft.operators.Similarity.S38Probes
+    val nCent = cents.length
+    val nPossible = 5 * 3
+    val pairDot = (1 to 64).map(d => s"q.sv[$d]*a.sv[$d]").mkString(" + ")
+    val arms = probes.map { p =>
+      s"""SELECT $p AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+           FROM (
+             SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id ASC) AS rk
+               FROM sc WHERE crank <= $p)
+             WHERE rk <= 3) got
+           JOIN truth t ON got.q_id = t.q_id AND got.n_id = t.n_id"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n0 AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         asg AS (SELECT vec_id, sv,
+                 CAST(list_position(dts, list_max(dts)) - 1 AS INT) AS c
+               FROM (SELECT vec_id, sv, $dts AS dts FROM n0)),
+         qd AS (SELECT vec_id AS q_id, sv, dts
+                FROM (SELECT vec_id, sv, $dts AS dts FROM n0)
+                WHERE vec_id < 5),
+         qcells AS (
+           SELECT q_id, cell,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY d DESC, cell ASC) AS crank
+           FROM (SELECT q_id, CAST(i.i AS INT) AS cell,
+                   dts[CAST(i.i AS INT) + 1] AS d
+                 FROM qd, (SELECT unnest(range(0, $nCent)) AS i) i)),
+         sc AS (
+           SELECT qc.q_id, a.vec_id AS n_id, qc.crank,
+             round($pairDot, 6) AS cos
+           FROM asg a
+           JOIN qcells qc ON a.c = qc.cell
+           JOIN qd q ON q.q_id = qc.q_id
+           WHERE a.vec_id <> qc.q_id),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round($pairDot, 6) DESC, a.vec_id ASC) AS rk
+             FROM n0 a JOIN qd q ON a.vec_id <> q.q_id)
+           WHERE rk <= 3)
+         SELECT nprobe, n_hits, CAST($nPossible AS BIGINT) AS n_possible,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1000.0 / $nPossible.0 + 0.5)
+             AS BIGINT) AS recall_milli
+         FROM (
+           $arms)
+         ORDER BY nprobe"""
+  }
+
   /** s34 replay — the s05 pinned-cell assignment on BOTH splits (s32's
     * floor(max·frac) cut replayed as a scalar CTE), batch probes only
     * its own cell's stored rows, cosine is the s05 normalized-sum
@@ -1118,6 +1181,7 @@ object OracleSqlSim {
     "s30_rerank_depth" -> s30OracleSql,
     "s31_two_tower_rerank" -> s31OracleSql,
     "s36_maxsim_rerank" -> s36OracleSql,
+    "s38_ann_nprobe_sweep" -> s38OracleSql,
     "s32_embedding_drift" -> s32OracleSql,
     "s33_ann_filtered" -> s33OracleSql,
     "s34_semantic_admission" -> s34OracleSql,

@@ -561,6 +561,64 @@ object SparkDialectTail {
          $rankTail"""
   }
 
+  /** s38 Spark-dialect replay — the s05 centroid machinery swept over
+    * probe widths (cell ranks: dot DESC, cell ASC; arms as crank
+    * filters; exhaustive truth). */
+  private lazy val s38Sql: String = {
+    val cents = Pinned.ivfCentroids
+    val dts = centroidDotsArr("sv", cents)
+    val probes = Similarity.S38Probes
+    val nCent = cents.length
+    val nPossible = 5 * 3
+    val arms = probes.map { p =>
+      s"""SELECT $p AS nprobe, CAST(count(1) AS BIGINT) AS n_hits
+           FROM (
+             SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id ASC) AS rk
+               FROM sc WHERE crank <= $p)
+             WHERE rk <= 3) got
+           JOIN truth t ON got.q_id = t.q_id AND got.n_id = t.n_id"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH $normCte,
+         asg AS (SELECT vec_id, sv,
+             CAST(array_position(dts, array_max(dts)) - 1 AS INT) AS c
+           FROM (SELECT vec_id, sv, $dts AS dts FROM n)),
+         qd AS (SELECT vec_id AS q_id, sv, dts
+                FROM (SELECT vec_id, sv, $dts AS dts FROM n)
+                WHERE vec_id < 5),
+         qcells AS (
+           SELECT q_id, cell,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY d DESC, cell ASC) AS crank
+           FROM (SELECT q_id, i.cell AS cell,
+                   element_at(dts, i.cell + 1) AS d
+                 FROM qd,
+                   (SELECT explode(sequence(0, ${nCent - 1})) AS cell) i)),
+         sc AS (
+           SELECT qc.q_id, a.vec_id AS n_id, qc.crank,
+             round(${pairDot("q.sv", "a.sv")}, 6) AS cos
+           FROM asg a
+           JOIN qcells qc ON a.c = qc.cell
+           JOIN qd q ON q.q_id = qc.q_id
+           WHERE a.vec_id <> qc.q_id),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(${pairDot("q.sv", "a.sv")}, 6) DESC,
+                          a.vec_id ASC) AS rk
+             FROM n a JOIN qd q ON a.vec_id <> q.q_id)
+           WHERE rk <= 3)
+         SELECT nprobe, n_hits, CAST($nPossible AS BIGINT) AS n_possible,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1000.0 / ${nPossible}.0 + 0.5)
+             AS BIGINT) AS recall_milli
+         FROM (
+           $arms)
+         ORDER BY nprobe"""
+  }
+
   /** s32 Spark-dialect replay — the s05 assignment arithmetic feeding
     * v04's PSI tail at nBins = the quantizer's cell count. */
   private lazy val s32Sql: String = {
@@ -1802,6 +1860,7 @@ object SparkDialectTail {
     "s30_rerank_depth" -> s30Sql,
     "s31_two_tower_rerank" -> s31Sql,
     "s36_maxsim_rerank" -> s36Sql,
+    "s38_ann_nprobe_sweep" -> s38Sql,
     "s32_embedding_drift" -> s32Sql,
     "s33_ann_filtered" -> s33Sql,
     "s34_semantic_admission" -> s34Sql,

@@ -231,6 +231,7 @@ object SparkEntry {
     "s36_maxsim_rerank"   -> ((s, dir) => Similarity.maxSimRerank(s, dir)),
     "x23_token_budget_mix" -> ((s, dir) =>
       Sampling.tokenBudgetMixture(s, dir)),
+    "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

@@ -72,6 +72,42 @@ object Hashing {
     }
   }
 
+  /** The 64 per-permutation minima alone — [[minhashBandKeys]] without
+    * the band fold, so a geometry sweep (d19) computes the expensive
+    * half ONCE and re-folds per (bands, rows) grouping. */
+  def minhashMinima(hashes: Seq[Long]): Array[Long] = {
+    val mins = Array.fill(NumPerm)(Long.MaxValue)
+    val it = hashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var i = 0
+      while (i < NumPerm) {
+        val v = splitmix64(h ^ seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    mins
+  }
+
+  /** Fold 64 minima into `bands` keys of NumPerm/bands rows each —
+    * the [[minhashBandKeys]] key chain at a parametric geometry
+    * (bands=16 reproduces it exactly: same [[bandInit]] inits, same
+    * per-row splitmix chain). */
+  def bandKeysAt(mins: Seq[Long], bands: Int): Array[Long] = {
+    require(NumPerm % bands == 0, s"bands=$bands must divide $NumPerm")
+    val rpb = NumPerm / bands
+    Array.tabulate(bands) { b =>
+      var acc = splitmix64(0x5DEECE66DL + b)
+      var r = 0
+      while (r < rpb) {
+        acc = splitmix64(acc ^ mins(b * rpb + r))
+        r += 1
+      }
+      acc
+    }
+  }
+
   /** 64-bit SimHash: bit i is the sign (>= 0 → 1) of the sum over
     * shingles of ±1 according to bit i of the shingle hash. */
   def simhash64(hashes: Seq[Long]): Long = {
@@ -170,6 +206,9 @@ object Hashing {
   }
 
   private[graft] val minhashBandKeysUdf = udf((h: Seq[Long]) => minhashBandKeys(h))
+  private[graft] val minhashMinimaUdf = udf((h: Seq[Long]) => minhashMinima(h))
+  private[graft] val bandKeysAtUdf =
+    udf((m: Seq[Long], bands: Int) => bandKeysAt(m, bands))
   private[graft] val simhash64Udf = udf((h: Seq[Long]) => simhash64(h))
   private[graft] val shingleHashesUdf = udf((t: String, n: Int) => shingleHashes(t, n))
 
@@ -184,6 +223,14 @@ object Hashing {
 
   /** Column form of [[minhashBandKeys]]; input array<bigint>. */
   def minhashBands(shingleHashes: Column): Column = minhashBandKeysUdf(shingleHashes)
+
+  /** Column form of [[minhashMinima]]; input array<bigint>. */
+  def minhashMins(shingleHashes: Column): Column =
+    minhashMinimaUdf(shingleHashes)
+
+  /** Column form of [[bandKeysAt]]; minima array<bigint> + band count. */
+  def bandKeys(mins: Column, bands: Int): Column =
+    bandKeysAtUdf(mins, org.apache.spark.sql.functions.lit(bands))
 
   /** Column form of [[simhash64]]; input array<bigint>. */
   def simhash(shingleHashes: Column): Column = simhash64Udf(shingleHashes)

@@ -1751,6 +1751,93 @@ object Similarity {
     transform(slice(array_sort(scored), 1, p), s => s("i").cast("int"))
   }
 
+  /** s38's swept probe widths — single-sourced into the generated
+    * oracle/dialect SQL (the s30-depths discipline). The max equals
+    * the pinned quantizer's cell count, so the deepest arm is the
+    * exhaustive-probe law anchor (recall ≡ 1000 by construction). */
+  val S38Probes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** s38: IVF nprobe-recall sweep — the OTHER serving dial of the
+    * coarse quantizer (s29 grades cell balance = COST; s21 grades
+    * recall at one operating point; s30/s31 sweep re-rank depth): for
+    * each nprobe in [[S38Probes]], recall@k of probing the query's
+    * nprobe closest cells vs the exhaustive normalized-dot truth. The
+    * curve is the number a deployment reads to pick nprobe — the
+    * recall-per-probe-cost trade IS the IVF contract (Jégou et al.,
+    * TPAMI 2011, §V's nprobe sweeps).
+    *
+    * Eval economics (the s30/s31 arms-as-filters discipline): the
+    * corpus is scored ONCE against the broadcast (query, cell, crank)
+    * table at the DEEPEST probe (every cell ranked per query, a
+    * nQueries×nCells frame) and checkpointed; each arm is a FILTER
+    * (crank <= p) into a map-side TopKPerGroup heap — no per-arm
+    * re-scan, no corpus shuffle, truth as one more linear stream.
+    * Deterministic: 6-dp rounds, id tie-breaks, cell ranks tie-broken
+    * by cell index (topCells' struct sort) — the DuckDB oracle
+    * replays the whole sweep exactly from the pinned centroids. */
+  /** s38's normalized corpus (one checkpoint feeds assignment, truth
+    * stream and queries). */
+  private def s38Normed(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+
+  /** s38's scored candidate stream at full probe width — one corpus
+    * pass against the broadcast (query, cell, crank) table. Exposed
+    * un-checkpointed so PlanGateSpec can assert the shape (the s31
+    * discipline); the registered query materializes it once. */
+  private[graft] def nprobeScored(normed: DataFrame, nQueries: Int,
+                                  pMax: Int,
+                                  cents: Array[Array[Double]]): DataFrame = {
+    val corpus = assignToCentroid(normed, cents)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        posexplode(topCells(col("v"), cents, pMax)).as(Seq("crk0", "c")))
+      .select(col("q_id"), col("qv"), col("c"),
+        (col("crk0") + 1).cast("int").as("crank"))
+    corpus.join(broadcast(queries), Seq("c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("crank"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+  }
+
+  /** s38's exhaustive-truth stream (eval-only), un-checkpointed for
+    * the gate. */
+  private[graft] def nprobeTruth(normed: DataFrame, nQueries: Int,
+                                 k: Int): DataFrame = {
+    val qv = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val truthScores = normed.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+        truthScores, Seq("q_id"), Seq(("cos", false), ("n_id", true)), k)
+      .select("q_id", "n_id")
+  }
+
+  def annNprobeEval(s: SparkSession, dir: String, nQueries: Int = 5,
+                    k: Int = 3, probes: Seq[Int] = S38Probes,
+                    cents: Array[Array[Double]] = Pinned.ivfCentroids)
+      : DataFrame = {
+    val pMax = probes.max.min(cents.length)
+    val normed = s38Normed(s, dir).localCheckpoint()
+    val scored = nprobeScored(normed, nQueries, pMax, cents).localCheckpoint()
+    val truth = nprobeTruth(normed, nQueries, k).localCheckpoint()
+    val possible = (nQueries * k).toDouble
+    probes.map { p =>
+      graft.plans.TopKPerGroup.topKPerGroup(
+          scored.filter(col("crank") <= p),
+          Seq("q_id"), Seq(("cos", false), ("n_id", true)), k)
+        .select("q_id", "n_id")
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("nprobe"), col("n_hits"),
+          lit(nQueries.toLong * k).as("n_possible"),
+          floor(col("n_hits") * 1000.0 / possible + 0.5).cast("long")
+            .as("recall_milli"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** True IVF ANN: k-means coarse quantizer over L2-normalized
     * embeddings, probe the query's cell, exact cosine re-rank inside it.
     * The 100 TB shape: centroids broadcast implicitly as plan literals,

@@ -607,6 +607,32 @@ class PlanGateSpec extends SparkSuite {
     noProducts(plan, "v08")
   }
 
+  test("s38 nprobe sweep: both streams map-side heaps with the query " +
+       "table broadcast — arms are filters, never re-scans") {
+    // the two corpus streams (scored-at-full-width, exhaustive truth)
+    // are asserted UN-checkpointed (the s31 discipline); in the
+    // registered query they materialize once and the arms filter them
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Similarity
+    val cents = graft.operators.Pinned.ivfCentroids
+    val nrm = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorExprs.dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+    val scored = base.nprobeScored(nrm, 5, 8, cents)
+    val plan = finalPlan(scored)
+    assert(noQuadraticJoins(plan), "s38 scored degraded to sort-merge/cartesian")
+    assert(broadcastJoins(plan) >= 1,
+      s"s38 query/cell table not broadcast, saw ${broadcastJoins(plan)}")
+    val truth = base.nprobeTruth(nrm, 5, 3)
+    assertPartialTopK(truth, "s38-truth")
+    assert(noQuadraticJoins(finalPlan(truth)),
+      "s38 truth degraded to sort-merge/cartesian")
+  }
+
   test("x23 token-budget mixture: one corpus pass to an n_sources-row " +
        "frame; the waterfill windows never touch corpus rows") {
     // the corpus contributes one (source, word) explode reduced by a

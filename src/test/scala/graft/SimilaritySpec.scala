@@ -975,6 +975,66 @@ class SimilaritySpec extends SparkSuite {
       "pinned diagonal scorer coincides with cosine — eval is vacuous")
   }
 
+  test("s38 nprobe sweep: ≡ Scala recomputation from the pinned " +
+       "centroids; recall monotone in nprobe; exhaustive probe exact") {
+    val (nq, k) = (5, 3)
+    val cents = graft.operators.Pinned.ivfCentroids
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def norm(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s); v.map(_ / n)
+    }
+    val sv = emb.map { case (id, v) => id -> norm(v) }.toMap
+    def dotc(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val ids = emb.map(_._1)
+    val cell: Map[Long, Int] = ids.map { id =>
+      val d = cents.map(c => dotc(sv(id), c))
+      id -> d.indexOf(d.max) // first-max tie, the s05 assignment rule
+    }.toMap
+    val qids = ids.filter(_ < nq).sorted
+    val cellRank: Map[Long, Seq[Int]] = qids.map { q =>
+      q -> cents.indices
+        .sortBy(i => (-dotc(sv(q), cents(i)), i)).toSeq
+    }.toMap
+    val truth: Map[Long, Set[Long]] = qids.map { q =>
+      q -> ids.filter(_ != q)
+        .map(id => (id, r6(dotc(sv(q), sv(id)))))
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+    }.toMap
+    val expected = Similarity.S38Probes.map { p =>
+      val hits = qids.map { q =>
+        val probed = cellRank(q).take(p).toSet
+        val topk = ids.filter(id => id != q && probed(cell(id)))
+          .map(id => (id, r6(dotc(sv(q), sv(id)))))
+          .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+        (topk & truth(q)).size.toLong
+      }.sum
+      (p, hits, (nq * k).toLong,
+        math.floor(hits * 1000.0 / (nq * k) + 0.5).toLong)
+    }
+    val got = Similarity.annNprobeEval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2, s"recall fell with nprobe: $a -> $b")
+    case _ => () }
+    // probing every cell IS the exhaustive scan — recall 1000 exactly
+    assert(got.last._1 == cents.length && got.last._4 == 1000L,
+      s"exhaustive probe not exact: ${got.last}")
+    // the sweep is non-vacuous: nprobe=1 must MISS something on this
+    // corpus (else the curve teaches nothing about the dial)
+    assert(got.head._4 < 1000L,
+      "nprobe=1 already exact - fixture cannot exercise the trade")
+  }
+
   test("s36 MaxSim rerank: ≡ Scala late-interaction recomputation; " +
        "shortlist-deepening is rank-wise monotone; interaction non-vacuous") {
     val (nq, k) = (5, 3)
