@@ -72,6 +72,16 @@ object GraftExtensions {
       require(children.length == 1, "graft_minhash_bands(hashes) takes 1 argument")
       scalaUdfOf(Hashing.minhashBandKeysUdf, children)
     },
+    // the 64 per-permutation minima alone (d19's shared half)
+    "graft_minhash_mins" -> { children =>
+      require(children.length == 1, "graft_minhash_mins(hashes) takes 1 argument")
+      scalaUdfOf(Hashing.minhashMinimaUdf, children)
+    },
+    // fold minima into band keys at a parametric geometry
+    "graft_band_keys" -> { children =>
+      require(children.length == 2, "graft_band_keys(mins, bands) takes 2 arguments")
+      scalaUdfOf(Hashing.bandKeysAtUdf, children)
+    },
     // 64-bit SimHash signature over shingle hashes (bigint)
     "graft_simhash" -> { children =>
       require(children.length == 1, "graft_simhash(hashes) takes 1 argument")

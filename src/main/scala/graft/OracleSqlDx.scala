@@ -400,12 +400,13 @@ object OracleSqlDx {
     *    the d03 string-shingle brute force at
     *    [[graft.operators.Dedup.D16MinJaccard]]; binned recall tail.
     */
-  private[graft] lazy val d16OracleSql: String = {
+  /** Shared 64-permutation minhash-minima CTE chain (toks -> sh_pos ->
+    * shr -> perm -> mins -> minsu) — the expensive half of the d16 AND
+    * d19 replays, extracted so the two oracles cannot drift. Emits
+    * `minsu(doc_id, m0..m63)`. Callers open `WITH `. */
+  private lazy val minhashMinimaCtes: String = {
     val hash = graft.functions.Hashing
     val nPerm = hash.NumPerm
-    val bands = hash.Bands
-    val rpb = hash.RowsPerBand
-    val minJ = graft.operators.Dedup.D16MinJaccard
     def u(v: Long) = java.lang.Long.toUnsignedString(v) + "::HUGEINT"
     val permChains = (0 until nPerm).map { i =>
       splitmixChainSql(i.toString, "shingle", u(hash.permSeed(i)))
@@ -418,19 +419,7 @@ object OracleSqlDx {
       s"""CASE WHEN sm$i < 0 THEN sm$i + 18446744073709551616::HUGEINT
              ELSE sm$i END AS m$i"""
     }.mkString(",\n             ")
-    val mAll = (0 until nPerm).map(i => s"m$i").mkString(", ")
-    def bandLayer(r: Int): String = {
-      val chains = (0 until bands).map { b =>
-        val prev = if (r == 0) u(hash.bandInit(b)) else s"ab${b}r${r - 1}"
-        splitmixChainSql(s"b${b}r$r", prev, s"m${b * rpb + r}")
-      }.mkString(",\n             ")
-      s"""SELECT doc_id, $mAll,
-             $chains
-           FROM ${if (r == 0) "minsu" else s"bnd${r - 1}"}"""
-    }
-    val keyList = (0 until bands).map(b => s"ab${b}r${rpb - 1}")
-      .mkString("[", ", ", "]")
-    s"""WITH toks AS (
+    s"""toks AS (
            SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
              tk -> list_reduce(
                list_prepend(14695981039346656037::HUGEINT,
@@ -457,19 +446,108 @@ object OracleSqlDx {
            SELECT doc_id,
              $minCols
            FROM perm GROUP BY doc_id
-         ), minsu AS (
+         ), minsu AS MATERIALIZED (
            SELECT doc_id,
              $unsignedCols
            FROM mins
-         ), bnd0 AS (${bandLayer(0)}
-         ), bnd1 AS (${bandLayer(1)}
-         ), bnd2 AS (${bandLayer(2)}
-         ), bnd3 AS (${bandLayer(3)}
-         ), keys AS (
+         )"""
+  }
+
+  /** Parametric band-key CTE chain over `minsu` at `bandsN` bands
+    * (rows = 64/bandsN), CTEs suffixed `sfx` — emits
+    * `keys$sfx(doc_id, band, key)`. bandsN=16, sfx="" reproduces the
+    * d16 layers exactly (same bandInit inits, same per-row splitmix
+    * chains). */
+  private def bandKeyCtes(bandsN: Int, sfx: String): String = {
+    val hash = graft.functions.Hashing
+    val nPerm = hash.NumPerm
+    require(nPerm % bandsN == 0, s"bands=$bandsN must divide $nPerm")
+    val rpb = nPerm / bandsN
+    def u(v: Long) = java.lang.Long.toUnsignedString(v) + "::HUGEINT"
+    val mAll = (0 until nPerm).map(i => s"m$i").mkString(", ")
+    def bandLayer(r: Int): String = {
+      val chains = (0 until bandsN).map { b =>
+        val prev = if (r == 0) u(hash.bandInit(b)) else s"ab${b}r${r - 1}"
+        splitmixChainSql(s"b${b}r$r", prev, s"m${b * rpb + r}")
+      }.mkString(",\n             ")
+      s"""SELECT doc_id, $mAll,
+             $chains
+           FROM ${if (r == 0) "minsu" else s"bnd$sfx${r - 1}"}"""
+    }
+    val layers = (0 until rpb)
+      .map(r => s"bnd$sfx$r AS (${bandLayer(r)})").mkString(",\n         ")
+    val keyList = (0 until bandsN).map(b => s"ab${b}r${rpb - 1}")
+      .mkString("[", ", ", "]")
+    s"""$layers,
+         keys$sfx AS MATERIALIZED (
            SELECT doc_id, CAST(bb.b AS INT) AS band,
              ($keyList)[CAST(bb.b AS INT) + 1] AS key
-           FROM bnd3 CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb
-         ), cand AS (
+           FROM bnd$sfx${rpb - 1}
+           CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b) bb
+         )"""
+  }
+
+  /** d19 replay — the shared minima chain, one parametric band-key
+    * fold per geometry in [[graft.operators.Dedup.D19Bands]],
+    * candidates per geometry from the (band, key) self-joins, and the
+    * d16-contract string-shingle truth at
+    * [[graft.operators.Dedup.D19Tau]]. */
+  private[graft] lazy val d19OracleSql: String = {
+    val tau = graft.operators.Dedup.D19Tau
+    val geoms = graft.operators.Dedup.D19Bands
+    val geomCtes = geoms.map(b => bandKeyCtes(b, s"_g$b"))
+      .mkString(",\n         ")
+    val candCtes = geoms.map { b =>
+      s"""cand_g$b AS MATERIALIZED (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM keys_g$b x JOIN keys_g$b y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+    }.mkString(",\n         ")
+    val arms = geoms.map { b =>
+      s"""SELECT $b AS bands, ${64 / b} AS rows_per_band,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_g$b) AS n_candidates,
+             (SELECT n_truth FROM tcount) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM cand_g$b c JOIN truth t
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_caught"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH $minhashMinimaCtes,
+         $geomCtes,
+         $candCtes,
+         stoks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents
+         ), ssh AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+             for i in range(1, len(tk)-1)]) AS shingles
+           FROM stoks WHERE len(tk) >= 3
+         ), truth AS MATERIALIZED (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS uni
+             FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id)
+           WHERE round(inter * 1.0 / uni, 4) >= $tau
+         ), tcount AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+         SELECT bands, rows_per_band, n_candidates, n_truth, n_caught,
+           CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(n_caught * 1000.0 / n_truth + 0.5) AS BIGINT)
+           END AS recall_milli,
+           CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(n_caught * 1000.0 / n_candidates + 0.5)
+                  AS BIGINT)
+           END AS precision_milli
+         FROM (
+           $arms)
+         ORDER BY bands"""
+  }
+
+  private[graft] lazy val d16OracleSql: String = {
+    val minJ = graft.operators.Dedup.D16MinJaccard
+    s"""WITH $minhashMinimaCtes,
+         ${bandKeyCtes(graft.functions.Hashing.Bands, "")},
+         cand AS (
            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM keys x JOIN keys y
              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
@@ -596,6 +674,7 @@ object OracleSqlDx {
   private[graft] val oracles: Map[String, String] = Map(
     "x20_mixture_waterfill" -> x20OracleSql,
     "x23_token_budget_mix" -> x23OracleSql,
+    "d19_band_plan" -> d19OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
     "d16_lsh_scurve" -> d16OracleSql,

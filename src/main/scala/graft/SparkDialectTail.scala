@@ -1338,6 +1338,61 @@ object SparkDialectTail {
        ORDER BY bin"""
   }
 
+  /** d19 Spark-dialect replay — the parametric band-fold kernel faces
+    * (`graft_minhash_mins` + `graft_band_keys`, the SAME JVM fold the
+    * engine runs) per geometry, candidates from the (band, key)
+    * self-joins, d16's string-shingle truth at D19Tau. */
+  private lazy val d19Sql: String = {
+    val tau = graft.operators.Dedup.D19Tau
+    val geoms = graft.operators.Dedup.D19Bands
+    val geomCtes = geoms.map { b =>
+      s"""banded_g$b AS (
+         SELECT doc_id, band, key FROM (
+           SELECT doc_id, graft_band_keys(mins, $b) AS bands FROM minsd)
+         LATERAL VIEW posexplode(bands) t AS band, key),
+       cand_g$b AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM banded_g$b x JOIN banded_g$b y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+    }.mkString(",\n       ")
+    val arms = geoms.map { b =>
+      s"""SELECT $b AS bands, ${64 / b} AS rows_per_band,
+             (SELECT CAST(count(1) AS BIGINT) FROM cand_g$b) AS n_candidates,
+             (SELECT n_truth FROM tcount) AS n_truth,
+             (SELECT CAST(count(1) AS BIGINT)
+              FROM cand_g$b c JOIN truth t
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_caught"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH $docsCte,
+       minsd AS (SELECT doc_id, graft_minhash_mins(sh) AS mins FROM docs),
+       $geomCtes,
+       ex AS (SELECT doc_id, size(sh) AS n, explode(sh) AS shingle FROM docs),
+       ix AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+           count(*) AS inter
+         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+       truth AS (
+         SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE),
+               4) AS jaccard
+           FROM ix)
+         WHERE jaccard >= $tau),
+       tcount AS (SELECT CAST(count(1) AS BIGINT) AS n_truth FROM truth)
+       SELECT bands, rows_per_band, n_candidates, n_truth, n_caught,
+         CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(n_caught * 1000.0 / n_truth + 0.5) AS BIGINT)
+         END AS recall_milli,
+         CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(n_caught * 1000.0 / n_candidates + 0.5)
+                AS BIGINT)
+         END AS precision_milli
+       FROM (
+         $arms)
+       ORDER BY bands"""
+  }
+
   /** s29 Spark-dialect replay — the s04 bucket kernel reduced to cell
     * occupancies; log₂ bin via `length(bin(c)) − 1` (exact integer on
     * both engines). */
@@ -1876,6 +1931,7 @@ object SparkDialectTail {
     "v05_vocab_divergence" -> v05Sql,
     "t31_memorization" -> t31Sql,
     "d16_lsh_scurve" -> d16Sql,
+    "d19_band_plan" -> d19Sql,
     "d14_dup_spans" -> d14Sql,
     "t30_kneser_ney" -> t30Sql,
     "s27_matryoshka_eval" -> s27Sql,

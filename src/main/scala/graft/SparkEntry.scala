@@ -232,6 +232,7 @@ object SparkEntry {
     "x23_token_budget_mix" -> ((s, dir) =>
       Sampling.tokenBudgetMixture(s, dir)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
+    "d19_band_plan"       -> ((s, dir) => Dedup.bandPlanEval(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

@@ -996,6 +996,82 @@ object Dedup {
       .orderBy("bin")
   }
 
+  /** d19's swept band geometries (band counts over the 64-permutation
+    * sketch; rows = 64/bands) — single-sourced into the generated
+    * replays. More bands × fewer rows moves the S-curve knee
+    * (1/b)^(1/r) LEFT: higher recall at the threshold, more candidate
+    * pairs to verify. */
+  val D19Bands: Seq[Int] = Seq(8, 16, 32)
+
+  /** d19's operating threshold — the d02 dedup τ: the planner grades
+    * geometries at the threshold the dedup RUNS at, not d16's curve
+    * floor. Single-sourced into the replays. */
+  val D19Tau: Double = 0.7
+
+  /** d19: band-geometry plan eval — the dial a 100 TB dedup run reads
+    * BEFORE committing its LSH banding: for each (bands, rows) split
+    * of the 64-permutation minhash, the MEASURED candidate volume
+    * (the cost side: every candidate pair is an exact-Jaccard
+    * verification at scale) and the measured recall/precision against
+    * the exact-Jaccard truth at the d16 threshold. d16 measures ONE
+    * geometry's recall curve across similarity bins; this sweeps the
+    * geometry at the operating threshold — together they are the
+    * banding design sheet.
+    *
+    * Scale shape: the 64 minima are computed ONCE per document (the
+    * expensive kernel half — [[graft.functions.Hashing.minhashMinima]])
+    * and checkpointed; each geometry re-folds the minima into band
+    * keys (a per-row O(64) fold) and candidates come from (band, key)
+    * equi-joins — never a pair product. The truth side is the
+    * documented d03/d16-contract quadratic, run on samples at real
+    * scale; the geometry arms themselves are corpus-linear. Report is
+    * |D19Bands| rows of exact integers. */
+  def bandPlanEval(s: SparkSession, dir: String): DataFrame =
+    bandPlanEval(t(s, dir, "documents"), "doc_id", "text")
+
+  def bandPlanEval(docs: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double = D19Tau): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol)
+      .withColumn("mins", Hashing.minhashMins(col("sh")))
+      .localCheckpoint() // minima once; every geometry + truth reads it
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val truth = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // one truth computation for all arms
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val milli = (num: Column, den: Column) =>
+      when(den === 0L, 0L)
+        .otherwise(floor(num * 1000.0 / den + 0.5).cast("long"))
+    D19Bands.map { b =>
+      val banded = sh.select(col("doc_id"),
+        posexplode(Hashing.bandKeys(col("mins"), b)).as(Seq("band", "key")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint() // candidate count + caught count
+      cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_caught")))
+        .crossJoin(nTruth)
+        .select(lit(b).as("bands"), lit(64 / b).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_caught"),
+          milli(col("n_caught"), col("n_truth")).as("recall_milli"),
+          milli(col("n_caught"), col("n_candidates")).as("precision_milli"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
   /** d18's swept thresholds — single-sourced into the oracle (deci
     * units so the report key is an exact integer). */
   val D18Taus: Seq[Double] = Seq(0.5, 0.7, 0.9)

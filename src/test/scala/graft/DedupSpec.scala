@@ -465,4 +465,76 @@ class DedupSpec extends SparkSuite {
     assert(caughtHigh == d02Pairs,
       s"S-curve high-bin caught $caughtHigh != d02's $d02Pairs pairs")
   }
+
+  test("d19 band kernels: geometry 16 reproduces the registered 16x4 " +
+       "band keys exactly; minima shared across geometries") {
+    import graft.functions.Hashing
+    val hashes = Seq("alpha beta gamma delta epsilon", "x y z w")
+      .map(t => Hashing.shingleHashes(t, 3).toSeq)
+    hashes.foreach { h =>
+      val mins = Hashing.minhashMinima(h)
+      assert(Hashing.bandKeysAt(mins.toSeq, 16).toSeq ==
+        Hashing.minhashBandKeys(h).toSeq,
+        "16-band fold must equal the registered kernel")
+      // every geometry folds the SAME minima (the shared-pass design)
+      Seq(8, 32).foreach { b =>
+        assert(Hashing.bandKeysAt(mins.toSeq, b).length == b)
+      }
+    }
+  }
+
+  test("d19 band plan: ≡ Scala recomputation; candidate sets nest with " +
+       "band count (finer bands can only add candidates); report monotone") {
+    import graft.functions.Hashing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.map { case (id, t) => id -> Hashing.shingleHashes(t, 3).toSeq }
+      .filter(_._2.nonEmpty)
+    val mins = sh.map { case (id, h) => id -> Hashing.minhashMinima(h) }.toMap
+    def candidates(b: Int): Set[(Long, Long)] = {
+      val keyed = mins.toSeq.flatMap { case (id, m) =>
+        Hashing.bandKeysAt(m.toSeq, b).zipWithIndex.map { case (k, band) =>
+          (band, k) -> id
+        }
+      }.groupBy(_._1).values
+      keyed.flatMap { grp =>
+        val ids = grp.map(_._2).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    }
+    val shSets = sh.map { case (id, h) => id -> h.toSet }.toMap
+    def r4(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val ids = sh.map(_._1).sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- ((i + 1) until ids.length).iterator
+      a = shSets(ids(i)); b = shSets(ids(j))
+      inter = (a & b).size if inter > 0
+      jac = r4(inter.toDouble / (a.size + b.size - inter))
+      if jac >= Dedup.D19Tau
+    } yield (ids(i), ids(j))).toSet
+    def milli(n: Long, d: Long): Long =
+      if (d == 0) 0L else math.floor(n * 1000.0 / d + 0.5).toLong
+    val expected = Dedup.D19Bands.map { b =>
+      val c = candidates(b)
+      val caught = (c & truth).size.toLong
+      (b, 64 / b, c.size.toLong, truth.size.toLong, caught,
+        milli(caught, truth.size.toLong), milli(caught, c.size.toLong))
+    }
+    val got = Dedup.bandPlanEval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // nesting law: a (b, r) band collision implies every finer split of
+    // the same minima collides too -> candidate sets nest upward
+    assert(candidates(8).subsetOf(candidates(16)) &&
+      candidates(16).subsetOf(candidates(32)),
+      "candidate sets must nest with band count")
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3 && a._5 <= b._5,
+        s"candidates/caught fell as bands grew: $a -> $b")
+    case _ => () }
+  }
 }

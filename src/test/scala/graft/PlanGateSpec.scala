@@ -607,6 +607,24 @@ class PlanGateSpec extends SparkSuite {
     noProducts(plan, "v08")
   }
 
+  test("d19 band plan: every geometry's candidates are (band,key) " +
+       "equi-joins over the shared minima — no pair product") {
+    import graft.functions.Hashing
+    // the un-checkpointed candidate stream at the FINEST geometry (the
+    // registered query materializes the minima once and re-folds)
+    val sh = graft.operators.Dedup.docShingles(
+        Tables.t(spark, sf, "documents"), "doc_id", "text")
+      .withColumn("mins", Hashing.minhashMins(col("sh")))
+    val banded = sh.select(col("doc_id"),
+      posexplode(Hashing.bandKeys(col("mins"), 32)).as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    noProducts(finalPlan(cand), "d19")
+  }
+
   test("s38 nprobe sweep: both streams map-side heaps with the query " +
        "table broadcast — arms are filters, never re-scans") {
     // the two corpus streams (scored-at-full-width, exhaustive truth)
