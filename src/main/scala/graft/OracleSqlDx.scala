@@ -129,16 +129,20 @@ object OracleSqlDx {
     * pinned model the engine broadcasts), then [[waterfillTailSql]]
     * verbatim — the oracle can neither tokenize with a different
     * model nor allocate with a different level problem. */
-  private[graft] lazy val x23OracleSql: String = {
+  /** The x23 availability chain (token explode → Viterbi fertility →
+    * per-source model-token mass → waterfill), parameterized on the
+    * docs relation so x24 can run it verbatim over the DECONTAMINATED
+    * train split — the two allocations share every scalar op. */
+  private[graft] def x23ChainSql(docsRel: String): String = {
     val T = graft.operators.TextOps
     val unk = s"CAST(${T.T29UnkScore} AS DOUBLE)"
     val vals = T.pinnedUnigram
       .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
     val frac = graft.operators.Sampling.X20BudgetFrac
-    s"""WITH tok AS MATERIALIZED (
+    s"""tok AS MATERIALIZED (
            SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+'))
              AS w
-           FROM documents
+           FROM $docsRel
          ), words AS MATERIALIZED (
            SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
          ), guard AS MATERIALIZED (
@@ -159,6 +163,27 @@ object OracleSqlDx {
            GROUP BY source
          ), ${waterfillTailSql(frac)}"""
   }
+
+  private[graft] lazy val x23OracleSql: String =
+    s"WITH ${x23ChainSql("documents")}"
+
+  /** x24 replay — x05's flagged set VERBATIM as a CTE (the v10
+    * composition discipline), the md5-prefix train filter, a left-anti
+    * survivors frame, then the SAME [[x23ChainSql]] over it — the
+    * oracle can neither flag with a different lens nor budget with a
+    * different tokenizer/level problem than the members'. */
+  private[graft] lazy val x24OracleSql: String =
+    s"""WITH x05r AS MATERIALIZED (
+           $x05OracleSql
+         ), sp AS (
+           SELECT doc_id, source, text,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+           FROM documents
+         ), clean AS MATERIALIZED (
+           SELECT s.doc_id, s.source, s.text FROM sp s
+           LEFT JOIN x05r f ON f.doc_id = s.doc_id
+           WHERE s.bucket >= '1a' AND f.doc_id IS NULL
+         ), ${x23ChainSql("clean")}"""
 
 
   /** x21 replay — the x17 content-fingerprint spelling pushed through
@@ -674,6 +699,7 @@ object OracleSqlDx {
   private[graft] val oracles: Map[String, String] = Map(
     "x20_mixture_waterfill" -> x20OracleSql,
     "x23_token_budget_mix" -> x23OracleSql,
+    "x24_decontaminated_budget" -> x24OracleSql,
     "d19_band_plan" -> d19OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
@@ -1198,16 +1224,16 @@ object OracleSqlDx {
   /** x23 Spark-dialect form: the t29 `graft_unigram_segment_unk`
     * kernel face for the per-word fertility, then the SAME portable
     * [[waterfillTailSql]] the DuckDB replay appends. */
-  private[graft] lazy val x23SparkSql: String = {
+  private[graft] def x23SparkChainSql(docsRel: String): String = {
     val T = graft.operators.TextOps
     val pcs = T.pinnedUnigramPieces
       .map(p => s"'$p'").mkString("array(", ", ", ")")
     val cts = T.pinnedUnigram
       .map(_._2.toString + "L").mkString("array(", ", ", ")")
     val frac = graft.operators.Sampling.X20BudgetFrac
-    s"""WITH tok AS (
+    s"""tok AS (
            SELECT source, explode(split(trim(text), '\\\\s+')) AS w
-           FROM documents
+           FROM $docsRel
          ), v AS (
            SELECT w,
              CAST(size(graft_unigram_segment_unk(w, $pcs,
@@ -1221,8 +1247,28 @@ object OracleSqlDx {
          ), ${waterfillTailSql(frac)}"""
   }
 
+  private[graft] lazy val x23SparkSql: String =
+    s"WITH ${x23SparkChainSql("documents")}"
+
+  /** x24 Spark-dialect form — the same member composition as the
+    * DuckDB replay, in the Spark spellings (md5 CAST AS STRING, the
+    * graft_shingles-backed x05 form). */
+  private[graft] lazy val x24SparkSql: String =
+    s"""WITH x05r AS (
+           $x05SparkSql
+         ), sp AS (
+           SELECT doc_id, source, text,
+             substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket
+           FROM documents
+         ), clean AS (
+           SELECT s.doc_id, s.source, s.text FROM sp s
+           LEFT JOIN x05r f ON f.doc_id = s.doc_id
+           WHERE s.bucket >= '1a' AND f.doc_id IS NULL
+         ), ${x23SparkChainSql("clean")}"""
+
   private[graft] val spark: Map[String, String] = Map(
     "x23_token_budget_mix" -> x23SparkSql,
+    "x24_decontaminated_budget" -> x24SparkSql,
     "x01_split_counts" ->
       """SELECT lang,
            CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'

@@ -445,6 +445,78 @@ object OracleSqlMv {
          ),""",
     "WHERE (SELECT ok FROM guard) = 1")
 
+  /** m13 DuckDB replay — the m02 frame generator, each frame's
+    * [[graft.operators.Multimodal.M13Window]]-byte window sliced out
+    * of the hex payload (byte p = hex chars 2p+1..2p+2, so the window
+    * slice is exact BYTE semantics, ASCII or not), the m07
+    * replace-and-count high-nibble histogram, one lag window, an
+    * integer L1 — threshold interpolated from the engine constant. */
+  private[graft] lazy val m13OracleSql: String = {
+    val M = graft.operators.Multimodal
+    val l1 = """CAST(list_sum(list_transform(range(1, 17),
+             i -> abs(h[CAST(i AS INT)] - p[CAST(i AS INT)]))) AS BIGINT)"""
+    s"""WITH v AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             CAST(n_chars * 10 AS BIGINT) AS dur
+           FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0
+         ), fr AS (
+           SELECT media_id, hx, unnest(range(0, dur, 500)) AS off
+           FROM v
+         ), win AS (
+           SELECT media_id, CAST(off // 500 AS BIGINT) AS frame_idx,
+             regexp_replace(substring(hx, CAST(2*(off // 10) + 1 AS INT),
+               ${2 * M.M13Window}), '(.).', '\\1', 'g') AS hn
+           FROM fr
+         ), hist AS (
+           SELECT media_id, frame_idx,
+             [CAST(length(hn) - length(replace(hn, c, '')) AS BIGINT)
+              for c in ['0','1','2','3','4','5','6','7',
+                        '8','9','A','B','C','D','E','F']] AS h
+           FROM win
+         ), lagged AS (
+           SELECT media_id, frame_idx, h,
+             lag(h) OVER (PARTITION BY media_id ORDER BY frame_idx) AS p
+           FROM hist)
+         SELECT media_id, frame_idx,
+           $l1 AS delta,
+           $l1 > ${M.M13CutDelta} AS is_cut
+         FROM lagged WHERE p IS NOT NULL
+         ORDER BY media_id, frame_idx"""
+  }
+
+  /** m13 Spark-dialect form — the engine's own kernel face:
+    * graft_nibble_hist over the binary substring, 16 unrolled abs
+    * terms (the engine's projection, spelled in SQL). */
+  private[graft] lazy val m13SparkSql: String = {
+    val M = graft.operators.Multimodal
+    val l1 = (1 to 16)
+      .map(i => s"abs(element_at(h, $i) - element_at(p, $i))")
+      .mkString(" + ")
+    s"""WITH v AS (
+           SELECT doc_id AS media_id, CAST(text AS BINARY) AS payload,
+             CAST(n_chars * 10 AS BIGINT) AS dur
+           FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0
+         ), fr AS (
+           SELECT media_id, payload,
+             explode(sequence(CAST(0 AS BIGINT), dur - 1,
+               CAST(500 AS BIGINT))) AS off
+           FROM v
+         ), win AS (
+           SELECT media_id, CAST(off / 500 AS BIGINT) AS frame_idx,
+             graft_nibble_hist(substring(payload,
+               CAST(off / 10 AS INT) + 1, ${M.M13Window})) AS h
+           FROM fr
+         ), lagged AS (
+           SELECT media_id, frame_idx, h,
+             lag(h) OVER (PARTITION BY media_id ORDER BY frame_idx) AS p
+           FROM win)
+         SELECT media_id, frame_idx,
+           ($l1) AS delta,
+           ($l1) > ${M.M13CutDelta} AS is_cut
+         FROM lagged WHERE p IS NOT NULL
+         ORDER BY media_id, frame_idx"""
+  }
+
   /** m08 DuckDB replay — the m04 hex-nibble trick per payload (high
     * nibble of byte i = hex char 2i−1), 16 quantized levels
     * (`8·count // n`, exact integer division both engines) joined to
@@ -665,6 +737,7 @@ object OracleSqlMv {
          ORDER BY media_id, frame_idx""",
     "m08_media_dup_clusters" -> m08OracleSql,
     "m09_cdc_chunks" -> m09OracleSql,
+    "m13_scene_cuts" -> m13OracleSql,
     "m04_byte_histogram" ->
       // UTF-8 BYTE semantics, not characters: hex(encode(text)) renders
       // each payload byte as 2 hex digits, so the high nibble of byte i
@@ -746,6 +819,7 @@ object OracleSqlMv {
     "v10_contamination_report" -> v10SparkSql,
     "v09_tokenizer_drift" -> v09SparkSql,
     "m09_cdc_chunks" -> m09SparkSqlText,
+    "m13_scene_cuts" -> m13SparkSql,
     "m01_media_stats" ->
       """SELECT doc_id AS media_id,
            element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS kind,

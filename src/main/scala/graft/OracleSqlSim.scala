@@ -385,6 +385,32 @@ object OracleSqlSim {
   }
 
 
+  /** s37 replay — the shared integer-grid bucket CTE, the segment
+    * (S37InsertMod) and tombstone (S28TombMod) predicates
+    * interpolated from the engine constants, ONE grouped count per
+    * bucket — the oracle cannot tag a segment the engine doesn't. */
+  private[graft] lazy val s37OracleSql: String = {
+    val im = Similarity.S37InsertMod; val ir = Similarity.S37InsertResidue
+    val tm = Similarity.S28TombMod; val tr = Similarity.S28TombResidue
+    s"""WITH ${lshBucketsCte(nTables = 1, nPlanes = 4)},
+         seg AS (
+           SELECT bucket,
+             vec_id % $im = $ir AS is_insert,
+             vec_id % $tm = $tr AS is_dead
+           FROM buckets)
+         SELECT bucket,
+           CAST(sum(CASE WHEN NOT is_insert THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(sum(CASE WHEN is_insert THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserts,
+           CAST(sum(CASE WHEN is_dead THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead,
+           CAST(sum(CASE WHEN NOT is_dead THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live
+         FROM seg GROUP BY bucket ORDER BY bucket"""
+  }
+
+
   /** s28 replay — [[s04OracleSql]] with the serve-time tombstone
     * predicate on the CANDIDATE side of the bucket join (queries stay
     * external); modulus/residue interpolate from
@@ -1175,6 +1201,7 @@ object OracleSqlSim {
     "s20_ann_graph_insert_recip" -> s20OracleSql,
     "s03c_lsh_pairs_capped" -> s03cOracleSql,
     "s04_ann_ivf" -> s04OracleSql,
+    "s37_index_compaction" -> s37OracleSql,
     "s27_matryoshka_eval" -> s27OracleSql,
     "s28_ann_tombstones" -> s28OracleSql,
     "s29_ann_index_stats" -> s29OracleSql,

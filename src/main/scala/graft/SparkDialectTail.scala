@@ -471,6 +471,29 @@ object SparkDialectTail {
            WHERE q.vec_id < 5)
          $rankTail"""
 
+  /** s37 Spark-dialect replay — the bucket CTE tagged with the
+    * engine's segment/tombstone residues, one grouped count. */
+  private lazy val s37Sql: String = {
+    val S = graft.operators.Similarity
+    s"""WITH $embCte,
+         ${bucketsCte(nTables = 1, nPlanes = 4)},
+         seg AS (
+           SELECT bucket,
+             vec_id % ${S.S37InsertMod} = ${S.S37InsertResidue} AS is_insert,
+             vec_id % ${S.S28TombMod} = ${S.S28TombResidue} AS is_dead
+           FROM buckets)
+         SELECT bucket,
+           CAST(sum(CASE WHEN NOT is_insert THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(sum(CASE WHEN is_insert THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserts,
+           CAST(sum(CASE WHEN is_dead THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead,
+           CAST(sum(CASE WHEN NOT is_dead THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live
+         FROM seg GROUP BY bucket ORDER BY bucket"""
+  }
+
   /** s33 Spark-dialect replay — s04's form with the label equality
     * folded into the candidate join. */
   private lazy val s33Sql: String =
@@ -1959,6 +1982,7 @@ object SparkDialectTail {
     "s03_lsh_pairs" -> s03Sql,
     "s03c_lsh_pairs_capped" -> s03cSql,
     "s04_ann_ivf" -> s04Sql,
+    "s37_index_compaction" -> s37Sql,
     "s05_ann_kmeans_ivf" -> s05Sql,
     "s09_ann_pq" -> s09Sql,
     "s10_ann_ivfpq" -> s10Sql,

@@ -145,6 +145,7 @@ object SparkEntry {
     "m10_aspect_buckets"  -> Multimodal.aspectBuckets,
     "m11_batch_manifest"  -> ((s, dir) => Multimodal.batchManifest(s, dir)),
     "m12_incremental_media" -> ((s, dir) => Multimodal.incrementalMediaDedup(s, dir)),
+    "m13_scene_cuts"      -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
     "x21_family_split"    -> Sampling.familySplit,
     "x22_pack_efficiency" -> ((s, dir) => Sampling.packEfficiency(s, dir)),
     "v05_vocab_divergence" -> ((s, dir) => Checks.vocabDivergence(s, dir)),
@@ -231,7 +232,10 @@ object SparkEntry {
     "s36_maxsim_rerank"   -> ((s, dir) => Similarity.maxSimRerank(s, dir)),
     "x23_token_budget_mix" -> ((s, dir) =>
       Sampling.tokenBudgetMixture(s, dir)),
+    "x24_decontaminated_budget" -> ((s, dir) =>
+      Sampling.decontaminatedTokenBudget(s, dir)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
+    "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
     "d19_band_plan"       -> ((s, dir) => Dedup.bandPlanEval(s, dir)),
   )
 

@@ -331,6 +331,62 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m13 scene-cut constants — single-sourced into both dialect
+    * replays. Window = bytes per frame signature; CutDelta = the L1
+    * histogram-distance threshold (range [0, 2·Window]) above which a
+    * frame starts a new scene. */
+  val M13Window: Int = 64
+  val M13CutDelta: Long = 24L
+
+  /** m13: scene-cut detection over sampled video frames — the shot
+    * segmentation a video-training pipeline runs before captioning or
+    * keyframe extraction: sample a frame every `stepMs` (m02's
+    * generator), compute each frame's content signature, and mark a
+    * cut wherever consecutive signatures' L1 distance exceeds
+    * [[M13CutDelta]] (the classic histogram-difference shot-boundary
+    * detector, Zhang/Kankanhalli/Smoliar, Multimedia Systems 1993).
+    * The DECODE STUB stands in for "decode frame at t → pixel
+    * histogram": the signature is the codegen'd 16-bin nibble
+    * histogram of the [[M13Window]] payload bytes at the frame's byte
+    * offset (durationMs maps 10 ms → 1 byte in the synthetic media
+    * table, so the offset arithmetic is exact); swap a real
+    * frame-decode kernel in and ONLY the signature expression moves —
+    * the explode, the lag, the threshold, and every plan shape stay.
+    *
+    * At 100 TB: signatures are computed IN THE SCAN STAGE (explode +
+    * slice + histogram in one whole-stage-codegen span — payloads
+    * never shuffle); the per-video lag window shuffles only
+    * (media_id, frame_idx, 16 longs) ≈ 150 bytes/frame, and videos
+    * are independent partitions of the window key. Integer-exact end
+    * to end: byte counts, one subtraction chain — oracle-exact in
+    * both dialects. */
+  def sceneCuts(s: SparkSession, dir: String, stepMs: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.nibbleHistogram
+    val fr = media(s, dir).toDF()
+      .filter(col("kind") === "video" && col("meta.durationMs") > 0)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), col("meta.durationMs").cast("bigint") - 1,
+          lit(stepMs.toLong))).as("off_ms"))
+      .select(col("media_id"),
+        (col("off_ms") / stepMs).cast("bigint").as("frame_idx"),
+        nibbleHistogram(col("payload").substr(
+          (col("off_ms") / 10).cast("int") + lit(1), lit(M13Window)))
+          .as("h"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val lagged = fr.withColumn("p", lag(col("h"), 1).over(w))
+      .filter(col("p").isNotNull)
+    // 16 unrolled |h_i − p_i| terms — plain codegen'd projections
+    // (the HOF zip_with/aggregate pair is CodegenFallback; 16 fixed
+    // bins don't need it)
+    val delta = (0 until 16).map(i =>
+      abs(element_at(col("h"), i + 1) - element_at(col("p"), i + 1)))
+      .reduce(_ + _)
+    lagged.select(col("media_id"), col("frame_idx"), delta.as("delta"))
+      .withColumn("is_cut", col("delta") > M13CutDelta)
+      .orderBy("media_id", "frame_idx")
+  }
+
   def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
     val levels = (0 until 16).map { i =>
       expr(s"(8 * element_at(h, ${i + 1})) div n").cast("string")

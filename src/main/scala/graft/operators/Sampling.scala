@@ -666,6 +666,42 @@ object Sampling {
     mixtureWaterfill(TextOps.modelTokenMass(docs, stratumCol, textCol),
       stratumCol, col("model_tokens"), budgetFrac)
 
+  /** x24: contamination-aware token budgets — x23's MODEL-token
+    * waterfill run over the train split AFTER exact decontamination
+    * against the test-split benchmark (x05's lens, the v10 scenario).
+    * A data plan that budgets tokens it is about to delete allocates
+    * the wrong mixture — exactly the sources whose contamination rate
+    * diverges get over-allocated, and the waterfill level λ* itself
+    * shifts; the release-gate order is decontaminate FIRST, then
+    * budget what survives. Flagged = ANY x05 shingle overlap
+    * (n_contaminated > 0 — the conservative release rule; a
+    * threshold is a one-line relaxation).
+    *
+    * Scale shape: one shingle kernel pass over the split corpus (the
+    * x05 cost, shingle-keyed — no train×test doc product), the
+    * flagged set is doc-id-sized and BROADCAST into a left-anti, then
+    * x23's one-explode availability pass over the survivors and the
+    * n_sources-row level problem. Output contract is x23's verbatim. */
+  def decontaminatedTokenBudget(s: SparkSession, dir: String,
+                                budgetFrac: Double = X20BudgetFrac): DataFrame =
+    decontaminatedTokenBudget(t(s, dir, "documents"), "doc_id",
+      "source", "text", budgetFrac)
+
+  def decontaminatedTokenBudget(docs: DataFrame, idCol: String,
+                                stratumCol: String, textCol: String,
+                                budgetFrac: Double): DataFrame = {
+    val sh = deterministicSplit(
+      Dedup.docShingles(docs, idCol, textCol), "doc_id")
+    val flagged = Dedup.decontaminate(
+        sh.filter(col("split") === "train"),
+        sh.filter(col("split") === "test"))
+      .select(col("doc_id").as(idCol))
+    val train = deterministicSplit(docs, idCol)
+      .filter(col("split") === "train")
+    val clean = train.join(broadcast(flagged), Seq(idCol), "left_anti")
+    tokenBudgetMixture(clean, stratumCol, textCol, budgetFrac)
+  }
+
   def mixtureWaterfill(df: DataFrame, stratumCol: String, massCol: Column,
                        budgetFrac: Double): DataFrame = {
     val avail = df.groupBy(stratumCol)

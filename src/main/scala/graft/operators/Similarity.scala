@@ -2137,17 +2137,35 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String,
              nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4,
              tombstoned: Option[Column] = None): DataFrame = {
-    val all = emb(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        lshBucketInt(col("v"), nPlanes).as("bucket"))
-    val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("q_nrm"), col("bucket"))
+    val all = ivfIndex(s, dir, nPlanes)
     // s28 serve-time logical deletes: the bucket INDEX is untouched
     // (built before the deletes, exactly a FAISS IDSelector / Lucene
     // live-docs serve); tombstoned ids are dropped from the CANDIDATE
     // side only, before any scoring — queries stay external.
     val candidates = tombstoned.fold(all)(dead => all.filter(!dead))
+    ivfServe(candidates, all, nQueries, k)
+  }
+
+  /** The s04 bucket index ARTIFACT: one (bucket)-keyed posting row per
+    * vector, norms precomputed — [[filteredIndex]] without the label
+    * key. Pure per-row map, so segment PARTIALS of this frame are
+    * index rows (the property [[indexCompaction]] relies on). */
+  private[graft] def ivfIndex(s: SparkSession, dir: String,
+                              nPlanes: Int = 4): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        lshBucketInt(col("v"), nPlanes).as("bucket"))
+
+  /** The IVF serve tail over an index frame: broadcast the query rows
+    * (drawn from `queryIndex`, which may differ from the candidate
+    * frame — s28 serves live queries against a tombstone-filtered
+    * candidate side, s37 serves pre-compaction queries against the
+    * compacted index), probe the query's bucket, exact re-rank. */
+  private[graft] def ivfServe(candidates: DataFrame, queryIndex: DataFrame,
+                              nQueries: Int, k: Int): DataFrame = {
+    val queries = queryIndex.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"), col("bucket"))
     val scored = candidates.join(broadcast(queries),
         Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -2280,6 +2298,60 @@ object Similarity {
                        nPlanes: Int = 4): DataFrame =
     annIvf(s, dir, nQueries, k, nPlanes,
       tombstoned = Some(col("vec_id") % S28TombMod === S28TombResidue))
+
+  /** s37 segment rule — vec_id ≡ [[S37InsertResidue]] (mod
+    * [[S37InsertMod]]) rows form the late-arriving INSERT segment;
+    * single-sourced into the oracle predicate. Coprime to the s28
+    * tombstone modulus, so all four (segment × liveness) quadrants
+    * are populated at every SF — the fixture can't go vacuous. */
+  val S37InsertMod: Int = 3
+  val S37InsertResidue: Int = 2
+
+  /** s37's REWRITE half: merge index segments and physically drop
+    * tombstoned postings — the LSM compaction that reclaims what
+    * s28's serve-time filter only hides. Because index rows are a
+    * pure per-row map of their vector ([[ivfIndex]]), segment union
+    * is posting-list concatenation and needs no re-hashing; the dead
+    * filter is the only row-level work. Output is a serving-ready
+    * index frame: [[ivfServe]] on it must equal [[annIvfTombstoned]]
+    * on the original corpus (SimilaritySpec's equivalence law), and
+    * re-compacting a compacted index is the identity (idempotence
+    * law). At 100 TB this is one linear pass over posting rows —
+    * 16-ish bytes each, payloads/vectors referenced but never
+    * re-derived — writing the merged segment back partitioned by
+    * bucket, exactly a FAISS/Lucene segment merge expressed as a
+    * declarative filter over a union. */
+  def compactIvfIndex(base: DataFrame, inserts: DataFrame,
+                      dead: Column): DataFrame =
+    base.unionByName(inserts).filter(!dead)
+
+  /** s37: the compaction REPORT — per bucket, how many postings each
+    * segment contributed and how many the rewrite reclaimed (n_dead)
+    * vs kept (n_live). The page an index-maintenance job logs after
+    * every merge: reclaimed bytes justify the rewrite, per-bucket
+    * liveness feeds the s29 occupancy dial. The report is computed
+    * from the same tagged segment union [[compactIvfIndex]] filters,
+    * in ONE aggregate pass over bucket-key + two boolean flags (the
+    * corpus contributes 3 narrow columns; vectors never move), and is
+    * bucket-count-sized — all-integer, oracle-exact. */
+  def indexCompaction(s: SparkSession, dir: String,
+                      nPlanes: Int = 4): DataFrame = {
+    val all = ivfIndex(s, dir, nPlanes)
+    // the segment predicates ARE the segment definition (segments are
+    // views of one posting table), so the report tags in place — ONE
+    // scan, one bucket-keyed aggregate — instead of re-reading the two
+    // segment views through a union
+    val isInsert = col("vec_id") % S37InsertMod === S37InsertResidue
+    val dead = col("vec_id") % S28TombMod === S28TombResidue
+    all.select(col("bucket"), isInsert.as("is_insert"), dead.as("is_dead"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(!col("is_insert"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_insert"), 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("is_dead"), 1L).otherwise(0L)).as("n_dead"),
+        sum(when(!col("is_dead"), 1L).otherwise(0L)).as("n_live"))
+      .orderBy("bucket")
+  }
 
   /** s27 truncation dims — single-sourced into the oracle replay. */
   val S27Dims: Seq[Int] = Seq(8, 16, 32)

@@ -1512,6 +1512,76 @@ class CorpusOpsSpec extends SparkSuite {
       s"fertility correction changed nothing: words=$words tokens=$toks")
   }
 
+  test("x24 decontaminated budgets: flagged-doc tokens vanish from " +
+       "availability; contamination-free corpus collapses to x23; " +
+       "planted contamination genuinely shifts the allocation") {
+    import spark.implicits._
+    // member cross-law on the real fixture: x24's per-source avail ==
+    // x23-on-(train minus x05-flagged), recomputed from the members
+    val docs = Tables.t(spark, sf, "documents")
+    val got = Sampling.decontaminatedTokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sh = Sampling.deterministicSplit(
+      graft.operators.Dedup.docShingles(docs, "doc_id", "text"), "doc_id")
+    val flagged = graft.operators.Dedup.decontaminate(
+        sh.filter($"split" === "train"), sh.filter($"split" === "test"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = Sampling.deterministicSplit(docs, "doc_id")
+      .filter($"split" === "train")
+      .filter(!$"doc_id".isin(flagged.toSeq: _*))
+    val want = Sampling.tokenBudgetMixture(clean, "source", "text",
+        Sampling.X20BudgetFrac)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"member recomposition mismatch: $got vs $want")
+    // per-source avail never exceeds the un-decontaminated train avail
+    val trainAvail = Sampling.tokenBudgetMixture(
+        Sampling.deterministicSplit(docs, "doc_id")
+          .filter($"split" === "train"), "source", "text",
+        Sampling.X20BudgetFrac)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (src, a) =>
+      assert(a <= trainAvail(src), s"$src avail grew after decontamination") }
+    // constructed corpus: ids chosen so the md5-prefix split puts the
+    // planted duplicate pair on opposite sides of the train/test line
+    val ids = (1L to 400L)
+    val split = Sampling.deterministicSplit(
+      ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val testId = ids.find(split(_) == "test").get
+    val trainIds = ids.filter(split(_) == "train").take(3)
+    assert(trainIds.size == 3)
+    val leak = "unique leaked shingle content here now"
+    val cleanTxt = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu")
+    val corpus = (Seq((testId, "bench", leak)) ++
+      trainIds.zip(cleanTxt).map { case (id, t) => (id, s"src${id % 2}", t) })
+      .toDF("doc_id", "source", "text")
+    // plant: train doc 0 becomes a copy of the benchmark doc
+    val planted = corpus.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === trainIds.head,
+        leak).otherwise($"text"))
+    val before = Sampling.decontaminatedTokenBudget(corpus, "doc_id",
+      "source", "text", 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.decontaminatedTokenBudget(planted, "doc_id",
+      "source", "text", 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the planted doc's source loses ITS ENTIRE doc from availability
+    val plantedSrc = s"src${trainIds.head % 2}"
+    assert(after(plantedSrc) < before(plantedSrc),
+      s"planted contamination did not reduce $plantedSrc: $before -> $after")
+    // and on the contamination-free corpus x24 == x23-on-train exactly
+    val x23Train = Sampling.tokenBudgetMixture(
+      Sampling.deterministicSplit(corpus, "doc_id")
+        .filter($"split" === "train"), "source", "text", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val x24NoLeak = Sampling.decontaminatedTokenBudget(corpus, "doc_id",
+      "source", "text", 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(x24NoLeak == x23Train,
+      "x24 on a contamination-free corpus must restate x23 on train")
+  }
+
   test("x22 pack efficiency: conservation, only the tail partial, planted manifest") {
     val rep = Sampling.packEfficiency(spark, sf).collect()
     val totalTokens = docs.map(_._2.trim.split("\\s+").length.toLong).sum

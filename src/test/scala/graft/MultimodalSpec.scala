@@ -205,6 +205,51 @@ class MultimodalSpec extends SparkSuite {
     assert(gridShared.isEmpty, "the fixed grid accidentally survived the shift")
   }
 
+  test("m13 scene cuts ≡ a driver recomputation of the sliced-window " +
+       "histogram walk; row count = frames − 1 per video; thresholds " +
+       "non-vacuous") {
+    val sfDir = sf
+    val got = Multimodal.sceneCuts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // driver recomputation straight from the documents fixture
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+    var want = Map.empty[(Long, Long), (Long, Boolean)]
+    var framesPerVideo = Map.empty[Long, Int]
+    docs.foreach { case (id, (text, nChars)) =>
+      if (id % 3 == 2 && nChars > 0) {
+        val bytes = text.getBytes("UTF-8")
+        val durMs = nChars * 10
+        val offs = 0L.until(durMs, 500L)
+        framesPerVideo += id -> offs.size
+        def hist(off: Long): Array[Long] = {
+          val h = new Array[Long](16)
+          val from = (off / 10).toInt
+          bytes.slice(from, from + Multimodal.M13Window)
+            .foreach(b => h((b & 0xF0) >>> 4) += 1)
+          h
+        }
+        offs.sliding(2).foreach {
+          case Seq(a, b) =>
+            val (ha, hb) = (hist(a), hist(b))
+            val d = (0 until 16).map(i => math.abs(hb(i) - ha(i)).toLong).sum
+            want += (id, b / 500) -> (d, d > Multimodal.M13CutDelta)
+          case _ => ()
+        }
+      }
+    }
+    assert(got == want, s"m13 mismatch: ${got.size} vs ${want.size} rows")
+    // one row per consecutive frame pair
+    got.keys.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.size == framesPerVideo(id) - 1, s"video $id row count")
+    }
+    // the threshold separates (some cuts, some non-cuts) at this SF
+    assert(got.values.exists(_._2), "no cut fired — threshold vacuous high")
+    assert(got.values.exists(!_._2), "every frame a cut — threshold vacuous low")
+  }
+
   test("m10 aspect buckets: one row per asset, cover-resize ≥ bucket, " +
        "crop on exactly one axis, and the chosen bucket is the argmin") {
     val got = Multimodal.aspectBuckets(spark, sf).collect()

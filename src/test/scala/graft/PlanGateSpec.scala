@@ -541,6 +541,19 @@ class PlanGateSpec extends SparkSuite {
       s"s32 scans the embeddings corpus ${scans.size}x in the report plan")
   }
 
+  test("s37 compaction report: ONE corpus scan, one aggregate, " +
+       "no join of any kind (the corpus contributes 3 narrow columns)") {
+    val plan = finalPlan(Similarity.indexCompaction(spark, sf))
+    assert(noQuadraticJoins(plan), "s37 grew a join")
+    assert(broadcastJoins(plan) == 0,
+      "s37 report needs no join at all — a bucket-count frame joined " +
+        "back to the corpus means the tagged-union pass regressed")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.getOrElse("Location", "").contains("embeddings"))
+    assert(scans.size == 1,
+      s"s37 scans the embeddings corpus ${scans.size}x in the report plan")
+  }
+
   test("s33 filtered ANN: candidates stay a (label,bucket) equi-join " +
        "with the query side BROADCAST") {
     val plan = finalPlan(Similarity.annFiltered(spark, sf))
@@ -661,6 +674,38 @@ class PlanGateSpec extends SparkSuite {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
       "x23 grew a cartesian")
     onlyOneRowBnlj(plan, "x23")
+  }
+
+  test("x24 decontaminated budgets: flagged set BROADCAST into the " +
+       "left-anti, no train×test product, waterfill off corpus rows") {
+    // the x05 lens stays shingle-keyed (its own gated shape), the
+    // doc-id-sized flagged frame broadcasts into the survivors
+    // left-anti, and the x23 chain follows — a cartesian or a
+    // corpus-sized BNLJ anywhere means a member regressed
+    val plan = finalPlan(
+      graft.operators.Sampling.decontaminatedTokenBudget(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "x24 grew a cartesian")
+    onlyOneRowBnlj(plan, "x24")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val antis = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.toLowerCase.contains("anti") => j }
+    assert(antis.nonEmpty, "x24 left-anti not broadcast")
+  }
+
+  test("m13 scene cuts: frame signatures computed in the scan stage — " +
+       "no exchange ever carries the binary payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val plan = finalPlan(graft.operators.Multimodal.sceneCuts(spark, sf))
+    // the lag window's shuffle must carry (media_id, frame_idx, hist)
+    // only — a payload column in any exchange means the histogram
+    // slipped above the shuffle and 100 TB of video would move
+    val leaky = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(_.dataType == BinaryType))
+    assert(leaky.isEmpty, "m13 shuffles the binary payload")
+    assert(noQuadraticJoins(plan), "m13 grew a join")
   }
 
   test("v10 contamination report: no train×eval product anywhere in the " +

@@ -897,6 +897,44 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s37 compaction: serve-from-compacted == s28 logical-delete serve, " +
+       "no dead postings survive the rewrite, and re-compacting is identity") {
+    val all = Similarity.ivfIndex(spark, sf)
+    val isInsert =
+      col("vec_id") % Similarity.S37InsertMod === Similarity.S37InsertResidue
+    val dead =
+      col("vec_id") % Similarity.S28TombMod === Similarity.S28TombResidue
+    val compacted = Similarity.compactIvfIndex(
+      all.filter(!isInsert), all.filter(isInsert), dead)
+    // physical removal: no tombstoned posting survives
+    assert(compacted.filter(dead).count() == 0)
+    // serve-equivalence: the compacted index answers exactly what the
+    // s28 serve-time filter answers (queries drawn pre-compaction)
+    val fromCompacted = Similarity.ivfServe(compacted, all, 5, 3).collect()
+    val logical = Similarity.annIvfTombstoned(spark, sf).collect()
+    assert(fromCompacted.map(_.toString).toSeq ==
+      logical.map(_.toString).toSeq)
+    // idempotence: compacting the compacted index changes nothing
+    val again = Similarity.compactIvfIndex(
+      compacted.filter(!isInsert), compacted.filter(isInsert), dead)
+    assert(again.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      compacted.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("s37 report: per-bucket counts reconcile with the corpus and " +
+       "every segment/liveness quadrant is populated (fixture non-vacuity)") {
+    val rep = Similarity.indexCompaction(spark, sf).collect()
+    val n = Similarity.ivfIndex(spark, sf).count()
+    assert(rep.map(_.getAs[Long]("n_base")).sum
+      + rep.map(_.getAs[Long]("n_inserts")).sum == n)
+    assert(rep.map(_.getAs[Long]("n_dead")).sum
+      + rep.map(_.getAs[Long]("n_live")).sum == n)
+    assert(rep.map(_.getAs[Long]("n_base")).sum > 0)
+    assert(rep.map(_.getAs[Long]("n_inserts")).sum > 0)
+    assert(rep.map(_.getAs[Long]("n_dead")).sum > 0)
+    assert(rep.map(_.getAs[Long]("n_live")).sum > 0)
+  }
+
   test("s30 rerank-depth curve: monotone in depth; exhaustive depth reaches 1000") {
     // a true-top-k member caught by ANY shortlist always survives the
     // exact re-rank (at most k-1 vectors outrank it globally), so
