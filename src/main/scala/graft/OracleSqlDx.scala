@@ -167,23 +167,29 @@ object OracleSqlDx {
   private[graft] lazy val x23OracleSql: String =
     s"WITH ${x23ChainSql("documents")}"
 
-  /** x24 replay — x05's flagged set VERBATIM as a CTE (the v10
-    * composition discipline), the md5-prefix train filter, a left-anti
-    * survivors frame, then the SAME [[x23ChainSql]] over it — the
-    * oracle can neither flag with a different lens nor budget with a
-    * different tokenizer/level problem than the members'. */
-  private[graft] lazy val x24OracleSql: String =
+  /** x24 replay — x05's member oracle VERBATIM as a CTE (the v10
+    * composition discipline) filtered at the engine's near-copy
+    * threshold, the md5-prefix train filter, a left-anti survivors
+    * frame, then the SAME [[x23ChainSql]] over it — the oracle can
+    * neither flag with a different lens nor budget with a different
+    * tokenizer/level problem than the members'. */
+  private[graft] lazy val x24OracleSql: String = {
+    val thr = graft.operators.Sampling.X24ContaminationMin
     s"""WITH x05r AS MATERIALIZED (
            $x05OracleSql
+         ), flagged AS (
+           SELECT doc_id FROM x05r
+           WHERE contamination >= CAST($thr AS DOUBLE)
          ), sp AS (
            SELECT doc_id, source, text,
              substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
            FROM documents
          ), clean AS MATERIALIZED (
            SELECT s.doc_id, s.source, s.text FROM sp s
-           LEFT JOIN x05r f ON f.doc_id = s.doc_id
+           LEFT JOIN flagged f ON f.doc_id = s.doc_id
            WHERE s.bucket >= '1a' AND f.doc_id IS NULL
          ), ${x23ChainSql("clean")}"""
+  }
 
 
   /** x21 replay — the x17 content-fingerprint spelling pushed through
@@ -1253,18 +1259,23 @@ object OracleSqlDx {
   /** x24 Spark-dialect form — the same member composition as the
     * DuckDB replay, in the Spark spellings (md5 CAST AS STRING, the
     * graft_shingles-backed x05 form). */
-  private[graft] lazy val x24SparkSql: String =
+  private[graft] lazy val x24SparkSql: String = {
+    val thr = graft.operators.Sampling.X24ContaminationMin
     s"""WITH x05r AS (
            $x05SparkSql
+         ), flagged AS (
+           SELECT doc_id FROM x05r
+           WHERE contamination >= CAST($thr AS DOUBLE)
          ), sp AS (
            SELECT doc_id, source, text,
              substring(md5(CAST(doc_id AS STRING)), 1, 2) AS bucket
            FROM documents
          ), clean AS (
            SELECT s.doc_id, s.source, s.text FROM sp s
-           LEFT JOIN x05r f ON f.doc_id = s.doc_id
+           LEFT JOIN flagged f ON f.doc_id = s.doc_id
            WHERE s.bucket >= '1a' AND f.doc_id IS NULL
          ), ${x23SparkChainSql("clean")}"""
+  }
 
   private[graft] val spark: Map[String, String] = Map(
     "x23_token_budget_mix" -> x23SparkSql,

@@ -673,15 +673,24 @@ object Sampling {
     * the wrong mixture — exactly the sources whose contamination rate
     * diverges get over-allocated, and the waterfill level λ* itself
     * shifts; the release-gate order is decontaminate FIRST, then
-    * budget what survives. Flagged = ANY x05 shingle overlap
-    * (n_contaminated > 0 — the conservative release rule; a
-    * threshold is a one-line relaxation).
+    * budget what survives. Flagged = x05 contamination ≥
+    * [[X24ContaminationMin]] — the near-copy rule. With 3-token
+    * shingles, ANY-overlap is degenerate on a self-similar corpus
+    * (measured: 4455/4457 train docs collide at sf0.1 — a plan that
+    * deletes the corpus); production any-collision rules use much
+    * longer n-grams (GPT-3's 13-gram decontamination), so at shingle
+    * n=3 the fraction threshold is the knob that carries the same
+    * intent. The compare runs on x05's r4-FLOORED fraction in both
+    * engines — threshold semantics cannot straddle a rounding edge.
     *
     * Scale shape: one shingle kernel pass over the split corpus (the
     * x05 cost, shingle-keyed — no train×test doc product), the
     * flagged set is doc-id-sized and BROADCAST into a left-anti, then
     * x23's one-explode availability pass over the survivors and the
     * n_sources-row level problem. Output contract is x23's verbatim. */
+  /** x24 flag threshold — single-sourced into both dialect replays. */
+  val X24ContaminationMin: Double = 0.8
+
   def decontaminatedTokenBudget(s: SparkSession, dir: String,
                                 budgetFrac: Double = X20BudgetFrac): DataFrame =
     decontaminatedTokenBudget(t(s, dir, "documents"), "doc_id",
@@ -695,6 +704,7 @@ object Sampling {
     val flagged = Dedup.decontaminate(
         sh.filter(col("split") === "train"),
         sh.filter(col("split") === "test"))
+      .filter(col("contamination") >= X24ContaminationMin)
       .select(col("doc_id").as(idCol))
     val train = deterministicSplit(docs, idCol)
       .filter(col("split") === "train")

@@ -1525,7 +1525,9 @@ class CorpusOpsSpec extends SparkSuite {
       graft.operators.Dedup.docShingles(docs, "doc_id", "text"), "doc_id")
     val flagged = graft.operators.Dedup.decontaminate(
         sh.filter($"split" === "train"), sh.filter($"split" === "test"))
+      .filter($"contamination" >= Sampling.X24ContaminationMin)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "x24 fixture vacuous: nothing flagged")
     val clean = Sampling.deterministicSplit(docs, "doc_id")
       .filter($"split" === "train")
       .filter(!$"doc_id".isin(flagged.toSeq: _*))
