@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.SparkEntry
+
+/** Shuffle-volume audit: executes each registered query (full
+  * materialization via `toRdd.foreach` — non-prunable, the Bench drive
+  * discipline) and reads the AQE-final plan's SQLMetrics to report how
+  * many bytes each query actually MOVED: shuffle bytes/records written,
+  * sort/aggregate spill, and parquet bytes scanned.
+  *
+  * This is the number the 100 TB grade turns on — a plan gate proves
+  * the SHAPE (broadcast vs sort-merge, map-side partials), this proves
+  * the VOLUME: corpus text/payloads never shuffling shows up as
+  * shuffle_bytes orders of magnitude below scan_bytes, and a regression
+  * that starts moving documents through an exchange is a number jump,
+  * not a silent slowdown. Spill > 0 at a test SF means partitions are
+  * already memory-marginal and would OOM-thrash at 100×.
+  *
+  * Usage: runMain graft.tools.ShuffleAudit [sfDir] [outJson]
+  *   env SPARK_GRAFT_ONLY=prefix,prefix — the Verify filter grammar.
+  * Output: one JSON object per query on stdout (sorted by
+  * shuffle_bytes desc) + the full map written to outJson
+  * (default shuffle_audit.json).
+  */
+object ShuffleAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outPath = if (args.length > 1) args(1) else "shuffle_audit.json"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
+    }.toSeq.sortBy(_._1)
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def metricSum(plan: Seq[SparkPlan], key: String): Long =
+      plan.flatMap(_.metrics.get(key)).map(_.value).sum
+
+    val rows = selected.flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ()) // materialize every row
+        val plan = flatten(df.queryExecution.executedPlan)
+        Some(Map(
+          "name" -> name,
+          "shuffle_bytes" -> metricSum(plan, "shuffleBytesWritten"),
+          "shuffle_records" -> metricSum(plan, "shuffleRecordsWritten"),
+          "spill_bytes" -> metricSum(plan, "spillSize"),
+          "scan_bytes" -> metricSum(plan, "filesSize")))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"shuffle_audit: $name failed: ${e.getMessage}")
+          None
+      }
+    }
+    val sorted = rows.sortBy(-_("shuffle_bytes").asInstanceOf[Long])
+    def js(m: Map[String, Any]): String =
+      s"""{"name":"${m("name")}","shuffle_bytes":${m("shuffle_bytes")},""" +
+        s""""shuffle_records":${m("shuffle_records")},""" +
+        s""""spill_bytes":${m("spill_bytes")},"scan_bytes":${m("scan_bytes")}}"""
+    sorted.foreach(m => println(js(m)))
+    val body = sorted.map(js).mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      body.getBytes("UTF-8"))
+    println(s"""{"shuffle_audit":"ok","n":${sorted.size},"out":"$outPath"}""")
+    spark.stop()
+  }
+}
