@@ -27,6 +27,32 @@ import graft.SparkEntry
   * (default shuffle_audit.json).
   */
 object ShuffleAudit {
+
+  /** AQE-aware plan flatten + metric-key sums, exposed for the spec
+    * canary: the SQLMetric keys ("shuffleBytesWritten", "spillSize",
+    * "filesSize") are Spark-internal strings — a rename in a Spark
+    * upgrade would silently zero the audit, so ShuffleAuditSpec pins
+    * that a groupBy reads nonzero through THESE keys. */
+  private[graft] def flattenPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flattenPlan(a.executedPlan)
+    case q: QueryStageExec => p +: flattenPlan(q.plan)
+    case _ => p +: p.children.flatMap(flattenPlan)
+  }
+
+  private[graft] def metricSum(plan: Seq[SparkPlan], key: String): Long =
+    plan.flatMap(_.metrics.get(key)).map(_.value).sum
+
+  private[graft] def audit(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Long] = {
+    df.queryExecution.toRdd.foreach(_ => ()) // materialize every row
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    Map(
+      "shuffle_bytes" -> metricSum(plan, "shuffleBytesWritten"),
+      "shuffle_records" -> metricSum(plan, "shuffleRecordsWritten"),
+      "spill_bytes" -> metricSum(plan, "spillSize"),
+      "scan_bytes" -> metricSum(plan, "filesSize"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outPath = if (args.length > 1) args(1) else "shuffle_audit.json"
@@ -45,25 +71,9 @@ object ShuffleAudit {
       only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
     }.toSeq.sortBy(_._1)
 
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec => p +: flatten(q.plan)
-      case _ => p +: p.children.flatMap(flatten)
-    }
-    def metricSum(plan: Seq[SparkPlan], key: String): Long =
-      plan.flatMap(_.metrics.get(key)).map(_.value).sum
-
     val rows = selected.flatMap { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        df.queryExecution.toRdd.foreach(_ => ()) // materialize every row
-        val plan = flatten(df.queryExecution.executedPlan)
-        Some(Map(
-          "name" -> name,
-          "shuffle_bytes" -> metricSum(plan, "shuffleBytesWritten"),
-          "shuffle_records" -> metricSum(plan, "shuffleRecordsWritten"),
-          "spill_bytes" -> metricSum(plan, "spillSize"),
-          "scan_bytes" -> metricSum(plan, "filesSize")))
+        Some((audit(fn(spark, sfDir)): Map[String, Any]) + ("name" -> name))
       } catch {
         case e: Exception =>
           System.err.println(s"shuffle_audit: $name failed: ${e.getMessage}")
