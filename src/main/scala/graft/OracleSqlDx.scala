@@ -132,13 +132,18 @@ object OracleSqlDx {
   /** The x23 availability chain (token explode → Viterbi fertility →
     * per-source model-token mass → waterfill), parameterized on the
     * docs relation so x24 can run it verbatim over the DECONTAMINATED
-    * train split — the two allocations share every scalar op. */
-  private[graft] def x23ChainSql(docsRel: String): String = {
+    * train split — the two allocations share every scalar op — and on
+    * an integer availability scale so x25 can run the SAME level
+    * problem over the epoch-scaled supply (E × unique tokens). */
+  private[graft] def x23ChainSql(docsRel: String,
+                                 availScale: Int = 1,
+                                 frac: Double =
+                                   graft.operators.Sampling.X20BudgetFrac)
+      : String = {
     val T = graft.operators.TextOps
     val unk = s"CAST(${T.T29UnkScore} AS DOUBLE)"
     val vals = T.pinnedUnigram
       .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
-    val frac = graft.operators.Sampling.X20BudgetFrac
     s"""tok AS MATERIALIZED (
            SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+'))
              AS w
@@ -157,7 +162,8 @@ object OracleSqlDx {
          ), seg AS MATERIALIZED (
            ${OracleSqlHelpers.viterbiSegSql("scp", Some(unk))}
          ), a AS (
-           SELECT source, CAST(sum(seg.n_sub) AS BIGINT) AS avail
+           SELECT source,
+             CAST(sum(seg.n_sub) AS BIGINT) * $availScale AS avail
            FROM tok JOIN seg ON tok.w = seg.w
            WHERE (SELECT ok FROM guard) = 1
            GROUP BY source
@@ -166,6 +172,23 @@ object OracleSqlDx {
 
   private[graft] lazy val x23OracleSql: String =
     s"WITH ${x23ChainSql("documents")}"
+
+  /** x25 replay — THE SAME [[x23ChainSql]] level problem over the
+    * epoch-scaled supply (availScale = E, frac = the x25 fraction),
+    * wrapped once to derive unique supply and epochs from the scaled
+    * outputs (both exact: scaled avail = E × unique by construction,
+    * and the ceil runs on an exact double quotient). */
+  private[graft] lazy val x25OracleSql: String = {
+    val e = graft.operators.Sampling.X25MaxEpochs
+    val frac = graft.operators.Sampling.X25BudgetFrac
+    s"""SELECT source,
+           CAST(avail / $e AS BIGINT) AS unique_avail,
+           weight, alloc,
+           CAST(ceil(alloc * 1.0 / (avail / $e)) AS BIGINT) AS epochs_used,
+           saturated
+         FROM (WITH ${x23ChainSql("documents", availScale = e, frac = frac)}
+         ) t ORDER BY source"""
+  }
 
   /** x24 replay — x05's member oracle VERBATIM as a CTE (the v10
     * composition discipline) filtered at the engine's near-copy
@@ -706,6 +729,7 @@ object OracleSqlDx {
     "x20_mixture_waterfill" -> x20OracleSql,
     "x23_token_budget_mix" -> x23OracleSql,
     "x24_decontaminated_budget" -> x24OracleSql,
+    "x25_epoch_budget" -> x25OracleSql,
     "d19_band_plan" -> d19OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
@@ -1230,13 +1254,16 @@ object OracleSqlDx {
   /** x23 Spark-dialect form: the t29 `graft_unigram_segment_unk`
     * kernel face for the per-word fertility, then the SAME portable
     * [[waterfillTailSql]] the DuckDB replay appends. */
-  private[graft] def x23SparkChainSql(docsRel: String): String = {
+  private[graft] def x23SparkChainSql(docsRel: String,
+                                      availScale: Int = 1,
+                                      frac: Double =
+                                        graft.operators.Sampling.X20BudgetFrac)
+      : String = {
     val T = graft.operators.TextOps
     val pcs = T.pinnedUnigramPieces
       .map(p => s"'$p'").mkString("array(", ", ", ")")
     val cts = T.pinnedUnigram
       .map(_._2.toString + "L").mkString("array(", ", ", ")")
-    val frac = graft.operators.Sampling.X20BudgetFrac
     s"""tok AS (
            SELECT source, explode(split(trim(text), '\\\\s+')) AS w
            FROM $docsRel
@@ -1248,13 +1275,27 @@ object OracleSqlDx {
                CAST(${T.T29UnkScore} AS DOUBLE))) AS BIGINT) AS n_sub
            FROM (SELECT DISTINCT w FROM tok)
          ), a AS (
-           SELECT source, CAST(sum(v.n_sub) AS BIGINT) AS avail
+           SELECT source,
+             CAST(sum(v.n_sub) AS BIGINT) * $availScale AS avail
            FROM tok JOIN v USING (w) GROUP BY source
          ), ${waterfillTailSql(frac)}"""
   }
 
   private[graft] lazy val x23SparkSql: String =
     s"WITH ${x23SparkChainSql("documents")}"
+
+  private[graft] lazy val x25SparkSql: String = {
+    val e = graft.operators.Sampling.X25MaxEpochs
+    val frac = graft.operators.Sampling.X25BudgetFrac
+    s"""SELECT source,
+           CAST(avail / $e AS BIGINT) AS unique_avail,
+           weight, alloc,
+           CAST(ceil(alloc * 1.0 / (avail / $e)) AS BIGINT) AS epochs_used,
+           saturated
+         FROM (WITH ${x23SparkChainSql("documents", availScale = e,
+           frac = frac)}
+         ) t ORDER BY source"""
+  }
 
   /** x24 Spark-dialect form — the same member composition as the
     * DuckDB replay, in the Spark spellings (md5 CAST AS STRING, the
@@ -1280,6 +1321,7 @@ object OracleSqlDx {
   private[graft] val spark: Map[String, String] = Map(
     "x23_token_budget_mix" -> x23SparkSql,
     "x24_decontaminated_budget" -> x24SparkSql,
+    "x25_epoch_budget" -> x25SparkSql,
     "x01_split_counts" ->
       """SELECT lang,
            CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'

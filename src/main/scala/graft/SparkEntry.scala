@@ -234,6 +234,7 @@ object SparkEntry {
       Sampling.tokenBudgetMixture(s, dir)),
     "x24_decontaminated_budget" -> ((s, dir) =>
       Sampling.decontaminatedTokenBudget(s, dir)),
+    "x25_epoch_budget" -> ((s, dir) => Sampling.epochTokenBudget(s, dir)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
     "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
     "d19_band_plan"       -> ((s, dir) => Dedup.bandPlanEval(s, dir)),

@@ -691,6 +691,56 @@ object Sampling {
   /** x24 flag threshold — single-sourced into both dialect replays. */
   val X24ContaminationMin: Double = 0.8
 
+  /** x25 repetition cap — single-sourced into both dialect replays.
+    * 4 epochs is the empirical "repeating is almost as good as fresh"
+    * ceiling from the data-constrained scaling study. */
+  val X25MaxEpochs: Int = 4
+
+  /** x25 budget fraction: of the EPOCH-SCALED supply. > the unique
+    * supply of several sources by construction, so the fixture
+    * exercises the repetition regime (epochs_used > 1). */
+  val X25BudgetFrac: Double = 0.6
+
+  /** x25: epoch-aware (data-constrained) token budgets — when the
+    * training budget exceeds a source's UNIQUE token supply, the plan
+    * repeats that source for up to [[X25MaxEpochs]] epochs before
+    * giving up the mass (Muennighoff et al., "Scaling
+    * Data-Constrained Language Models", NeurIPS 2023: repeated data
+    * is near-par with fresh data to ~4 epochs, then decays). x20/x23
+    * waterfill against the unique supply — under-budgeting exactly
+    * the scarce-but-high-weight sources a data-constrained run wants
+    * to repeat; x25 runs THE SAME closed-form level problem against
+    * the epoch-scaled supply (E × unique model tokens) and reports
+    * how many epochs each source's allocation implies. Output:
+    * (source, unique_avail, weight, alloc, epochs_used, saturated) —
+    * alloc in model tokens, `epochs_used = ⌈alloc / unique⌉` ≤ E,
+    * `saturated` ⇔ the source is fully repeated E times.
+    *
+    * Scale shape: x23's exactly — one corpus explode, the Viterbi
+    * kernel per DISTINCT word, an n_sources-row level problem; the
+    * epoch scaling is one integer multiply on the tiny frame. */
+  def epochTokenBudget(s: SparkSession, dir: String,
+                       budgetFrac: Double = X25BudgetFrac,
+                       maxEpochs: Int = X25MaxEpochs): DataFrame =
+    epochTokenBudget(t(s, dir, "documents"), "source", "text",
+      budgetFrac, maxEpochs)
+
+  def epochTokenBudget(docs: DataFrame, stratumCol: String, textCol: String,
+                       budgetFrac: Double, maxEpochs: Int): DataFrame = {
+    val wf = mixtureWaterfill(
+      TextOps.modelTokenMass(docs, stratumCol, textCol),
+      stratumCol, col("model_tokens") * maxEpochs, budgetFrac)
+    // avail from the level problem is the SCALED supply (E × unique,
+    // exact integers), so unique and epochs derive exactly from it
+    wf.select(col(stratumCol),
+        (col("avail") / maxEpochs).cast("long").as("unique_avail"),
+        col("weight"), col("alloc"),
+        ceil(col("alloc") * lit(1.0) / (col("avail") / maxEpochs))
+          .cast("long").as("epochs_used"),
+        col("saturated"))
+      .orderBy(stratumCol)
+  }
+
   def decontaminatedTokenBudget(s: SparkSession, dir: String,
                                 budgetFrac: Double = X20BudgetFrac): DataFrame =
     decontaminatedTokenBudget(t(s, dir, "documents"), "doc_id",

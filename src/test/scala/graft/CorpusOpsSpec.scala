@@ -1584,6 +1584,51 @@ class CorpusOpsSpec extends SparkSuite {
       "x24 on a contamination-free corpus must restate x23 on train")
   }
 
+  test("x25 epoch budgets: alloc bounded by E x unique; epochs law; " +
+       "E=1 restates the x23 level problem; planted scarcity repeats " +
+       "the scarce source and only it") {
+    import spark.implicits._
+    val e = Sampling.X25MaxEpochs
+    val got = Sampling.epochTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, uniq, _, alloc, ep, sat) =>
+      assert(alloc <= e * uniq, s"$src alloc exceeds E x unique")
+      assert(ep <= e, s"$src epochs_used $ep > $e")
+      assert(ep == math.ceil(alloc.toDouble / uniq).toLong, s"$src epochs law")
+      assert(sat == (alloc == e * uniq), s"$src saturation law")
+    }
+    // the fixture exercises the repetition regime both ways
+    assert(got.exists(_._5 > 1), "no source repeated — fixture vacuous")
+    assert(got.exists(_._5 <= 1), "every source at max — fixture vacuous")
+    // E=1 at the x20 fraction restates x23's allocation exactly
+    val docs = Tables.t(spark, sf, "documents")
+    val e1 = Sampling.epochTokenBudget(docs, "source", "text",
+        Sampling.X20BudgetFrac, 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    val x23 = Sampling.tokenBudgetMixture(docs, "source", "text",
+        Sampling.X20BudgetFrac)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(e1 == x23, "E=1 must restate the x23 level problem")
+    // planted scarcity: a high-weight tiny source gets repeated while
+    // the low-weight abundant one is not (weights decay by name rank,
+    // so 'a' outweighs 'z')
+    val skew = Seq(
+      ("a", 1L, "aa bb"),
+      ("z", 2L, Seq.fill(200)("cc dd").mkString(" "))
+    ).toDF("source", "doc_id", "text")
+    // frac 0.2 of the x4-scaled supply = 0.8x the unique supply: the
+    // tiny 'a' saturates its 4 epochs, the abundant 'z' stays under
+    // one epoch — the regime split the operator exists to expose
+    val plan = Sampling.epochTokenBudget(skew, "source", "text", 0.2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(plan("a") > 1, s"scarce high-weight source not repeated: $plan")
+    assert(plan("z") <= 1, s"abundant source repeated needlessly: $plan")
+  }
+
   test("x22 pack efficiency: conservation, only the tail partial, planted manifest") {
     val rep = Sampling.packEfficiency(spark, sf).collect()
     val totalTokens = docs.map(_._2.trim.split("\\s+").length.toLong).sum

@@ -708,6 +708,14 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "m13 grew a join")
   }
 
+  test("x25 epoch budgets: the x23 one-corpus-pass shape survives the " +
+       "epoch scaling (no cartesian, BNLJs are 1-row splices)") {
+    val plan = finalPlan(graft.operators.Sampling.epochTokenBudget(spark, sf))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "x25 grew a cartesian")
+    onlyOneRowBnlj(plan, "x25")
+  }
+
   test("v10 contamination report: no train×eval product anywhere in the " +
        "composed plan; every BNLJ is a 1-row-aggregate splice") {
     // the five member lenses keep their own gated shapes (broadcast
