@@ -892,6 +892,34 @@ object OracleSqlSim {
   }
 
 
+  /** s39 replay — the s09 normalize+encode chain (same [[pqScoreCols]]
+    * emitters, codebook norms baked with the engine's fold order) cut
+    * before the query tail: per subspace, ‖x_j‖² − list_max(s_j),
+    * micro-floored per vector, m UNION arms, one m-row aggregate. */
+  private[graft] lazy val s39OracleSql: String = {
+    val books = Pinned.pq.books
+    val sub = Pinned.pq.sub
+    val distArms = books.indices.map { j =>
+      val n2 = (1 to sub).map(d => s"sv[${j * sub + d}]*sv[${j * sub + d}]")
+        .mkString(" + ")
+      s"""SELECT $j AS subspace,
+           CAST(floor((($n2) - list_max(s$j)) * 1e6 + 0.5) AS BIGINT) AS d
+           FROM enc"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt($unrolledNorm)) AS sv FROM e),
+         enc AS (SELECT vec_id, sv,
+           ${pqScoreCols(books, sub, i => s"sv[$i]")}
+           FROM n),
+         d AS ($distArms)
+         SELECT subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(d) AS BIGINT) AS sum_dist_micro,
+           CAST(max(d) AS BIGINT) AS max_dist_micro
+         FROM d GROUP BY subspace ORDER BY subspace"""
+  }
+
+
   /** s10: pinned IVFADC — coarse cell by first-max argmax over plain
     * centroid dots, PQ codes over the RESIDUAL (sv − centroid, inlined
     * per term), queries probe their top-3 cells (dot desc, index asc),
@@ -1214,6 +1242,7 @@ object OracleSqlSim {
     "s34_semantic_admission" -> s34OracleSql,
     "s05_ann_kmeans_ivf" -> s05OracleSql,
     "s09_ann_pq" -> s09OracleSql,
+    "s39_pq_distortion" -> s39OracleSql,
     // s11 persists Pinned.pq and serves the LOADED copy; parquet
     // round-trips doubles exactly, so its output is s09's and the
     // oracle is shared.,

@@ -730,6 +730,31 @@ object SparkDialectTail {
          ${pqRerankTail(rerank = 100, vc = "sv")}"""
   }
 
+  /** s39 Spark-dialect replay — s09's normalize+encode chain cut
+    * before the query tail: per subspace ‖x_j‖² − array_max(s_j),
+    * micro-floored per vector, m UNION arms, one m-row aggregate. */
+  private lazy val s39Sql: String = {
+    val books = Pinned.pq.books
+    val sub = Pinned.pq.sub
+    val distArms = books.indices.map { j =>
+      val n2 = (1 to sub)
+        .map(d => s"${elem("sv", j * sub + d)}*${elem("sv", j * sub + d)}")
+        .mkString(" + ")
+      s"""SELECT $j AS subspace,
+           CAST(floor((($n2) - array_max(s$j)) * 1e6 + 0.5) AS BIGINT) AS d
+           FROM enc"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH $normCte,
+         enc AS (SELECT vec_id, sv,
+           ${pqScoreCols(books, sub, i => elem("sv", i))}
+           FROM n),
+         d AS ($distArms)
+         SELECT subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(d) AS BIGINT) AS sum_dist_micro,
+           CAST(max(d) AS BIGINT) AS max_dist_micro
+         FROM d GROUP BY subspace ORDER BY subspace"""
+  }
+
   private lazy val s10Sql: String = {
     val mdl = Pinned.ivfPq
     val cents = mdl.coarse.get
@@ -1985,6 +2010,7 @@ object SparkDialectTail {
     "s37_index_compaction" -> s37Sql,
     "s05_ann_kmeans_ivf" -> s05Sql,
     "s09_ann_pq" -> s09Sql,
+    "s39_pq_distortion" -> s39Sql,
     "s10_ann_ivfpq" -> s10Sql,
     "s11_ann_pq_fitserve" -> s09Sql, // serves the same pinned model as s09
     "s12_pca_project" -> s12Sql,

@@ -237,6 +237,7 @@ object SparkEntry {
     "x25_epoch_budget" -> ((s, dir) => Sampling.epochTokenBudget(s, dir)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
     "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
+    "s39_pq_distortion"   -> ((s, dir) => Similarity.pqDistortionReport(s, dir)),
     "d19_band_plan"       -> ((s, dir) => Dedup.bandPlanEval(s, dir)),
   )
 

@@ -2353,6 +2353,51 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** s39: PQ quantization-distortion report — the index-governance
+    * dial for the PQ family the occupancy stats (s29) can't see: per
+    * subspace, how much signal the codebook throws away. s21/s25/s30
+    * grade RECALL (symptom); this grades the CAUSE — per subspace j,
+    * distortion(x) = ‖x_j − B_{j,c_j}‖² = ‖x_j‖² − max_c(2⟨x_j,B_jc⟩
+    * − ‖B_jc‖²), i.e. the sub-vector's squared norm minus the encode
+    * score the code assignment already maximizes (FAISS's
+    * `imbalance`-companion reconstruction-error audit; Jégou et al.,
+    * TPAMI 2011 §III-C — MSE is the quantity PQ training minimizes,
+    * so a subspace whose distortion dwarfs its peers is where OPQ's
+    * rotation (s13) or more codebook bits go). Report: per subspace,
+    * n_vectors, Σ and max distortion in micros — each vector's
+    * distortion is micro-FLOORED before aggregation so both engines
+    * sum identical integers.
+    *
+    * Scale shape: ONE corpus pass — the m per-subspace distortions
+    * are scan-stage projections over the same encode scores s09
+    * computes (codebooks ride as plan literals), the explode emits
+    * m slim (subspace, micro) rows per vector, and the report is an
+    * m-row aggregate (map-side combined). Nothing corpus-sized
+    * shuffles; the output is codebook-sized. */
+  def pqDistortionReport(s: SparkSession, dir: String,
+                         model: PqModel = Pinned.pq): DataFrame = {
+    val normed = emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("v"))
+    val sub = model.sub
+    val bAll = typedlit(model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val bN2All = typedlit(model.books.map(_.map(_.map(x => x * x).sum).toSeq).toSeq)
+    val distCols = (0 until model.m).map { j =>
+      val sv = slice(col("v"), j * sub + 1, sub)
+      val scores = zip_with(element_at(bAll, j + 1), element_at(bN2All, j + 1),
+        (c, n2) => lit(2.0) * dot(sv, c) - n2)
+      floor((dot(sv, sv) - array_max(scores)) * 1e6 + 0.5).cast("long")
+    }
+    normed.select(posexplode(array(distCols: _*)).as(Seq("j", "d")))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("d").as("sum_dist_micro"),
+        max("d").as("max_dist_micro"))
+      .select(col("j").cast("int").as("subspace"),
+        col("n_vectors"), col("sum_dist_micro"), col("max_dist_micro"))
+      .orderBy("subspace")
+  }
+
   /** s27 truncation dims — single-sourced into the oracle replay. */
   val S27Dims: Seq[Int] = Seq(8, 16, 32)
 

@@ -708,6 +708,18 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "m13 grew a join")
   }
 
+  test("s39 PQ distortion: ONE corpus scan, no join — codebooks ride " +
+       "as plan literals and the report is an m-row aggregate") {
+    val plan = finalPlan(
+      graft.operators.Similarity.pqDistortionReport(spark, sf))
+    assert(noQuadraticJoins(plan), "s39 grew a join")
+    assert(broadcastJoins(plan) == 0, "s39 needs no join at all")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.getOrElse("Location", "").contains("embeddings"))
+    assert(scans.size == 1,
+      s"s39 scans the embeddings corpus ${scans.size}x")
+  }
+
   test("x25 epoch budgets: the x23 one-corpus-pass shape survives the " +
        "epoch scaling (no cartesian, BNLJs are 1-row splices)") {
     val plan = finalPlan(graft.operators.Sampling.epochTokenBudget(spark, sf))

@@ -935,6 +935,61 @@ class SimilaritySpec extends SparkSuite {
     assert(rep.map(_.getAs[Long]("n_live")).sum > 0)
   }
 
+  test("s39 PQ distortion ≡ a Scala recomputation of encode + " +
+       "reconstruction error; distortions are non-negative; a " +
+       "finer codebook never increases a subspace's total distortion") {
+    val mdl = graft.operators.Pinned.pq
+    val got = Similarity.pqDistortionReport(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == mdl.m)
+    // Scala recomputation from the raw embeddings
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val sub = mdl.sub
+    val want = Array.fill(mdl.m)((0L, 0L, 0L))
+    vecs.foreach { v0 =>
+      val nrm = math.sqrt(v0.map(x => x * x).sum)
+      val v = v0.map(_ / nrm)
+      for (j <- 0 until mdl.m) {
+        val sv = v.slice(j * sub, j * sub + sub)
+        val best = mdl.books(j).map { c =>
+          2.0 * sv.zip(c).map { case (a, b) => a * b }.sum -
+            c.map(x => x * x).sum
+        }.max
+        val d = math.floor((sv.map(x => x * x).sum - best) * 1e6 + 0.5).toLong
+        assert(d >= 0, s"negative distortion $d in subspace $j")
+        val (n, s0, mx) = want(j)
+        want(j) = (n + 1, s0 + d, math.max(mx, d))
+      }
+    }
+    got.foreach { case (j, (n, s0, mx)) =>
+      val (wn, ws, wm) = want(j)
+      // the engine computes in a different float ORDER only where the
+      // math is order-free (products/compares on identical doubles);
+      // sums of micro-floored longs are exact — require equality
+      assert(n == wn && s0 == ws && mx == wm,
+        s"subspace $j: got ($n,$s0,$mx) want ($wn,$ws,$wm)")
+    }
+    // refinement law: a codebook containing the original entries PLUS
+    // the dataset mean of each subspace can only reduce total distortion
+    val meanBook = (0 until mdl.m).map { j =>
+      val svs = vecs.map { v0 =>
+        val nrm = math.sqrt(v0.map(x => x * x).sum)
+        v0.map(_ / nrm).slice(j * sub, j * sub + sub)
+      }
+      val mean = (0 until sub).map(d => svs.map(_(d)).sum / svs.length).toArray
+      mdl.books(j) :+ mean
+    }.toArray
+    val finer = Similarity.pqDistortionReport(spark, sf,
+      graft.operators.PqModel(None, meanBook)).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    finer.foreach { case (j, s0) =>
+      assert(s0 <= got(j)._2, s"subspace $j distortion grew under a superset codebook")
+    }
+  }
+
   test("s30 rerank-depth curve: monotone in depth; exhaustive depth reaches 1000") {
     // a true-top-k member caught by ANY shortlist always survives the
     // exact re-rank (at most k-1 vectors outrank it globally), so
