@@ -184,7 +184,9 @@ object OracleSqlDx {
     s"""SELECT source,
            CAST(avail / $e AS BIGINT) AS unique_avail,
            weight, alloc,
-           CAST(ceil(alloc * 1.0 / (avail / $e)) AS BIGINT) AS epochs_used,
+           CASE WHEN avail > 0
+             THEN CAST(ceil(alloc * 1.0 / (avail / $e)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS epochs_used,
            saturated
          FROM (WITH ${x23ChainSql("documents", availScale = e, frac = frac)}
          ) t ORDER BY source"""
@@ -1290,7 +1292,9 @@ object OracleSqlDx {
     s"""SELECT source,
            CAST(avail / $e AS BIGINT) AS unique_avail,
            weight, alloc,
-           CAST(ceil(alloc * 1.0 / (avail / $e)) AS BIGINT) AS epochs_used,
+           CASE WHEN avail > 0
+             THEN CAST(ceil(alloc * 1.0 / (avail / $e)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS epochs_used,
            saturated
          FROM (WITH ${x23SparkChainSql("documents", availScale = e,
            frac = frac)}

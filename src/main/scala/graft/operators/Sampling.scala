@@ -735,8 +735,14 @@ object Sampling {
     wf.select(col(stratumCol),
         (col("avail") / maxEpochs).cast("long").as("unique_avail"),
         col("weight"), col("alloc"),
-        ceil(col("alloc") * lit(1.0) / (col("avail") / maxEpochs))
-          .cast("long").as("epochs_used"),
+        // avail > 0 guard: a stratum whose docs all tokenize to zero
+        // mass would divide 0/0 — NaN-cast-to-0 in Spark but NULL in
+        // DuckDB, an engine/oracle divergence on the degenerate edge
+        // (r15 ADVICE); 0 epochs is the honest answer for an empty
+        // supply (alloc is necessarily 0 there too)
+        when(col("avail") > 0,
+          ceil(col("alloc") * lit(1.0) / (col("avail") / maxEpochs))
+            .cast("long")).otherwise(lit(0L)).as("epochs_used"),
         col("saturated"))
       .orderBy(stratumCol)
   }

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 import graft.SparkEntry
 
@@ -33,14 +34,29 @@ object ShuffleAudit {
     * "filesSize") are Spark-internal strings — a rename in a Spark
     * upgrade would silently zero the audit, so ShuffleAuditSpec pins
     * that a groupBy reads nonzero through THESE keys. */
-  private[graft] def flattenPlan(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: flattenPlan(a.executedPlan)
-    case q: QueryStageExec => p +: flattenPlan(q.plan)
-    case _ => p +: p.children.flatMap(flattenPlan)
+  private[graft] def flattenPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // a reused exchange MIRRORS the original exchange's SQLMetrics —
+      // descending would double-count the shuffle (r15 ADVICE); the
+      // original is reached through its own stage, and metricSum's
+      // accumulator-id dedupe backstops any mirrored metric object
+      case _: ReusedExchangeExec => Seq.empty
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    // subquery plans (scalar subqueries, the 1-row BNLJ splices) hang
+    // off expressions, not children — walk them too or their shuffles
+    // are silently omitted (r15 ADVICE)
+    (p +: kids.flatMap(flattenPlan)) ++ p.subqueries.flatMap(flattenPlan)
   }
 
+  /** Sums dedupe by ACCUMULATOR ID: reuse wrappers can surface the
+    * same SQLMetric instance at several tree positions, and a metric
+    * must count once no matter how many nodes mirror it. */
   private[graft] def metricSum(plan: Seq[SparkPlan], key: String): Long =
-    plan.flatMap(_.metrics.get(key)).map(_.value).sum
+    plan.flatMap(_.metrics.get(key)).map(m => m.id -> m.value)
+      .toMap.values.sum
 
   private[graft] def audit(df: org.apache.spark.sql.DataFrame)
       : Map[String, Long] = {
@@ -61,9 +77,15 @@ object ShuffleAudit {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // spark.driver.memory is inert in local mode (the JVM is already
+    // up — r15 ADVICE); the heap must come from sbt -mem / JAVA_OPTS.
+    // Print what the audit actually ran with so spill numbers are
+    // interpretable against the real heap.
+    System.err.println(f"shuffle_audit: driver max heap = " +
+      f"${Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)}%.1f GiB " +
+      "(set via sbt -mem / JAVA_OPTS, NOT spark.driver.memory)")
 
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
