@@ -192,6 +192,121 @@ object OracleSqlDx {
          ) t ORDER BY source"""
   }
 
+  /** x26: the [[graft.operators.Curation.qualityFitTrajectory]]
+    * gradient-descent fit with all [[Curation.X26Rounds]] rounds
+    * UNROLLED as CTEs (the t13 discipline) — round r scores every doc
+    * against w(r−1), takes the micro-scaled residual against the
+    * t02-quality label, aggregates the per-feature int64 gradient,
+    * and derives w(r) with the single shared IEEE
+    * ⌊g·1.0/(n·LrDen)⌋ step. Features are the milli-normalized counts
+    * (exact positive integer division — `//` and `DIV` agree). The
+    * oracle re-derives the whole training trajectory from the raw
+    * corpus; only the final weight table is compared. `serve = true`
+    * appends the normalized-serve tail over the final weights instead
+    * (the x26s registration), so the fit chain and the serve
+    * machinery are the same text in both queries. */
+  private[graft] def x26Sql(duck: Boolean, serve: Boolean): String = {
+    val C = graft.operators.Curation
+    val rounds = C.X26Rounds
+    val scale = C.X26Scale
+    val lrDen = C.X26LrDen
+    val thr = C.X26LabelMin
+    val tokSplit =
+      if (duck) """regexp_split_to_array(trim(text), '\s+')"""
+      else """split(trim(text), '\\s+')"""
+    val unnestTok =
+      if (duck) s"unnest($tokSplit)" else s"explode($tokSplit)"
+    val hexToInt =
+      if (duck) "CAST(('0x' || substring(md5(w), 1, 2)) AS BIGINT)"
+      else "CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)"
+    val lenFn = if (duck) "len" else "size"
+    val filterFn = if (duck) "list_filter" else "filter"
+    val reFlags = if (duck) ", 'g'" else ""
+    val wsPat = if (duck) """'\s+'""" else """'\\s+'"""
+    val rangeF =
+      if (duck) "SELECT CAST(range AS BIGINT) AS f FROM range(0, 256)"
+      else "SELECT CAST(id AS BIGINT) AS f FROM range(0, 256)"
+    val stop = "('the','a','of','and','to','in','is')"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (
+           SELECT pd.doc_id, CAST(sum(pd.c * w.w) AS BIGINT) AS sc
+           FROM pd JOIN w${r - 1} w ON w.f = pd.f GROUP BY pd.doc_id
+         ), e$r AS (
+           SELECT l.doc_id, s.sc - l.y * $scale AS e
+           FROM s$r s JOIN lab l ON l.doc_id = s.doc_id
+         ), g$r AS (
+           SELECT pd.f, CAST(sum(pd.c * e.e) AS BIGINT) AS g
+           FROM pd JOIN e$r e ON e.doc_id = pd.doc_id GROUP BY pd.f
+         ), w$r AS (
+           SELECT w.f, w.w - CAST(floor((COALESCE(g.g, 0) * 1.0) /
+             (nn.n * $lrDen)) AS BIGINT) AS w
+           FROM w${r - 1} w LEFT JOIN g$r g ON g.f = w.f CROSS JOIN nn)"""
+    }.mkString(",\n         ")
+    val intDiv = if (duck) "//" else "DIV"
+    val tail =
+      if (!serve)
+        s"SELECT CAST(f AS INT) AS f, w AS w_micro FROM w$rounds ORDER BY f"
+      else {
+        val scoreExpr =
+          if (duck) "floor((score_micro / 1e6)*1e4 + 0.5)/1e4"
+          else
+            "floor((CAST(score_micro AS DOUBLE) / 1e6)*1e4 + 0.5)/1e4"
+        s"""SELECT doc_id, n_tokens, score_micro,
+             $scoreExpr AS score,
+             (score_micro >= ${C.X26KeepMin}) AS keep
+           FROM (
+             SELECT pd.doc_id, CAST(max(pd.ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(pd.c * w.w) AS BIGINT) AS score_micro
+             FROM pd JOIN w$rounds w ON w.f = pd.f GROUP BY pd.doc_id)
+           ORDER BY doc_id"""
+      }
+    s"""WITH fb AS (
+           SELECT doc_id, $hexToInt AS f
+           FROM (SELECT doc_id, $unnestTok AS w FROM documents)
+         ), craw AS (
+           SELECT doc_id, f, CAST(count(*) AS BIGINT) AS craw
+           FROM fb GROUP BY doc_id, f
+         ), tot AS (
+           SELECT doc_id, CAST(sum(craw) AS BIGINT) AS ntok
+           FROM craw GROUP BY doc_id
+         ), pd AS (
+           SELECT c.doc_id, c.f, t.ntok,
+             CAST((c.craw * 1000) $intDiv t.ntok AS BIGINT) AS c
+           FROM craw c JOIN tot t ON t.doc_id = c.doc_id
+         ), lab AS (
+           SELECT doc_id,
+             CASE WHEN floor((least(1.0, n_tok/20.0)*0.4
+                   + least(1.0, (n_stop/n_tok)*5.0)*0.3
+                   + (CASE WHEN n_nonspace/n_tok BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.0 END)*0.3)*1e4 + 0.5)/1e4
+                  >= CAST($thr AS DOUBLE)
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+           FROM (
+             SELECT doc_id,
+               CAST($lenFn($tokSplit) AS DOUBLE) AS n_tok,
+               CAST($lenFn($filterFn($tokSplit,
+                 x -> x IN $stop)) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, $wsPat, ''$reFlags))
+                 AS DOUBLE) AS n_nonspace
+             FROM documents)
+         ), nn AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM pd
+         ), w0 AS (
+           SELECT f, CAST(0 AS BIGINT) AS w FROM ($rangeF)
+         ),
+         $roundCtes
+         $tail"""
+  }
+
+  private[graft] lazy val x26OracleSql: String =
+    x26Sql(duck = true, serve = false)
+  private[graft] lazy val x26ServeOracleSql: String =
+    x26Sql(duck = true, serve = true)
+  private[graft] lazy val x26SparkSql: String =
+    x26Sql(duck = false, serve = false)
+  private[graft] lazy val x26ServeSparkSql: String =
+    x26Sql(duck = false, serve = true)
+
   /** x24 replay — x05's member oracle VERBATIM as a CTE (the v10
     * composition discipline) filtered at the engine's near-copy
     * threshold, the md5-prefix train filter, a left-anti survivors
@@ -732,6 +847,8 @@ object OracleSqlDx {
     "x23_token_budget_mix" -> x23OracleSql,
     "x24_decontaminated_budget" -> x24OracleSql,
     "x25_epoch_budget" -> x25OracleSql,
+    "x26_quality_fit" -> x26OracleSql,
+    "x26s_fitted_serve" -> x26ServeOracleSql,
     "d19_band_plan" -> d19OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
@@ -1326,6 +1443,8 @@ object OracleSqlDx {
     "x23_token_budget_mix" -> x23SparkSql,
     "x24_decontaminated_budget" -> x24SparkSql,
     "x25_epoch_budget" -> x25SparkSql,
+    "x26_quality_fit" -> x26SparkSql,
+    "x26s_fitted_serve" -> x26ServeSparkSql,
     "x01_split_counts" ->
       """SELECT lang,
            CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'

@@ -1031,31 +1031,31 @@ object OracleSqlSim {
     * arithmetic is the engine's exact order (left-assoc chains, 6 dp
     * rounding); projection entries and means are exact binary
     * fractions, so the sign comparisons replay identically. */
-  private def s35Sql(duck: Boolean): String = {
-    val nq = Multimodal.S35NQueries
-    val nCand = Multimodal.S35NCand
-    val k = Multimodal.S35K
+  /** The s35/m14 shared dialect fragments: 1-based element access,
+    * unrolled 16-dim dot/norm chains, the media nibble-histogram CTEs
+    * (hx, h), the text-tower token-hash histogram and the pinned-
+    * projection list — factored so the cross-modal serve (s35) and
+    * the alignment gate (m14/m14h) replay IDENTICAL towers. */
+  private[graft] final case class TowerFrags(
+      el: (String, Int) => String,
+      pairDot: (String, String) => String,
+      norm2: String => String,
+      hexToInt: String => String,
+      tokSplit: String,
+      qhList: String,
+      histCtes: String,
+      pjList: String)
+
+  private[graft] def towerFrags(duck: Boolean): TowerFrags = {
     val W = Multimodal.s35Projection
     def el(c: String, i: Int): String = // i is 1-based
       if (duck) s"$c[$i]" else s"$c[${i - 1}]"
-    def sumChain(c: String, f: Int => String): String =
-      (1 to 16).map(f).mkString(" + ")
     def pairDot(a: String, b: String): String =
-      sumChain(a, i => s"${el(a, i)}*${el(b, i)}")
+      (1 to 16).map(i => s"${el(a, i)}*${el(b, i)}").mkString(" + ")
     def norm2(c: String): String = pairDot(c, c)
     val hexToInt = (h: String) =>
       if (duck) s"CAST(('0x' || $h) AS BIGINT)"
       else s"CAST(conv($h, 16, 10) AS BIGINT)"
-    val pow2 = (i: Int) =>
-      if (duck) s"CAST(2 ** ${i - 1} AS BIGINT)"
-      else s"CAST(pow(2.0D, ${i - 1}.0D) AS BIGINT)"
-    def sigExpr(c: String): String =
-      (1 to 16).map(i =>
-        s"CASE WHEN ${el(c, i)} > mn THEN ${pow2(i)} ELSE ${if (duck) "CAST(0 AS BIGINT)" else "0L"} END")
-        .mkString(" + ")
-    val xorCnt =
-      if (duck) "bit_count(xor(m.sig, q.q_sig))"
-      else "bit_count(m.sig ^ q.q_sig)"
     // text-tower histogram: one bucket-count element per md5 hex digit
     val qhList =
       if (duck)
@@ -1098,6 +1098,28 @@ object OracleSqlSim {
     }.mkString(if (duck) "[" else "array(",
       if (duck) ",\n             " else ",\n             ",
       if (duck) "]" else ")")
+    TowerFrags(el, pairDot, norm2, hexToInt, tokSplit, qhList, histCtes,
+      pjList)
+  }
+
+  private def s35Sql(duck: Boolean): String = {
+    val nq = Multimodal.S35NQueries
+    val nCand = Multimodal.S35NCand
+    val k = Multimodal.S35K
+    val tf = towerFrags(duck)
+    import tf.{el, pairDot, norm2, tokSplit, qhList, histCtes, pjList}
+    def sumChain(c: String, f: Int => String): String =
+      (1 to 16).map(f).mkString(" + ")
+    val pow2 = (i: Int) =>
+      if (duck) s"CAST(2 ** ${i - 1} AS BIGINT)"
+      else s"CAST(pow(2.0D, ${i - 1}.0D) AS BIGINT)"
+    def sigExpr(c: String): String =
+      (1 to 16).map(i =>
+        s"CASE WHEN ${el(c, i)} > mn THEN ${pow2(i)} ELSE ${if (duck) "CAST(0 AS BIGINT)" else "0L"} END")
+        .mkString(" + ")
+    val xorCnt =
+      if (duck) "bit_count(xor(m.sig, q.q_sig))"
+      else "bit_count(m.sig ^ q.q_sig)"
     s"""WITH $histCtes,
          qt AS (
            SELECT doc_id AS q_id, $tokSplit AS tk
@@ -1144,8 +1166,66 @@ object OracleSqlSim {
   private[graft] lazy val s35OracleSql: String = s35Sql(duck = true)
   private[graft] lazy val s35SparkSql: String = s35Sql(duck = false)
 
+  /** m14/m14h: the alignment gate over the SAME towers as s35 — every
+    * (media, caption = its own document) pair scored by raw projected
+    * cosine, thresholded at [[Multimodal.M14AlignMin]]; the hist form
+    * reduces to (source × width-0.1 bin) keep counts. The tower CTEs
+    * come from [[towerFrags]] verbatim, so gate and serve cannot
+    * drift. */
+  private def m14Sql(duck: Boolean, hist: Boolean): String = {
+    val tf = towerFrags(duck)
+    import tf.{pairDot, norm2, tokSplit, qhList, histCtes, pjList}
+    val minCos = Multimodal.M14AlignMin
+    val bins = Multimodal.M14HistBins
+    val pairs =
+      s"""WITH $histCtes,
+         qt AS (
+           SELECT doc_id AS q_id, $tokSplit AS tk FROM documents
+         ), qh AS (
+           SELECT q_id, $qhList AS tq FROM qt
+         ), qp AS (
+           SELECT q_id, $pjList AS pj FROM qh
+         ), mpre AS (
+           SELECT media_id, v, sqrt(${norm2("v")}) AS nrm FROM h
+         ), qpre AS (
+           SELECT q_id, pj, sqrt(${norm2("pj")}) AS q_nrm FROM qp
+         ), src AS (
+           SELECT doc_id, source FROM documents
+         ), pairs AS (
+           SELECT m.media_id, s.source,
+             round((${pairDot("q.pj", "m.v")}) / (q.q_nrm * m.nrm), 6)
+               AS cos
+           FROM mpre m JOIN qpre q ON q.q_id = m.media_id
+           JOIN src s ON s.doc_id = m.media_id)"""
+    if (!hist)
+      s"""$pairs
+         SELECT media_id, source, cos, (cos >= $minCos) AS keep
+         FROM pairs ORDER BY media_id"""
+    else
+      s"""$pairs
+         SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN cos >= $minCos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep
+         FROM (SELECT source, cos,
+                 CAST(least(${bins - 1}, floor((cos + 1.0) * ${bins / 2.0}))
+                   AS INT) AS bin
+               FROM pairs)
+         GROUP BY source, bin ORDER BY source, bin"""
+  }
+
+  private[graft] lazy val m14OracleSql: String =
+    m14Sql(duck = true, hist = false)
+  private[graft] lazy val m14HistOracleSql: String =
+    m14Sql(duck = true, hist = true)
+  private[graft] lazy val m14SparkSql: String =
+    m14Sql(duck = false, hist = false)
+  private[graft] lazy val m14HistSparkSql: String =
+    m14Sql(duck = false, hist = true)
+
   private[graft] val oracles: Map[String, String] = Map(
     "s35_cross_modal" -> s35OracleSql,
+    "m14_alignment_gate" -> m14OracleSql,
+    "m14h_alignment_hist" -> m14HistOracleSql,
     "s06_label_norms" ->
       """WITH e AS (SELECT label,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1265,6 +1345,8 @@ object OracleSqlSim {
 
   private[graft] val spark: Map[String, String] = Map(
     "s35_cross_modal" -> s35SparkSql,
+    "m14_alignment_gate" -> m14SparkSql,
+    "m14h_alignment_hist" -> m14HistSparkSql,
     "s02_cosine_pairs" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings

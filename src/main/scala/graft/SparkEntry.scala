@@ -225,6 +225,9 @@ object SparkEntry {
       Similarity.incrementalSemanticAdmission(s, dir)),
     "s35_cross_modal"     -> ((s, dir) =>
       Multimodal.crossModalRetrieve(s, dir)),
+    "m14_alignment_gate"  -> ((s, dir) => Multimodal.alignmentGate(s, dir)),
+    "m14h_alignment_hist" -> ((s, dir) =>
+      Multimodal.alignmentHistogram(s, dir)),
     "v09_tokenizer_drift" -> ((s, dir) => TextOps.tokenizerDrift(s, dir)),
     "v06_dedup_impact"    -> ((s, dir) => Curation.dedupImpact(s, dir)),
     "v10_contamination_report" -> ((s, dir) =>
@@ -235,6 +238,8 @@ object SparkEntry {
     "x24_decontaminated_budget" -> ((s, dir) =>
       Sampling.decontaminatedTokenBudget(s, dir)),
     "x25_epoch_budget" -> ((s, dir) => Sampling.epochTokenBudget(s, dir)),
+    "x26_quality_fit" -> ((s, dir) => Curation.qualityFit(s, dir)),
+    "x26s_fitted_serve" -> ((s, dir) => Curation.qualityFitServe(s, dir)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
     "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
     "s39_pq_distortion"   -> ((s, dir) => Similarity.pqDistortionReport(s, dir)),

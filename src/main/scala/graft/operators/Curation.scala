@@ -146,6 +146,167 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** x26 fit hyper-parameters — single-sourced into both dialect
+    * replays (the X24ContaminationMin discipline). Rounds is the
+    * fixed unrolled iteration count (the t13 precedent); LrDen is the
+    * inverse learning rate (η = 1/(n·LrDen)): GD needs
+    * η < 2/λ_max(XᵀX), and on the milli-normalized design matrix
+    * λ_max/(2n) measures ≈ 16.3k across sf0.001/0.01/0.1 (a property
+    * of the token distribution, not the corpus size — it's the
+    * per-row Gram scale), so 20000 clears it with margin at any SF;
+    * LabelMin is the t02-quality label threshold — compared on the
+    * r4-FLOORED quality so the boundary is engine-exact; Scale is
+    * the micro target for the positive class. */
+  val X26Rounds: Int = 6
+  val X26LrDen: Long = 20000L
+  val X26LabelMin: Double = 0.78
+  val X26Scale: Long = 1000000L
+
+  /** x26s keep threshold: the midpoint of the 0/[[X26Scale]] fit
+    * targets — the natural decision boundary for a squared-loss
+    * 0/1 regressor. */
+  val X26KeepMin: Long = X26Scale / 2
+
+  /** The x26 training labels: the CCNet/GPT-3 discipline labels crawl
+    * documents by a REFERENCE quality signal and fits a cheap hashed
+    * bag-of-words model to serve at corpus scale; here the reference
+    * signal is the library's own t02 heuristic, thresholded at
+    * [[X26LabelMin]] on the r4-floored quality (engine-exact in both
+    * dialects). */
+  private[graft] def qualityLabels(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(s, dir).select(col("doc_id"),
+      when(col("quality") >= X26LabelMin, 1L).otherwise(0L).as("y"))
+
+  /** x26: quality-classifier TRAINING — the fit half of x15
+    * (which serves a pinned fixture): a linear model over the same 256
+    * md5-prefix hashed bag-of-words features, fit by [[X26Rounds]]
+    * rounds of full-batch gradient descent on squared loss against
+    * micro-scaled 0/1e6 targets. Each round is driver-synced like
+    * t13's merge argmax: the 256-long weight vector rides into the
+    * round's plan as a literal (`element_at`, no join), the per-doc
+    * score and residual are ONE hash aggregate over the (doc, f,
+    * count) frame, the per-feature gradient is ONE 256-group
+    * aggregate, and the collected 256-row gradient updates the driver
+    * copy: w_f ← w_f − ⌊g_f / (n·LrDen)⌋.
+    *
+    * Determinism: feature counts, scores, residuals, and gradients
+    * are exact int64 arithmetic (reassociable ⇒ partitioning-
+    * independent); the only float op per round is the single
+    * ⌊g·1.0/(n·LrDen)⌋ division — the same IEEE double op in both
+    * engines (the x20 discipline), exact while |g| < 2⁵³ (holds to
+    * ~10⁹ docs/bucket; beyond that a production fit runs on a bounded
+    * sample, the Lloyd/PCA model-fit discipline). The DuckDB oracle
+    * unrolls all [[X26Rounds]] rounds as CTEs (the t13 precedent), so
+    * the whole training trajectory is re-derived from the raw corpus.
+    *
+    * Returns (weights after each round, squared-loss at each weight
+    * vector including w⁰ and the final w — rounds+1 entries). */
+  /** The x26 feature frame: per-(doc, bucket) MILLI-NORMALIZED token
+    * counts — cm = ⌊c·1000 / n_tok⌋, the fastText averaging
+    * discipline as exact integer arithmetic (positive integer
+    * division is the same truncation in both engines, no IEEE op).
+    * Normalization is what makes the fit work: on RAW counts the
+    * Gram matrix's dominant eigendirection is document LENGTH, which
+    * carries no label signal — measured on this corpus, raw-count GD
+    * plateaus at the base rate (~0.56 accuracy) while the normalized
+    * fit reaches 0.90 at sf0.01 in [[X26Rounds]] rounds against an
+    * LS ceiling of ~0.95. */
+  private[graft] def x26Features(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(col(idCol),
+        conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int").as("f"))
+      .groupBy(col(idCol), col("f")).agg(count(lit(1)).as("craw"))
+    val tot = counts.groupBy(col(idCol)).agg(sum("craw").as("ntok"))
+    counts.join(tot, Seq(idCol))
+      .select(col(idCol), col("f"), col("ntok"),
+        expr("(craw * 1000) div ntok").as("c"))
+  }
+
+  private[graft] def qualityFitTrajectory(docs: DataFrame, idCol: String,
+      textCol: String, labels: DataFrame,
+      rounds: Int = X26Rounds): (Seq[Array[Long]], Seq[Long]) = {
+    val pd = x26Features(docs, idCol, textCol)
+      .join(labels.select(col(idCol), col("y").cast("long").as("y")),
+        Seq(idCol))
+      .localCheckpoint() // every round re-reads (id, f, c, y)
+    val n = pd.select(col(idCol)).distinct().count()
+    var w = Array.fill(256)(0L)
+    val ws = Seq.newBuilder[Array[Long]]
+    val losses = Seq.newBuilder[Long]
+    def residFrame(wCur: Array[Long]): DataFrame = {
+      val wLit = typedlit(wCur.toSeq)
+      pd.groupBy(col(idCol), col("y"))
+        .agg(sum(col("c") * element_at(wLit, col("f") + 1)).as("s"))
+        .select(col(idCol), (col("s") - col("y") * lit(X26Scale)).as("e"))
+    }
+    for (_ <- 1 to rounds) {
+      val resid = residFrame(w).localCheckpoint() // loss + gradient share it
+      losses += resid.agg(sum(col("e") * col("e"))).head().getLong(0)
+      val g = pd.join(resid, Seq(idCol))
+        .groupBy(col("f")).agg(sum(col("c") * col("e")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = Array.tabulate(256)(f =>
+        w(f) - math.floor(g.getOrElse(f, 0L) * 1.0 / (n * X26LrDen)).toLong)
+      ws += w
+    }
+    losses += residFrame(w).agg(sum(col("e") * col("e"))).head().getLong(0)
+    (ws.result(), losses.result())
+  }
+
+  /** The fitted weight vector (final round). */
+  def qualityFitWeights(s: SparkSession, dir: String): Array[Long] =
+    qualityFitTrajectory(t(s, dir, "documents"), "doc_id", "text",
+      qualityLabels(s, dir))._1.last
+
+  /** x26 registered face: the fitted model itself — one row per
+    * hashed-feature bucket, weights in micros. 256 rows at any corpus
+    * scale (the model, not the corpus, is the output). */
+  def qualityFit(s: SparkSession, dir: String): DataFrame = {
+    val fin = qualityFitWeights(s, dir)
+    s.range(256).select(col("id").cast("int").as("f"),
+        element_at(typedlit(fin.toSeq), col("id").cast("int") + 1)
+          .as("w_micro"))
+      .orderBy("f")
+  }
+
+  /** x26s registered face: x15's serve machinery (hashed-bag linear
+    * scorer, plan-literal weights via `element_at`, pure-int64
+    * reduction, same output contract) running THE FITTED weights over
+    * THE FIT features — fit-once/serve-many closed in-engine. The one
+    * deliberate delta vs x15: features are the x26 milli-normalized
+    * counts (a model must be served on the features it was fit on)
+    * and `keep` thresholds at the fitted midpoint [[X26KeepMin]]
+    * instead of zero — `score` is the model's ŷ directly (the
+    * normalization already divides by length, so x15's per-token
+    * division would double-normalize). The oracle chains the x26
+    * unrolled-fit CTEs into this serve tail, so neither half can
+    * drift from its registered member. */
+  def qualityFitServe(s: SparkSession, dir: String): DataFrame =
+    normalizedClassifier(t(s, dir, "documents"), "doc_id", "text",
+      qualityFitWeights(s, dir))
+
+  /** The x26-feature serve path: x15's scorer shape over
+    * [[x26Features]]. Same scale economics as x15 — one explode, two
+    * hash aggregates, weights as a 256-long plan literal, no join on
+    * the keep path. */
+  private[graft] def normalizedClassifier(docs: DataFrame, idCol: String,
+      textCol: String, wMicro: Array[Long]): DataFrame = {
+    require(wMicro.length == 256, s"expected 256 weights, got ${wMicro.length}")
+    x26Features(docs, idCol, textCol)
+      .select(col(idCol), col("ntok"), col("c"),
+        element_at(typedlit(wMicro.toSeq), col("f") + 1).as("wm"))
+      .groupBy(idCol)
+      .agg(max("ntok").as("n_tokens"), // ntok is per-doc constant
+        sum(col("c") * col("wm")).as("score_micro"))
+      .withColumn("score",
+        TextOps.r4(col("score_micro").cast("double") / lit(1e6)))
+      .withColumn("keep", col("score_micro") >= X26KeepMin)
+      .select(idCol, "n_tokens", "score_micro", "score", "keep")
+      .orderBy(idCol)
+  }
+
   /** x12: curriculum quality bins — order the corpus by the t02
     * quality score and cut it into `nBins` equal-population tiers (the
     * easy→hard schedule curriculum training consumes; also the

@@ -484,6 +484,13 @@ object Multimodal {
   val S35NCand: Int = 20
   val S35K: Int = 3
 
+  /** m14 dials — single-sourced into both dialect replays. AlignMin
+    * sits near the measured self-pair score median (0.117 at sf0.01,
+    * range [−0.40, 0.42]) so keep and drop are both populated at
+    * every SF; HistBins is width-0.1 bins over cosine's [−1, 1]. */
+  val M14AlignMin: Double = 0.1
+  val M14HistBins: Int = 20
+
   /** The pinned 16×16 text→media projection — the learned CLIP
     * alignment's stand-in, a deterministic closed form both engines
     * replay verbatim (the s31-weights / [[Pinned]] fixture
@@ -574,4 +581,74 @@ object Multimodal {
       .select("q_id", "rk", "media_id", "hamming", "cos")
       .orderBy("q_id", "rk")
   }
+
+  /** The m14 per-pair alignment frame: each (media, caption) pair
+    * scored by the s35 two towers — media = m07's nibble histogram
+    * over the payload, caption = the token-hash histogram pushed
+    * through the pinned [[s35Projection]] — as raw cosine. The pair
+    * is media_id = doc_id: the caption rides IN the media row (the
+    * LAION/webdataset shape — image and caption arrive together), so
+    * both towers are computed in ONE scan projection and NO exchange
+    * ever sees the payload or the text; with a physically separate
+    * caption table this becomes one narrow id-keyed equi-join of
+    * 16-double feature rows, payloads still scan-local. */
+  private def alignmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.{dot, nibbleHistogram}
+    val toks = split(trim(col("text")), "\\s+")
+    val tq = transform(sequence(lit(0), lit(15)),
+      b => size(filter(toks,
+        tk => conv(substring(md5(tk), 1, 1), 16, 10).cast("int") === b))
+        .cast("double"))
+    val wCols = s35Projection.transpose
+    val pj = array(wCols.map(cj => dot(col("tq"), typedlit(cj.toSeq))): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("source"),
+        transform(nibbleHistogram(col("text").cast("binary")),
+          _.cast("double")).as("v"),
+        tq.as("tq"))
+      .select(col("media_id"), col("source"), col("v"), pj.as("pj"))
+      .select(col("media_id"), col("source"),
+        round(dot(col("pj"), col("v")) /
+            (sqrt(dot(col("pj"), col("pj"))) * sqrt(dot(col("v"), col("v")))),
+          6).as("cos"))
+  }
+
+  /** m14: image-text alignment gate — the LAION-400M curation core:
+    * score every (media, caption) pair with the two-tower (CLIP-
+    * shaped) alignment cosine and keep pairs above [[M14AlignMin]].
+    * s35 RETRIEVES with these towers; this is the other half a
+    * multimodal data pipeline runs first — the per-pair keep/drop
+    * that decides which pairs enter training at all. Towers are the
+    * s35 fixtures (deterministic stand-ins for the learned encoders;
+    * swap in real towers and nothing else in the plan moves).
+    *
+    * At 100 TB: one media-corpus scan (features + cosine computed in
+    * the scan projection), no join, no shuffle but the presentation
+    * sort — the same economics as m07's histogram pass. The binary
+    * payload never leaves the scan stage (the m13 plan-gate law,
+    * extended to this query). */
+  def alignmentGate(s: SparkSession, dir: String,
+                    minCos: Double = M14AlignMin): DataFrame =
+    alignmentPairs(s, dir)
+      .withColumn("keep", col("cos") >= minCos)
+      .orderBy("media_id")
+
+  /** m14h: the per-source alignment histogram — the release-gate
+    * governance view of m14 (what fraction of each source's pairs
+    * survive the gate, and how the alignment mass is distributed):
+    * width-0.1 cosine bins × source, with per-bin pair and keep
+    * counts. Report is (n_sources × [[M14HistBins]])-row — corpus
+    * mass reduces in one count shuffle over slim (source, bin) keys. */
+  def alignmentHistogram(s: SparkSession, dir: String,
+                         minCos: Double = M14AlignMin,
+                         bins: Int = M14HistBins): DataFrame =
+    alignmentPairs(s, dir)
+      .select(col("source"),
+        least(lit(bins - 1),
+          floor((col("cos") + lit(1.0)) * lit(bins / 2.0))).cast("int")
+          .as("bin"),
+        (col("cos") >= minCos).cast("long").as("kept"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"), sum("kept").as("n_keep"))
+      .orderBy("source", "bin")
 }

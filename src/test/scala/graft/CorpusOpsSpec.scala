@@ -1086,6 +1086,86 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("x26 quality fit: pure-Scala GD replay matches the engine " +
+       "trajectory exactly; loss strictly decreases; the fitted serve " +
+       "separates the planted labels and beats the base rate") {
+    import graft.operators.Curation.{X26Rounds, X26LrDen, X26Scale,
+      X26KeepMin, X26LabelMin}
+    val labels: Map[Long, Boolean] =
+      TextOps.qualityScore(spark, sf).select("doc_id", "quality")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1) >= X26LabelMin))
+        .toMap
+    // milli-normalized hashed-bag features, pure Scala
+    val ntoks: Map[Long, Long] = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").length.toLong }.toMap
+    val feats: Map[Long, Map[Int, Long]] = docs.map { case (id, text) =>
+      val raw = text.trim.split("\\s+").toSeq
+        .groupBy(t => Integer.parseInt(md5hex(t).substring(0, 2), 16))
+        .map { case (f, ts) => f -> ts.size.toLong }
+      id -> raw.map { case (f, c) => f -> (c * 1000L / ntoks(id)) }
+    }.toMap
+    val n = docs.size.toLong
+    def score(w: Array[Long], id: Long): Long =
+      feats(id).iterator.map { case (f, c) => c * w(f) }.sum
+    def target(id: Long): Long = if (labels(id)) X26Scale else 0L
+    def lossOf(w: Array[Long]): Long =
+      docs.iterator.map { case (id, _) =>
+        val e = score(w, id) - target(id); e * e }.sum
+    var w = Array.fill(256)(0L)
+    val replayW = Seq.newBuilder[Seq[Long]]
+    val replayLoss = Seq.newBuilder[Long]
+    for (_ <- 1 to X26Rounds) {
+      replayLoss += lossOf(w)
+      val g = Array.fill(256)(0L)
+      docs.foreach { case (id, _) =>
+        val e = score(w, id) - target(id)
+        feats(id).foreach { case (f, c) => g(f) += c * e }
+      }
+      w = Array.tabulate(256)(f =>
+        w(f) - math.floor(g(f) * 1.0 / (n * X26LrDen)).toLong)
+      replayW += w.toSeq
+    }
+    replayLoss += lossOf(w)
+    // engine trajectory (weights AND losses) == pure-Scala replay
+    val (engW, engLoss) = Curation.qualityFitTrajectory(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      Curation.qualityLabels(spark, sf))
+    assert(engW.map(_.toSeq) == replayW.result(), "weight trajectories differ")
+    assert(engLoss == replayLoss.result(), "loss trajectories differ")
+    // the documented learning rate is STABLE on this corpus: squared
+    // loss strictly decreases through every round including the last
+    assert(engLoss.sliding(2).forall(p => p(1) < p(0)),
+      s"loss not strictly decreasing: $engLoss")
+    // registered x26 face serves the final round's weights, 256 rows
+    val fitRows = Curation.qualityFit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(fitRows.map(_._1).toSeq == (0 until 256))
+    assert(fitRows.map(_._2).toSeq == w.toSeq)
+    // registered x26s face == x15-shaped serve of the fitted weights
+    // over the fit features (pure-Scala recomputation)
+    val expServe = docs.map { case (id, _) =>
+      val s = score(w, id)
+      (id, ntoks(id), s, r4(s.toDouble / 1e6), s >= X26KeepMin)
+    }.sortBy(_._1)
+    val serve = Curation.qualityFitServe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(serve == expServe)
+    // planted separation: the fitted model moves the class means apart
+    val (pos, neg) = docs.map(d => (labels(d._1), score(w, d._1)))
+      .partition(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "labels degenerate at this SF")
+    val gap = pos.map(_._2).sum.toDouble / pos.size -
+      neg.map(_._2).sum.toDouble / neg.size
+    assert(gap > 0, s"no separation: gap $gap")
+    // and classifies better than always-majority (and usefully so)
+    val acc = serve.count { case (id, _, _, _, keep) =>
+      keep == labels(id) }.toDouble / n
+    val base = math.max(pos.size, neg.size).toDouble / n
+    assert(acc > base, s"fit no better than base rate: $acc <= $base")
+    assert(acc >= 0.75, s"fit accuracy regressed: $acc")
+  }
+
   test("x14 cluster sample: per-cell md5 pick over nearest pinned cells") {
     val cents = graft.operators.Pinned.ivfCentroids
     def dotd(a: Array[Double], b: Array[Double]): Double = {

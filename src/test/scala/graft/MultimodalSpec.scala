@@ -362,4 +362,59 @@ class MultimodalSpec extends SparkSuite {
     assert(got.nonEmpty && got.map(_._1).distinct.size ==
       Multimodal.S35NQueries)
   }
+
+  test("m14 alignment gate ≡ a Scala recomputation of the s35 towers' " +
+       "self-pair cosine; gate discriminates; m14h aggregates m14 exactly") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def mediaHist(text: String): Array[Double] = {
+      val h = new Array[Double](16)
+      text.getBytes("UTF-8").foreach(b => h((b & 0xF0) >>> 4) += 1.0)
+      h
+    }
+    def textHist(text: String): Array[Double] = {
+      val h = new Array[Double](16)
+      text.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        h(Integer.parseInt(md5hex(t).substring(0, 1), 16)) += 1.0
+      }
+      h
+    }
+    val W = Multimodal.s35Projection
+    def project(tq: Array[Double]): Array[Double] =
+      Array.tabulate(16)(j => (0 until 16).map(i => tq(i) * W(i)(j)).sum)
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = docs.map { case (id, text, src) =>
+      val v = mediaHist(text)
+      val pj = project(textHist(text))
+      val cos = r6((0 until 16).map(i => pj(i) * v(i)).sum /
+        (nrm(pj) * nrm(v)))
+      (id, src, cos, cos >= Multimodal.M14AlignMin)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.alignmentGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == expected)
+    // the gate must discriminate at this SF, or keep is vacuous
+    assert(got.exists(_._4) && got.exists(!_._4))
+    // m14h is EXACTLY m14 aggregated into (source, width-0.1 bin)
+    val expHist = expected
+      .groupBy { case (_, src, cos, _) =>
+        (src, math.min(Multimodal.M14HistBins - 1,
+          math.floor((cos + 1.0) * (Multimodal.M14HistBins / 2.0)).toInt)) }
+      .map { case ((src, bin), rows) =>
+        (src, bin, rows.size.toLong, rows.count(_._4).toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val gotHist = Multimodal.alignmentHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotHist == expHist)
+    assert(gotHist.map(_._3).sum == docs.length.toLong)
+  }
 }

@@ -92,6 +92,20 @@ class PlanGateSpec extends SparkSuite {
     assert(topks.exists(!_.partial), s"$name lost the final TopKPerGroup pass")
   }
 
+  test("x26s fitted serve: weights ride as plan literals (no model-" +
+       "table join); only the narrow id-keyed normalization equi-join") {
+    // the 256-long fitted weight vector is an element_at literal — the
+    // ONLY join in the serve plan is counts⋈totals on the doc id
+    // (narrow (id, f, craw) rows, co-partitioned by AQE); a cartesian
+    // or sort-merge anywhere means the serve grew a corpus product
+    val plan = finalPlan(graft.operators.Curation.normalizedClassifier(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      graft.operators.Curation.qualityModelMicro))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "x26s grew a cartesian")
+    onlyOneRowBnlj(plan, "x26s")
+  }
+
   test("q31 top-k per group keeps the map-side partial heap") {
     assertPartialTopK(Warehouse.q31TopKPerGroup(spark, sf), "q31")
   }
@@ -706,6 +720,25 @@ class PlanGateSpec extends SparkSuite {
       .filter(_.output.exists(_.dataType == BinaryType))
     assert(leaky.isEmpty, "m13 shuffles the binary payload")
     assert(noQuadraticJoins(plan), "m13 grew a join")
+  }
+
+  test("m14 alignment gate: both towers computed in the scan stage — " +
+       "no exchange carries the payload or text; no join at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val plan = finalPlan(graft.operators.Multimodal.alignmentGate(spark, sf))
+    // the gate is ONE scan projection + the presentation sort — the
+    // only exchange may carry (media_id, source, cos, keep); binary
+    // payload or document text in any exchange means a tower slipped
+    // above the shuffle and 100 TB of media would move
+    val leaky = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(a =>
+        a.dataType == BinaryType ||
+          (a.dataType == StringType && a.name == "text")))
+    assert(leaky.isEmpty, "m14 shuffles payload/text")
+    assert(plan.count {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+      case _ => false } == 0, "m14 grew a join (the pair rides in-row)")
   }
 
   test("s39 PQ distortion: ONE corpus scan, no join — codebooks ride " +
