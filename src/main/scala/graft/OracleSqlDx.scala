@@ -307,6 +307,49 @@ object OracleSqlDx {
   private[graft] lazy val x26ServeSparkSql: String =
     x26Sql(duck = false, serve = true)
 
+  /** x27: the read-back manifest replay — re-derives the
+    * epoch-ordered pack from the raw corpus: x19's epoch-0 key
+    * (md5("0:"+id)) fixes the order, the token prefix sum runs in
+    * that order, and the x10 sequence geometry + round-robin shard
+    * follow arithmetically. The truth side uses a plain global window
+    * (oracle-only — the ENGINE splices md5-prefix buckets so no task
+    * sees the whole corpus). What makes this row special: the engine
+    * side is read back FROM THE WRITTEN SHARD FILES, so a hash match
+    * proves the on-disk export, not just the plan. */
+  private[graft] def x27Sql(duck: Boolean): String = {
+    val S = graft.operators.Sampling
+    val budget = S.X22Budget
+    val nSh = S.X27Shards
+    val nTok =
+      if (duck) """CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
+      else """CAST(size(split(trim(text), '\\s+')) AS BIGINT)"""
+    val key =
+      if (duck) "md5('0:' || CAST(doc_id AS VARCHAR))"
+      else "md5(concat('0:', CAST(doc_id AS STRING)))"
+    val div = if (duck) "//" else "DIV"
+    s"""WITH d AS (
+           SELECT doc_id, $nTok AS n_tokens, $key AS key
+           FROM documents
+         ), o AS (
+           SELECT doc_id, n_tokens,
+             CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+               AS pos,
+             CAST(COALESCE(sum(n_tokens) OVER (ORDER BY key, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+           FROM d)
+         SELECT doc_id, pos, n_tokens, start_tok,
+           CAST(start_tok $div $budget AS BIGINT) AS seq_first,
+           CAST((start_tok + n_tokens - 1) $div $budget
+             - start_tok $div $budget + 1 AS BIGINT) AS n_seqs,
+           CAST(start_tok % $budget AS BIGINT) AS pos_in_seq,
+           CAST((start_tok $div $budget) % $nSh AS INT) AS shard
+         FROM o ORDER BY doc_id"""
+  }
+
+  private[graft] lazy val x27OracleSql: String = x27Sql(duck = true)
+  private[graft] lazy val x27SparkSql: String = x27Sql(duck = false)
+
   /** x24 replay — x05's member oracle VERBATIM as a CTE (the v10
     * composition discipline) filtered at the engine's near-copy
     * threshold, the md5-prefix train filter, a left-anti survivors
@@ -849,6 +892,7 @@ object OracleSqlDx {
     "x25_epoch_budget" -> x25OracleSql,
     "x26_quality_fit" -> x26OracleSql,
     "x26s_fitted_serve" -> x26ServeOracleSql,
+    "x27_packed_shards" -> x27OracleSql,
     "d19_band_plan" -> d19OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
@@ -1445,6 +1489,7 @@ object OracleSqlDx {
     "x25_epoch_budget" -> x25SparkSql,
     "x26_quality_fit" -> x26SparkSql,
     "x26s_fitted_serve" -> x26ServeSparkSql,
+    "x27_packed_shards" -> x27SparkSql,
     "x01_split_counts" ->
       """SELECT lang,
            CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'

@@ -240,6 +240,7 @@ object SparkEntry {
     "x25_epoch_budget" -> ((s, dir) => Sampling.epochTokenBudget(s, dir)),
     "x26_quality_fit" -> ((s, dir) => Curation.qualityFit(s, dir)),
     "x26s_fitted_serve" -> ((s, dir) => Curation.qualityFitServe(s, dir)),
+    "x27_packed_shards" -> ((s, dir) => Sampling.packedShardExport(s, dir)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
     "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
     "s39_pq_distortion"   -> ((s, dir) => Similarity.pqDistortionReport(s, dir)),

@@ -439,6 +439,98 @@ object Sampling {
         (col("start_tok") % budget).as("pos_in_seq"))
   }
 
+  /** x27 shard count — single-sourced into both dialect replays. */
+  val X27Shards: Int = 8
+
+  /** The x27 writer frame: x19's epoch-0 permutation COMPOSED with
+    * x10's two-phase packing — the order a trainer reads is decided
+    * first (key = md5("0:"+id), the x19 stateless shuffle), then the
+    * global token prefix sum runs in THAT order (the x10 bucket-splice
+    * over md5-prefix buckets), so sequences are packed in shuffled
+    * document order exactly as GPT-style pretraining consumes them.
+    * `shard` round-robins sequences (pmod(seq_first, nShards)); a doc
+    * spanning a sequence boundary is written once, in its FIRST
+    * sequence's shard, and the manifest's (start_tok, n_seqs) tells
+    * the reader which tail slices belong to neighboring sequences —
+    * text is never duplicated across shard files.
+    *
+    * One ordering ⇒ one exchange: both windows (token cumsum + epoch
+    * rank) share the md5-prefix bucket partitioning, so the document
+    * TEXT rides exactly one shuffle on its way to the writer, and the
+    * 256-row offset table broadcasts back (the x10/x19 splice). */
+  private[graft] def packedShardFrame(docs: DataFrame, idCol: String,
+      textCol: String, budget: Long, nShards: Int): DataFrame = {
+    require(budget >= 1 && nShards >= 1)
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("bigint")
+    val keyed = docs
+      .select(col(idCol), col(textCol), nTok.as("n_tokens"))
+      .withColumn("key",
+        md5(concat(lit("0:"), col(idCol).cast("string"))))
+      .withColumn("kb", substring(col("key"), 1, 2))
+    val byKb = Window.orderBy("kb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("kb")
+      .agg(sum("n_tokens").as("part_sum"), count(lit(1)).as("part_n"))
+      .withColumn("offset", coalesce(sum("part_sum").over(byKb), lit(0L)))
+      .withColumn("pos_off", coalesce(sum("part_n").over(byKb), lit(0L)))
+      .select("kb", "offset", "pos_off")
+    val wLoc = Window.partitionBy("kb").orderBy(col("key").asc, col(idCol).asc)
+    keyed
+      .withColumn("local_cum", sum("n_tokens").over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("local_rk", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offsets), Seq("kb"))
+      .withColumn("pos", col("pos_off") + col("local_rk"))
+      .withColumn("start_tok",
+        col("offset") + col("local_cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_tok div $budget"))
+      .withColumn("n_seqs",
+        expr(s"(start_tok + n_tokens - 1) div $budget")
+          - col("seq_first") + lit(1L))
+      .withColumn("pos_in_seq", col("start_tok") % budget)
+      .withColumn("shard",
+        pmod(col("seq_first"), lit(nShards.toLong)).cast("int"))
+      .select(col(idCol), col(textCol), col("pos"), col("n_tokens"),
+        col("start_tok"), col("seq_first"), col("n_seqs"),
+        col("pos_in_seq"), col("shard"))
+  }
+
+  /** x27: packed-shard EXPORT — the last mile x10/x19/x22 stop short
+    * of: actually WRITE the epoch-ordered, budget-packed corpus as
+    * one JSONL file tree per shard through the K1 sink machinery
+    * ([[Sinks.writeShardedJsonl]], exactly-once by the overwrite
+    * commit protocol), then READ IT BACK and register the read-back
+    * manifest — so the correctness gate checks the bytes that landed
+    * on disk, not the plan that was supposed to land them. Each
+    * written row carries the document text once plus its full
+    * manifest entry; the registered output is the manifest read back
+    * from the files (text verified separately by the round-trip spec
+    * law).
+    *
+    * At 100 TB: the writer frame's one text-carrying exchange + the
+    * partitioned write (no shuffle — each task streams to its
+    * partition files); the read-back is scan + presentation sort. The
+    * export path is a deterministic function of (corpus, budget,
+    * nShards), so any shard of any epoch re-derives statelessly —
+    * kill/restart lands the identical tree (spec-pinned). */
+  def packedShardExport(s: SparkSession, dir: String,
+                        outDir: String = null,
+                        budget: Long = X22Budget,
+                        nShards: Int = X27Shards): DataFrame = {
+    val out = Option(outDir).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_x27_shards_" +
+        Integer.toHexString(dir.hashCode))
+    val frame = packedShardFrame(t(s, dir, "documents"), "doc_id", "text",
+      budget, nShards)
+    Sinks.writeShardedJsonl(frame, "shard", out)
+    s.read.json(out)
+      .select(col("doc_id").cast("long"), col("pos").cast("long"),
+        col("n_tokens").cast("long"), col("start_tok").cast("long"),
+        col("seq_first").cast("long"), col("n_seqs").cast("long"),
+        col("pos_in_seq").cast("long"), col("shard").cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** x17: soft-dedup sampling weights — instead of DROPPING a
     * duplicate family to one keeper (d01), every copy survives with
     * weight 1/|family|, so the family contributes one document's

@@ -45,6 +45,19 @@ object Sinks {
     withEventTimePartitions(df, tsCol)
       .write.partitionBy("dt", "hr").mode("append").json(outDir)
 
+  /** K1 (sharded-export variant): the x27 writer — partitioned JSONL
+    * keyed by an integer shard column instead of dt/hr. `overwrite`
+    * is the exactly-once discipline for a BATCH export: Spark's
+    * commit protocol publishes task output only on job success, and a
+    * re-run after any partial/killed attempt replaces the whole tree,
+    * so the export is idempotent — the read-back equals the plan no
+    * matter how many attempts died before one committed (the
+    * SQLite-is_done replacement, normalization.py:45-51, applied to
+    * shards). */
+  def writeShardedJsonl(df: DataFrame, shardCol: String,
+                        outDir: String): Unit =
+    df.write.partitionBy(shardCol).mode("overwrite").json(outDir)
+
   /** K2: publish rows in bounded batches with one client per partition.
     * `openClient` runs once per partition (start_bundle semantics,
     * retrieval.py:127-129); `publish` gets at most `maxBatch` records

@@ -722,6 +722,25 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "m13 grew a join")
   }
 
+  test("x27 packed-shard writer: document text rides exactly ONE " +
+       "exchange (the shared md5-bucket window); offsets broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    // the writer frame only — the write itself adds no exchange
+    // (partitionBy streams each task to its partition files)
+    val plan = finalPlan(graft.operators.Sampling.packedShardFrame(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      graft.operators.Sampling.X22Budget,
+      graft.operators.Sampling.X27Shards))
+    val textCarrying = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(a =>
+        a.dataType == StringType && a.name == "text"))
+    assert(textCarrying.size <= 1,
+      s"x27 moves text through ${textCarrying.size} exchanges")
+    assert(noQuadraticJoins(plan), "x27 writer degraded to SMJ/cartesian")
+    assert(broadcastJoins(plan) >= 1, "x27 offsets not broadcast")
+  }
+
   test("m14 alignment gate: both towers computed in the scan stage — " +
        "no exchange carries the payload or text; no join at all") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

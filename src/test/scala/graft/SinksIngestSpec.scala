@@ -23,6 +23,64 @@ class SinksIngestSpec extends SparkSuite {
     assert(dirs.exists(_.startsWith("dt=")))
   }
 
+  test("x27 packed-shard export: read-back ≡ a Scala recomputation of " +
+       "the epoch-ordered pack; text written exactly once; kill/restart " +
+       "and re-run land the identical tree") {
+    import graft.operators.Sampling
+    val out = tmp() + "/shards"
+    // simulate a dead partial attempt: stale garbage where the export
+    // will land — the overwrite commit protocol must replace it
+    val stale = new java.io.File(out + "/shard=3")
+    stale.mkdirs()
+    Files.write(java.nio.file.Paths.get(out + "/shard=3/part-junk.json"),
+      "{\"doc_id\":999999,\"garbage\":true}".getBytes)
+    Files.write(java.nio.file.Paths.get(out + "/orphan.txt"),
+      "not json".getBytes)
+    val got = Sampling.packedShardExport(spark, sf, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))).toSeq
+    // pure-Scala recomputation: md5("0:"+id) order → prefix sums
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val budget = Sampling.X22Budget
+    val ordered = docs.map { case (id, text) =>
+      (id, text, text.trim.split("\\s+").length.toLong,
+        md5hex("0:" + id)) }.sortBy(t => (t._4, t._1))
+    var cum = 0L
+    val expected = ordered.zipWithIndex.map { case ((id, _, n, _), i) =>
+      val start = cum; cum += n
+      val seqFirst = start / budget
+      (id, (i + 1).toLong, n, start, seqFirst,
+        (start + n - 1) / budget - seqFirst + 1, start % budget,
+        (seqFirst % Sampling.X27Shards).toInt)
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+    // the stale attempt is gone: no garbage doc in the read-back, and
+    // the orphan file was replaced by the overwrite
+    assert(!got.exists(_._1 == 999999L))
+    assert(!new java.io.File(out + "/orphan.txt").exists())
+    // text round-trips exactly once per document
+    val back = spark.read.json(out).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(back == docs.sortBy(_._1).toSeq)
+    // pos is a permutation of 1..n and token mass tiles exactly
+    assert(got.map(_._2).sorted == (1L to docs.length).toSeq)
+    assert(got.map(_._3).sum == ordered.map(_._3).sum)
+    // idempotency: a second full run (restart after success) is
+    // byte-equal in manifest terms
+    val again = Sampling.packedShardExport(spark, sf, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))).toSeq
+    assert(again == expected)
+    // shard dirs are hive-partitioned on disk
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("shard=")) > 1)
+  }
+
   test("K1 event-time variant: partitions derive from the event column") {
     val out = tmp()
     val df = Seq(("2024-03-05 07:30:00", 1L), ("2024-03-06 22:10:00", 2L))
