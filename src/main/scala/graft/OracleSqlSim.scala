@@ -804,6 +804,215 @@ object OracleSqlSim {
   }
 
 
+  /** s40: the lifecycle replay — drift PSI, compaction counts and
+    * both serve arms re-derived from the raw embeddings with the
+    * STALE ([[Pinned.ivfCentroids]]) and RE-FIT
+    * ([[Pinned.s40Centroids]]) quantizers as literals. The drifted
+    * batch is the closed-form boundary collapse (anchor(label) +
+    * Eps·sv, renormalized — anchors are literal normalized midpoints
+    * of adjacent stale centroids), so every stage replays term by
+    * term in both dialects. */
+  private[graft] def s40Sql(duck: Boolean): String = {
+    val Sim = graft.operators.Similarity
+    val stale = Pinned.ivfCentroids
+    val refit = Pinned.s40Centroids
+    val anchors = Sim.s40Anchors
+    val eps = Sim.S40Eps
+    val off = Sim.S40Offset
+    val nQ = Sim.S40NQueries
+    val k = Sim.S40K
+    val psiMin = Sim.S40PsiMinMicro
+    val tombMod = Sim.S28TombMod
+    val tombRes = Sim.S28TombResidue
+    val nCent = stale.length
+    val half = nCent / 2.0
+    def el(c: String, i: Int): String = // 1-based on both sides
+      if (duck) s"$c[$i]" else s"element_at($c, $i)"
+    // Spark side: the registered graft_dot kernel + one array literal
+    // per quantizer — the unrolled 8×64-term chains (the DuckDB
+    // spelling) at this composition depth push Catalyst's analyzer
+    // over the heap (the ccTail inlining lesson, at the expression
+    // level). graft_dot IS the engine's codegen dot, same sequential
+    // order.
+    def centsLit(cents: Array[Array[Double]]): String =
+      cents.map(_.mkString("array(", ", ", ")"))
+        .mkString("array(", ",\n             ", ")")
+    def dots(cents: Array[Array[Double]], vc: String): String =
+      if (duck)
+        cents.map { c =>
+          s"(${c.indices.map(d => s"${el(vc, d + 1)}*(${c(d)})").mkString(" + ")})"
+        }.mkString("[", ",\n             ", "]")
+      else s"transform(${centsLit(cents)}, gc -> graft_dot($vc, gc))"
+    def pairDot(a: String, b: String): String =
+      if (duck) (1 to 64).map(i => s"${el(a, i)}*${el(b, i)}").mkString(" + ")
+      else s"graft_dot($a, $b)"
+    def norm2(vc: String): String =
+      if (duck) pairDot(vc, vc) else s"graft_dot($vc, $vc)"
+    val anchLit = anchors.map(_.mkString(
+        if (duck) "[" else "array(", ", ", if (duck) "]" else ")"))
+      .mkString(if (duck) "[" else "array(",
+        ",\n             ", if (duck) "]" else ")")
+    val argpos = if (duck) "list_position" else "array_position"
+    val argmax = if (duck) "list_max" else "array_max"
+    val lxform = if (duck) "list_transform" else "transform"
+    val castArr =
+      if (duck) "CAST(embedding AS DOUBLE[])"
+      else "transform(embedding, x -> CAST(x AS DOUBLE))"
+    val binVals = (0 until nCent).map(i => s"($i)").mkString(", ")
+    val binsCte =
+      if (duck) s"SELECT * FROM (VALUES $binVals) AS v(bin)"
+      else s"SELECT * FROM VALUES $binVals AS v(bin)"
+    val div = if (duck) "//" else "DIV"
+    // The 8 report rows emitted from ONE reference of the scalar
+    // frame (struct explode / unnest) — a per-row UNION ALL would
+    // re-inline (and re-execute) the whole lifecycle chain once per
+    // referencing branch under Spark's CTE inlining.
+    def rowEmit(rows: Seq[(String, String, String)], duck: Boolean): String =
+      if (duck)
+        rows.map { case (s, m, v) =>
+          s"{'s': '$s', 'm': '$m', 'v': CAST($v AS BIGINT)}"
+        }.mkString("unnest([", ",\n             ", "])")
+      else
+        rows.map { case (s, m, v) =>
+          s"named_struct('s', '$s', 'm', '$m', 'v', CAST($v AS BIGINT))"
+        }.mkString("explode(array(", ",\n             ", "))")
+    // Spark-only materialization barriers between array-lambda levels:
+    // CollapseProject folds adjacent projections, and a lambda that
+    // references a COLLAPSED array column re-evaluates the entire
+    // child array per element — the 4-level chain (cast → normalize →
+    // anchor-shift → renormalize → quantizer dots) goes ~64⁴ ops/row
+    // interpreted (measured: minutes per 1000 rows). A repartition
+    // hint is an exchange the optimizer cannot collapse through, so
+    // each level's array materializes once per row. DuckDB
+    // materializes CTEs natively — no hint needed or parsed there.
+    val bar = if (duck) "" else "/*+ REPARTITION(8) */ "
+    s"""WITH e AS (
+           SELECT vec_id, label, $castArr AS v FROM embeddings
+         ), n0 AS (
+           SELECT $bar vec_id, label,
+             $lxform(v, x -> x / sqrt(${norm2("v")})) AS sv
+           FROM e
+         ), store AS (
+           SELECT vec_id, sv FROM n0
+         ), braw AS (
+           SELECT vec_id + $off AS vec_id,
+             $lxform(${if (duck) "range(1, 65)" else "sequence(1, 64)"},
+               i -> ${if (duck) "anch[i]" else "element_at(anch, CAST(i AS INT))"
+                 } + $eps * ${if (duck) "sv[i]" else "element_at(sv, CAST(i AS INT))"}) AS v
+           FROM (SELECT vec_id, sv,
+                   ${if (duck)
+                      s"($anchLit)[CAST(label % ${anchors.length} AS INT) + 1]"
+                    else
+                      s"element_at($anchLit, CAST(label % ${anchors.length} AS INT) + 1)"
+                   } AS anch
+                 FROM n0)
+         ), batch AS (
+           SELECT $bar vec_id,
+             $lxform(v, x -> x / sqrt(${norm2("v")})) AS sv
+           FROM braw
+         ), sb AS (
+           SELECT vec_id, sv, 1 AS is_ref FROM store
+           UNION ALL SELECT vec_id, sv, 0 AS is_ref FROM batch
+         ), dsb AS (
+           SELECT $bar vec_id, is_ref, ${dots(stale, "sv")} AS dts
+           FROM sb
+         ), asg AS (
+           SELECT vec_id, is_ref,
+             CAST($argpos(dts, $argmax(dts)) - 1 AS INT) AS bin
+           FROM dsb
+         ), c AS (
+           SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+           FROM asg GROUP BY bin
+         ), cw AS (
+           SELECT bin, n_ref, n_cur,
+             sum(n_ref) OVER () AS t_ref, sum(n_cur) OVER () AS t_cur
+           FROM c
+         ), bins AS ($binsCte
+         ), psiagg AS (
+           SELECT CAST(sum(CAST(floor(
+               (floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS psi
+           FROM (
+             SELECT (CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + $half) AS p,
+               (CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + $half) AS q
+             FROM (
+               SELECT coalesce(cw.n_ref, 0) AS n_ref,
+                 coalesce(cw.n_cur, 0) AS n_cur,
+                 CAST(max(cw.t_ref) OVER () AS DOUBLE) AS t_ref,
+                 CAST(max(cw.t_cur) OVER () AS DOUBLE) AS t_cur
+               FROM bins LEFT JOIN cw ON bins.bin = cw.bin))
+         ), fitn AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM sb
+         ), comp AS (
+           SELECT
+             CAST(sum(CASE WHEN vec_id % $tombMod = $tombRes
+               AND vec_id < $off THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+             CAST(sum(CASE WHEN vec_id % $tombMod = $tombRes
+               AND vec_id < $off THEN 0 ELSE 1 END) AS BIGINT) AS n_live
+           FROM sb
+         ), live AS (
+           SELECT vec_id, sv FROM sb
+           WHERE NOT (vec_id % $tombMod = $tombRes AND vec_id < $off)
+         ), dl AS (
+           SELECT $bar vec_id, sv,
+             ${dots(stale, "sv")} AS dts,
+             ${dots(refit, "sv")} AS dtr
+           FROM live
+         ), lasg AS (
+           SELECT vec_id, sv,
+             CAST($argpos(dts, $argmax(dts)) - 1 AS INT) AS cs,
+             CAST($argpos(dtr, $argmax(dtr)) - 1 AS INT) AS cr
+           FROM dl
+         ), pairs AS (
+           SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+             round(${pairDot("q.sv", "a.sv")}, 6) AS cos,
+             CASE WHEN a.cs = q.cs THEN 1 ELSE 0 END AS same_cs,
+             CASE WHEN a.cr = q.cr THEN 1 ELSE 0 END AS same_cr
+           FROM lasg a JOIN lasg q
+             ON a.vec_id <> q.vec_id
+           WHERE q.vec_id >= $off AND q.vec_id < $off + $nQ
+         ), ranked AS (
+           SELECT q_id, n_id, same_cs, same_cr,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS rkt,
+             row_number() OVER (PARTITION BY q_id, same_cs
+               ORDER BY cos DESC, n_id ASC) AS rks,
+             row_number() OVER (PARTITION BY q_id, same_cr
+               ORDER BY cos DESC, n_id ASC) AS rkr
+           FROM pairs
+         ), rec AS (
+           SELECT
+             CAST(CAST(sum(CASE WHEN rkt <= $k AND same_cs = 1
+                 AND rks <= $k THEN 1 ELSE 0 END) AS BIGINT) * 1000
+               $div ${nQ * k} AS BIGINT) AS r_stale,
+             CAST(CAST(sum(CASE WHEN rkt <= $k AND same_cr = 1
+                 AND rkr <= $k THEN 1 ELSE 0 END) AS BIGINT) * 1000
+               $div ${nQ * k} AS BIGINT) AS r_refit
+           FROM ranked
+         ), scal AS (
+           SELECT psi, n, n_dead, n_live, r_stale, r_refit
+           FROM psiagg CROSS JOIN fitn CROSS JOIN comp CROSS JOIN rec
+         )
+         SELECT u.s AS stage, u.m AS metric, u.v AS value FROM (
+           SELECT ${rowEmit(Seq(
+             ("1_drift", "psi_micro", "psi"),
+             ("1_drift", "triggered",
+               s"CASE WHEN psi >= $psiMin THEN 1 ELSE 0 END"),
+             ("2_refit", "n_fit", "n"),
+             ("3_compact", "n_dead", "n_dead"),
+             ("3_compact", "n_live", "n_live"),
+             ("4_serve", "recall_stale_milli", "r_stale"),
+             ("4_serve", "recall_refit_milli", "r_refit"),
+             ("4_serve", "recovered",
+               "CASE WHEN r_refit > r_stale THEN 1 ELSE 0 END")),
+             duck)} AS u FROM scal)
+         ORDER BY stage, metric"""
+  }
+
+  private[graft] lazy val s40OracleSql: String = s40Sql(duck = true)
+  private[graft] lazy val s40SparkSql: String = s40Sql(duck = false)
+
   /** s01 DuckDB replay — extracted to a val so [[s21OracleSql]] can
     * compose it as the ground-truth side of the recall evaluation. */
   private[graft] lazy val s01OracleSql: String =
@@ -1224,6 +1433,7 @@ object OracleSqlSim {
 
   private[graft] val oracles: Map[String, String] = Map(
     "s35_cross_modal" -> s35OracleSql,
+    "s40_index_lifecycle" -> s40OracleSql,
     "m14_alignment_gate" -> m14OracleSql,
     "m14h_alignment_hist" -> m14HistOracleSql,
     "s06_label_norms" ->
@@ -1345,6 +1555,7 @@ object OracleSqlSim {
 
   private[graft] val spark: Map[String, String] = Map(
     "s35_cross_modal" -> s35SparkSql,
+    "s40_index_lifecycle" -> s40SparkSql,
     "m14_alignment_gate" -> m14SparkSql,
     "m14h_alignment_hist" -> m14HistSparkSql,
     "s02_cosine_pairs" ->

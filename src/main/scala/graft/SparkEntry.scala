@@ -245,6 +245,8 @@ object SparkEntry {
     "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
     "s39_pq_distortion"   -> ((s, dir) => Similarity.pqDistortionReport(s, dir)),
     "d19_band_plan"       -> ((s, dir) => Dedup.bandPlanEval(s, dir)),
+    "s40_index_lifecycle" -> ((s, dir) => Similarity.indexLifecycle(s, dir,
+      refit = Some(Pinned.s40Centroids))),
   )
 
   /** DuckDB-runnable oracle SQL, one per SQL-expressible query. */

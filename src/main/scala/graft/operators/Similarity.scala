@@ -2353,6 +2353,179 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  // ---- s40: index lifecycle — drift → re-fit → compact → serve ----
+
+  /** s40 dials — single-sourced into both dialect replays. Eps is the
+    * residual spread of the drifted batch around its anchor;
+    * PsiMinMicro is the re-fit trigger on the SUMMED s32 PSI (0.1,
+    * the standard "investigate/act" PSI band); Offset keys batch ids
+    * above every store id so segment/liveness predicates stay pure
+    * id arithmetic. */
+  val S40Eps: Double = 0.25
+  val S40PsiMinMicro: Long = 100000L
+  val S40Offset: Long = 100000L
+  val S40NQueries: Int = 8
+  val S40K: Int = 3
+
+  /** The s40 drift model: each batch vector collapses toward the
+    * normalized MIDPOINT of two adjacent stale centroids — i.e. onto
+    * the stale quantizer's DECISION BOUNDARY, the exact geometry a
+    * stale coarse index mis-serves (a boundary cluster splits ~50/50
+    * across two cells, so nprobe=1 loses half of every cluster's
+    * neighbors) and a re-fit repairs (the re-fit centroids move onto
+    * the clusters; measured: recall 583–791 stale → 1000 re-fit
+    * across sf0.001/0.01/0.1). A deterministic closed form of the
+    * pinned centroids — both engines replay it term by term. */
+  private[graft] lazy val s40Anchors: Array[Array[Double]] =
+    Array.tabulate(Pinned.ivfCentroids.length) { l =>
+      val a = Pinned.ivfCentroids(l)
+      val b = Pinned.ivfCentroids((l + 1) % Pinned.ivfCentroids.length)
+      val m = Array.tabulate(a.length)(i => a(i) + b(i))
+      val n = math.sqrt(m.map(x => x * x).sum)
+      m.map(_ / n)
+    }
+
+  /** The lifecycle's STORE segment: the L2-normalized corpus. */
+  private[graft] def s40Store(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv").as("sv"))
+
+  /** The drifted INSERT batch: anchor(label) + Eps·v, renormalized;
+    * ids offset by [[S40Offset]]. */
+  private[graft] def s40Batch(s: SparkSession, dir: String): DataFrame = {
+    val anch = typedlit(s40Anchors.map(_.toSeq).toSeq)
+    emb(s, dir)
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .withColumn("anchor",
+        element_at(anch, (col("label") % s40Anchors.length).cast("int") + 1))
+      .withColumn("raw",
+        zip_with(col("anchor"), col("nv"), (a, x) => a + lit(S40Eps) * x))
+      .withColumn("rnrm", sqrt(dot(col("raw"), col("raw"))))
+      .select((col("vec_id") + S40Offset).as("vec_id"),
+        transform(col("raw"), x => x / col("rnrm")).as("sv"))
+  }
+
+  /** The frame the re-fit runs on (store ∪ drifted batch) — what
+    * [[graft.tools.PinModelsTool]] fits Pinned.s40Centroids from. */
+  private[graft] def s40FitFrame(s: SparkSession, dir: String): DataFrame =
+    s40Store(s, dir).unionByName(s40Batch(s, dir))
+      .select(col("vec_id"), col("sv").as("v"))
+
+  /** The live (post-compaction) posting frame the serve arms probe —
+    * store ∪ batch minus the s28 tombstones on the base segment. */
+  private[graft] def s40LivePostings(s: SparkSession, dir: String): DataFrame =
+    s40Store(s, dir).unionByName(s40Batch(s, dir))
+      .filter(!(col("vec_id") % S28TombMod === S28TombResidue &&
+        col("vec_id") < S40Offset))
+
+  /** One serve arm's candidate scoring (shared by both quantizers in
+    * [[indexLifecycle]] and by the PlanGate): assignment is k plan-
+    * literal dots in the scan, the probe is a (cell) equi-join
+    * against the BROADCAST drifted queries. */
+  private[graft] def s40CellProbe(live: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val asg = assignToCentroid(
+      live.select(col("vec_id"), col("sv").as("v")), cents)
+    val qs = asg.filter(col("vec_id") >= S40Offset &&
+        col("vec_id") < S40Offset + S40NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"))
+    asg.join(broadcast(qs), Seq("c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+  }
+
+  /** s40: the index-lifecycle RUNBOOK composed end-to-end — the
+    * maintenance loop every production vector index runs, from the
+    * library's own members: s32's drift monitor says the batch moved
+    * (summed cell-PSI ≥ trigger), s05's quantizer re-fits on
+    * store ∪ batch (the pinned fixture; the fit-once discipline),
+    * s37's compaction merges the base and insert segments and drops
+    * the s28 tombstones, and the s04/s05 serve runs the drifted
+    * queries against BOTH quantizers so the report carries the
+    * before/after recall@k the re-fit bought. Output: 8 integer
+    * (stage, metric, value) rows — drift PSI + trigger, fit-frame
+    * size, compaction liveness, stale/re-fit recall + recovery
+    * verdict.
+    *
+    * Scale shape: every stage is a member's own gated shape — one
+    * assignment pass per quantizer (k plan-literal dots per row),
+    * broadcast query probes, fingerprint-free integer report rows;
+    * nothing corpus-sized shuffles except the members' own cell
+    * joins. */
+  def indexLifecycle(s: SparkSession, dir: String,
+                     refit: Option[Array[Array[Double]]] = None): DataFrame = {
+    val stale = Pinned.ivfCentroids
+    val rf = refit.getOrElse(
+      fitCentroids(s40FitFrame(s, dir), stale.length, 3))
+    val store = s40Store(s, dir).localCheckpoint()
+    val batch = s40Batch(s, dir).localCheckpoint()
+    def row1(stage: String, metric: String, v: Column,
+             src: DataFrame): DataFrame =
+      src.select(lit(stage).as("stage"), lit(metric).as("metric"),
+        v.cast("long").as("value"))
+    // 1: drift — s32's PSI between store (ref) and batch under the
+    // STALE cells, summed to one micro-int dial
+    val binned = assignToCentroid(
+      store.select(col("vec_id"), col("sv").as("v"), lit(true).as("is_ref"))
+        .unionByName(batch.select(col("vec_id"), col("sv").as("v"),
+          lit(false).as("is_ref"))), stale)
+      .select(col("c").as("bin"), col("is_ref"))
+    val psiAgg = Checks.psiReport(binned, stale.length)
+      .agg(sum(floor(col("psi_term") * 1e6 + 0.5).cast("long")).as("psi"))
+      .localCheckpoint() // 1 row; feeds two report rows
+    val r1 = row1("1_drift", "psi_micro", col("psi"), psiAgg)
+    val r2 = row1("1_drift", "triggered",
+      (col("psi") >= S40PsiMinMicro).cast("long"), psiAgg)
+    // 2: re-fit — the fit-frame size (model quality is pinned-spec'd)
+    val r3 = row1("2_refit", "n_fit", col("n"),
+      store.unionByName(batch).agg(count(lit(1)).as("n")))
+    // 3: compact — s37's rewrite over (base = store, insert = batch)
+    // with the s28 tombstone rule on the base segment
+    val dead = col("vec_id") % S28TombMod === S28TombResidue &&
+      col("vec_id") < S40Offset
+    val posted = store.unionByName(batch)
+    val compAgg = posted.select(dead.as("is_dead"))
+      .agg(sum(when(col("is_dead"), 1L).otherwise(0L)).as("n_dead"),
+        sum(when(!col("is_dead"), 1L).otherwise(0L)).as("n_live"))
+      .localCheckpoint()
+    val r4 = row1("3_compact", "n_dead", col("n_dead"), compAgg)
+    val r5 = row1("3_compact", "n_live", col("n_live"), compAgg)
+    // 4: serve — recall@k of the drifted queries against the live
+    // compacted postings, stale vs re-fit quantizer
+    val live = posted.filter(!dead).localCheckpoint()
+    val isQuery = col("vec_id") >= S40Offset &&
+      col("vec_id") < S40Offset + S40NQueries
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val queries = live.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("sv").as("qv"))
+    val truth = live.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("qv"), col("sv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= S40K)
+      .select("q_id", "n_id")
+      .localCheckpoint() // nQ·k rows; both serve arms probe it
+    def recallMilli(cents: Array[Array[Double]]): DataFrame =
+      s40CellProbe(live, cents)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= S40K)
+        .join(truth, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(expr(s"hits * 1000 div ${S40NQueries * S40K}").as("r"))
+    val rs = recallMilli(stale).localCheckpoint()
+    val rr = recallMilli(rf).localCheckpoint()
+    val r6 = row1("4_serve", "recall_stale_milli", col("r"), rs)
+    val r7 = row1("4_serve", "recall_refit_milli", col("r"), rr)
+    val r8 = rs.select(col("r").as("a"))
+      .crossJoin(broadcast(rr.select(col("r").as("b"))))
+      .select(lit("4_serve").as("stage"), lit("recovered").as("metric"),
+        (col("b") > col("a")).cast("long").as("value"))
+    Seq(r2, r3, r4, r5, r6, r7, r8).foldLeft(r1)(_.unionByName(_))
+      .orderBy("stage", "metric")
+  }
+
   /** s39: PQ quantization-distortion report — the index-governance
     * dial for the PQ family the occupancy stats (s29) can't see: per
     * subspace, how much signal the codebook throws away. s21/s25/s30

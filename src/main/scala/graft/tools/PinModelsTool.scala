@@ -42,6 +42,11 @@ object PinModelsTool {
     // replays this pinned list instead)
     val s03cAnchors = Similarity.lshAnchorIds(spark, dir, nPlanes = 4,
       bucketCap = 8).collect().map(_.getLong(0))
+    // s40 re-fit centroids: Lloyd over the lifecycle fit frame
+    // (store ∪ boundary-drifted batch); depends only on the data and
+    // the ALREADY-pinned ivfCentroids (via the drift anchors)
+    val s40 = Similarity.fitCentroids(Similarity.s40FitFrame(spark, dir),
+      k = 8, iters = 3)
 
     def row(a: Array[Double]): String = "row(\"" + a.mkString(",") + "\")"
     def mat(a: Array[Array[Double]], ind: String): String =
@@ -99,6 +104,13 @@ object PinModelsTool {
        |  /** s14 SemDeDup cells: kCells=8, iters=3 Lloyd over the same
        |    * deterministic sample - exact-reproducible like [[pq]]. */
        |  lazy val semCells: Array[Array[Double]] = ${mat(semCells, "    ")}
+       |
+       |  /** s40 re-fit centroids: nCent=8, iters=3 Lloyd over the
+       |    * lifecycle fit frame (normalized sf0.01 corpus ∪ its
+       |    * boundary-drifted s40 batch) — the quantizer the drift
+       |    * trigger re-fits; distributed moment averages, so re-fits
+       |    * match to ~1e-9 like [[ivfCentroids]]. */
+       |  lazy val s40Centroids: Array[Array[Double]] = ${mat(s40, "    ")}
        |
        |  /** s03c anchor fixture: the anchor vec_id set
        |    * Similarity.lshPairs(nPlanes=4, bucketCap=8) selects on the

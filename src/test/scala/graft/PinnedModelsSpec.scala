@@ -53,6 +53,16 @@ class PinnedModelsSpec extends SparkSuite {
         s"centroid $i dim $d drifted")
   }
 
+  test("Pinned.s40Centroids matches a distributed re-fit on the " +
+       "lifecycle fit frame to 1e-9") {
+    val refit = Similarity.fitCentroids(
+      Similarity.s40FitFrame(spark, "/root/testdata/sf0.01"),
+      k = 8, iters = 3)
+    for (i <- refit.indices; d <- refit(i).indices)
+      assert(math.abs(refit(i)(d) - Pinned.s40Centroids(i)(d)) < 1e-9,
+        s"s40 centroid $i dim $d drifted")
+  }
+
   test("Pinned.semCells equals a re-fit exactly (pure-function Lloyd)") {
     val refit = PqModel.lloyd(PqModel.sampleVectors(normed, 4096), 8, 3)
     assert(refit.indices.forall(i =>

@@ -722,6 +722,22 @@ class PlanGateSpec extends SparkSuite {
     assert(noQuadraticJoins(plan), "m13 grew a join")
   }
 
+  test("s40 lifecycle: both serve arms are cell equi-joins with the " +
+       "queries broadcast; quantizers ride as plan literals; no SMJ") {
+    // the composition may only multiply member shapes: assignment is
+    // k plan-literal dots in the scan, the serve probe is a (cell)
+    // equi-join against the broadcast drifted queries. The probe arm
+    // is gated directly — inside indexLifecycle it materializes behind
+    // localCheckpoint boundaries, so the report's own final plan only
+    // shows the splice.
+    val plan = finalPlan(graft.operators.Similarity.s40CellProbe(
+      graft.operators.Similarity.s40LivePostings(spark, sf),
+      graft.operators.Pinned.s40Centroids))
+    assert(noQuadraticJoins(plan), "s40 degraded to sort-merge/cartesian")
+    assert(broadcastJoins(plan) >= 1,
+      s"expected a broadcast cell probe, saw ${broadcastJoins(plan)}")
+  }
+
   test("x27 packed-shard writer: document text rides exactly ONE " +
        "exchange (the shared md5-bucket window); offsets broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -1350,4 +1350,29 @@ class SimilaritySpec extends SparkSuite {
     // max_cell must at least reach the ceiling average
     assert(rep("max_cell") >= (n + rep("n_cells") - 1) / rep("n_cells"))
   }
+
+  test("s40 lifecycle: boundary drift trips the PSI trigger, the " +
+       "re-fit RECOVERS recall on the drifted queries, accounting ties") {
+    import graft.operators.Pinned
+    val m = Similarity.indexLifecycle(spark, sf,
+        refit = Some(Pinned.s40Centroids)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.size == 8)
+    // the drift monitor fires: the boundary collapse is far above the
+    // 0.1 action band at every SF (measured 0.20-0.31)
+    assert(m(("1_drift", "psi_micro")) >= Similarity.S40PsiMinMicro)
+    assert(m(("1_drift", "triggered")) == 1L)
+    // compaction accounting ties to the fit frame
+    assert(m(("2_refit", "n_fit")) ==
+      m(("3_compact", "n_dead")) + m(("3_compact", "n_live")))
+    assert(m(("3_compact", "n_dead")) > 0L, "tombstone rule vacuous")
+    // THE lifecycle law: the re-fit recovers what the stale quantizer
+    // loses on boundary clusters — and recovers it fully (the re-fit
+    // centroids sit ON the drifted clusters, so nprobe=1 is exhaustive
+    // for them; measured 583-791 → 1000 across SFs)
+    assert(m(("4_serve", "recall_stale_milli")) < 1000L,
+      "stale index not degraded — the drift fixture went vacuous")
+    assert(m(("4_serve", "recall_refit_milli")) == 1000L)
+    assert(m(("4_serve", "recovered")) == 1L)
+  }
 }
