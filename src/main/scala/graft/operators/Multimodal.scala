@@ -595,10 +595,15 @@ object Multimodal {
   private def alignmentPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.{dot, nibbleHistogram}
     val toks = split(trim(col("text")), "\\s+")
-    val tq = transform(sequence(lit(0), lit(15)),
-      b => size(filter(toks,
-        tk => conv(substring(md5(tk), 1, 1), 16, 10).cast("int") === b))
-        .cast("double"))
+    // ONE md5 per token (bucket ids first, then a histogram fold) —
+    // s35's per-bucket filter form hashes every token 16× (fine for
+    // its 3 query docs, a 16× corpus-scan tax here: measured
+    // 5.7 → 1.5 s at sf0.1); the counts are exact integers either
+    // way, so the oracle keeps the filter spelling
+    val bks = transform(toks,
+      tk => conv(substring(md5(tk), 1, 1), 16, 10).cast("int"))
+    val tq = aggregate(bks, typedlit(Seq.fill(16)(0.0)),
+      (acc, x) => transform(acc, (v, i) => when(i === x, v + 1.0).otherwise(v)))
     val wCols = s35Projection.transpose
     val pj = array(wCols.map(cj => dot(col("tq"), typedlit(cj.toSeq))): _*)
     t(s, dir, "documents")
