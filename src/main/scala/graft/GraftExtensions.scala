@@ -92,6 +92,12 @@ object GraftExtensions {
       require(children.length == 1, "graft_nibble_hist(payload) takes 1 argument")
       expressionOf(VectorExprs.nibbleHistogram(columnOf(children.head)))
     },
+    // 16 LOW-nibble byte counts — the m15 spectral-band axis
+    "graft_low_nibble_hist" -> { children =>
+      require(children.length == 1,
+        "graft_low_nibble_hist(payload) takes 1 argument")
+      expressionOf(VectorExprs.lowNibbleHistogram(columnOf(children.head)))
+    },
     // integer-grid sign-LSH bucket key (string of nPlanes sign bits);
     // nPlanes/planeOffset must be literals — the plane components are
     // compiled into the expression tree (see Similarity.lshBucketInt)

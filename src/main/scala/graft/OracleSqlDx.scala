@@ -316,7 +316,7 @@ object OracleSqlDx {
     * sees the whole corpus). What makes this row special: the engine
     * side is read back FROM THE WRITTEN SHARD FILES, so a hash match
     * proves the on-disk export, not just the plan. */
-  private[graft] def x27Sql(duck: Boolean): String = {
+  private[graft] def x27Sql(duck: Boolean, epoch: Long = 0L): String = {
     val S = graft.operators.Sampling
     val budget = S.X22Budget
     val nSh = S.X27Shards
@@ -324,8 +324,8 @@ object OracleSqlDx {
       if (duck) """CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
       else """CAST(size(split(trim(text), '\\s+')) AS BIGINT)"""
     val key =
-      if (duck) "md5('0:' || CAST(doc_id AS VARCHAR))"
-      else "md5(concat('0:', CAST(doc_id AS STRING)))"
+      if (duck) s"md5('$epoch:' || CAST(doc_id AS VARCHAR))"
+      else s"md5(concat('$epoch:', CAST(doc_id AS STRING)))"
     val div = if (duck) "//" else "DIV"
     s"""WITH d AS (
            SELECT doc_id, $nTok AS n_tokens, $key AS key
@@ -349,6 +349,11 @@ object OracleSqlDx {
 
   private[graft] lazy val x27OracleSql: String = x27Sql(duck = true)
   private[graft] lazy val x27SparkSql: String = x27Sql(duck = false)
+  /** x27e1: the epoch-1 tree — same replay with the epoch-1 key. */
+  private[graft] lazy val x27e1OracleSql: String =
+    x27Sql(duck = true, epoch = 1L)
+  private[graft] lazy val x27e1SparkSql: String =
+    x27Sql(duck = false, epoch = 1L)
 
   /** x24 replay — x05's member oracle VERBATIM as a CTE (the v10
     * composition discipline) filtered at the engine's near-copy
@@ -893,6 +898,7 @@ object OracleSqlDx {
     "x26_quality_fit" -> x26OracleSql,
     "x26s_fitted_serve" -> x26ServeOracleSql,
     "x27_packed_shards" -> x27OracleSql,
+    "x27e1_epoch_export" -> x27e1OracleSql,
     "d19_band_plan" -> d19OracleSql,
     "x21_family_split" -> x21OracleSql,
     "x22_pack_efficiency" -> x22OracleSql,
@@ -1490,6 +1496,7 @@ object OracleSqlDx {
     "x26_quality_fit" -> x26SparkSql,
     "x26s_fitted_serve" -> x26ServeSparkSql,
     "x27_packed_shards" -> x27SparkSql,
+    "x27e1_epoch_export" -> x27e1SparkSql,
     "x01_split_counts" ->
       """SELECT lang,
            CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '0d' THEN 'test'

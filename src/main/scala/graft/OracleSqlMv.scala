@@ -673,8 +673,48 @@ object OracleSqlMv {
        ORDER BY s.split"""
   }
 
+  /** m15: the audio spectral-stub replay — low nibbles are the EVEN
+    * hex chars ('.(.)'; m07's high-nibble slice is '(.).'), halves are
+    * substring slices of the one-char-per-byte low-nibble string, and
+    * centroid/flux unroll the 16 bands as replace-and-count terms —
+    * all integer arithmetic, so the replay is exact at any SF. */
+  private def m15Cnt(s: String, c: Char): String =
+    s"(length($s) - length(replace($s, '$c', '')))"
+  private val m15Hex = "0123456789ABCDEF"
+  private[graft] def m15Sql(duck: Boolean): String = {
+    val lo =
+      if (duck) """regexp_replace(hex(encode(text)), '.(.)', '\1', 'g')"""
+      else """regexp_replace(hex(CAST(text AS BINARY)), '.(.)', '$1')"""
+    val nb =
+      if (duck) "octet_length(encode(text))"
+      else "length(CAST(text AS BINARY))"
+    val div = if (duck) "//" else "DIV"
+    val wsum = (1 to 15).map(b =>
+      s"$b * (${m15Cnt("l1", m15Hex(b))} + ${m15Cnt("l2", m15Hex(b))})")
+      .mkString(" + ")
+    val flux = (0 to 15).map(b =>
+      s"abs(${m15Cnt("l1", m15Hex(b))} - ${m15Cnt("l2", m15Hex(b))})")
+      .mkString(" + ")
+    s"""WITH a AS (
+         SELECT doc_id AS media_id, $nb AS n_bytes, $lo AS lo
+         FROM documents WHERE doc_id % 3 = 1
+       ), h AS (
+         SELECT media_id, n_bytes,
+           substring(lo, 1, n_bytes $div 2) AS l1,
+           substring(lo, n_bytes $div 2 + 1,
+             n_bytes - n_bytes $div 2) AS l2
+         FROM a)
+       SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN n_bytes = 0 THEN 0
+           ELSE ($wsum) * 1000 $div n_bytes END AS BIGINT)
+           AS centroid_milli,
+         CAST($flux AS BIGINT) AS flux
+       FROM h ORDER BY media_id"""
+  }
+
   private[graft] val oracles: Map[String, String] = Map(
     "v09_tokenizer_drift" -> v09OracleSql,
+    "m15_audio_spectral" -> m15Sql(duck = true),
     "m01_media_stats" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -818,6 +858,7 @@ object OracleSqlMv {
   private[graft] val spark: Map[String, String] = Map(
     "v10_contamination_report" -> v10SparkSql,
     "v09_tokenizer_drift" -> v09SparkSql,
+    "m15_audio_spectral" -> m15Sql(duck = false),
     "m09_cdc_chunks" -> m09SparkSqlText,
     "m13_scene_cuts" -> m13SparkSql,
     "m01_media_stats" ->

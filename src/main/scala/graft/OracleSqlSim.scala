@@ -1386,10 +1386,17 @@ object OracleSqlSim {
     import tf.{pairDot, norm2, tokSplit, qhList, histCtes, pjList}
     val minCos = Multimodal.M14AlignMin
     val bins = Multimodal.M14HistBins
+    // the corpus-wide gate filters empty tokens (split(trim('')) =
+    // [''] in both engines) — the engine-side degenerate-doc rule;
+    // s35's 3-query towers keep the unfiltered spelling (no-op on
+    // non-blank captions, which is all its pinned queries are)
+    val tkFiltered =
+      if (duck) s"list_filter($tokSplit, t -> t != '')"
+      else s"filter($tokSplit, t -> t != '')"
     val pairs =
       s"""WITH $histCtes,
          qt AS (
-           SELECT doc_id AS q_id, $tokSplit AS tk FROM documents
+           SELECT doc_id AS q_id, $tkFiltered AS tk FROM documents
          ), qh AS (
            SELECT q_id, $qhList AS tq FROM qt
          ), qp AS (
@@ -1402,8 +1409,9 @@ object OracleSqlSim {
            SELECT doc_id, source FROM documents
          ), pairs AS (
            SELECT m.media_id, s.source,
-             round((${pairDot("q.pj", "m.v")}) / (q.q_nrm * m.nrm), 6)
-               AS cos
+             CASE WHEN q.q_nrm > 0 AND m.nrm > 0
+               THEN round((${pairDot("q.pj", "m.v")}) / (q.q_nrm * m.nrm), 6)
+               ELSE 0.0 END AS cos
            FROM mpre m JOIN qpre q ON q.q_id = m.media_id
            JOIN src s ON s.doc_id = m.media_id)"""
     if (!hist)

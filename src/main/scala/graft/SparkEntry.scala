@@ -226,6 +226,8 @@ object SparkEntry {
     "s35_cross_modal"     -> ((s, dir) =>
       Multimodal.crossModalRetrieve(s, dir)),
     "m14_alignment_gate"  -> ((s, dir) => Multimodal.alignmentGate(s, dir)),
+    "m15_audio_spectral"  -> ((s, dir) =>
+      Multimodal.audioSpectralReport(s, dir)),
     "m14h_alignment_hist" -> ((s, dir) =>
       Multimodal.alignmentHistogram(s, dir)),
     "v09_tokenizer_drift" -> ((s, dir) => TextOps.tokenizerDrift(s, dir)),
@@ -241,6 +243,8 @@ object SparkEntry {
     "x26_quality_fit" -> ((s, dir) => Curation.qualityFit(s, dir)),
     "x26s_fitted_serve" -> ((s, dir) => Curation.qualityFitServe(s, dir)),
     "x27_packed_shards" -> ((s, dir) => Sampling.packedShardExport(s, dir)),
+    "x27e1_epoch_export" -> ((s, dir) =>
+      Sampling.packedShardExport(s, dir, epoch = 1L)),
     "s38_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeEval(s, dir)),
     "s37_index_compaction" -> ((s, dir) => Similarity.indexCompaction(s, dir)),
     "s39_pq_distortion"   -> ((s, dir) => Similarity.pqDistortionReport(s, dir)),

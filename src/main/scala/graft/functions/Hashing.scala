@@ -130,6 +130,39 @@ object Hashing {
     sig
   }
 
+  /** [[simhash64]]'s WIDE twin: a 128-bit SimHash as two longs — the
+    * d17 chunk-keyspace dial's signature. Bits 0..63 fold the shingle
+    * hash itself (sig(0) IS [[simhash64]]'s value bit-for-bit — the
+    * prefix law DedupSpec pins); bits 64..127 fold an independent
+    * splitmix re-mix of the shingle hash. 4 pigeonhole chunks over 128
+    * bits are 32 bits wide — keyspace 2³², so chunk buckets stay
+    * birthday-sparse to multi-billion-doc stores (16-bit chunks
+    * saturate at ~2¹⁶ docs: every bucket holds store/65536 random
+    * cohabitants PER CHUNK, the candidate term a bigger store cannot
+    * dial away without a wider key). */
+  def simhash128(hashes: Seq[Long]): Array[Long] = {
+    val counts = new Array[Int](128)
+    val it = hashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      val h2 = splitmix64(h ^ 0xA0D10517EC4A11L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        if (((h2 >>> i) & 1L) == 1L) counts(64 + i) += 1
+        else counts(64 + i) -= 1
+        i += 1
+      }
+    }
+    val sig = new Array[Long](2)
+    var i = 0
+    while (i < 128) {
+      if (counts(i) >= 0) sig(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    sig
+  }
+
   /** FNV-1a 64-bit over the UTF-16 chars — deterministic 64-bit string
     * hash with no dependency on JVM `hashCode`.
     *
@@ -210,6 +243,7 @@ object Hashing {
   private[graft] val bandKeysAtUdf =
     udf((m: Seq[Long], bands: Int) => bandKeysAt(m, bands))
   private[graft] val simhash64Udf = udf((h: Seq[Long]) => simhash64(h))
+  private[graft] val simhash128Udf = udf((h: Seq[Long]) => simhash128(h))
   private[graft] val shingleHashesUdf = udf((t: String, n: Int) => shingleHashes(t, n))
 
   /** Column form of [[shingleHashes]]. */
@@ -234,6 +268,11 @@ object Hashing {
 
   /** Column form of [[simhash64]]; input array<bigint>. */
   def simhash(shingleHashes: Column): Column = simhash64Udf(shingleHashes)
+
+  /** Column form of [[simhash128]]; input array<bigint>, output
+    * array<bigint> of 2 (lo, hi). */
+  def simhashWide(shingleHashes: Column): Column =
+    simhash128Udf(shingleHashes)
 
   // ---- t25 Count-Min sketch geometry ------------------------------
 

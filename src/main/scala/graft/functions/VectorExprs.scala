@@ -116,6 +116,46 @@ case class NibbleHistogram(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[NibbleHistogram]]'s LOW-nibble twin — the m15 audio spectral
+  * stub's "frequency band" axis (band = byte & 0x0F): same single-scan
+  * 16-bin shape, integer-exact, DuckDB-replayable through the hex
+  * low-nibble character slice (the m07 oracle trick with '.(.)'
+  * instead of '(.).'). */
+case class LowNibbleHistogram(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_low_nibble_hist requires a binary input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { bins(bytes(i) & 0x0F) += 1L; i += 1 }
+    new GenericArrayData(bins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val bins = ctx.freshName("bins")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $bins = new long[16];
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  $bins[$x[$i] & 0x0F]++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LowNibbleHistogram =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Σ aᵢ·bᵢ over two array<double> columns, whole-stage-codegen'd. */
   def dot(a: Column, b: Column): Column =
@@ -124,4 +164,8 @@ object VectorExprs {
   /** 16 high-nibble byte counts of a binary column, one codegen'd scan. */
   def nibbleHistogram(payload: Column): Column =
     columnOf(NibbleHistogram(expressionOf(payload)))
+
+  /** 16 low-nibble byte counts — the m15 spectral-band axis. */
+  def lowNibbleHistogram(payload: Column): Column =
+    columnOf(LowNibbleHistogram(expressionOf(payload)))
 }

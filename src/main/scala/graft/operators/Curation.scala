@@ -255,10 +255,62 @@ object Curation {
     (ws.result(), losses.result())
   }
 
-  /** The fitted weight vector (final round). */
+  /** Session-scoped memo of fitted weight vectors keyed by corpus dir
+    * — model state (256 longs), not data (the [[Similarity]] memoCount
+    * discipline). The fit is deterministic in the corpus, so memoizing
+    * never changes a result; it keeps x26 and x26s from each paying
+    * the full 6-round GD when both registered queries run in one
+    * Verify/Bench session. */
+  private val fittedWeights =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** The fitted weight vector (final round), memoized per corpus. */
   def qualityFitWeights(s: SparkSession, dir: String): Array[Long] =
-    qualityFitTrajectory(t(s, dir, "documents"), "doc_id", "text",
-      qualityLabels(s, dir))._1.last
+    fittedWeights.computeIfAbsent(dir, _ =>
+      qualityFitTrajectory(t(s, dir, "documents"), "doc_id", "text",
+        qualityLabels(s, dir))._1.last)
+
+  /** Persist a fitted quality model as one tiny parquet — (f, w_micro)
+    * rows, the [[PqModel.save]] discipline for the classifier family:
+    * a 100 TB deployment fits ONCE, ships the 256-long model, and
+    * every serve-path query reads it without touching the fit path.
+    * Round-trip is exact (int64 columns, no float re-encoding). */
+  def saveQualityModel(s: SparkSession, w: Array[Long], path: String): Unit = {
+    import s.implicits._
+    require(w.length == 256, s"expected 256 weights, got ${w.length}")
+    w.toSeq.zipWithIndex.map { case (wm, f) => (f, wm) }
+      .toDF("f", "w_micro")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted quality model (inverse of [[saveQualityModel]]). */
+  def loadQualityModel(s: SparkSession, path: String): Array[Long] = {
+    val rows = s.read.parquet(path).select("f", "w_micro").collect()
+    require(rows.length == 256, s"expected 256 model rows, got ${rows.length}")
+    val w = new Array[Long](256)
+    rows.foreach(r => w(r.getAs[Int]("f")) = r.getAs[Long]("w_micro"))
+    w
+  }
+
+  /** Session-scoped store paths of persisted quality models keyed by
+    * corpus dir — the serve path below reads THROUGH the parquet
+    * artifact (fit → save → load → serve), so the registered x26s
+    * query exercises the full lifecycle every run. Paths live under a
+    * per-JVM temp root (unique per session — no cross-process
+    * collision, the x27 outDir lesson). */
+  private lazy val modelStoreRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_quality_models_")
+  private val modelStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Fit-once → persist → the store path (idempotent per session). */
+  def qualityModelPath(s: SparkSession, dir: String): String =
+    modelStorePaths.computeIfAbsent(dir, _ => {
+      val p = modelStoreRoot.resolve(
+        java.lang.Integer.toHexString(dir.hashCode)).toString
+      saveQualityModel(s, qualityFitWeights(s, dir), p)
+      p
+    })
 
   /** x26 registered face: the fitted model itself — one row per
     * hashed-feature bucket, weights in micros. 256 rows at any corpus
@@ -282,10 +334,16 @@ object Curation {
     * normalization already divides by length, so x15's per-token
     * division would double-normalize). The oracle chains the x26
     * unrolled-fit CTEs into this serve tail, so neither half can
-    * drift from its registered member. */
+    * drift from its registered member.
+    *
+    * Serves THROUGH the persisted model ([[qualityModelPath]]: fit
+    * once per session, save as parquet, load, serve — the s11/PqModel
+    * lifecycle closed for the classifier family). load(save(w)) = w
+    * exactly (int64 round-trip), so the registered hash is identical
+    * to the fit-inline form — the law CorpusOpsSpec pins. */
   def qualityFitServe(s: SparkSession, dir: String): DataFrame =
     normalizedClassifier(t(s, dir, "documents"), "doc_id", "text",
-      qualityFitWeights(s, dir))
+      loadQualityModel(s, qualityModelPath(s, dir)))
 
   /** The x26-feature serve path: x15's scorer shape over
     * [[x26Features]]. Same scale economics as x15 — one explode, two

@@ -779,6 +779,45 @@ object Dedup {
       shiftrightunsigned(sig, j * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
 
+  /** The WIDE twin's store: (doc_id, sig0, sig1) — two longs per doc,
+    * [[graft.functions.Hashing.simhash128]]. sig0 equals the 64-bit
+    * [[simhashStore]] signature bit-for-bit (the prefix law). */
+  def simhashStoreWide(docsIn: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docShingles(bmpGuarded(docsIn, idCol, textCol), idCol, textCol)
+      .select(col("doc_id"),
+        Hashing.simhashWide(col("sh")).as("sigw"))
+      .select(col("doc_id"),
+        element_at(col("sigw"), 1).as("sig0"),
+        element_at(col("sigw"), 2).as("sig1"))
+
+  /** 4×32-bit pigeonhole chunks over the 128-bit (sig0, sig1) pair —
+    * same hamming ≤ 3 guarantee, keyspace 2³² per chunk (the
+    * [[autoSigBits]] dial's wide regime). */
+  private def chunkKeysWide(sig0: Column, sig1: Column): Column =
+    array(
+      sig0.bitwiseAND(lit(0xFFFFFFFFL)),
+      shiftrightunsigned(sig0, 32),
+      sig1.bitwiseAND(lit(0xFFFFFFFFL)),
+      shiftrightunsigned(sig1, 32))
+
+  /** d17's chunk-KEYSPACE dial (the autoNPlanes pattern on the
+    * pigeonhole axis): 16-bit chunks hold ~store/2¹⁶ random
+    * cohabitants per bucket, so once the STORE approaches 2¹⁶ docs
+    * every batch chunk drags in birthday candidates that have nothing
+    * to do with similarity — the density term a fixed geometry cannot
+    * shed (r17 StoreDialProbe: a 250k-doc store at 16-bit chunks
+    * yields ~60× the candidates of the 32-bit dial at recall 1.0 in
+    * both). Below the bound the 64-bit signature + 16-bit chunks run
+    * verbatim (every registered SF: the fixture store is 250 docs →
+    * 64 everywhere, oracles untouched); above it the signature deepens
+    * to 128 bits and the chunks to 32. */
+  def autoSigBits(storeN: Long): Int =
+    if (storeN < (1L << 16)) 64 else 128
+
+  private val d17StoreCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def simhash(docsIn: DataFrame, idCol: String, textCol: String,
               maxHamming: Int): DataFrame = {
     // 4 chunks pigeonhole-guarantee a shared chunk only for hamming <= 3;
@@ -1125,9 +1164,60 @@ object Dedup {
   def incrementalSimhash(s: SparkSession, dir: String,
                          splitAt: Long = D12SplitAt): DataFrame = {
     val docs = t(s, dir, "documents")
-    incrementalSimhash(
-      simhashStore(docs.filter(col("doc_id") >= splitAt), "doc_id", "text"),
-      simhashStore(docs.filter(col("doc_id") < splitAt), "doc_id", "text"))
+    val store = docs.filter(col("doc_id") < splitAt)
+    val batch = docs.filter(col("doc_id") >= splitAt)
+    // the [[autoSigBits]] keyspace dial, sized on the STORE (the side
+    // whose density saturates the chunk buckets); resolves to the
+    // 64-bit path at every registered SF (store = splitAt docs). The
+    // count memoizes per (dir, splitAt) — sizes only, the Similarity
+    // memoCount discipline.
+    val storeN = d17StoreCounts.computeIfAbsent(s"$dir#$splitAt",
+      _ => store.count())
+    if (autoSigBits(storeN) == 64)
+      incrementalSimhash(
+        simhashStore(batch, "doc_id", "text"),
+        simhashStore(store, "doc_id", "text"))
+    else
+      incrementalSimhashWide(
+        simhashStoreWide(batch, "doc_id", "text"),
+        simhashStoreWide(store, "doc_id", "text"))
+  }
+
+  /** The probe half over WIDE (doc_id, sig0, sig1) frames — the
+    * [[incrementalSimhash]] semantics with hamming over 128 bits and
+    * 32-bit pigeonhole chunks (same ≤ 3 guarantee). */
+  def incrementalSimhashWide(batchSig: DataFrame, storeSig: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
+    val b = batchSig.localCheckpoint()
+    val st = storeSig.localCheckpoint()
+    def chunks(df: DataFrame, as: String): DataFrame = df
+      .select(col("doc_id").as(as),
+        posexplode(chunkKeysWide(col("sig0"), col("sig1")))
+          .as(Seq("chunk", "key")))
+    val cand = chunks(b, "batch_id")
+      .join(chunks(st, "store_id"), Seq("chunk", "key"))
+      .select("batch_id", "store_id").distinct()
+    val verified = cand
+      .join(b.select(col("doc_id").as("batch_id"), col("sig0").as("b0"),
+        col("sig1").as("b1")), "batch_id")
+      .join(st.select(col("doc_id").as("store_id"), col("sig0").as("s0"),
+        col("sig1").as("s1")), "store_id")
+      .withColumn("hamming",
+        bit_count(col("b0").bitwiseXOR(col("s0"))) +
+          bit_count(col("b1").bitwiseXOR(col("s1"))))
+      .filter(col("hamming") <= maxHamming)
+    val w = Window.partitionBy("batch_id")
+      .orderBy(asc("hamming"), asc("store_id"))
+    verified
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("batch_id")))
+      .filter(col("rk") === 1)
+      .select(col("batch_id").as("doc_id"),
+        col("store_id").as("best_match"), col("hamming"), col("n_matches"))
+      .orderBy("doc_id")
   }
 
   /** The probe half over pre-derived signature frames (doc_id, sig). */

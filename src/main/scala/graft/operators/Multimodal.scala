@@ -592,9 +592,17 @@ object Multimodal {
     * ever sees the payload or the text; with a physically separate
     * caption table this becomes one narrow id-keyed equi-join of
     * 16-double feature rows, payloads still scan-local. */
-  private def alignmentPairs(s: SparkSession, dir: String): DataFrame = {
+  private def alignmentPairs(s: SparkSession, dir: String): DataFrame =
+    alignmentPairsFrame(t(s, dir, "documents"))
+
+  private[graft] def alignmentPairsFrame(docs: DataFrame): DataFrame = {
     import graft.functions.VectorExprs.{dot, nibbleHistogram}
-    val toks = split(trim(col("text")), "\\s+")
+    // empty tokens are NOT tokens: split(trim("")) yields [""] in both
+    // engines — filtered here (and in the oracle's m14 qt CTE) so a
+    // whitespace-only caption has an EMPTY token set, not one
+    // md5("")-bucket count (the ADVICE r16 degenerate-doc alignment)
+    val toks = filter(split(trim(col("text")), "\\s+"),
+      tk => length(tk) > 0)
     // ONE md5 per token (bucket ids first, then a histogram fold) —
     // s35's per-bucket filter form hashes every token 16× (fine for
     // its 3 query docs, a 16× corpus-scan tax here: measured
@@ -606,16 +614,74 @@ object Multimodal {
       (acc, x) => transform(acc, (v, i) => when(i === x, v + 1.0).otherwise(v)))
     val wCols = s35Projection.transpose
     val pj = array(wCols.map(cj => dot(col("tq"), typedlit(cj.toSeq))): _*)
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id").as("media_id"), col("source"),
         transform(nibbleHistogram(col("text").cast("binary")),
           _.cast("double")).as("v"),
         tq.as("tq"))
       .select(col("media_id"), col("source"), col("v"), pj.as("pj"))
+      // zero-norm guard: an empty payload (zero media histogram) or a
+      // token set whose projection collapses to the origin has no
+      // direction — cos is DEFINED as 0 there (keep=false at any
+      // positive gate), instead of Spark NaN / DuckDB div-by-zero
+      // diverging on degenerate docs (the x25 avail=0 lesson; the
+      // oracle replays the same CASE)
       .select(col("media_id"), col("source"),
-        round(dot(col("pj"), col("v")) /
-            (sqrt(dot(col("pj"), col("pj"))) * sqrt(dot(col("v"), col("v")))),
-          6).as("cos"))
+        when(dot(col("pj"), col("pj")) > 0 && dot(col("v"), col("v")) > 0,
+          round(dot(col("pj"), col("v")) /
+              (sqrt(dot(col("pj"), col("pj"))) * sqrt(dot(col("v"), col("v")))),
+            6))
+          .otherwise(lit(0.0)).as("cos"))
+  }
+
+  /** m15: AUDIO spectral-stub features — the audio member the media
+    * table's `kind` axis has cycled since m01 but no feature ever
+    * exercised (the r16 stretch): a deterministic spectrogram stand-in
+    * in the m07/m13 decode-stub discipline. "Frequency band" = the
+    * byte's LOW nibble (the high-nibble histogram is m07's image
+    * feature — the two axes are independent), "time frame" = payload
+    * half, so the stub has the two axes a real spectrogram has, and
+    * every derived quantity is integer-exact and hex-replayable in
+    * DuckDB:
+    *
+    *  - `centroid_milli`: the spectral centroid Σ b·count(b) · 1000
+    *    div n_bytes — the brightness dial an audio curation gate
+    *    thresholds on;
+    *  - `flux`: Σ_b |half1(b) − half2(b)| — the frame-to-frame
+    *    spectral change, 0 iff the halves have identical band mass
+    *    (the silence/stationarity detector).
+    *
+    * Swap the nibble kernels for a real STFT (a pandas-UDF batch over
+    * mapInPandas in a codec-bearing container) and nothing else in the
+    * plan moves — the m07 promise, kept on the audio axis. At 100 TB:
+    * ONE scan projection (two codegen'd nibble kernels + integer
+    * folds), no join, no exchange ever sees the payload (the m13
+    * plan-gate law), report rows are (id, 3 ints). */
+  def audioSpectralReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.lowNibbleHistogram
+    val m = media(s, dir).toDF().filter(col("kind") === "audio")
+    val withH = m.select(col("media_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      lowNibbleHistogram(
+        expr("substring(payload, 1, length(payload) div 2)")).as("h1"),
+      lowNibbleHistogram(expr(
+        "substring(payload, length(payload) div 2 + 1, " +
+          "length(payload) - length(payload) div 2)")).as("h2"))
+    val tot = zip_with(col("h1"), col("h2"), (a, b) => a + b)
+    val wsum = aggregate(
+      zip_with(tot, sequence(lit(0L), lit(15L)), (c, b) => c * b),
+      lit(0L), (acc, x) => acc + x)
+    val flux = aggregate(
+      zip_with(col("h1"), col("h2"), (a, b) => abs(a - b)),
+      lit(0L), (acc, x) => acc + x)
+    withH
+      .select(col("media_id"), col("n_bytes"), wsum.as("wsum"),
+        flux.as("flux"))
+      .select(col("media_id"), col("n_bytes"),
+        when(col("n_bytes") === 0L, 0L)
+          .otherwise(expr("wsum * 1000 div n_bytes")).as("centroid_milli"),
+        col("flux"))
+      .orderBy("media_id")
   }
 
   /** m14: image-text alignment gate — the LAION-400M curation core:

@@ -459,13 +459,14 @@ object Sampling {
     * TEXT rides exactly one shuffle on its way to the writer, and the
     * 256-row offset table broadcasts back (the x10/x19 splice). */
   private[graft] def packedShardFrame(docs: DataFrame, idCol: String,
-      textCol: String, budget: Long, nShards: Int): DataFrame = {
+      textCol: String, budget: Long, nShards: Int,
+      epoch: Long = 0L): DataFrame = {
     require(budget >= 1 && nShards >= 1)
     val nTok = size(split(trim(col(textCol)), "\\s+")).cast("bigint")
     val keyed = docs
       .select(col(idCol), col(textCol), nTok.as("n_tokens"))
       .withColumn("key",
-        md5(concat(lit("0:"), col(idCol).cast("string"))))
+        md5(concat(lit(s"$epoch:"), col(idCol).cast("string"))))
       .withColumn("kb", substring(col("key"), 1, 2))
     val byKb = Window.orderBy("kb")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -511,24 +512,52 @@ object Sampling {
     * partitioned write (no shuffle — each task streams to its
     * partition files); the read-back is scan + presentation sort. The
     * export path is a deterministic function of (corpus, budget,
-    * nShards), so any shard of any epoch re-derives statelessly —
-    * kill/restart lands the identical tree (spec-pinned). */
+    * nShards, epoch), so any shard of any epoch re-derives statelessly
+    * — kill/restart lands the identical tree (spec-pinned). A trainer
+    * consuming E epochs writes one tree per epoch (`epoch` keys the
+    * x19 permutation: md5("e:"+id) — uncorrelated orders across
+    * epochs, spec-pinned), so every epoch's pack is independently
+    * derivable and re-writable.
+    *
+    * With no explicit `outDir`, each invocation writes to a FRESH
+    * per-invocation temp directory and deletes it after the read-back
+    * manifest is materialized (localCheckpoint) — two concurrent runs
+    * (Verify and Bench, or two sessions) can never overwrite/read each
+    * other's tree, and no predictable world-shared /tmp path exists to
+    * pre-create. Callers that pass `outDir` own its lifecycle. */
   def packedShardExport(s: SparkSession, dir: String,
                         outDir: String = null,
                         budget: Long = X22Budget,
-                        nShards: Int = X27Shards): DataFrame = {
-    val out = Option(outDir).getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft_x27_shards_" +
-        Integer.toHexString(dir.hashCode))
+                        nShards: Int = X27Shards,
+                        epoch: Long = 0L): DataFrame = {
+    val tempRoot = Option(outDir) match {
+      case Some(_) => None
+      case None =>
+        Some(java.nio.file.Files.createTempDirectory("graft_x27_shards_"))
+    }
+    val out = tempRoot.map(_.resolve(s"epoch$epoch").toString)
+      .getOrElse(outDir)
     val frame = packedShardFrame(t(s, dir, "documents"), "doc_id", "text",
-      budget, nShards)
+      budget, nShards, epoch)
     Sinks.writeShardedJsonl(frame, "shard", out)
-    s.read.json(out)
+    // the manifest is read back FROM the written files, then pinned in
+    // block storage (slim columns only) so the temp tree can be
+    // deleted before the frame is consumed
+    val back = s.read.json(out)
       .select(col("doc_id").cast("long"), col("pos").cast("long"),
         col("n_tokens").cast("long"), col("start_tok").cast("long"),
         col("seq_first").cast("long"), col("n_seqs").cast("long"),
         col("pos_in_seq").cast("long"), col("shard").cast("int"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    tempRoot.foreach { root =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(root.toFile)
+    }
+    back
   }
 
   /** x17: soft-dedup sampling weights — instead of DROPPING a

@@ -176,8 +176,43 @@ object Similarity {
     * N·occupancy, so holding occupancy lower keeps the candidate set
     * ∝ N where the graph build can afford denser buckets. */
   def autoNPlanes(n: Long, floor: Int = 6, occLog2: Int = 5): Int = {
-    val log2n = math.log(n.max(1L).toDouble) / math.log(2.0)
-    math.max(floor, math.round(log2n).toInt - occLog2)
+    val log2n = math.round(
+      math.log(n.max(1L).toDouble) / math.log(2.0)).toInt
+    // second-decade occupancy shrink (r17 sweep, AnnSweepProbe at
+    // N=200k): holding occupancy 2^5 at the second decade buys ~2×
+    // more candidates than recall needs once the query-side dials
+    // ([[autoBeam]]/[[autoHops]]) scale — recall 0.967 @ 46 s at
+    // occ 2⁵ vs 0.917 @ 22 s at occ 2⁴ with beam 32. One occupancy
+    // notch per ~decade past sf1 (log₂N = 14), floored at 2² so the
+    // shrink can never starve buckets entirely; 0 shift at every
+    // oracle-compared SF (log₂N ≤ 11) and at sf1.
+    val occEff = math.max(2, occLog2 - math.max(0, (log2n - 14) / 4))
+    math.max(floor, log2n - occEff)
+  }
+
+  /** Occupancy-companion BEAM dial for the graph-ANN search phase —
+    * the r16 second-decade finding made engine behavior: at N = 200k
+    * the plane dial holds occupancy but the fixed beam=8 budget
+    * becomes the binding recall constraint (recall@3 0.60–0.87). The
+    * search budget is QUERY-side (hops·beam·m score evaluations per
+    * query — corpus-free), so it is the cheap recall lever: +6 beam
+    * per log₂ step past sf1 reproduces the sweep's recall ≥ 0.9 point
+    * (beam 32 at N=200k, AnnSweepProbe r17) while resolving to the
+    * baked-in 8 at every oracle-compared SF and at sf1. */
+  def autoBeam(n: Long, base: Int = 8): Int = {
+    val log2n = math.round(
+      math.log(n.max(1L).toDouble) / math.log(2.0)).toInt
+    base + 6 * math.max(0, log2n - 14)
+  }
+
+  /** [[autoBeam]]'s HOPS companion: the descent path length grows with
+    * log N (the graph-diameter argument), +1 hop per log₂ step past
+    * sf1 — 8 hops at N=200k (the sweep's recall-0.917 point), the
+    * baked-in 4 at every oracle-compared SF and at sf1. */
+  def autoHops(n: Long, base: Int = 4): Int = {
+    val log2n = math.round(
+      math.log(n.max(1L).toDouble) / math.log(2.0)).toInt
+    base + math.max(0, log2n - 14)
   }
 
   /** Session-scoped memo of corpus CARDINALITIES feeding the
@@ -209,20 +244,22 @@ object Similarity {
     * scale finding (fixed 6 planes cost 6.3× wall at 10× data) is
     * engine behavior now, not a deployment footnote. */
   def annGraphLsh(s: SparkSession, dir: String, nTables: Int = 6,
-                  nPlanes: Option[Int] = None, m: Int = GraphM, beam: Int = 8,
-                  hops: Int = 4, k: Int = 3, nQueries: Int = 5,
+                  nPlanes: Option[Int] = None, m: Int = GraphM,
+                  beam: Option[Int] = None,
+                  hops: Option[Int] = None, k: Int = 3, nQueries: Int = 5,
                   nEntries: Int = 4,
                   bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
-    val nP = nPlanes.getOrElse(autoNPlanes(
-      memoCount(dir)(t(s, dir, "embeddings").count())))
+    val n = memoCount(dir)(t(s, dir, "embeddings").count())
+    val nP = nPlanes.getOrElse(autoNPlanes(n))
     val undirected = lshPairsMulti(all, threshold = -2.0, nTables, nP,
       dim = 64, bucketCap)
     val scored = undirected
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(undirected
         .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
-    beamSearch(all, topMGraph(scored, m), beam, hops, k, nQueries, nEntries)
+    beamSearch(all, topMGraph(scored, m), beam.getOrElse(autoBeam(n)),
+      hops.getOrElse(autoHops(n)), k, nQueries, nEntries)
   }
 
   /** s19: [[annGraphLsh]] + NN-descent refinement (Dong et al.,
@@ -247,13 +284,14 @@ object Similarity {
   def annGraphLshRefined(s: SparkSession, dir: String,
                          rounds: Int = S19Rounds,
                          nTables: Int = 6, nPlanes: Option[Int] = None,
-                         m: Int = GraphM, beam: Int = 8,
-                         hops: Int = 4, k: Int = 3, nQueries: Int = 5,
+                         m: Int = GraphM, beam: Option[Int] = None,
+                         hops: Option[Int] = None, k: Int = 3,
+                         nQueries: Int = 5,
                          nEntries: Int = 4,
                          bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
-    val nP = nPlanes.getOrElse(autoNPlanes(
-      memoCount(dir)(t(s, dir, "embeddings").count())))
+    val n = memoCount(dir)(t(s, dir, "embeddings").count())
+    val nP = nPlanes.getOrElse(autoNPlanes(n))
     def directed(cs: DataFrame): DataFrame = cs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(cs
@@ -281,8 +319,8 @@ object Similarity {
             .as("cos"))
       cs = cs.unionByName(fresh).localCheckpoint()
     }
-    beamSearch(all, topMGraph(directed(cs), m), beam, hops, k, nQueries,
-      nEntries)
+    beamSearch(all, topMGraph(directed(cs), m), beam.getOrElse(autoBeam(n)),
+      hops.getOrElse(autoHops(n)), k, nQueries, nEntries)
   }
 
   /** s18: incremental INSERT into the graph index — the lifecycle step
@@ -307,7 +345,7 @@ object Similarity {
                      splitId: Long = S18SplitId,
                      nTables: Int = 6, nPlanes: Option[Int] = None,
                      m: Int = GraphM,
-                     beam: Int = 8, hops: Int = 4,
+                     beam: Option[Int] = None, hops: Option[Int] = None,
                      nEntries: Int = S18NEntries,
                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
@@ -332,13 +370,14 @@ object Similarity {
                            splitId: Long = S18SplitId,
                            nTables: Int = 6, nPlanes: Option[Int] = None,
                            m: Int = GraphM,
-                           beam: Int = 8, hops: Int = 4,
+                           beam: Option[Int] = None, hops: Option[Int] = None,
                            nEntries: Int = S18NEntries,
                            bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
     val old = all.filter(col("vec_id") >= splitId)
-    val nP = nPlanes.getOrElse(autoNPlanes(memoCount(s"$dir#ge$splitId")(
-      t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())))
+    val n = memoCount(s"$dir#ge$splitId")(
+      t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())
+    val nP = nPlanes.getOrElse(autoNPlanes(n))
     val undirected = lshPairsMulti(old, threshold = -2.0, nTables, nP,
       dim = 64, bucketCap)
     val scored = undirected
@@ -348,7 +387,7 @@ object Similarity {
     beamSearchFrames(all, topMGraph(scored, m), queries,
       old.filter(col("vec_id") < splitId + nEntries)
         .select(col("vec_id").as("n_id")),
-      beam, hops, k = m)
+      beam.getOrElse(autoBeam(n)), hops.getOrElse(autoHops(n)), k = m)
   }
 
   /** Adapt a raw (vec_id, embedding) frame — e.g. a streaming
@@ -387,13 +426,14 @@ object Similarity {
                           splitId: Long = S18SplitId,
                           nTables: Int = 6, nPlanes: Option[Int] = None,
                           m: Int = GraphM,
-                          beam: Int = 8, hops: Int = 4,
+                          beam: Option[Int] = None, hops: Option[Int] = None,
                           nEntries: Int = S18NEntries,
                           bucketCap: Int = DefaultBucketCap): DataFrame = {
     val all = emb(s, dir)
     val old = all.filter(col("vec_id") >= splitId)
-    val nP = nPlanes.getOrElse(autoNPlanes(memoCount(s"$dir#ge$splitId")(
-      t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())))
+    val n = memoCount(s"$dir#ge$splitId")(
+      t(s, dir, "embeddings").filter(col("vec_id") >= splitId).count())
+    val nP = nPlanes.getOrElse(autoNPlanes(n))
     val undirected = lshPairsMulti(old, threshold = -2.0, nTables, nP,
       dim = 64, bucketCap)
     val scored = undirected
@@ -407,7 +447,7 @@ object Similarity {
           col("nrm").as("qn")),
       old.filter(col("vec_id") < splitId + nEntries)
         .select(col("vec_id").as("n_id")),
-      beam, hops, k = m)
+      beam.getOrElse(autoBeam(n)), hops.getOrElse(autoHops(n)), k = m)
     val incoming = newEdges
       .select(col("n_id").as("src"), col("q_id").as("dst"), col("cos"))
     val affected = incoming.select("src").distinct()
@@ -424,17 +464,21 @@ object Similarity {
     * (rounded cos DESC, dst ASC). `localCheckpoint`: every beam-search
     * hop re-reads the graph, and nothing may re-run the (expensive)
     * pair source per hop. */
-  private def topMGraph(scored: DataFrame, m: Int): DataFrame = {
-    val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
-    scored.withColumn("rk", row_number().over(wG))
-      .filter(col("rk") <= m)
-      .select("src", "dst")
-      .localCheckpoint()
-  }
+  private def topMGraph(scored: DataFrame, m: Int): DataFrame =
+    topMGraphScored(scored, m).select("src", "dst").localCheckpoint()
 
   /** [[topMGraph]] keeping the edge score — the insert-update path
     * (s20) re-ranks neighbor lists, so it needs the cos the search
-    * graph drops. Checkpointed for the same reason. */
+    * graph drops. Checkpointed because every beam-search hop re-reads
+    * the graph and nothing may re-run the (expensive) pair source per
+    * hop. Deliberately the row_number WINDOW, not TopKPerGroup: the
+    * group count here is the CORPUS (every node selects top-m), so
+    * per-partition rows-per-group ≈ occupancy·tables/partitions ≈ 3 —
+    * below the heap cap m=12, and the map-side heaps prune nothing
+    * while paying their overhead (measured r17 at sf10: 36.3 s via
+    * TopKPerGroup vs 18.3 s via the window on the identical build).
+    * TopKPerGroup wins when k·groups ≪ partition rows (q31/t10/x09's
+    * regime), not here. */
   private def topMGraphScored(scored: DataFrame, m: Int): DataFrame = {
     val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     scored.withColumn("rk", row_number().over(wG))
@@ -1532,15 +1576,88 @@ object Similarity {
     * vector and the pinned centroids), so batchId-keyed store PARTIALS
     * compose exactly
     * ([[graft.streaming.IncrementalJobs.startSemanticAdmission]]). */
-  def semanticStore(vecs: DataFrame): DataFrame = {
-    val normed = vecs.select(col("vec_id"),
+  def semanticStore(vecs: DataFrame): DataFrame =
+    semanticStoreAt(vecs, Pinned.ivfCentroids)
+
+  /** [[semanticStore]] against an EXPLICIT quantizer — the re-fit
+    * serve half of the s34 auto-scaling path (cells come from
+    * [[refitCells]] instead of the pinned fixture). */
+  def semanticStoreAt(vecs: DataFrame,
+                      cents: Array[Array[Double]]): DataFrame =
+    assignToCentroid(normalizedVecs(vecs), cents)
+      .select(col("vec_id"), col("c").as("cell"), col("v").as("sv"))
+
+  private def normalizedVecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("v"))
-    assignToCentroid(normed, Pinned.ivfCentroids)
-      .select(col("vec_id"), col("c").as("cell"), col("v").as("sv"))
+
+  /** Occupancy-targeted CELL-COUNT dial for the semantic store — the
+    * [[autoNPlanes]] pattern applied to the s34 quantizer: in-cell
+    * admission work is store/cells × batch/cells PER CELL (quadratic
+    * in occupancy at fixed cells — the r16 second-decade 34×), so
+    * holding expected occupancy near 2^occLog2 = 512 means
+    * cells = 2^(log₂N − 9), floored at the PINNED quantizer's 8. At
+    * every oracle-compared SF (N ≤ 2000) the dial resolves to 8 and
+    * the pinned path runs verbatim — the s23/autoNPlanes oracle
+    * contract; at sf1 (N=20k) it fires at 32 cells, at sf10 (N=200k)
+    * at 512. */
+  def autoNCells(n: Long, floorLog2: Int = 3, occLog2: Int = 9): Int = {
+    val log2n = math.log(n.max(1L).toDouble) / math.log(2.0)
+    1 << math.max(floorLog2, math.round(log2n).toInt - occLog2)
   }
+
+  /** Driver-side spherical Lloyd over a bounded deterministic sample —
+    * the [[PqModel]] fit discipline (model-sized state, zero
+    * per-iteration Spark jobs) with [[fitCentroids]]' conventions:
+    * init = first k sample rows, assignment by max dot (ties to the
+    * lowest index), update = member mean, empty clusters keep their
+    * previous centroid. Deterministic in the sample. */
+  private[graft] def lloydDot(sample: Array[Array[Double]], k: Int,
+                                  iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    val dim = sample(0).length
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    cents
+  }
+
+  /** The s34 RE-FIT composed from the s40 runbook's stages 1–2: when
+    * the occupancy bound fires ([[autoNCells]] > the pinned 8), the
+    * quantizer re-fits at cell count ∝ N over a bounded deterministic
+    * sample of store ∪ batch ([[PqModel.sampleVectors]] — one
+    * TakeOrdered pass, no corpus shuffle; Lloyd runs driver-side on
+    * the sample, the model is k×dim doubles). Memoized per (dir, k) —
+    * fit-once/serve-many, the x26/PqModel lifecycle. */
+  private val refitCellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private[graft] def refitCells(s: SparkSession, dir: String,
+                                    k: Int): Array[Array[Double]] =
+    refitCellsMemo.computeIfAbsent(s"$dir#$k", _ =>
+      lloydDot(PqModel.sampleVectors(
+        normalizedVecs(t(s, dir, "embeddings")),
+        cap = math.max(16 * k, 8192)), k, iters = 3))
 
   /** s34's registered store/batch split fraction and admission
     * threshold — single-sourced into the generated replays (the
@@ -1584,10 +1701,20 @@ object Similarity {
       s"incrementalSemanticAdmission: embeddings table at $dir is empty")
     // floor() on BOTH sides (oracle replays the same scalar)
     val cut = math.floor(mx.getLong(0) * splitFrac).toLong
+    // cell count ∝ N (the [[autoNCells]] occupancy dial): at every
+    // oracle-compared SF the dial resolves to the pinned 8 cells and
+    // the fixture path below runs verbatim; past the occupancy bound
+    // the quantizer RE-FITS at k cells (the s40 stages-1/2 composition
+    // — the r16 second-decade fix: fixed cells made the in-cell
+    // store×batch product quadratic, 34×/decade at sf10)
+    val k = autoNCells(memoCount(dir)(e.count()))
+    val cents =
+      if (k <= Pinned.ivfCentroids.length) Pinned.ivfCentroids
+      else refitCells(s, dir, k)
     // materialize the assignment ONCE for the two split reads (the
     // d12 sketch discipline); in production the store half is read
     // from its persisted parquet instead
-    val assigned = semanticStore(e).localCheckpoint()
+    val assigned = semanticStoreAt(e, cents).localCheckpoint()
     incrementalSemanticAdmission(
       assigned.filter(col("vec_id") >= cut),
       assigned.filter(col("vec_id") < cut), threshold)

@@ -1846,14 +1846,25 @@ object TextOps {
       "doc_id", "text")
   }
 
-  /** The t34 probe half over an accumulated trigram-fp store
-    * (re-distincted here so raw per-batch partials can be fed
-    * directly). */
+  /** The t34 probe half over an accumulated trigram-fp store. The
+    * STORE NEVER SHUFFLES (the r17 decade fix — the r16 form shuffled
+    * the full store fp frame on every probe, the unbounded side at
+    * 100 TB): the batch's DISTINCT fps broadcast into a left-semi
+    * against the store scan (store rows stream through one
+    * codegen'd hash probe; also subsumes the old re-distinct, so raw
+    * per-batch store partials still feed directly), the surviving
+    * ≤|batch-fps| known set broadcasts back, and only BATCH-sized
+    * frames ever exchange. x18's Bloom bits remain the pre-filter once
+    * the batch itself outgrows a broadcast. */
   def incrementalNovelty(batch: DataFrame, storeFps: DataFrame,
                          idCol: String, textCol: String): DataFrame = {
-    val hits = storeFps.select("fp").distinct().withColumn("hit", lit(1L))
-    val perDoc = trigramFps(batch, idCol, textCol)
-      .join(hits, Seq("fp"), "left")
+    val bFps = trigramFps(batch, idCol, textCol).localCheckpoint()
+    val known = storeFps.select("fp")
+      .join(broadcast(bFps.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct() // store partials may repeat an fp
+      .withColumn("hit", lit(1L))
+    val perDoc = bFps
+      .join(broadcast(known), Seq("fp"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
@@ -1872,9 +1883,15 @@ object TextOps {
   def memorizationFromFps(trainFps: DataFrame, eval: DataFrame,
                           idCol: String, textCol: String,
                           w: Int = T26Width): DataFrame = {
-    val hits = trainFps.select("fp").distinct().withColumn("hit", lit(1L))
-    windowFps(eval, idCol, textCol, w)
-      .join(hits, Seq("fp"), "left")
+    // the TRAIN side is the unbounded one — prune it to the eval's
+    // fps with a broadcast semi before anything shuffles (the t34
+    // store-never-shuffles discipline)
+    val eFps = windowFps(eval, idCol, textCol, w).localCheckpoint()
+    val hits = trainFps.select("fp")
+      .join(broadcast(eFps.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct().withColumn("hit", lit(1L))
+    eFps
+      .join(broadcast(hits), Seq("fp"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("hit"), lit(0L))).as("n_memorized"))

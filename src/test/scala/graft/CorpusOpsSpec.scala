@@ -1166,6 +1166,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(acc >= 0.75, s"fit accuracy regressed: $acc")
   }
 
+  test("x26 model lifecycle: save → load round-trips the fitted weights " +
+       "exactly, and serve-from-store ≡ fit-inline serve") {
+    import graft.operators.Curation
+    val w = Curation.qualityFitWeights(spark, sf)
+    val path = Files.createTempDirectory("graft-test").toString +
+      "/quality_model"
+    Curation.saveQualityModel(spark, w, path)
+    val back = Curation.loadQualityModel(spark, path)
+    assert(back.toSeq == w.toSeq) // int64 parquet round-trip is exact
+    // the registered x26s face reads THROUGH the persisted model; its
+    // output must equal serving the in-memory fit weights directly
+    val fromStore = Curation.qualityFitServe(spark, sf).collect().toSeq
+    val inline = Curation.normalizedClassifier(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", w)
+      .collect().toSeq
+    assert(fromStore == inline)
+  }
+
   test("x14 cluster sample: per-cell md5 pick over nearest pinned cells") {
     val cents = graft.operators.Pinned.ivfCentroids
     def dotd(a: Array[Double], b: Array[Double]): Double = {

@@ -395,6 +395,55 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("d17 wide-signature dial: sig0 is the 64-bit signature verbatim; " +
+       "the 128-bit probe ≡ a brute-force 128-bit hamming recomputation; " +
+       "the dial resolves to 64 bits below the keyspace bound") {
+    import spark.implicits._
+    import graft.functions.Hashing
+    // dial contract: 64-bit path at every registered store size
+    // (fixture store = 250 docs), wide past the 2^16 keyspace bound
+    assert(Dedup.autoSigBits(250L) == 64)
+    assert(Dedup.autoSigBits(65535L) == 64)
+    assert(Dedup.autoSigBits(65536L) == 128)
+    assert(Dedup.autoSigBits(250000L) == 128)
+    def words(a: Int, b: Int, p: String) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val store = Seq(
+      (1L, words(0, 40, "w")),
+      (2L, words(0, 40, "u"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, words(0, 40, "w")),          // exact → hamming 0 in any width
+      (11L, words(0, 39, "u") + " zzz"), // near u
+      (12L, words(0, 40, "q"))).toDF("doc_id", "text")
+    // prefix law: the wide store's sig0 IS the 64-bit signature
+    val all = store.unionByName(batch)
+    val s64 = Dedup.simhashStore(all, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sW = Dedup.simhashStoreWide(all, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    sW.foreach { case (id, (s0, _)) => assert(s0 == s64(id)) }
+    // the wide probe ≡ brute-force 128-bit hamming at radius 3
+    val got = Dedup.incrementalSimhashWide(
+        Dedup.simhashStoreWide(batch, "doc_id", "text"),
+        Dedup.simhashStoreWide(store, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val expected = Seq(10L, 11L, 12L).flatMap { bid =>
+      val ms = Seq(1L, 2L).map(sid => (sid, ham(sW(bid), sW(sid))))
+        .filter(_._2 <= 3).sortBy(t => (t._2, t._1))
+      ms.headOption.map(m => (bid, m._1, m._2, ms.size.toLong))
+    }
+    assert(got == expected)
+    // the exact copy matches at hamming 0 under the wide sig too
+    assert(got.exists(g => g._1 == 10L && g._2 == 1L && g._3 == 0))
+    // and the Scala kernel agrees with the column form end-to-end
+    val kern = Hashing.simhash128(Hashing.shingleHashes(words(0, 40, "w"), 3))
+    assert((kern(0), kern(1)) == sW(10L))
+  }
+
   test("d18 threshold curve: monotone in tau on a planted mid-J corpus; " +
        "the committed-tau arm matches d05/d08's counts") {
     import spark.implicits._

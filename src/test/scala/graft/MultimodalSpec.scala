@@ -417,4 +417,55 @@ class MultimodalSpec extends SparkSuite {
     assert(gotHist == expHist)
     assert(gotHist.map(_._3).sum == docs.length.toLong)
   }
+
+  test("m15 audio spectral stub ≡ a Scala recomputation; audio rows " +
+       "only; centroid bounded; flux = 0 iff halves carry equal band mass") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filter(_._1 % 3 == 1).map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val half = bytes.length / 2
+      def hist(lo: Int, hi: Int): Array[Long] = {
+        val h = new Array[Long](16)
+        (lo until hi).foreach(i => h(bytes(i) & 0x0F) += 1L)
+        h
+      }
+      val h1 = hist(0, half)
+      val h2 = hist(half, bytes.length)
+      val wsum = (0 until 16).map(b => b.toLong * (h1(b) + h2(b))).sum
+      val centroid = if (bytes.isEmpty) 0L else wsum * 1000L / bytes.length
+      val flux = (0 until 16).map(b => math.abs(h1(b) - h2(b))).sum
+      (id, bytes.length.toLong, centroid, flux)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.audioSpectralReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // audio rows only (the kind axis), and the feature discriminates
+    assert(got.nonEmpty && got.forall(_._1 % 3 == 1))
+    assert(got.map(_._3).distinct.size > 1, "centroid is constant")
+    // centroid is a band index in millis: 0..15000
+    got.foreach { case (id, _, c, f) =>
+      assert(c >= 0L && c <= 15000L, s"centroid out of range for $id")
+      assert(f >= 0L)
+    }
+  }
+
+  test("m14 degenerate docs: empty / whitespace-only / zero-payload " +
+       "captions score cos = 0 (defined, not NaN) and never pass the gate") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (1L, "", "web"),            // zero payload AND zero token set
+      (2L, "   \t  ", "web"),     // whitespace-only: tokens filter to none
+      (3L, "a normal caption with words", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.alignmentPairsFrame(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0)
+    assert(!got.values.exists(_.isNaN))
+    assert(got(3L) != 0.0) // a real caption still scores
+  }
 }

@@ -599,9 +599,17 @@ class PlanGateSpec extends SparkSuite {
   }
 
   test("t34 incremental novelty: the store probe is an fp equi-join, " +
-       "never a batch×store product") {
+       "never a batch×store product — and the STORE NEVER SHUFFLES " +
+       "(batch fps broadcast into a semi against the store scan)") {
     val plan = finalPlan(graft.operators.TextOps.incrementalNovelty(spark, sf))
     noProducts(plan, "t34")
+    // both fp probes are broadcast-hash (semi + the known-set join
+    // back): a sort-merge join here would shuffle the store — the
+    // unbounded side at 100 TB (the r17 decade fix)
+    assert(broadcastJoins(plan) >= 2,
+      s"t34 store probe lost its broadcast shape: ${broadcastJoins(plan)}")
+    assert(!plan.exists { case _: SortMergeJoinExec => true; case _ => false },
+      "t34 shuffles the store through a sort-merge join")
   }
 
   test("v07 corpus datasheet: a single aggregate pass — no joins, one " +
@@ -744,17 +752,38 @@ class PlanGateSpec extends SparkSuite {
     import org.apache.spark.sql.types.StringType
     // the writer frame only — the write itself adds no exchange
     // (partitionBy streams each task to its partition files)
-    val plan = finalPlan(graft.operators.Sampling.packedShardFrame(
-      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
-      graft.operators.Sampling.X22Budget,
-      graft.operators.Sampling.X27Shards))
-    val textCarrying = plan.collect { case e: ShuffleExchangeExec => e }
-      .filter(_.output.exists(a =>
-        a.dataType == StringType && a.name == "text"))
-    assert(textCarrying.size <= 1,
-      s"x27 moves text through ${textCarrying.size} exchanges")
-    assert(noQuadraticJoins(plan), "x27 writer degraded to SMJ/cartesian")
-    assert(broadcastJoins(plan) >= 1, "x27 offsets not broadcast")
+    // the gate holds PER EPOCH TREE (epoch only reseeds the md5 key,
+    // it must never add an exchange) — epochs 0 and 1 both checked
+    Seq(0L, 1L).foreach { epoch =>
+      val plan = finalPlan(graft.operators.Sampling.packedShardFrame(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        graft.operators.Sampling.X22Budget,
+        graft.operators.Sampling.X27Shards, epoch))
+      val textCarrying = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.output.exists(a =>
+          a.dataType == StringType && a.name == "text"))
+      assert(textCarrying.size <= 1,
+        s"x27 epoch $epoch moves text through ${textCarrying.size} exchanges")
+      assert(noQuadraticJoins(plan),
+        s"x27 epoch $epoch writer degraded to SMJ/cartesian")
+      assert(broadcastJoins(plan) >= 1,
+        s"x27 epoch $epoch offsets not broadcast")
+    }
+  }
+
+  test("m15 audio spectral: one scan projection, no join — no exchange " +
+       "carries the payload (the m13 law on the audio axis)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val plan = finalPlan(
+      graft.operators.Multimodal.audioSpectralReport(spark, sf))
+    val leaky = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(_.dataType == BinaryType))
+    assert(leaky.isEmpty, "m15 shuffles the payload")
+    assert(plan.count {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+      case _ => false
+    } == 0, "m15 grew a join — the report is one scan projection")
   }
 
   test("m14 alignment gate: both towers computed in the scan stage — " +

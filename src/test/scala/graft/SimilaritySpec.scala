@@ -347,8 +347,18 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.autoNPlanes(500L) == 6)    // sf0.001 & sf0.01 (gate)
     assert(Similarity.autoNPlanes(2000L) == 6)   // sf0.1 (bench)
     assert(Similarity.autoNPlanes(20000L) == 9)  // sf1 (probe best)
-    assert(Similarity.autoNPlanes(200000L) == 13) // +log₂ growth beyond
+    // second decade: one occupancy notch shrunk per ~decade past sf1
+    // (the r17 sweep: occ 2⁴ + beam 32 = recall 0.917 at half the
+    // occ-2⁵ wall), so N=200k resolves to 14, not 13
+    assert(Similarity.autoNPlanes(200000L) == 14)
     assert(Similarity.autoNPlanes(0L) == 6)      // degenerate floor
+    // the beam/hops companions: baked-in (8, 4) at every
+    // oracle-compared SF AND at sf1; the sweep's recall-0.917 point
+    // (32, 8) at N=200k
+    assert(Similarity.autoBeam(2000L) == 8 && Similarity.autoHops(2000L) == 4)
+    assert(Similarity.autoBeam(20000L) == 8 && Similarity.autoHops(20000L) == 4)
+    assert(Similarity.autoBeam(200000L) == 32)
+    assert(Similarity.autoHops(200000L) == 8)
     // monotone non-decreasing in N — more data never means fewer planes
     val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
       .map(Similarity.autoNPlanes(_))
@@ -1333,6 +1343,53 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
         r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(composed == expected)
+  }
+
+  test("s34 auto-scaled quantizer: the occupancy dial resolves to the " +
+       "pinned 8 cells at every oracle-compared SF, grows ∝ N past the " +
+       "bound, and admission laws hold under a re-fit quantizer") {
+    // the dial contract: pinned regime at gate/oracle corpus sizes,
+    // cell count ∝ N beyond (occupancy 2^9 held)
+    assert(Similarity.autoNCells(500) == 8)
+    assert(Similarity.autoNCells(2000) == 8)    // sf0.1 — oracle-compared
+    assert(Similarity.autoNCells(20000) == 32)  // sf1
+    assert(Similarity.autoNCells(200000) == 512) // sf10
+    assert(Similarity.autoNCells(2000000) == 4096)
+    // a re-fit quantizer (k = 16 over this corpus — the scaled path's
+    // machinery at gate size) still satisfies every admission law:
+    // one verdict per batch vec, admit ≡ no in-cell match, store-only
+    // probe, determinism across invocations
+    val thr = Similarity.S34Threshold
+    val eDf = spark.read.parquet(s"$sf/embeddings.parquet")
+    val mx = eDf.agg(max("vec_id")).head.getLong(0)
+    val cut = math.floor(mx * Similarity.S34SplitFrac).toLong
+    val cents = Similarity.refitCells(spark, sf, 16)
+    assert(cents.length == 16 && cents(0).length == 64)
+    val asg = Similarity.semanticStoreAt(eDf, cents).localCheckpoint()
+    // every vector lands in a valid cell
+    val cells = asg.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 16))
+    assert(asg.count() == eDf.count())
+    val verdicts = Similarity.incrementalSemanticAdmission(
+      asg.filter(col("vec_id") >= cut), asg.filter(col("vec_id") < cut), thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(verdicts.map(_._1) ==
+      asg.filter(col("vec_id") >= cut).select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    verdicts.foreach { case (id, admit, bm, c, n) =>
+      assert(admit == (n == 0L), s"admit flag inconsistent for $id")
+      if (admit) assert(bm == -1L && c == -1.0) else assert(c >= thr)
+    }
+    // determinism: the memoized fit and a fresh serve agree
+    val again = Similarity.incrementalSemanticAdmission(
+      Similarity.semanticStoreAt(eDf, Similarity.refitCells(spark, sf, 16))
+        .filter(col("vec_id") >= cut),
+      asg.filter(col("vec_id") < cut), thr).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(again == verdicts)
   }
 
   test("s29 index stats: conservation, imbalance >= 1000 with equality iff balanced") {

@@ -81,6 +81,45 @@ class SinksIngestSpec extends SparkSuite {
     assert(dirs.count(_.startsWith("shard=")) > 1)
   }
 
+  test("x27e1 multi-epoch export: epoch-1 tree is the epoch-1 permutation " +
+       "(uncorrelated with epoch 0), same token mass, auto temp dir cleaned") {
+    import graft.operators.Sampling
+    def manifest(epoch: Long) =
+      Sampling.packedShardExport(spark, sf, epoch = epoch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val e0 = manifest(0L)
+    val e1 = manifest(1L)
+    // pure-Scala truth for epoch 1: md5("1:"+id) order → prefix sums
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.map { case (id, text) =>
+      (id, text.trim.split("\\s+").length.toLong, md5hex("1:" + id)) }
+      .sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val exp1 = ordered.zipWithIndex.map { case ((id, n, _), i) =>
+      val start = cum; cum += n
+      (id, (i + 1).toLong, start)
+    }.sortBy(_._1).toSeq
+    assert(e1 == exp1)
+    // both epochs are full permutations over the same doc set with the
+    // same total token mass — only the ORDER differs (the x19 law:
+    // md5(e+":"+id) keys are uncorrelated across epochs)
+    assert(e0.map(_._1) == e1.map(_._1))
+    assert(e0.map(_._2).sorted == e1.map(_._2).sorted)
+    assert(e0.map(_._2) != e1.map(_._2), "epoch orders must differ")
+    // the auto-outDir variant leaves no tree behind (the frame was
+    // pinned before cleanup — collect above already proved readability)
+    val leftovers = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_x27_shards_"))
+      .filter(d => new java.io.File(d, s"epoch1").exists())
+    assert(leftovers.isEmpty, s"temp trees not cleaned: ${leftovers.toSeq}")
+  }
+
   test("K1 event-time variant: partitions derive from the event column") {
     val out = tmp()
     val df = Seq(("2024-03-05 07:30:00", 1L), ("2024-03-06 22:10:00", 2L))
