@@ -806,9 +806,10 @@ object Dedup {
     * cohabitants per bucket, so once the STORE approaches 2¹⁶ docs
     * every batch chunk drags in birthday candidates that have nothing
     * to do with similarity — the density term a fixed geometry cannot
-    * shed (r17 StoreDialProbe: a 250k-doc store at 16-bit chunks
-    * yields ~60× the candidates of the 32-bit dial at recall 1.0 in
-    * both). Below the bound the 64-bit signature + 16-bit chunks run
+    * shed (r17 StoreDialProbe at a 250k-doc store: 4,155,080
+    * candidates at 16-bit chunks vs 6,977 at the 32-bit dial — 596× —
+    * wall 2.77 → 1.28 s, recall 1.0 by construction in both). Below
+    * the bound the 64-bit signature + 16-bit chunks run
     * verbatim (every registered SF: the fixture store is 250 docs →
     * 64 everywhere, oracles untouched); above it the signature deepens
     * to 128 bits and the chunks to 32. */

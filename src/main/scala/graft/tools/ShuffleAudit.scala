@@ -58,15 +58,49 @@ object ShuffleAudit {
     plan.flatMap(_.metrics.get(key)).map(m => m.id -> m.value)
       .toMap.values.sum
 
-  private[graft] def audit(df: org.apache.spark.sql.DataFrame)
-      : Map[String, Long] = {
-    df.queryExecution.toRdd.foreach(_ => ()) // materialize every row
-    val plan = flattenPlan(df.queryExecution.executedPlan)
-    Map(
-      "shuffle_bytes" -> metricSum(plan, "shuffleBytesWritten"),
-      "shuffle_records" -> metricSum(plan, "shuffleRecordsWritten"),
-      "spill_bytes" -> metricSum(plan, "spillSize"),
-      "scan_bytes" -> metricSum(plan, "filesSize"))
+  /** Stage-level shuffle/spill accumulator across ALL jobs a query
+    * triggers — the r17 correction to the plan-metric walk: an eager
+    * `localCheckpoint` TRUNCATES the plan, so every exchange inside a
+    * checkpointed subtree (the graph builds, the sketch stores — the
+    * heaviest family) materializes in SEPARATE jobs the final plan's
+    * SQLMetrics never see (s17 read 0.04 MB at sf10 while its build
+    * shuffled ~10⁸ rows). The listener counts what the plan walk
+    * can't; both totals are reported. */
+  private final class StageShuffleListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong()
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        spillBytes.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  private[graft] def audit(s: SparkSession)(
+      mk: => org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    val lst = new StageShuffleListener
+    s.sparkContext.addSparkListener(lst)
+    try {
+      val df = mk // frame construction may itself run checkpoint
+      // jobs — build INSIDE the listener window
+      df.queryExecution.toRdd.foreach(_ => ()) // materialize every row
+      org.apache.spark.sql.graftglue.drainListenerBus(s)
+      val plan = flattenPlan(df.queryExecution.executedPlan)
+      Map(
+        "shuffle_bytes" -> metricSum(plan, "shuffleBytesWritten"),
+        "shuffle_records" -> metricSum(plan, "shuffleRecordsWritten"),
+        "spill_bytes" -> metricSum(plan, "spillSize"),
+        "scan_bytes" -> metricSum(plan, "filesSize"),
+        "shuffle_bytes_all_jobs" -> lst.shuffleBytes.get,
+        "shuffle_records_all_jobs" -> lst.shuffleRecords.get,
+        "spill_bytes_all_jobs" -> lst.spillBytes.get)
+    } finally s.sparkContext.removeSparkListener(lst)
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,18 +129,22 @@ object ShuffleAudit {
 
     val rows = selected.flatMap { case (name, fn) =>
       try {
-        Some((audit(fn(spark, sfDir)): Map[String, Any]) + ("name" -> name))
+        Some((audit(spark)(fn(spark, sfDir)): Map[String, Any]) +
+          ("name" -> name))
       } catch {
         case e: Exception =>
           System.err.println(s"shuffle_audit: $name failed: ${e.getMessage}")
           None
       }
     }
-    val sorted = rows.sortBy(-_("shuffle_bytes").asInstanceOf[Long])
+    val sorted = rows.sortBy(-_("shuffle_bytes_all_jobs").asInstanceOf[Long])
     def js(m: Map[String, Any]): String =
       s"""{"name":"${m("name")}","shuffle_bytes":${m("shuffle_bytes")},""" +
         s""""shuffle_records":${m("shuffle_records")},""" +
-        s""""spill_bytes":${m("spill_bytes")},"scan_bytes":${m("scan_bytes")}}"""
+        s""""spill_bytes":${m("spill_bytes")},"scan_bytes":${m("scan_bytes")},""" +
+        s""""shuffle_bytes_all_jobs":${m("shuffle_bytes_all_jobs")},""" +
+        s""""shuffle_records_all_jobs":${m("shuffle_records_all_jobs")},""" +
+        s""""spill_bytes_all_jobs":${m("spill_bytes_all_jobs")}}"""
     sorted.foreach(m => println(js(m)))
     val body = sorted.map(js).mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

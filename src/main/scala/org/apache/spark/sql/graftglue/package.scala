@@ -54,4 +54,11 @@ package object graftglue {
   def dataFrameOf(spark: SparkSession,
                   plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Block until every queued listener event has been delivered
+    * (`SparkContext.listenerBus` is `private[spark]`) — the shuffle
+    * audit reads listener-accumulated stage metrics right after a
+    * query completes, and the bus posts asynchronously. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
