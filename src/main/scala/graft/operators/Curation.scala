@@ -181,13 +181,11 @@ object Curation {
     * (which serves a pinned fixture): a linear model over the same 256
     * md5-prefix hashed bag-of-words features, fit by [[X26Rounds]]
     * rounds of full-batch gradient descent on squared loss against
-    * micro-scaled 0/1e6 targets. Each round is driver-synced like
-    * t13's merge argmax: the 256-long weight vector rides into the
-    * round's plan as a literal (`element_at`, no join), the per-doc
-    * score and residual are ONE hash aggregate over the (doc, f,
-    * count) frame, the per-feature gradient is ONE 256-group
-    * aggregate, and the collected 256-row gradient updates the driver
-    * copy: w_f ← w_f − ⌊g_f / (n·LrDen)⌋.
+    * micro-scaled 0/1e6 targets. The rounds run on the driver over
+    * corpus-free sufficient statistics (ONE distributed aggregation —
+    * see [[qualityFitTrajectoryFrom]]); each round's update is
+    * w_f ← w_f − ⌊g_f / (n·LrDen)⌋ with g = G·w − S·b, bit-identical
+    * to the formerly-distributed per-round passes.
     *
     * Determinism: feature counts, scores, residuals, and gradients
     * are exact int64 arithmetic (reassociable ⇒ partitioning-
@@ -226,49 +224,106 @@ object Curation {
 
   private[graft] def qualityFitTrajectory(docs: DataFrame, idCol: String,
       textCol: String, labels: DataFrame,
+      rounds: Int = X26Rounds): (Seq[Array[Long]], Seq[Long]) =
+    qualityFitTrajectoryFrom(x26Features(docs, idCol, textCol), idCol,
+      labels, rounds)
+
+  /** The fit over a pre-built [[x26Features]] frame — lets the serve
+    * path share one feature pass between fit and serve within a single
+    * invocation (never across invocations: no session state).
+    *
+    * r17 optimization (guide §1.2 step 1 — remove passes): squared
+    * loss over a LINEAR model has corpus-free sufficient statistics,
+    * so the whole trajectory needs ONE distributed aggregation, not
+    * 2 passes per round. With s_id = Σ_f c·w_f and e_id = s_id − y·S:
+    *   gradient  g_f  = Σ_id c_f·e_id   = (G·w)_f − S·b_f
+    *   loss      Σe²  = wᵀG w − 2S·wᵀb + S²·Σy²
+    * where G[f][f'] = Σ_id c_f·c_f' (the 256×256 Gram matrix),
+    * b_f = Σ_id c_f·y. All are exact int64 sums — the identities are
+    * pure integer reassociation/distribution, so every round's w and
+    * loss are BIT-IDENTICAL to the unrolled per-round passes (the
+    * CorpusOpsSpec pure-Scala replay pins this; driver intermediates
+    * use BigInt so the reassociated dot products cannot overflow where
+    * the distributed sums would not have). ONE self-join aggregation
+    * computes everything — two augmented pseudo-features carry the
+    * label moments (f=256 ⇒ c=y gives b, Σy², n·y-cross; f=257 ⇒ c=1
+    * gives n) — and the collect is MODEL-state-sized (258² cells,
+    * ~2 MB) at any corpus scale, the t13/Lloyd discipline. Per-doc
+    * map-side work is k² products (k = distinct buckets/doc, ≤ 256;
+    * measured k≈23 on this corpus), fully map-side-aggregated into
+    * ≤258² groups, vs 2·rounds corpus-sized shuffles before — at
+    * 100 TB the fit is one linear scan + one bounded shuffle. */
+  private[graft] def qualityFitTrajectoryFrom(feats: DataFrame, idCol: String,
+      labels: DataFrame,
       rounds: Int = X26Rounds): (Seq[Array[Long]], Seq[Long]) = {
-    val pd = x26Features(docs, idCol, textCol)
+    val pd = feats
       .join(labels.select(col(idCol), col("y").cast("long").as("y")),
         Seq(idCol))
-      .localCheckpoint() // every round re-reads (id, f, c, y)
-    val n = pd.select(col(idCol)).distinct().count()
+    val ids = pd.select(col(idCol).as("id"), col("y")).distinct()
+    val aug = pd.select(col(idCol).as("id"), col("f"), col("c").cast("long").as("c"))
+      .unionByName(ids.select(col("id"), lit(256).as("f"), col("y").as("c")))
+      .unionByName(ids.select(col("id"), lit(257).as("f"), lit(1L).as("c")))
+    val l = aug.select(col("id"), col("f").as("fl"), col("c").as("cl"))
+    val r = aug.select(col("id"), col("f").as("fr"), col("c").as("cr"))
+    val cells = l.join(r, Seq("id"))
+      .groupBy(col("fl"), col("fr"))
+      .agg(sum(col("cl") * col("cr")).as("s"))
+      .collect()
+    val S = Array.ofDim[Long](258, 258)
+    cells.foreach(row => S(row.getInt(0))(row.getInt(1)) = row.getLong(2))
+    val n = S(257)(257)             // Σ_id 1
+    val sy2 = BigInt(S(256)(256))   // Σ_id y²
+    val scale = BigInt(X26Scale)
+    def toLongExact(v: BigInt, what: String): Long = {
+      require(v.isValidLong, s"x26 $what overflows int64: $v")
+      v.toLong
+    }
     var w = Array.fill(256)(0L)
     val ws = Seq.newBuilder[Array[Long]]
     val losses = Seq.newBuilder[Long]
-    def residFrame(wCur: Array[Long]): DataFrame = {
-      val wLit = typedlit(wCur.toSeq)
-      pd.groupBy(col(idCol), col("y"))
-        .agg(sum(col("c") * element_at(wLit, col("f") + 1)).as("s"))
-        .select(col(idCol), (col("s") - col("y") * lit(X26Scale)).as("e"))
+    def lossOf(wCur: Array[Long]): Long = {
+      // wᵀGw − 2S·wᵀb + S²·Σy², exact
+      var wGw = BigInt(0); var wb = BigInt(0)
+      var f = 0
+      while (f < 256) {
+        if (wCur(f) != 0L) {
+          var f2 = 0; var acc = BigInt(0)
+          while (f2 < 256) {
+            if (wCur(f2) != 0L) acc += BigInt(S(f)(f2)) * wCur(f2)
+            f2 += 1
+          }
+          wGw += BigInt(wCur(f)) * acc
+          wb += BigInt(wCur(f)) * S(f)(256)
+        }
+        f += 1
+      }
+      toLongExact(wGw - 2 * scale * wb + scale * scale * sy2, "loss")
     }
     for (_ <- 1 to rounds) {
-      val resid = residFrame(w).localCheckpoint() // loss + gradient share it
-      losses += resid.agg(sum(col("e") * col("e"))).head().getLong(0)
-      val g = pd.join(resid, Seq(idCol))
-        .groupBy(col("f")).agg(sum(col("c") * col("e")).as("g"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      losses += lossOf(w)
+      val g = Array.tabulate(256) { f =>
+        var f2 = 0; var acc = BigInt(0)
+        while (f2 < 256) {
+          if (w(f2) != 0L) acc += BigInt(S(f)(f2)) * w(f2)
+          f2 += 1
+        }
+        toLongExact(acc - scale * S(f)(256), "gradient")
+      }
       w = Array.tabulate(256)(f =>
-        w(f) - math.floor(g.getOrElse(f, 0L) * 1.0 / (n * X26LrDen)).toLong)
+        w(f) - math.floor(g(f) * 1.0 / (n * X26LrDen)).toLong)
       ws += w
     }
-    losses += residFrame(w).agg(sum(col("e") * col("e"))).head().getLong(0)
+    losses += lossOf(w)
     (ws.result(), losses.result())
   }
 
-  /** Session-scoped memo of fitted weight vectors keyed by corpus dir
-    * — model state (256 longs), not data (the [[Similarity]] memoCount
-    * discipline). The fit is deterministic in the corpus, so memoizing
-    * never changes a result; it keeps x26 and x26s from each paying
-    * the full 6-round GD when both registered queries run in one
-    * Verify/Bench session. */
-  private val fittedWeights =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-
-  /** The fitted weight vector (final round), memoized per corpus. */
+  /** The fitted weight vector (final round). Computed fresh on every
+    * call — no session memo: a timed query must pay its own fit (the
+    * r17 honesty rule; the sufficient-statistics fit above makes the
+    * honest cost one aggregation, so there is nothing worth caching). */
   def qualityFitWeights(s: SparkSession, dir: String): Array[Long] =
-    fittedWeights.computeIfAbsent(dir, _ =>
-      qualityFitTrajectory(t(s, dir, "documents"), "doc_id", "text",
-        qualityLabels(s, dir))._1.last)
+    qualityFitTrajectory(t(s, dir, "documents"), "doc_id", "text",
+      qualityLabels(s, dir))._1.last
 
   /** Persist a fitted quality model as one tiny parquet — (f, w_micro)
     * rows, the [[PqModel.save]] discipline for the classifier family:
@@ -292,25 +347,24 @@ object Curation {
     w
   }
 
-  /** Session-scoped store paths of persisted quality models keyed by
-    * corpus dir — the serve path below reads THROUGH the parquet
-    * artifact (fit → save → load → serve), so the registered x26s
-    * query exercises the full lifecycle every run. Paths live under a
-    * per-JVM temp root (unique per session — no cross-process
-    * collision, the x27 outDir lesson). */
-  private lazy val modelStoreRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft_quality_models_")
-  private val modelStorePaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Fit-once → persist → the store path (idempotent per session). */
-  def qualityModelPath(s: SparkSession, dir: String): String =
-    modelStorePaths.computeIfAbsent(dir, _ => {
-      val p = modelStoreRoot.resolve(
-        java.lang.Integer.toHexString(dir.hashCode)).toString
-      saveQualityModel(s, qualityFitWeights(s, dir), p)
-      p
-    })
+  /** Fit → persist → load, all within ONE invocation (fresh temp dir,
+    * deleted after the load — the x27 outDir lesson; no session store:
+    * every invocation re-derives the model from the parquet inputs).
+    * The save/load round-trip stays on the registered x26s path so the
+    * lifecycle law (load(save(w)) = w, serve-from-store ≡ fit-inline)
+    * is exercised every run at its true price: 256 int64 rows. */
+  private def fitPersistLoad(s: SparkSession, w: Array[Long]): Array[Long] = {
+    val root = java.nio.file.Files.createTempDirectory("graft_quality_model_")
+    val p = root.resolve("m").toString
+    try {
+      saveQualityModel(s, w, p)
+      loadQualityModel(s, p)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 
   /** x26 registered face: the fitted model itself — one row per
     * hashed-feature bucket, weights in micros. 256 rows at any corpus
@@ -336,23 +390,36 @@ object Curation {
     * unrolled-fit CTEs into this serve tail, so neither half can
     * drift from its registered member.
     *
-    * Serves THROUGH the persisted model ([[qualityModelPath]]: fit
-    * once per session, save as parquet, load, serve — the s11/PqModel
-    * lifecycle closed for the classifier family). load(save(w)) = w
+    * Serves THROUGH a persisted model (fit → save → load → serve, all
+    * inside this invocation — the s11/PqModel lifecycle closed for the
+    * classifier family, with no session state). load(save(w)) = w
     * exactly (int64 round-trip), so the registered hash is identical
-    * to the fit-inline form — the law CorpusOpsSpec pins. */
-  def qualityFitServe(s: SparkSession, dir: String): DataFrame =
-    normalizedClassifier(t(s, dir, "documents"), "doc_id", "text",
-      loadQualityModel(s, qualityModelPath(s, dir)))
+    * to the fit-inline form — the law CorpusOpsSpec pins. The feature
+    * frame is built ONCE and shared between fit and serve via
+    * localCheckpoint (intra-invocation reuse only — guide §2.4, one
+    * kernel pass for two consumers). */
+  def qualityFitServe(s: SparkSession, dir: String): DataFrame = {
+    val feats = x26Features(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint()
+    val w = qualityFitTrajectoryFrom(feats, "doc_id",
+      qualityLabels(s, dir))._1.last
+    normalizedClassifierOn(feats, "doc_id", fitPersistLoad(s, w))
+  }
 
   /** The x26-feature serve path: x15's scorer shape over
     * [[x26Features]]. Same scale economics as x15 — one explode, two
     * hash aggregates, weights as a 256-long plan literal, no join on
     * the keep path. */
   private[graft] def normalizedClassifier(docs: DataFrame, idCol: String,
-      textCol: String, wMicro: Array[Long]): DataFrame = {
+      textCol: String, wMicro: Array[Long]): DataFrame =
+    normalizedClassifierOn(x26Features(docs, idCol, textCol), idCol, wMicro)
+
+  /** [[normalizedClassifier]] over a pre-built [[x26Features]] frame
+    * (the serve path shares one feature pass with the fit). */
+  private[graft] def normalizedClassifierOn(feats: DataFrame, idCol: String,
+      wMicro: Array[Long]): DataFrame = {
     require(wMicro.length == 256, s"expected 256 weights, got ${wMicro.length}")
-    x26Features(docs, idCol, textCol)
+    feats
       .select(col(idCol), col("ntok"), col("c"),
         element_at(typedlit(wMicro.toSeq), col("f") + 1).as("wm"))
       .groupBy(idCol)

@@ -1656,16 +1656,15 @@ object Similarity {
     * quantizer re-fits at cell count ∝ N over a bounded deterministic
     * sample of store ∪ batch ([[PqModel.sampleVectors]] — one
     * TakeOrdered pass, no corpus shuffle; Lloyd runs driver-side on
-    * the sample, the model is k×dim doubles). Memoized per (dir, k) —
-    * fit-once/serve-many, the x26/PqModel lifecycle. */
-  private val refitCellsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    * the sample, the model is k×dim doubles). Computed fresh per
+    * invocation — no session memo (the r17 honesty rule: a timed
+    * query pays its own fit; the bounded sample keeps that cost one
+    * TakeOrdered job + driver flops). */
   private[graft] def refitCells(s: SparkSession, dir: String,
                                     k: Int): Array[Array[Double]] =
-    refitCellsMemo.computeIfAbsent(s"$dir#$k", _ =>
-      lloydDot(PqModel.sampleVectors(
-        normalizedVecs(t(s, dir, "embeddings")),
-        cap = math.max(16 * k, 8192)), k, iters = 3))
+    lloydDot(PqModel.sampleVectors(
+      normalizedVecs(t(s, dir, "embeddings")),
+      cap = math.max(16 * k, 8192)), k, iters = 3)
 
   /** s34's registered store/batch split fraction and admission
     * threshold — single-sourced into the generated replays (the
