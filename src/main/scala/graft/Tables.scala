@@ -13,7 +13,50 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Estimated scan-task count for a parquet path: Σ ceil(file bytes /
+    * `spark.sql.files.maxPartitionBytes`) over its data files. Pure
+    * file metadata (one local listStatus), no data read. */
+  private def estimatedSplits(spark: SparkSession, path: String): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes.max(1L)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath)
+          .filterNot(f => { val n = f.getPath.getName
+            n.startsWith("_") || n.startsWith(".") })
+          .map(walk).sum
+      else (st.getLen + maxPB - 1) / maxPB
+    try walk(fs.getFileStatus(hPath)) catch { case _: Throwable => Long.MaxValue }
+  }
+
+  /** Input-skew repair (optimization guide §2.5: "one huge unsplittable
+    * file ... repartition immediately after the read"; §6 input split
+    * size). The testdata tables ship as ONE parquet file with ONE row
+    * group, so a scan cannot split below it: every scan-stage kernel
+    * (shingling, hashing, explodes — the dominant cost of the text/
+    * vector operators) runs in a single task while the other cores
+    * idle. When the estimated scan parallelism is below the session's
+    * core count, fan the read out to `defaultParallelism` partitions
+    * (round-robin; deterministic under `sortBeforeRepartition`, and
+    * every registered query is order-insensitive — total-order sorted
+    * and oracle-hash-checked). SCALE-ADAPTIVE by construction: a
+    * production input (many files / row groups, splits ≥ cores) takes
+    * the `df` branch and no exchange is ever added — this is not a
+    * local[32] constant, it is the generic unsplittable-input repair.
+    * Callers whose 100 TB law is "the payload/text never crosses an
+    * exchange" (m-family media, x27 export) pass `fan = false` and
+    * keep their scan-local plans. */
+  private def fanout(spark: SparkSession, dir: String, name: String,
+                     df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (estimatedSplits(spark, s"$dir/$name.parquet") < cores)
+      df.repartition(cores)
+    else df
+  }
+
+  def t(spark: SparkSession, dir: String, name: String,
+        fan: Boolean = true): DataFrame = {
     // The events.ts column has shipped as parquet TIMESTAMP(NANOS) —
     // unreadable in Spark 4 unless surfaced as a long — and as
     // TIMESTAMP(MICROS) without timezone — surfaced as TIMESTAMP_NTZ,
@@ -27,7 +70,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (acc, f) =>
+    val normalized = df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
@@ -37,6 +80,7 @@ object Tables {
           .cast(org.apache.spark.sql.types.TimestampType))
       else acc
     }
+    if (fan) fanout(spark, dir, name, normalized) else normalized
   }
 
   /** Register every table as a temp view so `spark.sql(...)` works too. */

@@ -69,7 +69,10 @@ object Multimodal {
     * function of the byte length so the DuckDB oracle can reproduce it. */
   def media(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    t(s, dir, "documents")
+    // fan = false: the m-family 100 TB law is that NO exchange ever
+    // carries the payload (PlanGateSpec m13/m15) — the scan fan-out
+    // would add exactly such an exchange, so media reads stay unfanned.
+    t(s, dir, "documents", fan = false)
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -593,7 +596,9 @@ object Multimodal {
     * caption table this becomes one narrow id-keyed equi-join of
     * 16-double feature rows, payloads still scan-local. */
   private def alignmentPairs(s: SparkSession, dir: String): DataFrame =
-    alignmentPairsFrame(t(s, dir, "documents"))
+    // fan = false: m14's law is that no exchange sees payload OR text
+    // (both towers in one scan projection) — keep the read unfanned.
+    alignmentPairsFrame(t(s, dir, "documents", fan = false))
 
   private[graft] def alignmentPairsFrame(docs: DataFrame): DataFrame = {
     import graft.functions.VectorExprs.{dot, nibbleHistogram}

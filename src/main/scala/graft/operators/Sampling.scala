@@ -537,8 +537,11 @@ object Sampling {
     }
     val out = tempRoot.map(_.resolve(s"epoch$epoch").toString)
       .getOrElse(outDir)
-    val frame = packedShardFrame(t(s, dir, "documents"), "doc_id", "text",
-      budget, nShards, epoch)
+    // fan = false: x27's plan gate pins EXACTLY ONE text-carrying
+    // exchange per epoch tree (the per-doc re-agg) — the scan fan-out
+    // would add a second.
+    val frame = packedShardFrame(t(s, dir, "documents", fan = false),
+      "doc_id", "text", budget, nShards, epoch)
     Sinks.writeShardedJsonl(frame, "shard", out)
     // the manifest is read back FROM the written files, then pinned in
     // block storage (slim columns only) so the temp tree can be
