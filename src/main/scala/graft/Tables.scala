@@ -13,22 +13,49 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Estimated scan-task count for a parquet path: Σ ceil(file bytes /
-    * `spark.sql.files.maxPartitionBytes`) over its data files. Pure
+  /** Estimated (scan-task count, total data bytes) for a parquet path,
+    * mirroring Spark's own split sizing (`FilePartition.maxSplitBytes`):
+    * maxSplit = min(maxPartitionBytes, max(openCostInBytes,
+    * (Σ(len + openCost)) / defaultParallelism)), splits = Σ ceil(len /
+    * maxSplit). The r17 form modeled only maxPartitionBytes, so a
+    * splittable file Spark would already scan with >= cores tasks could
+    * still trigger a redundant full-table shuffle (r17 ADVICE). Pure
     * file metadata (one local listStatus), no data read. */
-  private def estimatedSplits(spark: SparkSession, path: String): Long = {
+  private def estimatedSplits(spark: SparkSession,
+                              path: String): (Long, Long) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val maxPB = spark.sessionState.conf.filesMaxPartitionBytes.max(1L)
-    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes.max(1L)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[Long] =
       if (st.isDirectory)
-        fs.listStatus(st.getPath)
+        fs.listStatus(st.getPath).toSeq
           .filterNot(f => { val n = f.getPath.getName
             n.startsWith("_") || n.startsWith(".") })
-          .map(walk).sum
-      else (st.getLen + maxPB - 1) / maxPB
-    try walk(fs.getFileStatus(hPath)) catch { case _: Throwable => Long.MaxValue }
+          .flatMap(walk)
+      else Seq(st.getLen)
+    try {
+      val lens = walk(fs.getFileStatus(hPath))
+      val bytes = lens.sum
+      val perCore = lens.map(_ + openCost).sum /
+        spark.sparkContext.defaultParallelism.max(1)
+      val maxSplit = math.min(maxPB, math.max(openCost, perCore)).max(1L)
+      (lens.map(l => (l + maxSplit - 1) / maxSplit).sum, bytes)
+    } catch {
+      case scala.util.control.NonFatal(_) => (Long.MaxValue, Long.MaxValue)
+    }
   }
+
+  /** Fan-out floor: a table smaller than this many bytes never fans out
+    * — the repartition exchange plus `cores` near-empty tasks is pure
+    * overhead on a dimension lookup (region/nation/supplier class;
+    * r17 ADVICE item 3). Overridable per session for other deployments;
+    * the default is deliberately far below one scan split so every
+    * kernel-heavy table (documents/embeddings, whose COMPUTE per byte —
+    * not byte count — is what the fan-out parallelizes) keeps fanning. */
+  private def fanMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.fanoutMinBytes")
+      .map(_.toLong).getOrElse(65536L)
 
   /** Input-skew repair (optimization guide §2.5: "one huge unsplittable
     * file ... repartition immediately after the read"; §6 input split
@@ -50,7 +77,8 @@ object Tables {
   private def fanout(spark: SparkSession, dir: String, name: String,
                      df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    if (estimatedSplits(spark, s"$dir/$name.parquet") < cores)
+    val (splits, bytes) = estimatedSplits(spark, s"$dir/$name.parquet")
+    if (splits < cores && bytes >= fanMinBytes(spark))
       df.repartition(cores)
     else df
   }

@@ -142,11 +142,43 @@ object Checks {
 
   /** v02: referential-integrity audit over every declared warehouse
     * FK edge — the cross-table half of the Deequ-style gate (v01 is
-    * the single-table half). */
+    * the single-table half).
+    *
+    * r18 restructure (guide §1.2/§2.4): ONE scan per CHILD table
+    * instead of one per edge — lineitem's three edges read its three
+    * key columns in a single pass, each parent's distinct key set
+    * broadcast-LEFT-joins in sequence (row multiplicity provably
+    * unchanged: the parent side is distinct), and one aggregate
+    * computes every edge's (n_child, n_orphans) pair, unpivoted to the
+    * per-edge report rows (the v03 explode pattern). Per-edge
+    * semantics are fkOrphans' exactly: n_child counts non-null child
+    * keys, an orphan is a non-null key with no parent hit. The r17
+    * plan ran 7 independent scan→join→agg branches (42 exchanges,
+    * 47 AQE stage-jobs measured); still only key columns are ever
+    * scanned — a fact table's payload never moves. */
   def referentialIntegrity(s: SparkSession, dir: String): DataFrame =
-    warehouseEdges.map { e =>
-      fkOrphans(t(s, dir, e.child), e.childCol,
-        t(s, dir, e.parent), e.parentCol, e.id)
+    warehouseEdges.groupBy(_.child).toSeq.sortBy(_._1).map {
+      case (child, edges) =>
+        var df = t(s, dir, child)
+          .select(edges.map(e => col(e.childCol)).distinct: _*)
+        edges.zipWithIndex.foreach { case (e, i) =>
+          val pk = t(s, dir, e.parent)
+            .select(col(e.parentCol).as(s"k_$i")).distinct()
+            .withColumn(s"hit_$i", lit(1))
+          df = df.join(broadcast(pk), col(e.childCol) === col(s"k_$i"), "left")
+        }
+        val aggs = edges.zipWithIndex.flatMap { case (e, i) => Seq(
+          count(when(col(e.childCol).isNotNull, 1)).as(s"n_child_$i"),
+          coalesce(sum(when(col(e.childCol).isNotNull && col(s"hit_$i").isNull,
+            1L).otherwise(0L)), lit(0L)).as(s"n_orphans_$i")) }
+        val entries = edges.zipWithIndex.map { case (e, i) =>
+          struct(lit(e.id).as("edge"),
+            col(s"n_child_$i").as("n_child"),
+            col(s"n_orphans_$i").as("n_orphans"),
+            (col(s"n_orphans_$i") === 0L).as("ok")) }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(entries: _*)).as("p"))
+          .select("p.*")
     }.reduce(_ unionByName _).orderBy("edge")
 
   /** v03 profiled columns — single-sourced into the oracle replay. */
@@ -362,7 +394,12 @@ object Checks {
 
   def splitLeakage(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
+    // assignment frame feeds two consumers (the multi-split audit and
+    // the trigram probe join) — checkpoint so its fingerprint pass
+    // runs once; lazy (r18) so both checkpoints materialize inside the
+    // report's own job instead of as separate driver-synced jobs
     val assign = Sampling.familySplitAssignments(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
     val multi = assign.select("fp", "split").distinct()
       .groupBy("fp").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -371,7 +408,7 @@ object Checks {
     val sfp = TextOps.trigramFps(docs, idCol, textCol)
       .join(assign.select(col(idCol), col("split")), Seq(idCol))
       .select("split", "fp").distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val train = sfp.filter(col("split") === "train")
       .select("fp").withColumn("hit", lit(1L))
     def probe(which: String): DataFrame =
@@ -424,27 +461,35 @@ object Checks {
 
   def contaminationReport(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    // x05/x16 share one shingled+split frame (the hashed-shingle
-    // kernel is the expensive half of both lenses)
-    val sh = Sampling.deterministicSplit(
-      Dedup.docShingles(docs, idCol, textCol), "doc_id").localCheckpoint()
+    // ONE per-doc kernel pass computes BOTH the hashed-shingle set
+    // (x05/x16's input) and the content fingerprint (x18's + the
+    // split_content denominator's) — r18, guide §1.2: the r17 form ran
+    // two separate corpus passes (each re-paying the scan + fan-out
+    // exchange) for per-doc columns derivable side by side. Lazy
+    // checkpoint: all consumers live inside the one final report
+    // query, so the blocks materialize inside its first stage instead
+    // of as their own driver-synced jobs.
+    val base = Sampling.deterministicSplit(
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.Hashing.hashedShingles(col(textCol)).as("sh"),
+        Sampling.contentFp(col(textCol)).as("fp")), "doc_id")
+      .localCheckpoint(eager = false)
+    // docShingles' contract: docs with no shingles drop out
+    val sh = base.filter(size(col("sh")) >= 1).select("doc_id", "sh", "split")
     val shTrain = sh.filter(col("split") === "train")
     val shTest = sh.filter(col("split") === "test")
     val x05 = Dedup.decontaminate(shTrain, shTest)
     val x16 = Dedup.fuzzyDecontaminate(shTrain, shTest, Dedup.X16Threshold)
     // x18 probes the WHOLE corpus against the test-split benchmark
     // (its registered composition, Dedup.scala)
-    val fps = Sampling.deterministicSplit(
-      docs.select(col(idCol).as("doc_id"),
-        Sampling.contentFp(col(textCol)).as("fp")), "doc_id")
-      .localCheckpoint() // corpus side + benchmark side
+    val fps = base.select("doc_id", "fp", "split")
     val x18 = Dedup.bloomDecontaminate(
       fps.select("doc_id", "fp"),
       fps.filter(col("split") === "test").select("doc_id", "fp"))
     val sp = Sampling.deterministicSplit(docs, idCol)
     val t31 = TextOps.memorization(sp.filter(col("split") === "train"),
       sp.filter(col("split") === "test"), idCol, textCol)
-    val v08 = splitLeakage(docs, idCol, textCol).localCheckpoint()
+    val v08 = splitLeakage(docs, idCol, textCol).localCheckpoint(eager = false)
 
     def cnt(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).cast("long").as(name))
@@ -480,8 +525,10 @@ object Checks {
       max(when(col("metric") === "test_ngrams_in_train", col("value")))
         .as("n_leak"),
       max(when(col("metric") === "test_ngrams", col("value"))).as("n_test"))
-    val nFps = docs.agg(
-      countDistinct(Sampling.contentFp(col(textCol))).as("n_fps"))
+    // denominator from the SAME checkpointed fp column — the r17 form
+    // re-scanned the corpus and re-ran the fingerprint kernel for one
+    // countDistinct
+    val nFps = fps.agg(countDistinct(col("fp")).as("n_fps"))
     val splitRows = v08vals.crossJoin(nFps)
       .selectExpr("""stack(2,
         'split_content', n_multi, n_fps,

@@ -256,9 +256,15 @@ object Curation {
   private[graft] def qualityFitTrajectoryFrom(feats: DataFrame, idCol: String,
       labels: DataFrame,
       rounds: Int = X26Rounds): (Seq[Array[Long]], Seq[Long]) = {
+    // lazy localCheckpoint (r18, ADVICE r17): aug embeds pd in three
+    // union branches and the self-join references aug twice, so the
+    // UNcheckpointed feature-explode + label lineage re-executed up to
+    // ~6× inside the one Gram aggregation; persisting pd makes "ONE
+    // distributed aggregation" also mean one feature/label pass
     val pd = feats
       .join(labels.select(col(idCol), col("y").cast("long").as("y")),
         Seq(idCol))
+      .localCheckpoint(eager = false)
     val ids = pd.select(col(idCol).as("id"), col("y")).distinct()
     val aug = pd.select(col(idCol).as("id"), col("f"), col("c").cast("long").as("c"))
       .unionByName(ids.select(col("id"), lit(256).as("f"), col("y").as("c")))
@@ -399,8 +405,13 @@ object Curation {
     * localCheckpoint (intra-invocation reuse only — guide §2.4, one
     * kernel pass for two consumers). */
   def qualityFitServe(s: SparkSession, dir: String): DataFrame = {
+    // lazy (r18): the Gram-aggregation collect materializes the blocks;
+    // the serve tail then reads them. Blocks are released by
+    // ContextCleaner once the returned plan is GC'd (the minhashLsh
+    // note) — session-lifetime retention is bounded by plan lifetime,
+    // not the session (ADVICE r17 item 4).
     val feats = x26Features(t(s, dir, "documents"), "doc_id", "text")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val w = qualityFitTrajectoryFrom(feats, "doc_id",
       qualityLabels(s, dir))._1.last
     normalizedClassifierOn(feats, "doc_id", fitPersistLoad(s, w))

@@ -879,8 +879,14 @@ object Sampling {
   def decontaminatedTokenBudget(docs: DataFrame, idCol: String,
                                 stratumCol: String, textCol: String,
                                 budgetFrac: Double): DataFrame = {
+    // lazy localCheckpoint (r18): the shingled+split frame feeds BOTH
+    // decontaminate sides — uncheckpointed, the shingle kernel (and
+    // the corpus scan + fan-out exchange under it) ran twice per
+    // invocation; this was the bulk of x24's r17 regression (the scan
+    // fan-out multiplied an already-doubled pass). One kernel pass now.
     val sh = deterministicSplit(
       Dedup.docShingles(docs, idCol, textCol), "doc_id")
+      .localCheckpoint(eager = false)
     val flagged = Dedup.decontaminate(
         sh.filter(col("split") === "train"),
         sh.filter(col("split") === "test"))

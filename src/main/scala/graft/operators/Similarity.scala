@@ -303,7 +303,7 @@ object Similarity {
     var cs = lshPairsMulti(all, threshold = -2.0, nTables, nP,
         dim = 64, bucketCap)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materializes inside round 1's job
     for (_ <- 1 to rounds) {
       val g = topMGraph(directed(cs), m)
       val nn = g.as("g1").join(g.as("g2"),
@@ -317,7 +317,7 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("cos"))
-      cs = cs.unionByName(fresh).localCheckpoint()
+      cs = cs.unionByName(fresh).localCheckpoint(eager = false)
     }
     beamSearch(all, topMGraph(directed(cs), m), beam.getOrElse(autoBeam(n)),
       hops.getOrElse(autoHops(n)), k, nQueries, nEntries)
@@ -467,12 +467,17 @@ object Similarity {
   private def topMGraph(scored: DataFrame, m: Int): DataFrame = {
     // its OWN window + single checkpoint — routing through
     // topMGraphScored would materialize the selection twice (a second
-    // checkpoint per build, measured +2.7 s on s17 at sf0.1 in r17)
+    // checkpoint per build, measured +2.7 s on s17 at sf0.1 in r17).
+    // eager = false (r18, guide §1.2/§5): the checkpoint still persists
+    // the selection and truncates lineage, but materializes INSIDE the
+    // first consumer's job instead of as its own driver-synced job —
+    // the graph family's cost at sf0.1 was the job-count floor
+    // (JobProfile: s17 = 65 jobs before), not compute.
     val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     scored.withColumn("rk", row_number().over(wG))
       .filter(col("rk") <= m)
       .select("src", "dst")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** [[topMGraph]] keeping the edge score — the insert-update path
@@ -492,7 +497,7 @@ object Similarity {
     scored.withColumn("rk", row_number().over(wG))
       .filter(col("rk") <= m)
       .select("src", "dst", "cos")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** The fixed-hop greedy beam search shared by [[annGraph]],
@@ -516,21 +521,46 @@ object Similarity {
   private def beamSearchFrames(corpus: DataFrame, graph: DataFrame,
                                queries: DataFrame, entries: DataFrame,
                                beam: Int, hops: Int, k: Int): DataFrame = {
+    // Every search-phase frame below (cand, frontier, visited) is
+    // QUERY-SET-sized — ≤ nq·(ne + hops·beam·m) rows at ANY corpus SF
+    // (the whole point of graph ANN) — but rides a checkpointed
+    // LogicalRDD whose stats Catalyst can't estimate, so without
+    // explicit hints every per-hop join planned as a sort-merge join
+    // that EXCHANGED the corpus/graph side each hop (measured r18:
+    // 8 exchanges per hop, s17 = 65 AQE stage-jobs). Broadcasting the
+    // bounded side is the guide §3.1 call and the scaladoc's 100 TB
+    // contract ("with the query set broadcast"); the corpus/graph side
+    // now streams scan-local through BHJs and never re-partitions.
     def score(cand: DataFrame): DataFrame =
-      cand.join(corpus.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      corpus.withColumnRenamed("vec_id", "n_id")
+        .join(broadcast(cand), Seq("n_id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("n_id"),
           round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
     val wB = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    // eager = false on every per-hop checkpoint (r18): the lineage is
+    // still cut per hop (the 3^hops blowup cannot happen — each hop's
+    // plan roots at the previous hop's LogicalRDD) and the persisted
+    // blocks are computed exactly once, but all hops materialize inside
+    // the ONE final action instead of hops+1 driver-synced jobs. The
+    // sf0.1 graph family was overhead-bound on exactly those jobs
+    // (8c beat 32c; VERDICT r17 "What's wrong" #3).
     var visited = score(queries.select("q_id").crossJoin(entries)
-      .filter(col("n_id") =!= col("q_id"))).localCheckpoint()
+      .filter(col("n_id") =!= col("q_id"))).localCheckpoint(eager = false)
     for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rk", row_number().over(wB))
         .filter(col("rk") <= beam).select("q_id", "n_id")
-      val expanded = frontier.join(graph, frontier("n_id") === graph("src"))
+      val expanded = graph.join(broadcast(frontier),
+          frontier("n_id") === graph("src"))
         .select(col("q_id"), col("dst").as("n_id"))
         .filter(col("n_id") =!= col("q_id"))
         .distinct()
+      // NO broadcast hint on the anti-join's visited side: for the
+      // insert family (s18/s20) the query set is the whole batch and
+      // visited grows to nq·(ne + hops·beam·m) rows — driver-collecting
+      // it per hop measured SLOWER than the slim shuffle (s18 4.2→5.8,
+      // s20 5.0→6.4 at sf0.1); frontier/cand stay beam-bounded and keep
+      // their hints.
       val fresh = expanded
         .join(visited.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
       // each hop reads `visited` three times (frontier, anti-join,
@@ -538,7 +568,7 @@ object Similarity {
       // hop. The visited frame is query-set-sized (≤ nq·(ne +
       // hops·beam·m) rows) at ANY corpus SF, so the materialization
       // is metadata-cheap at scale too.
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      visited = visited.unionByName(score(fresh)).localCheckpoint(eager = false)
     }
     visited.withColumn("rk", row_number().over(wB))
       .filter(col("rk") <= k)

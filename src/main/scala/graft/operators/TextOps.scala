@@ -634,15 +634,13 @@ object TextOps {
     * word) slim rows move. */
   def modelTokenMass(docs: DataFrame, stratumCol: String,
                      textCol: String): DataFrame = {
-    val nUdf = udf { w: String =>
+    // one scan-local kernel pass + one n_strata-row aggregate (see
+    // [[encodeCountsUdf]]; was 2 corpus scans + distinct + join-back)
+    val k = encodeCountsUdf(w =>
       unigramViterbiLocal(w, pinnedUnigramPieces, pinnedUnigramScores,
-        T29UnkScore).length.toLong
-    }
-    val words = docs.select(col(stratumCol),
-      explode(tokensOf(col(textCol))).as("word"))
-    val vocab = words.select("word").distinct()
-      .withColumn("n_sub", nUdf(col("word")))
-    words.join(vocab, "word")
+        T29UnkScore).length.toLong)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(stratumCol), k(col(textCol)).getField("_2").as("n_sub"))
       .groupBy(stratumCol)
       .agg(sum("n_sub").cast("long").as("model_tokens"))
   }
@@ -659,17 +657,15 @@ object TextOps {
   def unigramEncodeWith(docs: DataFrame, idCol: String, textCol: String,
                         pieces: Seq[String], scores: Seq[Double],
                         unk: Double = T29UnkScore): DataFrame = {
-    val nUdf = udf { w: String =>
-      unigramViterbiLocal(w, pieces, scores, unk).length.toLong
-    }
-    val words = docs
-      .select(col(idCol), explode(tokensOf(col(textCol))).as("word"))
-    val vocab = words.select("word").distinct()
-      .withColumn("n_sub", nUdf(col("word")))
-    words.join(vocab, "word")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"),
-        sum("n_sub").as("n_pieces"))
+    // t14's shape: one scan-local kernel pass, zero pre-sort shuffles
+    // (see [[encodeCountsUdf]] — the Viterbi still runs once per
+    // distinct word per task via the memo)
+    val k = encodeCountsUdf(w =>
+      unigramViterbiLocal(w, pieces, scores, unk).length.toLong)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), k(col(textCol)).as("k"))
+      .select(col(idCol), col("k._1").as("n_words"),
+        col("k._2").as("n_pieces"))
       .orderBy(idCol)
   }
 
@@ -734,7 +730,12 @@ object TextOps {
       .withColumn("syms", // split("", -1) keeps a trailing "" — drop it
         concat(filter(split(col("word"), ""), x => x =!= lit("")),
           array(lit("</w>"))))
-      .localCheckpoint() // the merge loop re-reads it nMerges times
+      // lazy checkpoint (r18): round 1's argmax job materializes the
+      // blocks; the merge loop then re-reads them nMerges times. Eager
+      // paid one extra driver-synced job per checkpoint — at sf0.1 the
+      // loop was 2 jobs/round of which one was pure materialization
+      // (JobProfile: t13 = 31 jobs before, 22 after).
+      .localCheckpoint(eager = false)
     var cur = words
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1
@@ -755,8 +756,11 @@ object TextOps {
         case Some(r) =>
           val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((rank.toLong, a, b, a + b, n))
+          // lazy: materialized by the NEXT round's argmax; the final
+          // round's re-encode (whose symbols nothing reads — the merge
+          // TABLE is the output) is never computed at all
           cur = cur.withColumn("syms", mergePairUdf(col("syms"), lit(a), lit(b)))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           rank += 1
       }
     }
@@ -971,6 +975,46 @@ object TextOps {
     (pieces, counts)
   }
 
+  /** Per-document tokenize-and-count kernel (r18, guide §1.2/§2.4):
+    * one UDF call per DOCUMENT returns (n_words, Σ n_sub) directly, so
+    * the serve-path encodes (t14/t29/t32, x23/x24/x25's token mass)
+    * need ZERO corpus shuffles before their final aggregate — the
+    * explode → distinct → join-back shape they shared paid one distinct
+    * shuffle plus one corpus-sized sort-merge join per invocation, and
+    * scanned the corpus TWICE (the `words` frame fed both the vocab
+    * derivation and the join-back). The "kernel once per DISTINCT word"
+    * economy is kept by a per-task memo: the closure (and its HashMap)
+    * is deserialized per task, so each task Viterbi/merge-encodes a
+    * word at most once (guide §4.5 once-per-task state; capped at 2^20
+    * entries so a pathological vocabulary degrades to recompute, never
+    * OOM). The memo is task-lifetime state for a PURE function of
+    * (word, pinned model literal) — never a result keyed on the input
+    * dir, and it dies with the task. Tokenization is
+    * `text.trim.split("\\s+", -1)` — Pattern-identical to the column
+    * form `split(trim(text), "\\s+")` (Spark's split is Java-regex with
+    * limit -1), so n_words is bit-equal to the exploded count. */
+  private def encodeCountsUdf(nSubOf: String => Long) = {
+    val memo = new java.util.HashMap[String, java.lang.Long]()
+    udf { text: String =>
+      val toks = text.trim.split("\\s+", -1)
+      var nw = 0L
+      var ns = 0L
+      var i = 0
+      while (i < toks.length) {
+        val w = toks(i)
+        var v = memo.get(w)
+        if (v == null) {
+          v = java.lang.Long.valueOf(nSubOf(w))
+          if (memo.size < (1 << 20)) memo.put(w, v)
+        }
+        nw += 1L
+        ns += v.longValue()
+        i += 1
+      }
+      (nw, ns)
+    }
+  }
+
   /** Leftmost-greedy application of a rank-ordered merge list to one
     * word's symbol sequence — the same sequential kernel as one
     * training round, folded over every merge in rank order, so
@@ -1041,17 +1085,15 @@ object TextOps {
     * symmetric with [[graft.operators.PqModel]]). */
   def bpeEncodeWith(docs: DataFrame, idCol: String, textCol: String,
                     merges: Seq[(String, String)]): DataFrame = {
-    val nSubUdf = udf { word: String =>
-      applyMergesLocal(word, merges).length
-    }
-    val words = docs
-      .select(col(idCol), explode(tokensOf(col(textCol))).as("word"))
-    val vocab = words.select("word").distinct()
-      .withColumn("n_sub", nSubUdf(col("word")).cast("long"))
-    words.join(vocab, "word")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"),
-        sum("n_sub").as("n_bpe_tokens"))
+    // ONE scan-local kernel pass (see [[encodeCountsUdf]]): zero
+    // shuffles before the presentation sort — the prior shape paid a
+    // vocab distinct + a corpus-sized join-back + a doc-keyed aggregate
+    // (3 exchanges, 2 corpus scans) for the same integers.
+    val k = encodeCountsUdf(w => applyMergesLocal(w, merges).length.toLong)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), k(col(textCol)).as("k"))
+      .select(col(idCol), col("k._1").as("n_words"),
+        col("k._2").as("n_bpe_tokens"))
       .orderBy(idCol)
   }
 
@@ -1070,17 +1112,16 @@ object TextOps {
 
   def bpeFertilityWith(docs: DataFrame, groupCol: String, textCol: String,
                        merges: Seq[(String, String)]): DataFrame = {
-    val nSubUdf = udf { word: String =>
-      applyMergesLocal(word, merges).length
-    }
-    val words = docs
-      .select(col(groupCol), explode(tokensOf(col(textCol))).as("word"))
-    val vocab = words.select("word").distinct()
-      .withColumn("n_sub", nSubUdf(col("word")).cast("long"))
-    words.join(vocab, "word")
+    // one kernel pass + one n_langs-row aggregate (was: distinct +
+    // corpus join-back + aggregate — see [[encodeCountsUdf]]); the
+    // per-doc (n_words, n_sub) pairs map-side-combine into the lang
+    // groups, so the only exchange carries n_langs rows
+    val k = encodeCountsUdf(w => applyMergesLocal(w, merges).length.toLong)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), k(col(textCol)).as("k"))
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n_words"),
-        sum("n_sub").as("n_bpe_tokens"))
+      .agg(sum("k._1").as("n_words"),
+        sum("k._2").as("n_bpe_tokens"))
       .withColumn("fertility_milli",
         floor(col("n_bpe_tokens") * 1000.0 / col("n_words") + 0.5)
           .cast("long"))

@@ -323,14 +323,31 @@ class PlanGateSpec extends SparkSuite {
       "should be literal-driven, not join-driven")
   }
 
-  test("t29 unigram encode: the distinct-word model table joins BROADCAST") {
-    // the Viterbi kernel runs once per DISTINCT word; the vocab frame
-    // (word, n_sub) must broadcast back over the corpus token stream —
-    // losing it shuffles every token occurrence on the word key
-    val plan = finalPlan(graft.operators.TextOps.unigramEncodePinned(spark, sf))
-    assert(broadcastJoins(plan) >= 1,
-      s"t29 vocab join not broadcast, saw ${broadcastJoins(plan)} BHJs")
-    assert(noQuadraticJoins(plan), "t29 degraded to sort-merge/cartesian")
+  test("t29/t14 encode: ONE scan-local kernel pass — no join, no " +
+      "pre-sort aggregate exchange anywhere") {
+    // r18: the serve-path encodes run a per-document kernel with a
+    // per-task word memo (TextOps.encodeCountsUdf) — the former
+    // explode → distinct → join-back shape (one distinct shuffle + a
+    // corpus-sized join per invocation) must NOT come back. The only
+    // exchanges allowed are the unsplittable-input fan-out and the
+    // presentation sort's range partitioning.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, RoundRobinPartitioning}
+    for ((name, df) <- Seq(
+        "t29" -> graft.operators.TextOps.unigramEncodePinned(spark, sf),
+        "t14" -> graft.operators.TextOps.bpeEncodePinned(spark, sf))) {
+      val plan = finalPlan(df)
+      assert(!plan.exists {
+        case _: BroadcastHashJoinExec | _: SortMergeJoinExec |
+             _: CartesianProductExec => true
+        case _ => false
+      }, s"$name encode grew a join back")
+      val badExchange = plan.collect { case e: ShuffleExchangeLike => e }
+        .filterNot(e => e.outputPartitioning.isInstanceOf[RangePartitioning] ||
+          e.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      assert(badExchange.isEmpty,
+        s"$name encode shuffles corpus rows pre-sort: $badExchange")
+    }
   }
 
   test("v02 referential integrity: every parent-key side joins BROADCAST, " +
@@ -344,10 +361,15 @@ class PlanGateSpec extends SparkSuite {
     assert(broadcastJoins(plan) >= graft.operators.Checks.warehouseEdges.length,
       s"expected >=7 broadcast edge joins, saw ${broadcastJoins(plan)}")
     assert(noQuadraticJoins(plan), "v02 degraded to sort-merge/cartesian")
+    // slim-key claim, r18 form: a child table is scanned ONCE for ALL
+    // its edges, so a scan may read several KEY columns (lineitem: 3)
+    // — but never a column outside the declared FK key set
+    val keyCols = graft.operators.Checks.warehouseEdges
+      .flatMap(e => Seq(e.childCol, e.parentCol)).toSet
     val wideScan = plan.collect { case s: FileSourceScanExec => s }
-      .find(_.schema.fields.length > 1)
+      .find(_.schema.fields.exists(f => !keyCols.contains(f.name)))
     assert(wideScan.isEmpty,
-      s"v02 scan reads beyond the key column: ${wideScan.map(_.schema)}")
+      s"v02 scan reads beyond the FK key columns: ${wideScan.map(_.schema)}")
   }
 
   // ---- scan pushdown / pruning --------------------------------------
