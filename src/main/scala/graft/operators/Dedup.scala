@@ -188,7 +188,12 @@ object Dedup {
     * matches d12: (doc_id, bench_id, jaccard, n_matches). */
   def fuzzyDecontaminate(s: SparkSession, dir: String,
                          threshold: Double = X16Threshold): DataFrame = {
+    // lazy checkpoint (r18): the train side is read twice (candidate
+    // explode + set fetch) and the test side twice (index + set fetch)
+    // — uncheckpointed, the shingle kernel ran FOUR times per
+    // invocation
     val sh = Sampling.deterministicSplit(docShingles(s, dir), "doc_id")
+      .localCheckpoint(eager = false)
     fuzzyDecontaminate(
       sh.filter(col("split") === "train"),
       sh.filter(col("split") === "test"), threshold)
@@ -608,7 +613,11 @@ object Dedup {
     * hashes (see [[graft.functions.Hashing.hashedShingles]]), never as
     * strings. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // lazy checkpoint (r18): both decontaminate sides read this frame —
+    // uncheckpointed, the shingle kernel (and the scan + fan-out under
+    // it) ran once per side
     val sh = Sampling.deterministicSplit(docShingles(s, dir), "doc_id")
+      .localCheckpoint(eager = false)
     decontaminate(
       sh.filter(col("split") === "train"),
       sh.filter(col("split") === "test"))
@@ -897,7 +906,11 @@ object Dedup {
     // broadcast when the side is actually small and falls back to a
     // co-partitioned hash join when it isn't (the join keys are
     // unique ids either way, so the shuffle is slim).
+    // lazy checkpoint (r18): both self-join sides read the variant
+    // frame — uncheckpointed, the L+1-way explode (and the entity scan
+    // under it) ran once per side
     val variants = nameVariants(names).drop("name")
+      .localCheckpoint(eager = false)
     val a = variants.select(col("variant"), col("id").as("a_id"))
     val b = variants.select(col("variant"), col("id").as("b_id"))
     val cand = a.join(b, Seq("variant"))

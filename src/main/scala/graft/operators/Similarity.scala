@@ -303,7 +303,7 @@ object Similarity {
     var cs = lshPairsMulti(all, threshold = -2.0, nTables, nP,
         dim = 64, bucketCap)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .localCheckpoint(eager = false) // materializes inside round 1's job
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val g = topMGraph(directed(cs), m)
       val nn = g.as("g1").join(g.as("g2"),
@@ -317,7 +317,7 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("cos"))
-      cs = cs.unionByName(fresh).localCheckpoint(eager = false)
+      cs = cs.unionByName(fresh).localCheckpoint()
     }
     beamSearch(all, topMGraph(directed(cs), m), beam.getOrElse(autoBeam(n)),
       hops.getOrElse(autoHops(n)), k, nQueries, nEntries)
@@ -467,17 +467,12 @@ object Similarity {
   private def topMGraph(scored: DataFrame, m: Int): DataFrame = {
     // its OWN window + single checkpoint — routing through
     // topMGraphScored would materialize the selection twice (a second
-    // checkpoint per build, measured +2.7 s on s17 at sf0.1 in r17).
-    // eager = false (r18, guide §1.2/§5): the checkpoint still persists
-    // the selection and truncates lineage, but materializes INSIDE the
-    // first consumer's job instead of as its own driver-synced job —
-    // the graph family's cost at sf0.1 was the job-count floor
-    // (JobProfile: s17 = 65 jobs before), not compute.
+    // checkpoint per build, measured +2.7 s on s17 at sf0.1 in r17)
     val wG = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     scored.withColumn("rk", row_number().over(wG))
       .filter(col("rk") <= m)
       .select("src", "dst")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
   }
 
   /** [[topMGraph]] keeping the edge score — the insert-update path
@@ -497,7 +492,7 @@ object Similarity {
     scored.withColumn("rk", row_number().over(wG))
       .filter(col("rk") <= m)
       .select("src", "dst", "cos")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
   }
 
   /** The fixed-hop greedy beam search shared by [[annGraph]],
@@ -508,7 +503,7 @@ object Similarity {
   private def beamSearch(corpus: DataFrame, graph: DataFrame, beam: Int,
                          hops: Int, k: Int, nQueries: Int,
                          nEntries: Int): DataFrame =
-    beamSearchFrames(corpus, graph,
+    beamSearchDriver(corpus, graph,
       corpus.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn")),
@@ -518,49 +513,108 @@ object Similarity {
         .select(col("vec_id").as("n_id")),
       beam, hops, k)
 
+  /** [[beamSearchFrames]] with the per-hop BOOKKEEPING on the driver —
+    * for the PARAM-BOUNDED query sets of s16/s17/s19 (nQueries/nEntries
+    * are literals, default 5/4, at any SF). r18, guide §1.2: the
+    * row-frame form spent its wall on orchestration, not compute — per
+    * hop it planned a window + two sort-merge joins + a distinct + an
+    * eager checkpoint over frames of ≤ nq·(ne + hops·beam·m) ≈ 2k rows
+    * (JobProfile: s17 = 65 AQE stage-jobs, jobSum ≈ wall — pure sync
+    * floor; 8 cores beat 32 suite-wide on exactly these paths). The
+    * search state is MODEL-state-sized by the graph-ANN contract
+    * (hops·beam·m score evaluations per query, corpus-free), so it is
+    * driver state in the same sense as t13's merge table, the Lloyd
+    * centroids and x26's Gram matrix — the corpus-scaled work (frontier
+    * neighbor fetch, vector fetch + cosine) stays DISTRIBUTED: one slim
+    * broadcast-join job per hop against the checkpointed graph and one
+    * against the corpus, with no search-phase shuffle at all. Scoring
+    * runs the IDENTICAL Column expression (round(dot/(qn·nrm), 6)), and
+    * the driver merge/rank only COMPARES already-rounded doubles —
+    * replicating Spark's nanSafeCompareDoubles (-0.0 == 0.0) with
+    * integer tie-breaks — so ranks and values are bit-identical to the
+    * frame form (the insert family s18/s20, whose query set is the
+    * BATCH and can outgrow a driver, keeps [[beamSearchFrames]]). */
+  private def beamSearchDriver(corpus: DataFrame, graph: DataFrame,
+                               queries: DataFrame, entries: DataFrame,
+                               beam: Int, hops: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Spark DoubleType ordering: -0.0 == 0.0 (nanSafeCompareDoubles);
+    // no NaNs can reach here (cosines of finite non-zero-norm vectors)
+    val byCosDescIdAsc = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = if (a._2 == b._2) 0 else if (a._2 > b._2) -1 else 1
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val qIds = queries.select("q_id").collect().map(_.getLong(0)).sorted
+    val eIds = entries.select("n_id").collect().map(_.getLong(0)).sorted
+    val visited =
+      scala.collection.mutable.LinkedHashMap(qIds.map(q =>
+        q -> scala.collection.mutable.LinkedHashMap.empty[Long, Double]): _*)
+    // ONE scoring job: corpus streams through two broadcast hash joins
+    // (candidate pairs + query vectors), no exchange anywhere; the
+    // collect is ≤ nq·beam·m rows — query-set-sized at any corpus SF
+    def score(cands: Seq[(Long, Long)]): Unit = if (cands.nonEmpty) {
+      val rows = corpus.withColumnRenamed("vec_id", "n_id")
+        .join(broadcast(cands.toDF("q_id", "n_id")), Seq("n_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("cos"))
+        .collect()
+      rows.foreach { r =>
+        val m = visited(r.getLong(0))
+        if (!m.contains(r.getLong(1))) m(r.getLong(1)) = r.getDouble(2)
+      }
+    }
+    score(for (q <- qIds.toSeq; e <- eIds if e != q) yield (q, e))
+    for (_ <- 1 to hops) {
+      val frontier: Seq[(Long, Long)] = visited.toSeq.flatMap { case (q, m) =>
+        m.toSeq.sorted(byCosDescIdAsc).take(beam).map(p => (q, p._1))
+      }
+      val fIds = frontier.map(_._2).distinct.sorted
+      // distributed frontier expansion: the graph (corpus-scaled, a
+      // checkpointed degree-capped edge list) streams through ONE
+      // broadcast semi-join; the collect is ≤ |frontier|·m rows
+      val nbrs: Map[Long, Array[Long]] =
+        if (fIds.isEmpty) Map.empty
+        else graph.join(broadcast(fIds.toDF("src")), Seq("src"))
+          .select("src", "dst").collect()
+          .groupBy(_.getLong(0))
+          .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+      val cands = (for {
+        (q, f) <- frontier
+        d <- nbrs.getOrElse(f, Array.empty[Long])
+        if d != q && !visited(q).contains(d)
+      } yield (q, d)).distinct
+      score(cands)
+    }
+    val out = visited.toSeq.flatMap { case (q, m) =>
+      m.toSeq.map { case (n, c) => (n, c) }.sorted(byCosDescIdAsc).take(k)
+        .zipWithIndex.map { case ((n, c), i) => (q, i + 1, n, c) }
+    }.sortBy(r => (r._1, r._2))
+    spark.createDataFrame(out).toDF("q_id", "rk", "n_id", "cos")
+  }
+
   private def beamSearchFrames(corpus: DataFrame, graph: DataFrame,
                                queries: DataFrame, entries: DataFrame,
                                beam: Int, hops: Int, k: Int): DataFrame = {
-    // Every search-phase frame below (cand, frontier, visited) is
-    // QUERY-SET-sized — ≤ nq·(ne + hops·beam·m) rows at ANY corpus SF
-    // (the whole point of graph ANN) — but rides a checkpointed
-    // LogicalRDD whose stats Catalyst can't estimate, so without
-    // explicit hints every per-hop join planned as a sort-merge join
-    // that EXCHANGED the corpus/graph side each hop (measured r18:
-    // 8 exchanges per hop, s17 = 65 AQE stage-jobs). Broadcasting the
-    // bounded side is the guide §3.1 call and the scaladoc's 100 TB
-    // contract ("with the query set broadcast"); the corpus/graph side
-    // now streams scan-local through BHJs and never re-partitions.
     def score(cand: DataFrame): DataFrame =
-      corpus.withColumnRenamed("vec_id", "n_id")
-        .join(broadcast(cand), Seq("n_id"))
+      cand.join(corpus.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("n_id"),
           round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
     val wB = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    // eager = false on every per-hop checkpoint (r18): the lineage is
-    // still cut per hop (the 3^hops blowup cannot happen — each hop's
-    // plan roots at the previous hop's LogicalRDD) and the persisted
-    // blocks are computed exactly once, but all hops materialize inside
-    // the ONE final action instead of hops+1 driver-synced jobs. The
-    // sf0.1 graph family was overhead-bound on exactly those jobs
-    // (8c beat 32c; VERDICT r17 "What's wrong" #3).
     var visited = score(queries.select("q_id").crossJoin(entries)
-      .filter(col("n_id") =!= col("q_id"))).localCheckpoint(eager = false)
+      .filter(col("n_id") =!= col("q_id"))).localCheckpoint()
     for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rk", row_number().over(wB))
         .filter(col("rk") <= beam).select("q_id", "n_id")
-      val expanded = graph.join(broadcast(frontier),
-          frontier("n_id") === graph("src"))
+      val expanded = frontier.join(graph, frontier("n_id") === graph("src"))
         .select(col("q_id"), col("dst").as("n_id"))
         .filter(col("n_id") =!= col("q_id"))
         .distinct()
-      // NO broadcast hint on the anti-join's visited side: for the
-      // insert family (s18/s20) the query set is the whole batch and
-      // visited grows to nq·(ne + hops·beam·m) rows — driver-collecting
-      // it per hop measured SLOWER than the slim shuffle (s18 4.2→5.8,
-      // s20 5.0→6.4 at sf0.1); frontier/cand stay beam-bounded and keep
-      // their hints.
       val fresh = expanded
         .join(visited.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
       // each hop reads `visited` three times (frontier, anti-join,
@@ -568,7 +622,7 @@ object Similarity {
       // hop. The visited frame is query-set-sized (≤ nq·(ne +
       // hops·beam·m) rows) at ANY corpus SF, so the materialization
       // is metadata-cheap at scale too.
-      visited = visited.unionByName(score(fresh)).localCheckpoint(eager = false)
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
     visited.withColumn("rk", row_number().over(wB))
       .filter(col("rk") <= k)
