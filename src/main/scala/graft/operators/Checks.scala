@@ -340,7 +340,7 @@ object Checks {
     // three reductions read the vocab-sized frame (blocks auto-released
     // on plan GC, the minhashLsh note)
     val st = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val global = st.groupBy("w").agg(sum("c").as("cg"))
     val totals = st.groupBy("source").agg(sum("c").as("ns"))
     val grand = st.agg(sum("c").as("n")) // 1 row
@@ -393,13 +393,22 @@ object Checks {
     splitLeakage(t(s, dir, "documents"), "doc_id", "text")
 
   def splitLeakage(docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
+                   textCol: String): DataFrame =
+    splitLeakageFrom(
+      Sampling.familySplitAssignments(docs, idCol, textCol), docs,
+      idCol, textCol)
+
+  /** [[splitLeakage]] over a pre-built (id, fp, split) family-split
+    * assignment — lets v10 derive it from its shared fingerprint pass
+    * instead of re-scanning the corpus (r18). */
+  private[graft] def splitLeakageFrom(assignIn: DataFrame, docs: DataFrame,
+                                      idCol: String,
+                                      textCol: String): DataFrame = {
     // assignment frame feeds two consumers (the multi-split audit and
     // the trigram probe join) — checkpoint so its fingerprint pass
     // runs once; lazy (r18) so both checkpoints materialize inside the
     // report's own job instead of as separate driver-synced jobs
-    val assign = Sampling.familySplitAssignments(docs, idCol, textCol)
-      .localCheckpoint(eager = false)
+    val assign = assignIn.localCheckpoint(eager = false)
     val multi = assign.select("fp", "split").distinct()
       .groupBy("fp").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -489,7 +498,12 @@ object Checks {
     val sp = Sampling.deterministicSplit(docs, idCol)
     val t31 = TextOps.memorization(sp.filter(col("split") === "train"),
       sp.filter(col("split") === "test"), idCol, textCol)
-    val v08 = splitLeakage(docs, idCol, textCol).localCheckpoint(eager = false)
+    // v08's family-split assignment keys on the SAME contentFp the
+    // base pass already computed — derive it instead of re-scanning
+    val v08 = splitLeakageFrom(
+      Sampling.deterministicSplit(
+        base.select(col("doc_id").as(idCol), col("fp")), "fp"),
+      docs, idCol, textCol).localCheckpoint(eager = false)
 
     def cnt(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).cast("long").as(name))

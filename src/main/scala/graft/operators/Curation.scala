@@ -23,7 +23,7 @@ object Curation {
       .join(quality, "doc_id")
       .withColumn("fp",
         md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val passing = docs.filter(col("quality") >= qualityMin)
     val keepers = passing.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val split = Sampling.deterministicSplit(keepers, "doc_id")
@@ -509,7 +509,7 @@ object Curation {
         Sampling.contentFp(col(textCol)).as("fp"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
         col("n_chars"))
-      .localCheckpoint() // feeds the exact stage AND the near join-back
+      .localCheckpoint(eager = false) // feeds the exact stage AND the near join-back
     def staged(name: String, affected: Column, removed: Column,
                src: DataFrame): DataFrame =
       src.agg(coalesce(affected, lit(0L)).as("docs_affected"),

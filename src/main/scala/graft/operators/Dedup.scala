@@ -125,8 +125,8 @@ object Dedup {
                          idCol: String, textCol: String,
                          threshold: Double): DataFrame =
     incrementalNearDupSketched(
-      sketchDocs(batch, idCol, textCol).localCheckpoint(),
-      sketchDocs(store, idCol, textCol).localCheckpoint(), threshold)
+      sketchDocs(batch, idCol, textCol).localCheckpoint(eager = false),
+      sketchDocs(store, idCol, textCol).localCheckpoint(eager = false), threshold)
 
   /** The persisted-store artifact of [[incrementalNearDup]]: hashed
     * shingle sets + banded minhash signatures per doc — what a
@@ -278,7 +278,7 @@ object Dedup {
     // recomputing; acceptable for a frame this narrow.)
     val docs = docShingles(docsIn, idCol, textCol)
       .withColumn("bands", Hashing.minhashBands(col("sh")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val banded = docs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -323,7 +323,7 @@ object Dedup {
     // (blocks auto-released on plan GC, see minhashLsh note)
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val inter = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -357,7 +357,7 @@ object Dedup {
     // as ngramJaccard's checkpoint; blocks auto-released on plan GC)
     val ex = docShingles(docsIn, idCol, textCol)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("shingle")
@@ -365,7 +365,7 @@ object Dedup {
     val sized = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // both sides of the self-join read this — materialize once
     // (blocks auto-released on plan GC, see minhashLsh note)
-    val exKept = kept.join(sized, "doc_id").localCheckpoint()
+    val exKept = kept.join(sized, "doc_id").localCheckpoint(eager = false)
     val inter = exKept.as("a").join(exKept.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -835,7 +835,7 @@ object Dedup {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
     val docs = simhashStore(docsIn, idCol, textCol)
-      .localCheckpoint() // read 3× in-plan; blocks auto-released (see minhashLsh)
+      .localCheckpoint(eager = false) // read 3× in-plan; blocks auto-released (see minhashLsh)
     val banded = docs.select(col("doc_id"),
       posexplode(chunkKeysOf(col("sig"))).as(Seq("chunk", "key")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -1018,7 +1018,7 @@ object Dedup {
     // read 3 times (band explode + both sides of the shingle index)
     val sh = docShingles(docs, idCol, textCol)
       .withColumn("bands", Hashing.minhashBands(col("sh")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val banded = sh
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -1086,7 +1086,7 @@ object Dedup {
                    minJaccard: Double = D19Tau): DataFrame = {
     val sh = docShingles(docs, idCol, textCol)
       .withColumn("mins", Hashing.minhashMins(col("sh")))
-      .localCheckpoint() // minima once; every geometry + truth reads it
+      .localCheckpoint(eager = false) // minima once; every geometry + truth reads it
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val truth = ex.as("a").join(ex.as("b"),
@@ -1100,7 +1100,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
-      .localCheckpoint() // one truth computation for all arms
+      .localCheckpoint(eager = false) // one truth computation for all arms
     val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
     val milli = (num: Column, den: Column) =>
       when(den === 0L, 0L)
@@ -1113,7 +1113,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-        .localCheckpoint() // candidate count + caught count
+        .localCheckpoint(eager = false) // candidate count + caught count
       cand.agg(count(lit(1)).cast("long").as("n_candidates"))
         .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
           .agg(count(lit(1)).cast("long").as("n_caught")))
@@ -1148,7 +1148,7 @@ object Dedup {
                      taus: Seq[Double]): DataFrame = {
     require(taus.nonEmpty)
     val pairs = ngramJaccardUnordered(docs, idCol, textCol, taus.min)
-      .localCheckpoint() // every arm filters this one frame
+      .localCheckpoint(eager = false) // every arm filters this one frame
     taus.map { tau =>
       val p = pairs.filter(col("jaccard") >= tau)
       val stats = dupClusters(p).agg(
@@ -1204,8 +1204,8 @@ object Dedup {
                              maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
-    val b = batchSig.localCheckpoint()
-    val st = storeSig.localCheckpoint()
+    val b = batchSig.localCheckpoint(eager = false)
+    val st = storeSig.localCheckpoint(eager = false)
     def chunks(df: DataFrame, as: String): DataFrame = df
       .select(col("doc_id").as(as),
         posexplode(chunkKeysWide(col("sig0"), col("sig1")))
@@ -1242,8 +1242,8 @@ object Dedup {
                          maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (max 3)")
-    val b = batchSig.localCheckpoint() // chunk probe + sig fetch
-    val st = storeSig.localCheckpoint()
+    val b = batchSig.localCheckpoint(eager = false) // chunk probe + sig fetch
+    val st = storeSig.localCheckpoint(eager = false)
     def chunks(df: DataFrame, as: String): DataFrame = df
       .select(col("doc_id").as(as),
         posexplode(chunkKeysOf(col("sig"))).as(Seq("chunk", "key")))

@@ -597,9 +597,21 @@ object Similarity {
     spark.createDataFrame(out).toDF("q_id", "rk", "n_id", "cos")
   }
 
+  /** Query sets at or under this size run [[beamSearchDriver]] — the
+    * same size-gated locality trade as [[graft.operators.Dedup]]'s
+    * union-find finisher (driver state ≤ bound·(ne + hops·beam·m)
+    * entries ≈ a few MB at the bound; the s18-class insert batch is
+    * 100 here). A mega-batch beyond the bound keeps the distributed
+    * row-frame loop below. Decided from ONE limit(bound+1) probe of
+    * the query-id column, so the gate itself is metadata-cheap. */
+  private val BeamDriverMaxQueries = 10000
+
   private def beamSearchFrames(corpus: DataFrame, graph: DataFrame,
                                queries: DataFrame, entries: DataFrame,
                                beam: Int, hops: Int, k: Int): DataFrame = {
+    val probe = queries.select("q_id").limit(BeamDriverMaxQueries + 1).collect()
+    if (probe.length <= BeamDriverMaxQueries)
+      return beamSearchDriver(corpus, graph, queries, entries, beam, hops, k)
     def score(cand: DataFrame): DataFrame =
       cand.join(corpus.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
         .join(broadcast(queries), Seq("q_id"))
@@ -2677,8 +2689,11 @@ object Similarity {
     val stale = Pinned.ivfCentroids
     val rf = refit.getOrElse(
       fitCentroids(s40FitFrame(s, dir), stale.length, 3))
-    val store = s40Store(s, dir).localCheckpoint()
-    val batch = s40Batch(s, dir).localCheckpoint()
+    // all eight checkpoints below are LAZY (r18): every consumer sits
+    // inside the ONE final report union, so the blocks materialize in
+    // its stages instead of as eight driver-synced jobs
+    val store = s40Store(s, dir).localCheckpoint(eager = false)
+    val batch = s40Batch(s, dir).localCheckpoint(eager = false)
     def row1(stage: String, metric: String, v: Column,
              src: DataFrame): DataFrame =
       src.select(lit(stage).as("stage"), lit(metric).as("metric"),
@@ -2692,7 +2707,7 @@ object Similarity {
       .select(col("c").as("bin"), col("is_ref"))
     val psiAgg = Checks.psiReport(binned, stale.length)
       .agg(sum(floor(col("psi_term") * 1e6 + 0.5).cast("long")).as("psi"))
-      .localCheckpoint() // 1 row; feeds two report rows
+      .localCheckpoint(eager = false) // 1 row; feeds two report rows
     val r1 = row1("1_drift", "psi_micro", col("psi"), psiAgg)
     val r2 = row1("1_drift", "triggered",
       (col("psi") >= S40PsiMinMicro).cast("long"), psiAgg)
@@ -2707,12 +2722,12 @@ object Similarity {
     val compAgg = posted.select(dead.as("is_dead"))
       .agg(sum(when(col("is_dead"), 1L).otherwise(0L)).as("n_dead"),
         sum(when(!col("is_dead"), 1L).otherwise(0L)).as("n_live"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val r4 = row1("3_compact", "n_dead", col("n_dead"), compAgg)
     val r5 = row1("3_compact", "n_live", col("n_live"), compAgg)
     // 4: serve — recall@k of the drifted queries against the live
     // compacted postings, stale vs re-fit quantizer
-    val live = posted.filter(!dead).localCheckpoint()
+    val live = posted.filter(!dead).localCheckpoint(eager = false)
     val isQuery = col("vec_id") >= S40Offset &&
       col("vec_id") < S40Offset + S40NQueries
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
@@ -2724,7 +2739,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= S40K)
       .select("q_id", "n_id")
-      .localCheckpoint() // nQ·k rows; both serve arms probe it
+      .localCheckpoint(eager = false) // nQ·k rows; both serve arms probe it
     def recallMilli(cents: Array[Array[Double]]): DataFrame =
       s40CellProbe(live, cents)
         .withColumn("rk", row_number().over(w))
@@ -2732,8 +2747,8 @@ object Similarity {
         .join(truth, Seq("q_id", "n_id"))
         .agg(count(lit(1)).as("hits"))
         .select(expr(s"hits * 1000 div ${S40NQueries * S40K}").as("r"))
-    val rs = recallMilli(stale).localCheckpoint()
-    val rr = recallMilli(rf).localCheckpoint()
+    val rs = recallMilli(stale).localCheckpoint(eager = false)
+    val rr = recallMilli(rf).localCheckpoint(eager = false)
     val r6 = row1("4_serve", "recall_stale_milli", col("r"), rs)
     val r7 = row1("4_serve", "recall_refit_milli", col("r"), rr)
     val r8 = rs.select(col("r").as("a"))

@@ -405,7 +405,7 @@ object TextOps {
     // counts — materialize it once (the t12/d05 discipline)
     val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
       .withColumn("h", hash.tokenHash(col("w")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cm = new graft.functions.CountMinAggregator().toColumn
     val sketch: Array[Long] = words.select(col("h")).as[Long]
       .select(cm).head()
@@ -474,7 +474,7 @@ object TextOps {
       .select(col(idCol), col("pos"),
         substring_index(col("bg"), " ", 1).as("v"),
         substring_index(col("bg"), " ", -1).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cvw = bg.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
     val cv = bg.groupBy("v").agg(count(lit(1)).as("cv"))
     val vocab = docs.select(explode(tokensOf(col(textCol))).as("tk"))
@@ -589,7 +589,7 @@ object TextOps {
       df.select(lit(split).as("split"),
         explode(tokensOf(col(textCol))).as("word"))
     val all = words("1_ref", ref).unionByName(words("2_cur", cur))
-      .localCheckpoint() // one corpus explode for the three consumers
+      .localCheckpoint(eager = false) // one corpus explode for the three consumers
     val nUdf = udf { w: String =>
       unigramViterbiLocal(w, pieces, scores, unk).length.toLong
     }
@@ -613,7 +613,7 @@ object TextOps {
     val refW = all.filter(col("split") === "1_ref")
       .select("word").distinct()
     val curW = all.filter(col("split") === "2_cur")
-      .select("word").distinct().localCheckpoint()
+      .select("word").distinct().localCheckpoint(eager = false)
     val newRate = curW.join(refW, Seq("word"), "left_anti")
       .agg(count(lit(1)).as("n_new"))
       .crossJoin(broadcast(curW.agg(count(lit(1)).as("n_cur"))))
@@ -795,7 +795,7 @@ object TextOps {
                   k: Int = T28K): DataFrame = {
     val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the totals AND the top-K heap
+      .localCheckpoint(eager = false) // feeds the totals AND the top-K heap
     val totals = words.agg(
       count(lit(1)).as("n_vocab"),
       sum("n").as("n_tokens"))
@@ -937,7 +937,7 @@ object TextOps {
                                rounds: Int = T27Rounds): (Seq[String], Map[String, Long]) = {
     val words = docs.select(explode(tokensOf(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the seed pass + every EM round
+      .localCheckpoint(eager = false) // feeds the seed pass + every EM round
     // seed: every (position, length ≤ MaxPieceLen) substring occurrence,
     // weighted by the word count
     val occ = words
@@ -947,7 +947,7 @@ object TextOps {
         explode(sequence(lit(1), lit(T27MaxPieceLen))).as("l"))
       .filter(col("i") + col("l") - 1 <= length(col("w")))
       .select(col("w").substr(col("i"), col("l")).as("piece"), col("n"))
-    val f0 = occ.groupBy("piece").agg(sum("n").as("f")).localCheckpoint()
+    val f0 = occ.groupBy("piece").agg(sum("n").as("f")).localCheckpoint(eager = false)
     val singles = f0.filter(length(col("piece")) === 1)
     val multis = globalTopK(f0.filter(length(col("piece")) > 1),
       Seq(("f", false), ("piece", true)), seedMulti)
@@ -1250,7 +1250,7 @@ object TextOps {
       hash.windowHashesCol(col(textCol), lit(w)).as("fps"))
     val wins = base.filter(col("n_tokens") >= w)
       .select(col(idCol), posexplode(col("fps")).as(Seq("i", "fp")))
-      .localCheckpoint() // feeds the count AND the mark join
+      .localCheckpoint(eager = false) // feeds the count AND the mark join
     val dupFps = wins.groupBy("fp")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -1708,7 +1708,7 @@ object TextOps {
       hash.windowHashesCol(col(textCol), lit(w)).as("fps"))
     val wins = base.filter(col("n_tokens") >= w)
       .select(col(idCol), posexplode(col("fps")).as(Seq("i", "fp")))
-      .localCheckpoint() // feeds the count AND the mark join
+      .localCheckpoint(eager = false) // feeds the count AND the mark join
     val dupFps = wins.groupBy("fp")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -1834,7 +1834,7 @@ object TextOps {
     // aggregate and the join back (the splitLeakage discipline,
     // Checks.scala:300); without it Spark re-executes the whole
     // explode pass for each consumer
-    val tri = trigramFps(docs, idCol, textCol).localCheckpoint()
+    val tri = trigramFps(docs, idCol, textCol).localCheckpoint(eager = false)
     val firstOcc = tri.groupBy("fp").agg(min(idCol).as("first_doc"))
     val perDoc = tri.join(firstOcc, Seq("fp"))
       .groupBy(idCol)
@@ -1899,7 +1899,7 @@ object TextOps {
     * the batch itself outgrows a broadcast. */
   def incrementalNovelty(batch: DataFrame, storeFps: DataFrame,
                          idCol: String, textCol: String): DataFrame = {
-    val bFps = trigramFps(batch, idCol, textCol).localCheckpoint()
+    val bFps = trigramFps(batch, idCol, textCol).localCheckpoint(eager = false)
     val known = storeFps.select("fp")
       .join(broadcast(bFps.select("fp").distinct()), Seq("fp"), "left_semi")
       .distinct() // store partials may repeat an fp
@@ -1927,7 +1927,7 @@ object TextOps {
     // the TRAIN side is the unbounded one — prune it to the eval's
     // fps with a broadcast semi before anything shuffles (the t34
     // store-never-shuffles discipline)
-    val eFps = windowFps(eval, idCol, textCol, w).localCheckpoint()
+    val eFps = windowFps(eval, idCol, textCol, w).localCheckpoint(eager = false)
     val hits = trainFps.select("fp")
       .join(broadcast(eFps.select("fp").distinct()), Seq("fp"), "left_semi")
       .distinct().withColumn("hit", lit(1L))
